@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+import scala.util.Random
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Five families, all pure DataFrame transforms (shuffle-conscious,
+  * no driver-side loops, no UDFs in the hot path):
+  *
+  *  - [[exact]]           — md5-fingerprint group-by (one shuffle).
+  *  - [[minhashNearDups]] — MinHash + LSH banding: shingle → signature
+  *                          (codegen'd expressions) → band-bucket join
+  *                          → exact-Jaccard verification of candidates.
+  *  - [[simhashNearDups]] — 64-bit SimHash + chunk banding + Hamming
+  *                          distance verification (`bit_count(xor)`).
+  *  - [[ngramJaccardPairs]] — exact pairwise n-gram Jaccard via a
+  *                          shingle-explode equi-join (the exact
+  *                          counterpart LSH approximates).
+  *  - [[embeddingNearDups]] — cosine near-dup over embeddings via
+  *                          random-hyperplane LSH buckets + exact
+  *                          cosine verification.
+  *
+  * Scale design: every candidate-generation step is an equi-join on a
+  * bucket key (hash-partitionable at any cluster size); oversized
+  * buckets (degenerate shingles / all-zero vectors) are capped via
+  * `maxBucketSize` so one hot key cannot produce a quadratic task —
+  * dropped buckets only cost recall on pairs other bands still catch.
+  */
+object Dedup {
+
+  /** MinHash modulus: 2^31-1 (Mersenne prime). Coefficients and
+    * reduced shingle hashes are < 2^31, so a*h+b < 2^62 — no long
+    * overflow under ANSI mode, on any engine.
+    */
+  private val Prime = 2147483647L
+
+  /** Exact dedup: group by normalized-text fingerprint; keep the
+    * minimum id as canonical. One hash-aggregate shuffle; the map-side
+    * partial aggregation makes this safe on 100 TB of documents.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("canonical_id"), count("*").as("n_docs"))
+
+  /** Seeded MinHash coefficient pairs (a, b), identical on every
+    * executor because they are baked into the plan as literals.
+    */
+  private def minhashCoeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rng = new Random(seed)
+    Seq.fill(numHashes)((math.abs(rng.nextLong()) % Prime + 1, math.abs(rng.nextLong()) % Prime))
+  }
+
+  /** MinHash signature of the shingle set as `array<bigint>` — a pure
+    * Catalyst expression: `array_min(transform(shingles, s ->
+    * pmod(a*xxhash64(s)+b, P)))` per hash function. No UDF.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column = {
+    val sigs = minhashCoeffs(numHashes, seed).map { case (a, b) =>
+      array_min(transform(shingles, s => pmod(pmod(xxhash64(s), lit(Prime)) * a + b, lit(Prime))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band keys: hash each r-row slice of the signature. Two docs
+    * land in the same (band, key) bucket iff their signatures agree on
+    * that band — P[collision] = 1-(1-j^r)^b for Jaccard j.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { j =>
+      struct(lit(j).as("band"), xxhash64(slice(sig, j * rowsPerBand + 1, rowsPerBand)).as("key"))
+    }: _*)
+
+  /** Candidate pairs from LSH banding, verified with exact Jaccard over
+    * the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b
+    * and jaccard >= threshold.
+    */
+  def minhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.7, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val r = numHashes / bands
+    val base = df.select(
+      col(idCol).as("id"),
+      wordShingles(col(textCol), shingleSize).as("shingles"))
+    val sigs = base.withColumn("sig", minhashSignature(col("shingles"), numHashes, seed))
+    val buckets = sigs
+      .select(col("id"), col("shingles"), explode(bandKeys(col("sig"), bands, r)).as("bk"))
+      .select(col("id"), col("shingles"), col("bk.band"), col("bk.key"))
+    // Cap degenerate buckets: a bucket of size m yields m^2 candidate
+    // pairs; beyond maxBucketSize that is a skew bomb, and near-dup
+    // pairs in a mega-bucket are overwhelmingly re-found by other bands.
+    val sized = buckets
+      .withColumn("bucket_n", count("*").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val a = sized.select(col("band"), col("key"), col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = sized.select(col("band"), col("key"), col("id").as("id_b"), col("shingles").as("sh_b"))
+    val cand = a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"), (col("inter") / col("uni")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the token multiset, as a pure expression tree:
+    * per bit, fold token hashes into a +1/-1 counter; then pack sign
+    * bits into one long. O(64·tokens) arithmetic per row, all codegen.
+    */
+  def simhash64(text: Column): Column = {
+    val thashes = transform(tokens(text), t => xxhash64(t))
+    val packed = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+      val bitScore = aggregate(thashes, lit(0L),
+        (a, h) => a + (shiftrightunsigned(h, i).bitwiseAND(lit(1L)) * 2L - 1L))
+      // shiftleft|or, not acc*2+bit: bit 63 would overflow signed long
+      // multiplication under ANSI mode; bit ops don't overflow-check.
+      shiftleft(acc, 1).bitwiseOR(when(bitScore > 0L, 1L).otherwise(0L))
+    }
+    packed
+  }
+
+  /** SimHash near-dups: band the 64-bit fingerprint into 4 × 16-bit
+    * chunks (pigeonhole: Hamming distance ≤ 3 ⇒ at least one chunk
+    * equal), bucket-join on chunks, verify with `bit_count(xor)`.
+    */
+  def simhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    val chunks = 4
+    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val keyed = withSig.select(col("id"), col("sig"),
+      explode(array((0 until chunks).map { j =>
+        struct(lit(j).as("band"), shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    val sized = keyed
+      .withColumn("bucket_n", count("*").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val a = sized.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sized.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact pairwise n-gram Jaccard via shingle-explode + equi-join on
+    * the shingle value — every pair sharing ≥1 shingle is scored
+    * exactly. This is the oracle-checkable exact counterpart of
+    * [[minhashNearDups]]; at 100 TB you run the LSH variant and sample
+    * this one for recall measurement.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleSize).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+    val ex = base.select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val a = ex.select(col("sh"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val b = ex.select(col("sh"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    a.join(b, "sh").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count("*").as("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Seeded random hyperplanes for cosine LSH, baked as plan literals. */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Embedding near-dup: bucket by the packed sign-bit signature of
+    * `nPlanes` random hyperplanes, then verify candidates with exact
+    * cosine. Multi-probe via `nTables` independent plane sets raises
+    * recall. Returns (id_a, id_b, cosine) pairs with cosine >= threshold.
+    */
+  def embeddingNearDups(
+      df: DataFrame, vecCol: String, idCol: String, dim: Int,
+      threshold: Double = 0.95, nPlanes: Int = 12, nTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val tables = (0 until nTables).map { t =>
+      packBits(hyperplaneBits(col("v"), randomPlanes(nPlanes, dim, seed + t)))
+        .as(s"bucket_$t")
+    }
+    val keyed = base.select(col("id") +: col("v") +: tables: _*)
+    val ex = keyed.select(col("id"), col("v"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("table"), col(s"bucket_$t").as("key"))): _*)).as("bk"))
+      .select(col("id"), col("v"), col("bk.table"), col("bk.key"))
+    val a = ex.select(col("table"), col("key"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = ex.select(col("table"), col("key"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("table", "key")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}
