@@ -119,14 +119,15 @@ object TextFunctions {
   }
 
   /** Distinct word n-gram shingles of the normalized text, as strings.
-    * The shingle set is the input to MinHash / Jaccard dedup.
+    * The shingle set is the input to MinHash / Jaccard dedup. Native
+    * single-pass expression ([[graft.plans.WordShinglesExpr]]) —
+    * semantically `array_distinct(transform(sequence(...), i ->
+    * concat_ws(" ", slice(toks, i+1, n))))` but evaluated as one
+    * compiled loop instead of interpreted lambdas.
     */
   def wordShingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val toks = split(normalizeText(text), " ")
-    val count = greatest(size(toks) - (n - 1), lit(1))
-    array_distinct(
-      transform(sequence(lit(0), count - 1),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    )
+    column(graft.plans.WordShinglesExpr(expression(toks), n))
   }
 }

@@ -56,15 +56,16 @@ object Dedup {
     Seq.fill(numHashes)((math.abs(rng.nextLong()) % Prime + 1, math.abs(rng.nextLong()) % Prime))
   }
 
-  /** MinHash signature of the shingle set as `array<bigint>` — a pure
-    * Catalyst expression: `array_min(transform(shingles, s ->
-    * pmod(a*xxhash64(s)+b, P)))` per hash function. No UDF.
+  /** MinHash signature of the shingle set as `array<bigint>`:
+    * min over shingles of `(a·(xxh64(s) mod P) + b) mod P` per hash
+    * function — a native one-pass expression
+    * ([[graft.plans.MinHashSignatureExpr]]); all K mins computed in a
+    * single compiled loop over the shingle array.
     */
   def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column = {
-    val sigs = minhashCoeffs(numHashes, seed).map { case (a, b) =>
-      array_min(transform(shingles, s => pmod(pmod(xxhash64(s), lit(Prime)) * a + b, lit(Prime))))
-    }
-    array(sigs: _*)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.plans.MinHashSignatureExpr(
+      expression(shingles), minhashCoeffs(numHashes, seed), Prime))
   }
 
   /** LSH band keys: hash each r-row slice of the signature. Two docs
@@ -111,20 +112,13 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash of the token multiset, as a pure expression tree:
-    * per bit, fold token hashes into a +1/-1 counter; then pack sign
-    * bits into one long. O(64·tokens) arithmetic per row, all codegen.
+  /** 64-bit SimHash of the token multiset: per bit of each token's
+    * xxh64, fold a +1/-1 counter; sign bits packed into one long —
+    * a native one-pass expression ([[graft.plans.SimHash64Expr]]).
     */
   def simhash64(text: Column): Column = {
-    val thashes = transform(tokens(text), t => xxhash64(t))
-    val packed = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
-      val bitScore = aggregate(thashes, lit(0L),
-        (a, h) => a + (shiftrightunsigned(h, i).bitwiseAND(lit(1L)) * 2L - 1L))
-      // shiftleft|or, not acc*2+bit: bit 63 would overflow signed long
-      // multiplication under ANSI mode; bit ops don't overflow-check.
-      shiftleft(acc, 1).bitwiseOR(when(bitScore > 0L, 1L).otherwise(0L))
-    }
-    packed
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.plans.SimHash64Expr(expression(tokens(text))))
   }
 
   /** SimHash near-dups: band the 64-bit fingerprint into 4 × 16-bit

@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the text-dedup hot path.
+  *
+  * The higher-order-function formulations (`transform`+`slice`+
+  * `concat_ws` for shingles; 128 `array_min(transform(...))` folds for
+  * MinHash; 64 `aggregate` folds for SimHash) are interpreted
+  * per-element per-lambda; at 5k docs they already cost tens of
+  * seconds, at 100 TB they'd dominate the job. These expressions do
+  * the same work in one compiled pass per row. They are
+  * CodegenFallback (the body is already a tight JVM loop; the win is
+  * escaping the interpreted expression-tree evaluation, not codegen
+  * of string plumbing).
+  *
+  * All hashing uses XXH64 with seed 42 — the same kernel and default
+  * seed as Spark's built-in `xxhash64`, so signatures are identical
+  * to the composable formulation and stable cluster-wide.
+  */
+object TextExprs {
+  final val XxSeed = 42L
+
+  def xxh64(s: UTF8String): Long =
+    XXH64.hashUTF8String(s, XxSeed)
+}
+
+/** Distinct word n-gram shingles over a token array.
+  * Matches `array_distinct(transform(sequence(0, max(len-n,0)),
+  * i -> concat_ws(" ", slice(toks, i+1, n))))`: max(len-n+1, 1)
+  * shingles, the tail one clamped when len < n; first-occurrence
+  * dedup order.
+  */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def prettyName: String = "word_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    val count = math.max(len - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < count) {
+      val hi = math.min(i + n, len)
+      val parts = new Array[UTF8String](hi - i)
+      var j = i
+      while (j < hi) { parts(j - i) = toks.getUTF8String(j); j += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature: for each (a_k, b_k), min over shingles of
+  * (a_k · (xxh64(s) mod P) + b_k) mod P. One pass over the shingle
+  * array computes all K signature rows.
+  */
+case class MinHashSignatureExpr(child: Expression, coeffs: Seq[(Long, Long)], prime: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val as: Array[Long] = coeffs.map(_._1).toArray
+  private val bs: Array[Long] = coeffs.map(_._2).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val shingles = input.asInstanceOf[ArrayData]
+    val k = as.length
+    val mins = Array.fill[Long](k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = TextExprs.xxh64(shingles.getUTF8String(i))
+      val red = java.lang.Math.floorMod(h, prime)
+      var j = 0
+      while (j < k) {
+        val v = java.lang.Math.floorMod(as(j) * red + bs(j), prime)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a token array: per token-hash bit, fold a
+  * +1/-1 counter; sign bits packed MSB-first (bit 63 of the hash
+  * first), matching the composable `foldLeft` formulation in
+  * [[graft.operators.Dedup.simhash64]].
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = TextExprs.xxh64(toks.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        counters(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var packed = 0L
+    // Fold order i = 0..63 with acc<<1|bit ⇒ bit for shift i ends up
+    // at position 63-i, same as the expression-tree version.
+    var b = 0
+    while (b < 64) {
+      packed = (packed << 1) | (if (counters(b) > 0) 1L else 0L)
+      b += 1
+    }
+    packed
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
