@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.DownloadConfig
+import graft.operators.{Blurrer, Downloader, ExifExtractor, Resizer, Stats}
+import graft.sinks.Sinks
+import graft.sources.UrlReader
+
+/** The `download()`-equivalent end-to-end pipeline — the reference's
+  * fixed logical plan (SURVEY overview) as one declarative DataFrame
+  * chain:
+  *
+  * SCAN → PROJECT/RENAME → SHARD(key) → [anti-join done shards] →
+  * MAP(download, thread-pooled) → FILTER/tag (robots, hash-verify) →
+  * MAP(blur?, resize) → EXTEND(status, dims, hash, exif) →
+  * SINK(files|tar|parquet|tfrecord|dummy) → AGG(stats).
+  *
+  * Spark plans and schedules the whole thing; there are no tmp shard
+  * files, no subjob batching, no custom distributor (R3–R7 are
+  * subsumed by the scheduler — SURVEY §3.3 inversion note).
+  */
+object Pipeline {
+
+  case class Result(
+      metaFrame: DataFrame,
+      count: Long, successes: Long,
+      failedToDownload: Long, failedToResize: Long)
+
+  /** Existing-output shard ids (L1 incremental / F6 anti-join input):
+    * parse `{shard}_stats.json` names like `main.py:157-158`.
+    */
+  def doneShardIds(spark: SparkSession, outDir: String): Seq[Long] = {
+    val p = new Path(outDir)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith("_stats.json"))
+      .map(_.stripSuffix("_stats.json").toLong).toSeq
+  }
+
+  /** Full pipeline run. Returns the metadata frame (already written
+    * through the configured sink) plus global counters.
+    */
+  def download(spark: SparkSession, inputPath: String, outDir: String,
+               cfg0: DownloadConfig): Result = {
+    val cfg = cfg0.validate()
+    val startTime = System.currentTimeMillis() / 1000.0
+    val fs = new Path(outDir).getFileSystem(new Configuration())
+
+    // L1 lifecycle (main.py:151-168)
+    val done = cfg.incrementalMode match {
+      case "overwrite" =>
+        fs.delete(new Path(outDir), true); Nil
+      case "incremental" => doneShardIds(spark, outDir)
+      case "extend" => Nil
+    }
+    val startShardId = cfg.incrementalMode match {
+      case "extend" =>
+        val existing = doneShardIds(spark, outDir)
+        if (existing.isEmpty) 0L else existing.max + 1
+      case _ => 0L
+    }
+    fs.mkdirs(new Path(outDir))
+
+    // SCAN → canonicalize → shard (S1-S9, P1/P2, R1/R2, T2)
+    val sharded = UrlReader.read(spark, inputPath, cfg, startShardId)
+
+    // F6: skip already-done shards (broadcast anti-join; `done` is a
+    // driver-known, small list — one stats file per finished shard).
+    val pending =
+      if (done.isEmpty) sharded
+      else {
+        import spark.implicits._
+        sharded.join(broadcast(done.toDF("shard_id")), Seq("shard_id"), "left_anti")
+      }
+
+    // MAP: thread-pooled download (S11/T1/F1)
+    val fetched = Downloader.download(pending, cfg)
+
+    // F2: hash verify over RAW bytes (downloader.py:274-292)
+    val verified = cfg.verifyHash match {
+      case Some((_, tpe)) =>
+        val computed = hashCol(col(Downloader.PayloadCol), tpe)
+        fetched.withColumn("_hash_mismatch",
+          col(Downloader.FetchErrorCol).isNull && computed =!= col(tpe))
+      case None => fetched.withColumn("_hash_mismatch", lit(false))
+    }
+
+    // T10 (optional) + T3-T9/F3-F5
+    val blurred = Blurrer.maybeBlur(verified, cfg, Downloader.PayloadCol)
+    val resized = Resizer.resize(blurred, cfg)
+
+    // EXTEND: status, error_message, hash, exif (T11/T12)
+    var meta = resized
+      .withColumn("status",
+        when(col(Downloader.FetchErrorCol).isNotNull, "failed_to_download")
+          .when(col("_hash_mismatch"), "failed_to_download")
+          .when(col("_resize_error").isNotNull, "failed_to_resize")
+          .otherwise("success"))
+      .withColumn("error_message",
+        when(col(Downloader.FetchErrorCol).isNotNull, col(Downloader.FetchErrorCol))
+          .when(col("_hash_mismatch"), "hash mismatch")
+          .otherwise(col("_resize_error")))
+    cfg.computeHashCol.foreach { tpe =>
+      meta = meta.withColumn(tpe,
+        when(col("status") === "success", hashCol(col(Downloader.PayloadCol), tpe)))
+    }
+    if (cfg.extractExif)
+      meta = meta.withColumn("exif",
+        when(col("status") === "success", ExifExtractor.exifJsonUdf(col(Downloader.PayloadCol))))
+
+    // Final payload + caption + sidecar JSON for the sample sinks.
+    val metaCols: Seq[String] =
+      (pending.columns.filterNot(c => c == "shard_id" || cfg.verifyHash.exists(_._1 == c)) ++
+        Seq("key", "status", "error_message", "width", "height",
+            "original_width", "original_height") ++
+        (if (cfg.extractExif) Seq("exif") else Nil) ++
+        cfg.computeHashCol.toSeq).distinct.filterNot(_ == "key").prepended("key")
+    val prepared = meta
+      .withColumn("_final_payload",
+        when(col("status") === "success", col("_resized_payload")))
+      .withColumn("_caption_out",
+        if (pending.columns.contains("caption")) col("caption") else lit(null).cast("string"))
+      .withColumn("_meta_json", to_json(struct(metaCols.map(col): _*)))
+
+    // SINK dispatch (K1-K6) + parquet sidecar invariant.
+    val sidecar = prepared.select(
+      (metaCols.map(col) :+ col("shard_id")) ++
+        (if (cfg.outputFormat == "parquet")
+           Seq(col("_final_payload").as(cfg.encodeFormat)) else Nil): _*)
+    cfg.outputFormat match {
+      case "files" => Sinks.writeFiles(prepared, outDir, cfg)
+      case "webdataset" => Sinks.writeWebdataset(prepared, outDir, cfg)
+      case "tfrecord" => Sinks.writeTfrecord(prepared, outDir, cfg)
+      case "dummy" => Sinks.writeDummy(prepared.select("shard_id", "key", "status"))
+      case "parquet" => // payload rides the sidecar below
+    }
+    Sinks.writeMetaParquet(sidecar, outDir, cfg)
+
+    // AGG: per-shard stats sidecars + global counters (A1-A7)
+    val statsDf = Stats.shardStats(prepared.select("shard_id", "status", "error_message")).cache()
+    val endTime = System.currentTimeMillis() / 1000.0
+    Stats.writeShardStats(statsDf, outDir, cfg.oomShardCount, startTime, endTime)
+    val g = Stats.globalStats(statsDf, startTime, endTime)
+    statsDf.unpersist()
+    Result(sidecar, g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+  }
+
+  private def hashCol(payload: org.apache.spark.sql.Column, tpe: String) = tpe match {
+    case "md5" => md5(payload)
+    case "sha256" => sha2(payload, 256)
+    case "sha512" => sha2(payload, 512)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.config
+
+/** Typed pipeline configuration — the Spark-native equivalent of the
+  * reference's `download()` keyword surface (reference
+  * `main.py:73-112`, defaults mirrored where they transfer).
+  *
+  * Validation mirrors `main.py:31-70` (L3/P4 in SURVEY §2): hash
+  * names, verify/compute consistency, reserved output columns.
+  */
+case class DownloadConfig(
+    urlCol: String = "url",
+    captionCol: Option[String] = None,
+    saveAdditionalColumns: Seq[String] = Nil,
+    /** txt|csv|tsv|json|jsonl|parquet — "auto" sniffs the extension. */
+    inputFormat: String = "auto",
+    /** files|webdataset|parquet|tfrecord|dummy (writer.py:55-306). */
+    outputFormat: String = "files",
+    /** jpg|png|webp (webp unsupported by the JVM codecs — rejected). */
+    encodeFormat: String = "jpg",
+    encodeQuality: Int = 95,
+    samplesPerShard: Int = 10000,     // number_sample_per_shard, main.py:91
+    oomShardCount: Int = 5,           // main.py:92
+    imageSize: Int = 256,
+    resizeMode: String = "border",    // resizer.py:22-27
+    resizeOnlyIfBigger: Boolean = false,
+    skipReencode: Boolean = false,
+    disableAllReencoding: Boolean = false,
+    minImageSize: Int = 0,
+    maxImageArea: Double = Double.PositiveInfinity,
+    maxAspectRatio: Double = Double.PositiveInfinity,
+    /** (inputColumn, hashType) — recompute over bytes, compare (F2). */
+    verifyHash: Option[(String, String)] = None,
+    /** md5|sha256|sha512 column appended to output (T12). */
+    computeHashCol: Option[String] = Some("sha256"),
+    extractExif: Boolean = false,
+    /** normalized [x0,y0,x1,y1] bbox-list column to blur (T10). */
+    bboxCol: Option[String] = None,
+    timeoutSeconds: Int = 10,
+    retries: Int = 0,
+    userAgentToken: Option[String] = None,
+    disallowedHeaderDirectives: Seq[String] =
+      Seq("noai", "noimageai", "noindex", "noimageindex"), // main.py:114-117
+    /** I/O threads per partition task (main.py:90; README.md:349-357). */
+    threadCount: Int = 64,
+    /** incremental|overwrite|extend (main.py:151-168). */
+    incrementalMode: String = "incremental") {
+
+  import DownloadConfig._
+
+  def hashColumns: Seq[String] = computeHashCol.toSeq ++ verifyHash.map(_._2)
+
+  /** Throws IllegalArgumentException on invalid config (analysis-time,
+    * before any job is launched) — mirror of `arguments_validator`.
+    */
+  def validate(): DownloadConfig = {
+    require(ValidHashes.contains(computeHashCol.getOrElse("sha256")),
+      s"computeHashCol must be one of $ValidHashes")
+    verifyHash.foreach { case (_, tpe) =>
+      require(ValidHashes.contains(tpe), s"verifyHash type must be one of $ValidHashes")
+      computeHashCol.foreach { c =>
+        require(c == tpe,
+          s"when both verify_hash and compute_hash are set they must use the same algorithm " +
+          s"(got verify=$tpe compute=$c)") // main.py:36-43
+      }
+    }
+    require(ValidResizeModes.contains(resizeMode), s"resizeMode must be one of $ValidResizeModes")
+    require(ValidOutputFormats.contains(outputFormat), s"outputFormat must be one of $ValidOutputFormats")
+    require(ValidEncodeFormats.contains(encodeFormat),
+      s"encodeFormat must be one of $ValidEncodeFormats (webp has no JVM codec — use jpg or png)")
+    require(ValidIncrementalModes.contains(incrementalMode),
+      s"incrementalMode must be one of $ValidIncrementalModes")
+    val reserved = ReservedColumns ++ ValidEncodeFormats
+    val clash = saveAdditionalColumns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"saveAdditionalColumns may not use reserved output columns: ${clash.mkString(", ")}") // main.py:45-70
+    require(samplesPerShard > 0 && oomShardCount > 0 && threadCount > 0, "sizes must be positive")
+    this
+  }
+
+  /** Digits needed for the in-shard index — `downloader.py:223`. */
+  def oomSamplesPerShard: Int =
+    math.ceil(math.log10(samplesPerShard.toDouble)).toInt
+}
+
+object DownloadConfig {
+  val ValidHashes: Set[String] = Set("md5", "sha256", "sha512")
+  val ValidResizeModes: Set[String] =
+    Set("no", "border", "keep_ratio", "keep_ratio_largest", "center_crop")
+  val ValidOutputFormats: Set[String] =
+    Set("files", "webdataset", "parquet", "tfrecord", "dummy")
+  val ValidEncodeFormats: Set[String] = Set("jpg", "png")
+  val ValidIncrementalModes: Set[String] = Set("incremental", "overwrite", "extend")
+  /** Reserved output schema appendix — `main.py:45-70` + writer payload. */
+  val ReservedColumns: Set[String] = Set(
+    "key", "status", "error_message", "width", "height",
+    "original_width", "original_height", "exif", "md5", "sha256", "sha512")
+}

@@ -1,0 +1,191 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.awt.{Color, RenderingHints}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.stream.MemoryCacheImageOutputStream
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.config.DownloadConfig
+
+/** Image decode / filter / resize / re-encode (T3–T9, F3–F5) —
+  * reference `resizer.py:137-228`, re-expressed as a pure
+  * `Array[Byte] => ResizeResult` function applied through a UDF.
+  *
+  * Correctness contract is the reference's *size/metadata* contract
+  * (`tests/fixtures.py:116-151`), not pixel equality: JVM
+  * interpolation (bilinear here vs OpenCV lanczos/area) produces
+  * different bytes by construction (SURVEY §7 "hard parts").
+  *
+  * Filters F3–F5 tag, not drop: failed rows return a null payload and
+  * an error string; original dimensions are always reported.
+  *
+  * Scale: the UDF runs on the task thread (1 decode/resize per core —
+  * the reference throttles OpenCV identically, `resizer.py:146`,
+  * README.md:352-357); downloads saturate the I/O pool in
+  * [[Downloader]] while decode stays CPU-bound per-core.
+  */
+object Resizer {
+
+  /** Mirror of the resizer's 6-tuple contract (`resizer.py:137-141`). */
+  case class ResizeResult(
+      payload: Array[Byte],
+      width: Option[Int],
+      height: Option[Int],
+      originalWidth: Option[Int],
+      originalHeight: Option[Int],
+      error: Option[String])
+
+  private def err(e: String, ow: Option[Int] = None, oh: Option[Int] = None) =
+    ResizeResult(null, None, None, ow, oh, Some(e))
+
+  /** Sniff whether bytes already carry the target format (T8's
+    * `imghdr` sniff, `resizer.py:148`) — magic-number check.
+    */
+  def sniffFormat(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 12) None
+    else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) Some("jpg")
+    else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') Some("png")
+    else if (bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P') Some("webp")
+    else None
+  }
+
+  /** T4: flatten RGBA onto a white background (resizer.py:154-159). */
+  private def flattenAlpha(img: BufferedImage): BufferedImage = {
+    if (!img.getColorModel.hasAlpha && img.getType == BufferedImage.TYPE_3BYTE_BGR) img
+    else {
+      val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_3BYTE_BGR)
+      val g = out.createGraphics()
+      g.setColor(Color.WHITE)
+      g.fillRect(0, 0, img.getWidth, img.getHeight)
+      g.drawImage(img, 0, 0, null)
+      g.dispose()
+      out
+    }
+  }
+
+  private def scaleTo(img: BufferedImage, w: Int, h: Int, upscale: Boolean): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val g = out.createGraphics()
+    // Reference picks lanczos when upscaling, area when downscaling
+    // (main.py:80-81); JVM equivalent: bicubic up, bilinear down.
+    g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+      if (upscale) RenderingHints.VALUE_INTERPOLATION_BICUBIC
+      else RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    out
+  }
+
+  /** Encode to jpg/png at quality (T8). */
+  def encode(img: BufferedImage, format: String, quality: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    format match {
+      case "jpg" =>
+        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(quality / 100.0f)
+        val ios = new MemoryCacheImageOutputStream(out)
+        writer.setOutput(ios)
+        writer.write(null, new IIOImage(img, null, null), param)
+        ios.flush(); writer.dispose()
+      case "png" =>
+        ImageIO.write(img, "png", out)
+    }
+    out.toByteArray
+  }
+
+  /** The full T3–T9 / F3–F5 kernel over raw bytes. */
+  def resizeBytes(bytes: Array[Byte], cfg: DownloadConfig): ResizeResult = {
+    if (bytes == null) return err("no payload")
+    if (cfg.disableAllReencoding)                      // T9 passthrough
+      return ResizeResult(bytes, None, None, None, None, None)
+    try {
+      val raw = ImageIO.read(new ByteArrayInputStream(bytes))  // T3 decode
+      if (raw == null) return err("image decode failed")
+      val img0 = flattenAlpha(raw)                             // T4
+      val (ow, oh) = (img0.getWidth, img0.getHeight)
+      // F3/F4/F5 — resizer.py:162-168
+      if (math.min(oh, ow) < cfg.minImageSize) return err("image too small", Some(ow), Some(oh))
+      if (oh.toLong * ow > cfg.maxImageArea) return err("image area too large", Some(ow), Some(oh))
+      if (math.max(oh, ow).toDouble / math.min(oh, ow) > cfg.maxAspectRatio)
+        return err("aspect ratio too large", Some(ow), Some(oh))
+
+      val ts = cfg.imageSize
+      val (img, w, h): (BufferedImage, Int, Int) = cfg.resizeMode match {
+        case "no" => (img0, ow, oh)
+        case "keep_ratio" | "center_crop" =>                   // T5: smallest side → ts
+          val small = math.min(ow, oh)
+          if (cfg.resizeOnlyIfBigger && small <= ts) (img0, ow, oh)
+          else {
+            val scale = ts.toDouble / small
+            val (nw, nh) = (math.round(ow * scale).toInt.max(1), math.round(oh * scale).toInt.max(1))
+            val scaled = scaleTo(img0, nw, nh, scale > 1)
+            if (cfg.resizeMode == "center_crop") {
+              val cropped = scaled.getSubimage((nw - ts) / 2, (nh - ts) / 2, ts.min(nw), ts.min(nh))
+              // getSubimage shares the raster; copy for encoders.
+              (copyOf(cropped), cropped.getWidth, cropped.getHeight)
+            } else (scaled, nw, nh)
+          }
+        case "border" | "keep_ratio_largest" =>                // T6: largest side → ts
+          val big = math.max(ow, oh)
+          if (cfg.resizeOnlyIfBigger && big <= ts) (img0, ow, oh)
+          else {
+            val scale = ts.toDouble / big
+            val (nw, nh) = (math.round(ow * scale).toInt.max(1), math.round(oh * scale).toInt.max(1))
+            val scaled = scaleTo(img0, nw, nh, scale > 1)
+            if (cfg.resizeMode == "border") {
+              val padded = new BufferedImage(ts, ts, BufferedImage.TYPE_3BYTE_BGR)
+              val g = padded.createGraphics()
+              g.setColor(Color.WHITE); g.fillRect(0, 0, ts, ts)
+              g.drawImage(scaled, (ts - nw) / 2, (ts - nh) / 2, null)
+              g.dispose()
+              (padded, ts, ts)
+            } else (scaled, nw, nh)
+          }
+      }
+      // T8/T9: skip re-encode when unchanged and format already matches.
+      val unchanged = (img eq img0) && sniffFormat(bytes).contains(cfg.encodeFormat)
+      val outBytes =
+        if (cfg.skipReencode && unchanged) bytes
+        else encode(img, cfg.encodeFormat, cfg.encodeQuality)
+      ResizeResult(outBytes, Some(w), Some(h), Some(ow), Some(oh), None)
+    } catch {
+      case e: Throwable => err(s"resize failed: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+    }
+  }
+
+  private def copyOf(img: BufferedImage): BufferedImage = {
+    val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_3BYTE_BGR)
+    val g = out.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
+    out
+  }
+
+  /** Column form: binary → struct(payload, width, height,
+    * original_width, original_height, error). Deterministic pure
+    * function, safe for Catalyst to reorder.
+    */
+  def resizeUdf(cfg: DownloadConfig): Column => Column = {
+    val f = udf((bytes: Array[Byte]) => resizeBytes(bytes, cfg))
+    (payload: Column) => f(payload)
+  }
+
+  /** Apply to a downloaded frame: adds payload/width/height/original_*
+    * columns + `_resize_error`.
+    */
+  def resize(df: DataFrame, cfg: DownloadConfig): DataFrame = {
+    val res = resizeUdf(cfg)(col(Downloader.PayloadCol))
+    df.withColumn("_rr", res)
+      .withColumn("_resized_payload", col("_rr.payload"))
+      .withColumn("width", col("_rr.width"))
+      .withColumn("height", col("_rr.height"))
+      .withColumn("original_width", col("_rr.originalWidth"))
+      .withColumn("original_height", col("_rr.originalHeight"))
+      .withColumn("_resize_error", col("_rr.error"))
+      .drop("_rr")
+  }
+}

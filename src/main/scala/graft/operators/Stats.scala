@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pipeline statistics (SURVEY §2.5 A1–A7).
+  *
+  *  - [[shardStats]]: per-shard counters (A1) — one hash aggregate
+  *    with map-side partial aggregation; the error breakdown (A2/A3)
+  *    rides the same shuffle as a map column of the top error
+  *    messages.
+  *  - [[writeShardStats]]: `{shard:%05d}_stats.json` sidecars (K7/A5),
+  *    written from the (tiny) aggregated frame.
+  *  - [[globalStats]]: running totals + rates (A6) — a single
+  *    all-up aggregate of the per-shard frame.
+  *
+  * The capped error counter (A2, `logger.py:13-43`) approximates
+  * heavy hitters by keeping the top half on overflow; at Spark scale
+  * the exact `groupBy(error).count` is already distributed, so we
+  * keep it exact and cap only the per-shard JSON breakdown at k=100
+  * entries (matching `most_common(100)`, logger.py:147-151).
+  */
+object Stats {
+
+  /** A1 + A2/A3: per-shard success/failure counters + top-k error map. */
+  def shardStats(df: DataFrame, topK: Int = 100): DataFrame = {
+    val errCounts = df
+      .filter(col("status") =!= "success" && col("error_message").isNotNull)
+      .groupBy("shard_id", "error_message").agg(count("*").as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("shard_id").orderBy(col("n").desc, col("error_message"))))
+      .filter(col("rk") <= topK)
+      .groupBy("shard_id")
+      .agg(map_from_entries(collect_list(struct(col("error_message"), col("n")))).as("status_dict"))
+    df.groupBy("shard_id").agg(
+        count("*").as("count"),
+        sum(when(col("status") === "success", 1L).otherwise(0L)).as("successes"),
+        sum(when(col("status") === "failed_to_download", 1L).otherwise(0L)).as("failed_to_download"),
+        sum(when(col("status") === "failed_to_resize", 1L).otherwise(0L)).as("failed_to_resize"))
+      .join(errCounts, Seq("shard_id"), "left")
+  }
+
+  /** K7/A5: one `{shard:%05d}_stats.json` per shard, with the same
+    * field set as `write_stats` (logger.py:162-191). Duration fields
+    * are wall-clock of the whole job (Spark has no per-shard worker
+    * clock worth reporting — tasks interleave shards).
+    */
+  def writeShardStats(stats: DataFrame, outDir: String, oomShardCount: Int,
+                      startTime: Double, endTime: Double): Unit = {
+    val rows = stats.select("shard_id", "count", "successes",
+      "failed_to_download", "failed_to_resize", "status_dict").collect()
+    val conf = new Configuration()
+    val fs = new Path(outDir).getFileSystem(conf)
+    rows.foreach { r =>
+      val shard = r.getLong(0)
+      val dict = Option(r.getAs[Map[String, Long]](5)).getOrElse(Map.empty)
+      val dictJson = dict.toSeq.sortBy { case (k, n) => (-n, k) }
+        .map { case (k, n) => "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + s"\": $n" }
+        .mkString("{", ", ", "}")
+      val json =
+        s"""{"count": ${r.getLong(1)}, "successes": ${r.getLong(2)},
+           | "failed_to_download": ${r.getLong(3)}, "failed_to_resize": ${r.getLong(4)},
+           | "duration": ${endTime - startTime}, "start_time": $startTime, "end_time": $endTime,
+           | "status_dict": $dictJson}""".stripMargin.replace("\n", "")
+      val name = ("%0" + oomShardCount + "d").format(shard) + "_stats.json"
+      val o = fs.create(new Path(outDir, name), true)
+      o.write(json.getBytes("UTF-8")); o.close()
+    }
+  }
+
+  /** A6: global running aggregate with derived rates. */
+  def globalStats(shardStats: DataFrame, startTime: Double, endTime: Double): Row = {
+    val agg = shardStats.agg(
+      coalesce(sum("count"), lit(0L)).as("count"),
+      coalesce(sum("successes"), lit(0L)).as("successes"),
+      coalesce(sum("failed_to_download"), lit(0L)).as("failed_to_download"),
+      coalesce(sum("failed_to_resize"), lit(0L)).as("failed_to_resize")).collect()(0)
+    val duration = math.max(endTime - startTime, 1e-9)
+    Row(agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
+      duration, agg.getLong(0) / duration, agg.getLong(1).toDouble / math.max(agg.getLong(0), 1))
+  }
+}

@@ -1,0 +1,253 @@
+package graft.sinks
+
+import java.io.{BufferedOutputStream, OutputStream}
+import java.util.zip.CRC32C
+
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.config.DownloadConfig
+import graft.functions.PipelineFunctions
+
+/** Output sinks (SURVEY §2.7) with exact per-shard file naming.
+  *
+  * All per-sample sinks follow the same scalable shape: the frame is
+  * hash-partitioned by `shard_id` (a shard never splits across tasks),
+  * sorted within partitions by (shard_id, key), and `foreachPartition`
+  * streams rows shard-by-shard into exactly one output object per
+  * shard (`{shard:%05d}.tar` / `.tfrecord` / a `{shard:%05d}/`
+  * directory) — one open file per task at a time, the reference's
+  * disk-friendly streaming property (README.md:354-357). I/O goes
+  * through the Hadoop FileSystem API, so any supported scheme
+  * (file://, hdfs://, s3a://) works — the S9 fsspec analog.
+  *
+  * Sink invariants (mirrored from the reference tests): a metadata
+  * parquet sidecar per shard with rows = input rows incl. failures;
+  * payloads written only for successes; tar/files/tfrecord named by
+  * zero-padded shard id.
+  */
+object Sinks {
+
+  /** Columns every sink consumes; `metaJson` is prebuilt by the
+    * pipeline with `to_json(struct(metaCols))` so sinks never
+    * serialize rows themselves.
+    */
+  case class SinkInput(df: DataFrame, cfg: DownloadConfig)
+
+  private def fs(dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(new Configuration()), p)
+  }
+
+  /** Stream a partition's rows (sorted by shard_id) through a
+    * per-shard writer lifecycle: `onShardStart(shard)` →
+    * `onRow(row)`* → `onShardEnd()` per run of equal shard ids.
+    * Single pass, O(1) memory — never buffers a shard.
+    */
+  private def groupedByShard(rows: Iterator[Row], shardIdx: Int)(
+      onShardStart: Long => Unit, onRow: Row => Unit, onShardEnd: () => Unit): Unit = {
+    var current = Long.MinValue
+    var open = false
+    rows.foreach { r =>
+      val s = r.getLong(shardIdx)
+      if (!open || s != current) {
+        if (open) onShardEnd()
+        onShardStart(s); current = s; open = true
+      }
+      onRow(r)
+    }
+    if (open) onShardEnd()
+  }
+
+  private def shardStem(shard: Long, oom: Int): String =
+    ("%0" + oom + "d").format(shard)
+
+  private def prep(df: DataFrame): DataFrame =
+    df.repartition(col("shard_id")).sortWithinPartitions("shard_id", "key")
+
+  /** K1/K2: per-shard metadata parquet `{shard:%05d}.parquet`
+    * (payload column included by the parquet output format, K2).
+    * Implementation: native Spark parquet write partitioned by shard,
+    * then a driver-side rename pass to the exact reference naming —
+    * the data path is fully distributed; only the O(#shards) renames
+    * run on the driver.
+    */
+  def writeMetaParquet(df: DataFrame, outDir: String, cfg: DownloadConfig): Unit = {
+    val tmp = outDir + "/_meta_tmp"
+    df.repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(tmp)
+    val (hfs, _) = fs(outDir)
+    val stats = hfs.listStatus(new Path(tmp))
+    stats.filter(_.isDirectory).foreach { st =>
+      val name = st.getPath.getName // shard_id=N
+      val shard = name.substring(name.indexOf('=') + 1).toLong
+      val part = hfs.listStatus(st.getPath).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+      part.foreach { p =>
+        hfs.rename(p, new Path(outDir, shardStem(shard, cfg.oomShardCount) + ".parquet"))
+      }
+    }
+    hfs.delete(new Path(tmp), true)
+  }
+
+  /** K3: webdataset tar — entries `{key}.jpg`, `{key}.txt`,
+    * `{key}.json` per successful sample, one `{shard:%05d}.tar` per
+    * shard (writer.py:94-135; layout per webdataset.github.io).
+    */
+  def writeWebdataset(df: DataFrame, outDir: String, cfg: DownloadConfig): Unit = {
+    val d = prep(df)
+    val si = d.schema.fieldIndex("shard_id"); val ki = d.schema.fieldIndex("key")
+    val pi = d.schema.fieldIndex("_final_payload"); val ci = d.schema.fieldIndex("_caption_out")
+    val mi = d.schema.fieldIndex("_meta_json"); val sti = d.schema.fieldIndex("status")
+    val (ext, oom, dir) = (cfg.encodeFormat, cfg.oomShardCount, outDir)
+    d.foreachPartition { (rows: Iterator[Row]) =>
+      val (hfs, _) = fs(dir)
+      var out: TarArchiveOutputStream = null
+      def entry(name: String, bytes: Array[Byte]): Unit = {
+        val e = new TarArchiveEntry(name)
+        e.setSize(bytes.length)
+        out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+      }
+      groupedByShard(rows, si)(
+        shard => {
+          out = new TarArchiveOutputStream(new BufferedOutputStream(
+            hfs.create(new Path(dir, shardStem(shard, oom) + ".tar"), true), 1 << 20))
+          out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+        },
+        r => if (r.getString(sti) == "success" && !r.isNullAt(pi)) {
+          val key = r.getString(ki)
+          entry(s"$key.$ext", r.getAs[Array[Byte]](pi))
+          if (!r.isNullAt(ci)) entry(s"$key.txt", r.getString(ci).getBytes("UTF-8"))
+          entry(s"$key.json", r.getString(mi).getBytes("UTF-8"))
+        },
+        () => out.close())
+    }
+  }
+
+  /** K4: one file triple per sample under `{shard:%05d}/`
+    * (writer.py:246-293).
+    */
+  def writeFiles(df: DataFrame, outDir: String, cfg: DownloadConfig): Unit = {
+    val d = prep(df)
+    val si = d.schema.fieldIndex("shard_id"); val ki = d.schema.fieldIndex("key")
+    val pi = d.schema.fieldIndex("_final_payload"); val ci = d.schema.fieldIndex("_caption_out")
+    val mi = d.schema.fieldIndex("_meta_json"); val sti = d.schema.fieldIndex("status")
+    val (ext, oom, dir) = (cfg.encodeFormat, cfg.oomShardCount, outDir)
+    d.foreachPartition { (rows: Iterator[Row]) =>
+      val (hfs, _) = fs(dir)
+      var shardDir: Path = null
+      def put(name: String, bytes: Array[Byte]): Unit = {
+        val o = hfs.create(new Path(shardDir, name), true)
+        o.write(bytes); o.close()
+      }
+      groupedByShard(rows, si)(
+        shard => { shardDir = new Path(dir, shardStem(shard, oom)); hfs.mkdirs(shardDir) },
+        r => if (r.getString(sti) == "success" && !r.isNullAt(pi)) {
+          val key = r.getString(ki)
+          put(s"$key.$ext", r.getAs[Array[Byte]](pi))
+          if (!r.isNullAt(ci)) put(s"$key.txt", r.getString(ci).getBytes("UTF-8"))
+          put(s"$key.json", r.getString(mi).getBytes("UTF-8"))
+        },
+        () => ())
+    }
+  }
+
+  /** K5: TFRecord of TF `Example` protos, one `{shard:%05d}.tfrecord`
+    * per shard (writer.py:138-243). Protobuf and the TFRecord framing
+    * (length + masked CRC32C) are encoded from scratch — see
+    * [[TfRecordCodec]] — so no TF dependency is needed.
+    */
+  def writeTfrecord(df: DataFrame, outDir: String, cfg: DownloadConfig): Unit = {
+    val d = prep(df)
+    val si = d.schema.fieldIndex("shard_id"); val ki = d.schema.fieldIndex("key")
+    val pi = d.schema.fieldIndex("_final_payload"); val ci = d.schema.fieldIndex("_caption_out")
+    val mi = d.schema.fieldIndex("_meta_json"); val sti = d.schema.fieldIndex("status")
+    val (ext, oom, dir) = (cfg.encodeFormat, cfg.oomShardCount, outDir)
+    d.foreachPartition { (rows: Iterator[Row]) =>
+      val (hfs, _) = fs(dir)
+      var out: BufferedOutputStream = null
+      groupedByShard(rows, si)(
+        shard => out = new BufferedOutputStream(
+          hfs.create(new Path(dir, shardStem(shard, oom) + ".tfrecord"), true), 1 << 20),
+        r => if (r.getString(sti) == "success" && !r.isNullAt(pi)) {
+          val feats = Seq(
+            ext -> TfRecordCodec.bytesFeature(r.getAs[Array[Byte]](pi)),
+            "key" -> TfRecordCodec.bytesFeature(r.getString(ki).getBytes("UTF-8")),
+            "metadata" -> TfRecordCodec.bytesFeature(r.getString(mi).getBytes("UTF-8"))) ++
+            (if (!r.isNullAt(ci))
+               Seq("caption" -> TfRecordCodec.bytesFeature(r.getString(ci).getBytes("UTF-8")))
+             else Nil)
+          TfRecordCodec.writeRecord(out, TfRecordCodec.example(feats))
+        },
+        () => out.close())
+    }
+  }
+
+  /** K6: discard (benchmark mode) — writer.py:296-306. */
+  def writeDummy(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+}
+
+/** Hand-rolled TF `Example` protobuf + TFRecord framing (T15/K5).
+  * Wire format per the public protobuf spec and TFRecord layout:
+  * `[len:uint64le][masked_crc32c(len):uint32le][data][masked_crc32c(data)]`.
+  */
+object TfRecordCodec {
+
+  private def varint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def lenDelim(field: Int, bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    varint(out, (field << 3) | 2); varint(out, bytes.length); out.write(bytes)
+    out.toByteArray
+  }
+
+  /** Feature { bytes_list = 1 { repeated bytes value = 1 } } */
+  def bytesFeature(value: Array[Byte]): Array[Byte] =
+    lenDelim(1, lenDelim(1, value))
+
+  /** Feature { float_list = 2 { repeated float value = 1, packed } } */
+  def floatFeature(values: Seq[Float]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(values.length * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(bb.putFloat)
+    lenDelim(2, lenDelim(1, bb.array()))
+  }
+
+  /** Feature { int64_list = 3 { repeated int64 value = 1, packed } } */
+  def int64Feature(values: Seq[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    values.foreach(varint(out, _))
+    lenDelim(3, lenDelim(1, out.toByteArray))
+  }
+
+  /** Example { features = 1 { map<string,Feature> feature = 1 } } */
+  def example(features: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val entries = features.map { case (name, feat) =>
+      lenDelim(1, lenDelim(1, name.getBytes("UTF-8")) ++ lenDelim(2, feat))
+    }
+    lenDelim(1, entries.foldLeft(Array.emptyByteArray)(_ ++ _))
+  }
+
+  private def maskedCrc(bytes: Array[Byte]): Int = {
+    val c = new CRC32C(); c.update(bytes)
+    val crc = c.getValue.toInt
+    ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+  }
+
+  def writeRecord(out: OutputStream, data: Array[Byte]): Unit = {
+    val lenBuf = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(data.length.toLong).array()
+    val word = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.write(lenBuf)
+    out.write(word.clear().putInt(maskedCrc(lenBuf)).array())
+    out.write(data)
+    out.write(word.clear().putInt(maskedCrc(data)).array())
+  }
+}

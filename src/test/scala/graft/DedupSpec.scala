@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup + similarity behavior on planted near-duplicates, plus
+  * LSH-vs-exact recall checks on the synthetic corpus.
+  */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def planted = {
+    val base = "the quick brown fox jumps over the lazy dog again and again until done"
+    val nearDup = base.replace("lazy", "sleepy") // 1-word edit
+    val other = "completely different text about spark catalyst optimizer rules and plans"
+    Seq((1L, base), (2L, nearDup), (3L, other), (4L, base)).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val groups = Dedup.exact(planted, "text", "doc_id")
+    val dup = groups.filter(col("n_docs") === 2).collect()
+    assert(dup.length == 1 && dup(0).getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("minhash LSH finds the planted near-dup pair") {
+    val pairs = Dedup.minhashNearDups(planted, "text", "doc_id",
+      shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
+    assert(pairs.contains((1L, 4L)), "exact dup is also a near-dup")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc not paired")
+  }
+
+  test("simhash near-dups: identical docs at hamming 0, near at small distance") {
+    val sigs = planted.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L), "identical text → identical simhash")
+    val d12 = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    val d13 = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(d12 < d13, s"near-dup hamming $d12 should be < unrelated $d13")
+  }
+
+  test("minhash LSH recall vs exact jaccard on synthetic documents (sf0.001)") {
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, "text", "doc_id",
+      shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH pairs are exact-verified, so ⊆ exact")
+    val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} true pairs")
+  }
+
+  test("embedding LSH near-dups ⊆ exact cosine pairs") {
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val lsh = Dedup.embeddingNearDups(emb, "embedding", "vec_id", dim = 64,
+      threshold = 0.4, nPlanes = 8, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    import graft.functions.VectorFunctions.cosine
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val exact = v.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb")), col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= 0.4)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty, "some high-cosine pairs recalled")
+  }
+
+  test("IVF top-k recall vs brute force") {
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, "embedding", "vec_id", 10,
+      nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF@nprobe=4/8 recall $recall vs brute force")
+  }
+
+  test("native vector expressions match HOF reference formulation bit-exactly") {
+    import graft.functions.VectorFunctions
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet")).limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val hofDot = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    val rows = emb.select(
+      VectorFunctions.dot(col("v"), col("v")).as("native"),
+      hofDot.as("hof")).collect()
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)), "bit-identical dot products")
+  }
+}

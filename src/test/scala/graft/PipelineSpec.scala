@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.config.DownloadConfig
+
+/** End-to-end pipeline runs against the embedded HTTP server —
+  * mirrors the reference's `tests/test_main.py` invariants:
+  * sidecar rows = input rows incl. failures; one sidecar parquet per
+  * shard; `{shard:%05d}.tar` naming; 3 files per success in files
+  * mode; robots-disallowed rows tagged not dropped; hash-verify NULLs.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val server = new HttpImageServer
+  override def afterAll(): Unit = { server.stop(); super.afterAll() }
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  private def writeUrlList(tag: String, urls: Seq[String]): String = {
+    val f = Paths.get(tmpDir(tag), "urls.txt")
+    Files.write(f, urls.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  private def baseCfg = DownloadConfig(
+    samplesPerShard = 5, threadCount = 8, imageSize = 256,
+    resizeMode = "border", computeHashCol = Some("md5"),
+    incrementalMode = "overwrite")
+
+  test("files sink: 3 files per success, sidecar rows = input rows") {
+    val urls = server.allowedUrls ++ Seq(server.url("/missing/zz.jpg"))
+    val out = tmpDir("files")
+    val res = Pipeline.download(spark, writeUrlList("files", urls), out,
+      baseCfg.copy(outputFormat = "files"))
+    assert(res.count == urls.size)
+    assert(res.successes == server.allowedUrls.size)
+    assert(res.failedToDownload == 1)
+    // sidecar parquet per shard: ceil(8/5) = 2 shards
+    val sidecars = new java.io.File(out).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(sidecars.map(_.getName).sorted.toSeq == Seq("00000.parquet", "00001.parquet"))
+    val meta = spark.read.parquet(s"$out/*.parquet")
+    assert(meta.count() == urls.size)
+    assert(meta.filter(col("status") === "success").count() == 7)
+    // files-mode: {shard}/{key}.jpg + .json per success (no caption col → no .txt)
+    val shard0 = new java.io.File(out, "00000")
+    assert(shard0.exists)
+    val perSuccess = shard0.listFiles.map(_.getName)
+    assert(perSuccess.count(_.endsWith(".jpg")) == meta
+      .filter(col("status") === "success" && col("key").startsWith("00000")).count())
+    // width/height contract: border mode → 256x256
+    val succ = meta.filter(col("status") === "success").select("width", "height").distinct().collect()
+    assert(succ.toSeq.map(r => (r.getInt(0), r.getInt(1))) == Seq((256, 256)))
+  }
+
+  test("webdataset sink: {shard:05d}.tar with entries per success") {
+    val urls = server.allowedUrls
+    val out = tmpDir("wds")
+    Pipeline.download(spark, writeUrlList("wds", urls), out,
+      baseCfg.copy(outputFormat = "webdataset"))
+    val tars = new java.io.File(out).listFiles.filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+    assert(tars.map(_.getName).toSeq == Seq("00000.tar", "00001.tar"))
+    // read entries back
+    val in = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      new java.io.FileInputStream(tars(0)))
+    val names = Iterator.continually(in.getNextEntry).takeWhile(_ != null).map(_.getName).toList
+    in.close()
+    assert(names.count(_.endsWith(".jpg")) == 5)
+    assert(names.count(_.endsWith(".json")) == 5)
+  }
+
+  test("parquet sink: payload column named by encode format") {
+    val urls = server.allowedUrls
+    val out = tmpDir("pq")
+    Pipeline.download(spark, writeUrlList("pq", urls), out,
+      baseCfg.copy(outputFormat = "parquet"))
+    val meta = spark.read.parquet(s"$out/*.parquet")
+    assert(meta.columns.contains("jpg"))
+    val payloads = meta.filter(col("status") === "success")
+      .select("jpg").collect().map(_.getAs[Array[Byte]](0))
+    assert(payloads.forall(p => p != null && p.length > 100))
+  }
+
+  test("tfrecord sink: records framed with valid masked crc32c") {
+    val urls = server.allowedUrls.take(3)
+    val out = tmpDir("tfr")
+    Pipeline.download(spark, writeUrlList("tfr", urls), out,
+      baseCfg.copy(outputFormat = "tfrecord"))
+    val f = new java.io.File(out, "00000.tfrecord")
+    assert(f.exists)
+    val bytes = Files.readAllBytes(f.toPath)
+    // parse framing: 3 records
+    var off = 0; var n = 0
+    while (off < bytes.length) {
+      val len = java.nio.ByteBuffer.wrap(bytes, off, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+      off += 12 + len + 4; n += 1
+    }
+    assert(n == 3 && off == bytes.length)
+  }
+
+  test("robots directives: disallowed rows tagged, not dropped") {
+    val urls = server.allowedUrls.take(3) ++ server.disallowedUrls.take(4)
+    val out = tmpDir("robots")
+    val res = Pipeline.download(spark, writeUrlList("robots", urls), out,
+      baseCfg.copy(outputFormat = "dummy"))
+    assert(res.count == 7 && res.successes == 3 && res.failedToDownload == 4)
+    val meta = spark.read.parquet(s"$out/*.parquet")
+    val errs = meta.filter(col("status") === "failed_to_download")
+      .select("error_message").distinct().collect().map(_.getString(0))
+    assert(errs.toSeq == Seq("Use of image disallowed by X-Robots-Tag directive"))
+  }
+
+  test("hash verify: mismatching row fails with NULL hash column") {
+    import spark.implicits._
+    val good = server.imageBytes(123, 456)
+    val md5hex = java.security.MessageDigest.getInstance("MD5").digest(good)
+      .map("%02x".format(_)).mkString
+    val rows = Seq(
+      (server.url("/allowed/123_456.jpg"), md5hex),            // correct
+      (server.url("/allowed/208_495.jpg"), "0" * 32))          // wrong
+    val dir = tmpDir("verify")
+    val in = s"$dir/in.parquet"
+    rows.toDF("url", "myhash").write.parquet(in)
+    val out = tmpDir("verify_out")
+    val res = Pipeline.download(spark, in, out,
+      baseCfg.copy(outputFormat = "dummy", inputFormat = "parquet",
+        verifyHash = Some(("myhash", "md5")), computeHashCol = Some("md5")))
+    assert(res.successes == 1 && res.failedToDownload == 1)
+    val meta = spark.read.parquet(s"$out/*.parquet")
+    assert(meta.filter(col("md5").isNull).count() == 1)
+    assert(meta.filter(col("error_message") === "hash mismatch").count() == 1)
+  }
+
+  test("incremental mode: done shards skipped on re-run") {
+    val urls = server.allowedUrls  // 7 urls, 2 shards at 5/shard
+    val list = writeUrlList("incr", urls)
+    val out = tmpDir("incr_out")
+    val first = Pipeline.download(spark, list, out, baseCfg.copy(outputFormat = "dummy"))
+    assert(first.count == 7)
+    val second = Pipeline.download(spark, list, out,
+      baseCfg.copy(outputFormat = "dummy", incrementalMode = "incremental"))
+    assert(second.count == 0, "all shards already done → nothing re-processed")
+  }
+
+  test("stats sidecars: per-shard counts and status_dict") {
+    val urls = server.allowedUrls.take(4) ++ Seq(server.url("/missing/a.jpg"))
+    val out = tmpDir("stats")
+    Pipeline.download(spark, writeUrlList("stats", urls), out,
+      baseCfg.copy(outputFormat = "dummy"))
+    val statsFiles = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith("_stats.json")).sortBy(_.getName)
+    assert(statsFiles.map(_.getName).toSeq == Seq("00000_stats.json"))
+    val json = new String(Files.readAllBytes(statsFiles(0).toPath), "UTF-8")
+    assert(json.contains("\"count\": 5") && json.contains("\"successes\": 4"))
+    assert(json.contains("HTTP 404"))
+  }
+
+  test("streaming stats: running totals over stats sidecars") {
+    val urls = server.allowedUrls
+    val out = tmpDir("stream")
+    Pipeline.download(spark, writeUrlList("stream", urls), out,
+      baseCfg.copy(outputFormat = "dummy"))
+    val q = graft.streaming.StatsStream.start(spark, out, "stats_test", triggerMillis = 100)
+    q.processAllAvailable()
+    val totals = spark.sql("SELECT * FROM stats_test").collect()(0)
+    q.stop()
+    assert(totals.getAs[Long]("count") == 7)
+    assert(totals.getAs[Long]("successes") == 7)
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import java.awt.image.BufferedImage
+
+import graft.config.DownloadConfig
+import graft.operators.{Blurrer, ExifExtractor, Resizer}
+
+/** Size-contract matrix ported from the reference's resizer oracle
+  * (`tests/fixtures.py:116-151` via `tests/test_resizer.py:33-65`):
+  * for each (mode × only_if_bigger) × the 7 corpus dimensions, the
+  * output dimensions must satisfy the mode's contract.
+  */
+class ResizerSpec extends SparkSpec {
+
+  private val sizes = Seq(
+    (123, 456), (208, 495), (321, 421), (389, 535), (416, 264), (456, 123), (524, 316))
+
+  private def makeJpg(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(java.awt.Color.ORANGE); g.fillRect(0, 0, w, h); g.dispose()
+    Resizer.encode(img, "jpg", 95)
+  }
+
+  private def dims(bytes: Array[Byte]): (Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    (img.getWidth, img.getHeight)
+  }
+
+  for (mode <- Seq("no", "border", "keep_ratio", "keep_ratio_largest", "center_crop");
+       onlyIfBigger <- Seq(false, true)) {
+    test(s"size contract: mode=$mode onlyIfBigger=$onlyIfBigger") {
+      val ts = 256
+      val cfg = DownloadConfig(resizeMode = mode, imageSize = ts,
+        resizeOnlyIfBigger = onlyIfBigger)
+      for ((w, h) <- sizes) {
+        val r = Resizer.resizeBytes(makeJpg(w, h), cfg)
+        assert(r.error.isEmpty, s"unexpected error for ${w}x$h: ${r.error}")
+        assert(r.originalWidth.contains(w) && r.originalHeight.contains(h))
+        val (ow, oh) = (r.width.get, r.height.get)
+        val (dw, dh) = dims(r.payload)
+        assert((dw, dh) == (ow, oh), "reported dims match actual payload dims")
+        mode match {
+          case "no" => assert((ow, oh) == (w, h))
+          case "border" =>
+            if (onlyIfBigger && math.max(w, h) <= ts) assert((ow, oh) == (w, h))
+            else assert((ow, oh) == (ts, ts))
+          case "keep_ratio" =>
+            if (onlyIfBigger && math.min(w, h) <= ts) assert((ow, oh) == (w, h))
+            else {
+              assert(math.min(ow, oh) == ts)
+              val ar = w.toDouble / h; val oar = ow.toDouble / oh
+              assert(math.abs(ar - oar) / ar < 0.02, "aspect ratio preserved")
+            }
+          case "keep_ratio_largest" =>
+            if (onlyIfBigger && math.max(w, h) <= ts) assert((ow, oh) == (w, h))
+            else assert(math.max(ow, oh) == ts)
+          case "center_crop" =>
+            if (onlyIfBigger && math.min(w, h) <= ts) assert((ow, oh) == (w, h))
+            else assert((ow, oh) == (ts, ts))
+        }
+      }
+    }
+  }
+
+  test("F3/F4/F5 filters tag with original dims") {
+    val bytes = makeJpg(100, 300)
+    val small = Resizer.resizeBytes(bytes, DownloadConfig(minImageSize = 150))
+    assert(small.error.contains("image too small") && small.originalWidth.contains(100))
+    val area = Resizer.resizeBytes(bytes, DownloadConfig(maxImageArea = 10000))
+    assert(area.error.contains("image area too large"))
+    val ar = Resizer.resizeBytes(bytes, DownloadConfig(maxAspectRatio = 2.0))
+    assert(ar.error.contains("aspect ratio too large"))
+  }
+
+  test("T9 passthrough and T8 skip_reencode") {
+    val bytes = makeJpg(300, 200)
+    val pass = Resizer.resizeBytes(bytes, DownloadConfig(disableAllReencoding = true))
+    assert(pass.payload eq bytes)
+    val skip = Resizer.resizeBytes(bytes,
+      DownloadConfig(resizeMode = "no", skipReencode = true, encodeFormat = "jpg"))
+    assert(skip.payload eq bytes, "unchanged jpg with skipReencode returns original bytes")
+  }
+
+  test("corrupt payload tagged as decode failure") {
+    val r = Resizer.resizeBytes(Array[Byte](1, 2, 3, 4), DownloadConfig())
+    assert(r.error.contains("image decode failed"))
+  }
+
+  test("bbox blur changes pixels inside box, preserves outside") {
+    val w = 200; val h = 100
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, if ((x / 10 + y / 10) % 2 == 0) 0xFFFFFF else 0x000000)
+    g.dispose()
+    val png = Resizer.encode(img, "png", 95)
+    val cfg = DownloadConfig(encodeFormat = "png")
+    val blurred = Blurrer.blurBytes(png, Seq(Seq(0.1, 0.1, 0.4, 0.6)), cfg)
+    val out = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blurred))
+    // center of box is blurred (checkerboard → gray-ish mix)
+    val inBox = out.getRGB(50, 30)
+    val r1 = (inBox >> 16) & 0xFF
+    assert(r1 > 30 && r1 < 225, s"inside-box pixel should be blurred, got $r1")
+    // far corner untouched
+    assert((out.getRGB(190, 90) & 0xFFFFFF) == (img.getRGB(190, 90) & 0xFFFFFF))
+  }
+
+  test("EXIF: parses crafted APP1 segment; {} when absent") {
+    assert(ExifExtractor.parseToJson(makeJpg(10, 10)) == "{}")
+    // hand-build a minimal EXIF jpeg: SOI + APP1(Exif, IFD0 with Make="T")
+    val tiff = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    tiff.putShort(1)                  // 1 entry
+    tiff.putShort(0x010F)             // Make
+    tiff.putShort(2)                  // ASCII
+    tiff.putInt(2)                    // count ("T\0")
+    tiff.put('T'.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    tiff.putInt(0)                    // next IFD
+    val tiffBytes = java.util.Arrays.copyOf(tiff.array(), tiff.position())
+    val app1Body = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ tiffBytes
+    val seg = Array[Byte](0xFF.toByte, 0xE1.toByte,
+      (((app1Body.length + 2) >> 8) & 0xFF).toByte, ((app1Body.length + 2) & 0xFF).toByte) ++ app1Body
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte) ++ seg ++
+      Array[Byte](0xFF.toByte, 0xDA.toByte, 0, 2)
+    val json = ExifExtractor.parseToJson(jpeg)
+    assert(json == """{"Make": "T"}""", s"got $json")
+  }
+}

