@@ -404,6 +404,35 @@ object SparkEntry {
         octet_length(col("text")).as("n_bytes"),
         md5(col("text").cast("binary")).as("payload_md5"))
         .orderBy("doc_id")
+    }),
+    "mm_image_meta" -> ((s, dir) => {
+      // Real ImageIO decode plumbing over a binary column; text
+      // payloads are not images, so the (deterministic) outcome is the
+      // decode-failed tagging path with byte counts — the same struct
+      // real images fill with dims/format.
+      graft.operators.Multimodal.withImageMeta(
+          t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "payload")
+        .select(col("doc_id"), col("image_meta.width").as("width"),
+                col("image_meta.height").as("height"),
+                col("image_meta.n_bytes").as("n_bytes"),
+                col("image_meta.decode_error").as("decode_error"))
+        .orderBy("doc_id")
+    }),
+    "q26_union_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders").agg(count("*").as("n")).select(lit("orders").as("src"), col("n"))
+      val c = t(s, dir, "customer").agg(count("*").as("n")).select(lit("customer").as("src"), col("n"))
+      val l = t(s, dir, "lineitem").agg(count("*").as("n")).select(lit("lineitem").as("src"), col("n"))
+      o.unionAll(c).unionAll(l).orderBy("src")
+    }),
+    "q27_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("dr", dense_rank().over(w))
+        .withColumn("next_key", lead("o_orderkey", 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .select("o_custkey", "o_orderkey", "dr", "next_key", "quartile")
+        .orderBy("o_custkey", "o_orderkey")
     })
   )
 
@@ -669,6 +698,23 @@ object SparkEntry {
          ORDER BY query_id, rank""",
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, md5(text) AS payload_md5
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "mm_image_meta" ->
+      """SELECT doc_id, CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+         CAST(strlen(text) AS INTEGER) AS n_bytes, 'decode failed' AS decode_error
+         FROM documents ORDER BY doc_id""",
+    "q26_union_all" ->
+      """SELECT 'orders' AS src, count(*) AS n FROM orders
+         UNION ALL SELECT 'customer', count(*) FROM customer
+         UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+         ORDER BY src""",
+    "q27_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(dense_rank() OVER w AS INTEGER) AS dr,
+         lead(o_orderkey) OVER w AS next_key,
+         CAST(ntile(4) OVER w AS INTEGER) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey"""
   )
 }

@@ -1,0 +1,45 @@
+package graft
+
+/** Physical-plan audits: the 100 TB design assertions, checked on the
+  * actual executed plans. These catch regressions like a filter that
+  * stops reaching the parquet scan or a dimension join that silently
+  * becomes a shuffle join.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("q2: filter and projection are pushed to the parquet scan") {
+    val p = plan("q2_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThan(l_shipdate") || p.contains("IsNotNull(l_shipdate"), p)
+    // column pruning: scan schema carries only the 5 needed columns
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_comment") && !p.contains("l_tax"), "unneeded columns pruned")
+  }
+
+  test("q3/q4: dimension joins broadcast, no shuffle of the small side") {
+    assert(plan("q3_join_broadcast").contains("BroadcastHashJoin"))
+    val p4 = plan("q4_join_multi")
+    assert(p4.contains("BroadcastHashJoin"), "nation/region joins broadcast")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_"), "HashAggregate runs in partial mode before exchange")
+  }
+
+  test("ann brute force: corpus scanned once, queries broadcast") {
+    val p = plan("ann_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side broadcast:\n$p")
+  }
+
+  test("dedup exact: single hash-aggregate shuffle, no join") {
+    val p = plan("dedup_exact")
+    assert(!p.contains("Join"), "exact dedup must not join")
+    assert(p.contains("partial_"), "map-side partial aggregation")
+  }
+}
