@@ -297,6 +297,17 @@ object SparkEntry {
         .withColumn("success_rate", rd(col("successes").cast("double") / col("count"), 6))
         .orderBy("shard_id")
     }),
+    "i_a2_capped_counter" -> ((s, dir) => {
+      // A2: the reference's memory-capped error counter as a native
+      // TypedImperativeAggregate. Cap far above the key count here, so
+      // the sketch is exact and oracle-checkable; the trim path is
+      // covered by CappedCounterSpec.
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(to_json(graft.plans.CappedCounter.cappedCounter(col("o_orderpriority"), 1000))
+          .as("priority_counts"))
+        .orderBy("o_orderstatus")
+    }),
     "i_a3_topk" -> ((s, dir) => {
       t(s, dir, "documents").groupBy("source").agg(count("*").as("n"))
         .orderBy(col("n").desc, col("source").asc).limit(3)
@@ -597,6 +608,12 @@ object SparkEntry {
          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS successes,
          ${roundToSql("CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS success_rate
          FROM orders GROUP BY shard_id ORDER BY shard_id""",
+    "i_a2_capped_counter" ->
+      """SELECT o_orderstatus,
+         '{' || string_agg('"' || o_orderpriority || '":' || n, ',' ORDER BY n DESC, o_orderpriority) || '}' AS priority_counts
+         FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+               FROM orders GROUP BY o_orderstatus, o_orderpriority)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "i_a3_topk" ->
       """SELECT source, count(*) AS n FROM documents GROUP BY source
          ORDER BY n DESC, source ASC LIMIT 3""",

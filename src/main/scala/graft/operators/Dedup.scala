@@ -91,21 +91,27 @@ object Dedup {
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("shingles"))
     val sigs = base.withColumn("sig", minhashSignature(col("shingles"), numHashes, seed))
+    // Buckets carry ONLY (id, band, key): the band explode multiplies
+    // rows by `bands`, so shuffling shingle arrays through it would
+    // multiply shuffle bytes 32×. Shingles rejoin later, once per
+    // candidate id, not per bucket row.
     val buckets = sigs
-      .select(col("id"), col("shingles"), explode(bandKeys(col("sig"), bands, r)).as("bk"))
-      .select(col("id"), col("shingles"), col("bk.band"), col("bk.key"))
+      .select(col("id"), explode(bandKeys(col("sig"), bands, r)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
     // Cap degenerate buckets: a bucket of size m yields m^2 candidate
     // pairs; beyond maxBucketSize that is a skew bomb, and near-dup
     // pairs in a mega-bucket are overwhelmingly re-found by other bands.
-    val sized = buckets
-      .withColumn("bucket_n", count("*").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+    val counts = buckets.groupBy("band", "key").agg(count("*").as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize)
-    val a = sized.select(col("band"), col("key"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = sized.select(col("band"), col("key"), col("id").as("id_b"), col("shingles").as("sh_b"))
+    val sized = buckets.join(counts, Seq("band", "key"))
+    val a = sized.select(col("band"), col("key"), col("id").as("id_a"))
+    val b = sized.select(col("band"), col("key"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
-    cand
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    // Exact-Jaccard verification: join the slim shingle frame twice.
+    val shA = base.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = base.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    cand.join(shA, "id_a").join(shB, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("id_a"), col("id_b"), (col("inter") / col("uni")).as("jaccard"))
@@ -135,10 +141,9 @@ object Dedup {
         struct(lit(j).as("band"), shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
-    val sized = keyed
-      .withColumn("bucket_n", count("*").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+    val counts = keyed.groupBy("band", "key").agg(count("*").as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize)
+    val sized = keyed.join(counts, Seq("band", "key"))
     val a = sized.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sized.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
