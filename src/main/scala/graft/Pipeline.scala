@@ -120,12 +120,18 @@ object Pipeline {
             "original_width", "original_height") ++
         (if (cfg.extractExif) Seq("exif") else Nil) ++
         cfg.computeHashCol.toSeq).distinct.filterNot(_ == "key").prepended("key")
+    // The sink fan-out below runs up to three actions over this frame
+    // (sample sink, parquet sidecar, stats agg). Persist so the
+    // download+resize map runs ONCE — re-fetching 100 TB of payloads
+    // per action would triple network cost; disk spill of the resized
+    // payloads is orders of magnitude cheaper.
     val prepared = meta
       .withColumn("_final_payload",
         when(col("status") === "success", col("_resized_payload")))
       .withColumn("_caption_out",
         if (pending.columns.contains("caption")) col("caption") else lit(null).cast("string"))
       .withColumn("_meta_json", to_json(struct(metaCols.map(col): _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // SINK dispatch (K1-K6) + parquet sidecar invariant.
     val sidecar = prepared.select(
@@ -147,6 +153,7 @@ object Pipeline {
     Stats.writeShardStats(statsDf, outDir, cfg.oomShardCount, startTime, endTime)
     val g = Stats.globalStats(statsDf, startTime, endTime)
     statsDf.unpersist()
+    prepared.unpersist()
     Result(sidecar, g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
   }
 

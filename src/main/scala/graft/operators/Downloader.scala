@@ -98,6 +98,10 @@ object Downloader {
       if (!rows.hasNext) Iterator.empty
       else new Iterator[Row] {
         private val pool = Executors.newFixedThreadPool(conf.threadCount)
+        // Task-kill safety: speculative/zombie attempts must not leak
+        // threads — shut the pool down however the task ends.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
         private val ecs = new ExecutorCompletionService[Row](pool)
         // ≤ 2×threads decoded payloads in flight (backpressure).
         private val permits = new Semaphore(conf.threadCount * 2)
