@@ -16,10 +16,38 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Flagship pipeline throughput: N images through
+    // read → shard → thread-pooled download → resize(256 border) →
+    // dummy sink + stats, against a loopback image server. Loopback
+    // removes the WAN bottleneck, so this measures ENGINE overhead
+    // (images/sec ceiling), comparable in spirit to the reference's
+    // CI gate of 1000 urls < 100 s (tests/test_main.py:405-433).
+    val pipelineStats =
+      try {
+        val server = new graft.util.HttpImageServer
+        try {
+          val n = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_N", "2000").toInt
+          val urls = (0 until n).map { i =>
+            val (w, h) = server.sizes(i % server.sizes.length)
+            server.url(s"/allowed/${w}_$h.jpg")
+          }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_bench_pipe")
+          val urlFile = tmp.resolve("urls.txt")
+          java.nio.file.Files.write(urlFile, urls.mkString("\n").getBytes("UTF-8"))
+          val outDir = tmp.resolve("out").toString
+          val t0 = System.nanoTime()
+          val res = Pipeline.download(spark, urlFile.toString, outDir,
+            graft.config.DownloadConfig(outputFormat = "dummy", samplesPerShard = 250,
+              threadCount = 64, resizeMode = "border", imageSize = 256,
+              computeHashCol = Some("sha256"), incrementalMode = "overwrite"))
+          val secs = (System.nanoTime() - t0) / 1e9
+          s""","pipeline":{"images":${res.count},"successes":${res.successes},"sec":$secs,"img_per_sec":${res.count / secs}}"""
+        } finally server.stop()
+      } catch { case e: Throwable => s""","pipeline":{"error":"${e.getClass.getSimpleName}"}""" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$pipelineStats}""")
     spark.stop()
   }
 }

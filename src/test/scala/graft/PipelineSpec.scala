@@ -14,7 +14,7 @@ import graft.config.DownloadConfig
   */
 class PipelineSpec extends SparkSpec {
 
-  private lazy val server = new HttpImageServer
+  private lazy val server = new graft.util.HttpImageServer
   override def afterAll(): Unit = { server.stop(); super.afterAll() }
 
   private def tmpDir(tag: String): String =

@@ -1,0 +1,38 @@
+package graft
+
+import graft.plans.GraftFunctions
+
+/** The SQL registration surface: graft's native expressions callable
+  * from plain SQL after registration.
+  */
+class SqlFunctionsSpec extends SparkSpec {
+
+  test("vector + text functions work from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+                vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+                vec_sqnorm(array(3.0d, 4.0d)) AS n,
+                vec_sqdist(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS sd,
+                size(word_shingles(array('a', 'b', 'c'), 2)) AS ns,
+                size(minhash_signature(array('x', 'y'), 16)) AS nm,
+                simhash64(array('hello', 'world')) AS sh
+      """).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 25.0)
+    assert(r.getDouble(3) == 25.0)
+    assert(r.getInt(4) == 2)   // "a b", "b c"
+    assert(r.getInt(5) == 16)
+    assert(r.getLong(6) != 0L)
+  }
+
+  test("capped_counter aggregate from SQL") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("x", "x", "y").toDF("k").createOrReplaceTempView("kk")
+    val m = spark.sql("SELECT capped_counter(k, 10) AS m FROM kk")
+      .collect()(0).getAs[Map[String, Long]](0)
+    assert(m == Map("x" -> 2L, "y" -> 1L))
+  }
+}
