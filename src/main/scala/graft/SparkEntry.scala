@@ -436,6 +436,47 @@ object SparkEntry {
       val l = t(s, dir, "lineitem").agg(count("*").as("n")).select(lit("lineitem").as("src"), col("n"))
       o.unionAll(c).unionAll(l).orderBy("src")
     }),
+    "q28_asof_join" -> ((s, dir) => {
+      // Backward as-of join (operator Spark lacks; composed as a
+      // single-shuffle union-window — Joins.asOfJoin). Oracle: DuckDB's
+      // native ASOF LEFT JOIN.
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      graft.operators.Joins.asOfJoin(clicks, views, Seq("user_id"), "ts",
+          Seq("event_id" -> "view_event_id", "value" -> "view_value"))
+        .select("user_id", "event_id", "view_event_id", "view_value")
+        .orderBy("event_id")
+    }),
+    "q29_range_join" -> ((s, dir) => {
+      // Bucketized range join: click↔view pairs within ±60s per user.
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts", "event_id")
+      val views = ev.filter(col("event_type") === "view").select("user_id", "ts", "event_id")
+      graft.operators.Joins.rangeJoin(clicks, views, Seq("user_id"), "ts",
+          before = 60L * 1000000000L, after = 60L * 1000000000L,
+          granularity = 60L * 1000000000L)
+        .select(col("event_id").as("click_id"), col("r_event_id").as("view_id"))
+        .orderBy("click_id", "view_id")
+    }),
+    "q30_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        rd(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        rd(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        rd(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        rd(expr("percentile(l_extendedprice, 0.9)"), 2).as("price_p90"))
+        .orderBy("l_returnflag")
+    }),
+    "q31_stats_aggs" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        rd(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        rd(var_samp(col("l_quantity")), 6).as("var_qty"),
+        rd(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        rd(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+        .orderBy("l_returnflag")
+    }),
     "q27_window_funcs" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       t(s, dir, "orders")
@@ -725,6 +766,34 @@ object SparkEntry {
          UNION ALL SELECT 'customer', count(*) FROM customer
          UNION ALL SELECT 'lineitem', count(*) FROM lineitem
          ORDER BY src""",
+    "q28_asof_join" ->
+      """WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, event_id AS view_event_id, value AS view_value
+               FROM events WHERE event_type = 'view')
+         SELECT l.user_id, l.event_id, r.view_event_id, r.view_value
+         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "q29_range_join" ->
+      """WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view')
+         SELECT l.event_id AS click_id, r.event_id AS view_id
+         FROM l JOIN r ON l.user_id = r.user_id
+           AND r.ts >= l.ts - INTERVAL 60 SECOND AND r.ts <= l.ts + INTERVAL 60 SECOND
+         ORDER BY click_id, view_id""",
+    "q30_percentiles" ->
+      s"""SELECT l_returnflag,
+         ${roundToSql("quantile_cont(l_quantity, 0.25)", 4)} AS p25,
+         ${roundToSql("quantile_cont(l_quantity, 0.5)", 4)} AS p50,
+         ${roundToSql("quantile_cont(l_quantity, 0.75)", 4)} AS p75,
+         ${roundToSql("quantile_cont(l_extendedprice, 0.9)", 2)} AS price_p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q31_stats_aggs" ->
+      s"""SELECT l_returnflag,
+         ${roundToSql("stddev_samp(l_quantity)", 6)} AS sd_qty,
+         ${roundToSql("var_samp(l_quantity)", 6)} AS var_qty,
+         ${roundToSql("corr(l_quantity, l_extendedprice)", 6)} AS corr_qp,
+         ${roundToSql("covar_samp(l_quantity, l_discount)", 6)} AS cov_qd
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q27_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
          CAST(dense_rank() OVER w AS INTEGER) AS dr,

@@ -194,16 +194,12 @@ object Dedup {
       df: DataFrame, vecCol: String, idCol: String, dim: Int,
       threshold: Double = 0.95, nPlanes: Int = 12, nTables: Int = 4,
       seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val tables = (0 until nTables).map { t =>
-      packBits(hyperplaneBits(col("v"), randomPlanes(nPlanes, dim, seed + t)))
-        .as(s"bucket_$t")
-    }
-    val keyed = base.select(col("id") +: col("v") +: tables: _*)
-    val ex = keyed.select(col("id"), col("v"),
-      explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("table"), col(s"bucket_$t").as("key"))): _*)).as("bk"))
-      .select(col("id"), col("v"), col("bk.table"), col("bk.key"))
+    val planes = (0 until nTables).map(t => randomPlanes(nPlanes, dim, seed + t))
+    val keyed = base.withColumn("buckets",
+      column(graft.plans.HyperplaneBuckets(expression(col("v")), planes)))
+    val ex = keyed.select(col("id"), col("v"), posexplode(col("buckets")).as(Seq("table", "key")))
     val a = ex.select(col("table"), col("key"), col("id").as("id_a"), col("v").as("v_a"))
     val b = ex.select(col("table"), col("key"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("table", "key")).filter(col("id_a") < col("id_b"))

@@ -145,6 +145,49 @@ case class SquaredNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Hyperplane-LSH bucket ids: for each table t, the packed sign-bit
+  * signature of `planes(t)` (row-major `planes(t)(p)(dim)`). One pass
+  * over all tables/planes per row; the plane matrix rides along as a
+  * reference object instead of thousands of per-row `CreateArray`
+  * literals (which the composable formulation paid dearly for).
+  * CodegenFallback — the eval body is already a tight compiled loop.
+  */
+case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "hyperplane_buckets"
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  @transient private lazy val mat: Array[Array[Array[Double]]] =
+    planes.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val out = new Array[Long](mat.length)
+    var t = 0
+    while (t < mat.length) {
+      var bucket = 0L
+      val tbl = mat(t)
+      var p = 0
+      while (p < tbl.length) {
+        val plane = tbl(p)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(dim, plane.length)
+        while (i < n) { dot += v.getDouble(i) * plane(i); i += 1 }
+        bucket = (bucket << 1) | (if (dot >= 0.0) 1L else 0L)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Squared Euclidean distance Σ (a_i-b_i)², one generated pass. */
 case class SquaredDistance(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "vec_sqdist"
