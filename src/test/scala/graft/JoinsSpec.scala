@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+/** As-of / range join semantics on hand-built cases. */
+class JoinsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, 100L, "l1"), (1L, 200L, "l2"), (1L, 50L, "l0"),
+    (2L, 100L, "l3")).toDF("k", "ts", "lv")
+  private val right = Seq(
+    (1L, 90L, "r1"), (1L, 100L, "r2"), (1L, 150L, "r3"),
+    (3L, 10L, "r4")).toDF("k", "ts", "rv")
+
+  test("asOfJoin picks latest right row with ts <= left.ts; ties match; no match -> null") {
+    val out = Joins.asOfJoin(left, right, Seq("k"), "ts", Seq("rv" -> "matched"))
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 50L, "l0", null),      // nothing at or before 50
+      (1L, 100L, "l1", "r2"),     // tie at 100 matches (>= semantics)
+      (1L, 200L, "l2", "r3"),     // latest before 200
+      (2L, 100L, "l3", null)))    // key with no right rows
+  }
+
+  test("rangeJoin matches exactly the rows a naive cross filter would") {
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") &&
+        col("r.ts") >= col("l.ts") - 60 && col("r.ts") <= col("l.ts") + 60)
+      .select(col("l.lv"), col("r.rv")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val bucketized = Joins.rangeJoin(left, right, Seq("k"), "ts",
+        before = 60, after = 60, granularity = 25)
+      .select(col("lv"), col("r_rv")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(bucketized == naive, s"bucketized $bucketized vs naive $naive")
+    assert(naive.nonEmpty)
+  }
+}
