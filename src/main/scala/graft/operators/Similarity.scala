@@ -22,6 +22,20 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Turn a scored pair frame into per-query top-k via the bounded
+    * -heap aggregate ([[graft.plans.TopKByScore]]): map-side partial
+    * top-k means the shuffle carries ≤ k·partitions rows per query —
+    * NOT the full scored set, which is what a Window+row_number plan
+    * would shuffle and sort. Order (score desc, id asc) is identical
+    * to the window formulation, bit-for-bit.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.plans.TopKByScore.topKByScore(col("cosine"), col("corpus_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("query_id"), col("t.id").as("corpus_id"),
+              col("t.score").as("cosine"), (col("r") + 1).as("rank"))
+
   /** Exact top-k by cosine: every (query, corpus) pair scored, k best
     * kept per query. `queries` must be small enough to broadcast.
     */
@@ -32,10 +46,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) ANN. Centroids are taken deterministically
@@ -77,9 +88,6 @@ object Similarity {
     // Score only within probed cells.
     val scored = assigned.join(broadcast(probes), "cell_id")
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
-    val wk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(wk))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+    topKPerQuery(scored, k)
   }
 }
