@@ -159,6 +159,41 @@ class PipelineSpec extends SparkSpec {
     assert(json.contains("HTTP 404"))
   }
 
+  test("caption round-trip: csv input -> .txt entries + caption column in sidecar") {
+    val rows = server.allowedUrls.zipWithIndex.map { case (u, i) =>
+      val cap = if (i == 0) "" else s"caption $i"   // row 0 empty like the reference fixture
+      s"$cap,$u"
+    }
+    val d = tmpDir("cap")
+    Files.write(Paths.get(d, "in.csv"), ("caption,url\n" + rows.mkString("\n")).getBytes)
+    val out = tmpDir("cap_out")
+    Pipeline.download(spark, s"$d/in.csv", out,
+      baseCfg.copy(outputFormat = "files", captionCol = Some("caption")))
+    val meta = spark.read.parquet(s"$out/*.parquet")
+    assert(meta.columns.contains("caption"))
+    val caps = meta.orderBy("key").select("caption").collect().map(_.getString(0))
+    assert(caps.count(c => c != null && c.startsWith("caption")) == 6)
+    val txts = new java.io.File(out, "00000").listFiles.filter(_.getName.endsWith(".txt"))
+    assert(txts.nonEmpty, ".txt caption files written for captioned successes")
+    val body = new String(Files.readAllBytes(txts.minBy(_.getName).toPath), "UTF-8")
+    assert(body.startsWith("caption") || body.isEmpty)
+  }
+
+  test("multi-file directory input: shard ids continuous across files") {
+    val d = tmpDir("multi")
+    val half = server.allowedUrls.length / 2
+    Files.write(Paths.get(d, "a.txt"), server.allowedUrls.take(half).mkString("\n").getBytes)
+    Files.write(Paths.get(d, "b.txt"), server.allowedUrls.drop(half).mkString("\n").getBytes)
+    val out = tmpDir("multi_out")
+    val res = Pipeline.download(spark, s"$d/*.txt", out,
+      baseCfg.copy(outputFormat = "dummy", samplesPerShard = 3))
+    assert(res.count == server.allowedUrls.length)
+    val stats = new java.io.File(out).listFiles.filter(_.getName.endsWith("_stats.json"))
+    assert(stats.map(_.getName).sorted.toSeq ==
+      Seq("00000_stats.json", "00001_stats.json", "00002_stats.json"),
+      "7 rows at 3/shard over 2 files -> shards 0,1,2 with no gaps")
+  }
+
   test("streaming stats: running totals over stats sidecars") {
     val urls = server.allowedUrls
     val out = tmpDir("stream")
