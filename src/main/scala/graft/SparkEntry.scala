@@ -477,6 +477,26 @@ object SparkEntry {
         rd(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
         .orderBy("l_returnflag")
     }),
+    "q32_sessionize_batch" -> ((s, dir) => {
+      // Batch formulation of gap sessionization (streaming twin:
+      // EventStream.sessionize): session bumps when the gap > 300 s.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("ms", expr("ts div 1000000"))
+        .withColumn("gap_ms", col("ms") - lag("ms", 1).over(w))
+        .withColumn("new_session",
+          when(col("gap_ms").isNull || col("gap_ms") > 300000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "event_id", "session_id")
+        .orderBy("user_id", "event_id")
+    }),
+    "q33_count_distinct" -> ((s, dir) => {
+      events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             count("*").as("n_events"))
+        .orderBy("event_type")
+    }),
     "q27_window_funcs" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       t(s, dir, "orders")
@@ -794,6 +814,18 @@ object SparkEntry {
          ${roundToSql("corr(l_quantity, l_extendedprice)", 6)} AS corr_qp,
          ${roundToSql("covar_samp(l_quantity, l_discount)", 6)} AS cov_qd
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q32_sessionize_batch" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id,
+           CAST(sum(CASE WHEN gap_ms IS NULL OR gap_ms > 300000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM g ORDER BY user_id, event_id""",
+    "q33_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q27_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
          CAST(dense_rank() OVER w AS INTEGER) AS dr,

