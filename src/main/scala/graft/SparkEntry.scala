@@ -497,6 +497,27 @@ object SparkEntry {
              count("*").as("n_events"))
         .orderBy("event_type")
     }),
+    "q34_null_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"),
+        when(col("o_totalprice") > 100000.0, col("o_totalprice")).as("big_price"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("floored"),
+        least(col("o_custkey"), col("o_orderkey")).as("min_key"))
+        .orderBy("o_orderkey")
+    }),
+    "q35_array_ops" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      t(s, dir, "embeddings").filter(col("vec_id") < 50).select(
+        col("vec_id"),
+        rd(array_max(v), 6).as("vmax"),
+        rd(array_min(v), 6).as("vmin"),
+        rd(element_at(v, 1), 6).as("first_el"),
+        rd(element_at(v, -1), 6).as("last_el"),
+        size(filter(v, x => x > 0.0)).as("n_pos"),
+        rd(sort_array(v).getItem(0), 6).as("sorted_first"))
+        .orderBy("vec_id")
+    }),
     "q27_window_funcs" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       t(s, dir, "orders")
@@ -826,6 +847,22 @@ object SparkEntry {
     "q33_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q34_null_funcs" ->
+      """SELECT o_orderkey,
+         coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+         CASE WHEN o_totalprice > 100000.0 THEN o_totalprice END AS big_price,
+         greatest(o_totalprice, 50000.0) AS floored,
+         least(o_custkey, o_orderkey) AS min_key
+         FROM orders ORDER BY o_orderkey""",
+    "q35_array_ops" ->
+      s"""SELECT vec_id,
+         ${roundToSql("list_max(embedding::DOUBLE[])", 6)} AS vmax,
+         ${roundToSql("list_min(embedding::DOUBLE[])", 6)} AS vmin,
+         ${roundToSql("(embedding::DOUBLE[])[1]", 6)} AS first_el,
+         ${roundToSql("(embedding::DOUBLE[])[-1]", 6)} AS last_el,
+         CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0.0)) AS INTEGER) AS n_pos,
+         ${roundToSql("list_sort(embedding::DOUBLE[])[1]", 6)} AS sorted_first
+         FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""",
     "q27_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
          CAST(dense_rank() OVER w AS INTEGER) AS dr,
