@@ -359,6 +359,21 @@ object SparkEntry {
       TextAnalysis.fingerprints(t(s, dir, "documents"), "text")
         .select("doc_id", "fingerprint", "rolling_hash").orderBy("doc_id")
     }),
+    "txt_curation" -> ((s, dir) => {
+      // End-to-end curation: language filter + quality threshold +
+      // near-dup removal (keep the smallest doc_id of each ngram
+      // near-dup cluster). The composed form of the text-analysis +
+      // dedup operators — the LLM-training-data use case in one plan.
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.quality(TextAnalysis.withLangId(docs, "text"), "text")
+      val dupLosers = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      scored
+        .filter(col("lang_pred") === "en" && col("quality_score") >= 0.5)
+        .join(dupLosers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang_pred", "quality_score")
+        .orderBy("doc_id")
+    }),
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id").orderBy("fingerprint")),
@@ -762,6 +777,46 @@ object SparkEntry {
                c -> CAST(ascii(c) AS BIGINT))),
            (acc, c) -> (acc * 131 + c) % 1125899906842597) AS rolling_hash
          FROM documents ORDER BY doc_id""",
+    "txt_curation" ->
+      s"""WITH t AS (SELECT doc_id, text,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+         h AS (SELECT doc_id, text, toks,
+           len(list_filter(toks, x -> list_contains($enList, x))) AS en,
+           len(list_filter(toks, x -> list_contains($esList, x))) AS es,
+           len(list_filter(toks, x -> list_contains($deList, x))) AS de,
+           len(list_filter(toks, x -> list_contains($frList, x))) AS fr
+         FROM t),
+         lang AS (SELECT doc_id, text, toks,
+           CASE WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+                WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                WHEN es >= de AND es >= fr THEN 'es'
+                WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred
+         FROM h),
+         m AS (SELECT doc_id, lang_pred,
+           CAST(len(toks) AS DOUBLE) AS n,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text, '[^.,!?;:''"()\\-]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE) / len(toks) END AS sr
+         FROM lang),
+         q AS (SELECT doc_id, lang_pred,
+           ${roundToSql("least(n / 64.0, 1.0) * least(1.0, 4096.0 / greatest(n, 1.0)) * 0.5 + least(sr * 4.0, 1.0) * 0.3 + (1.0 - least(pr * 4.0, 1.0)) * 0.2", 6)} AS quality_score
+         FROM m),
+         tk AS (SELECT doc_id,
+           regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shingles FROM tk),
+         e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+         losers AS (SELECT DISTINCT b.doc_id AS doc_id
+           FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+           HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5)
+         SELECT doc_id, lang_pred, quality_score FROM q
+         WHERE lang_pred = 'en' AND quality_score >= 0.5
+           AND doc_id NOT IN (SELECT doc_id FROM losers)
+         ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
          min(doc_id) AS canonical_id, count(*) AS n_docs
