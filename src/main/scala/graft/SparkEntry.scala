@@ -533,6 +533,31 @@ object SparkEntry {
         rd(sort_array(v).getItem(0), 6).as("sorted_first"))
         .orderBy("vec_id")
     }),
+    "q36_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(s"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }),
+    "q37_range_frame" -> ((s, dir) => {
+      // RANGE frame over a numeric time axis: 7-day trailing sum of
+      // order totals per customer.
+      val day = 86400000L
+      val w = Window.partitionBy("o_custkey").orderBy(col("ms"))
+        .rangeBetween(-7 * day, 0)
+      t(s, dir, "orders")
+        .withColumn("ms", unix_millis(col("o_orderdate")))
+        .withColumn("trailing_7d", rd(sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "trailing_7d")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q38_pivot" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P")).count()
+        .orderBy("o_orderpriority")
+    }),
     "q27_window_funcs" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       t(s, dir, "orders")
@@ -918,6 +943,21 @@ object SparkEntry {
          CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0.0)) AS INTEGER) AS n_pos,
          ${roundToSql("list_sort(embedding::DOUBLE[])[1]", 6)} AS sorted_first
          FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""",
+    "q36_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q37_range_frame" ->
+      s"""SELECT o_custkey, o_orderkey,
+         ${roundToSql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate) RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)", 2)} AS trailing_7d
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q38_pivot" ->
+      """SELECT o_orderpriority,
+         nullif(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT), 0) AS F,
+         nullif(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT), 0) AS O,
+         nullif(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT), 0) AS P
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q27_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
          CAST(dense_rank() OVER w AS INTEGER) AS dr,

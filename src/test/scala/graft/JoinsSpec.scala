@@ -40,4 +40,20 @@ class JoinsSpec extends SparkSpec {
     assert(bucketized == naive, s"bucketized $bucketized vs naive $naive")
     assert(naive.nonEmpty)
   }
+
+  test("saltedJoin equals plain join, spreads hot keys across salts") {
+    // hot key 1 dominates the left side
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) 2L else 1L, i.toLong)).toDF("k", "payload")
+    val dim = Seq((1L, "hot"), (2L, "cold"), (3L, "unused")).toDF("k", "name")
+    val plain = big.join(dim, Seq("k")).select("k", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = graft.operators.Skew.saltedJoin(big, dim, "k", "payload", 8)
+      .select("k", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain)
+    // the hot key's rows actually landed on multiple salts
+    val salts = big.filter(col("k") === 1L)
+      .select(pmod(xxhash64(col("payload")), lit(8L))).distinct().count()
+    assert(salts > 4, s"hot key spread over $salts salts")
+  }
 }
