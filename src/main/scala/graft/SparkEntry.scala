@@ -158,18 +158,20 @@ object SparkEntry {
         .select("c_custkey").orderBy("c_custkey")
     }),
     "q13_rollup" -> ((s, dir) => {
-      t(s, dir, "customer")
+      val agg = t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .rollup("r_name", "n_name")
         .agg(count("*").as("n_cust"), rd(sum("c_acctbal"), 2).as("sum_bal"))
-        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+      // qualified refs: rollup re-aliases grouping cols, and by-name
+      // orderBy intermittently trips the ambiguous-column check
+      agg.orderBy(agg("r_name").asc_nulls_first, agg("n_name").asc_nulls_first)
     }),
     "q14_cube" -> ((s, dir) => {
-      t(s, dir, "orders")
+      val agg = t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count("*").as("n"), rd(sum("o_totalprice"), 2).as("sum_price"))
-        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+      agg.orderBy(agg("o_orderstatus").asc_nulls_first, agg("o_orderpriority").asc_nulls_first)
     }),
     "q15_having" -> ((s, dir) => {
       t(s, dir, "orders").groupBy("o_custkey").agg(count("*").as("n"))
@@ -548,7 +550,9 @@ object SparkEntry {
       val w = Window.partitionBy("o_custkey").orderBy(col("ms"))
         .rangeBetween(-7 * day, 0)
       t(s, dir, "orders")
-        .withColumn("ms", unix_millis(col("o_orderdate")))
+        // o_orderdate is TIMESTAMP_NTZ (Spark 4 parquet inference);
+        // cast to LTZ under the UTC session before epoch extraction.
+        .withColumn("ms", unix_millis(col("o_orderdate").cast("timestamp")))
         .withColumn("trailing_7d", rd(sum("o_totalprice").over(w), 2))
         .select("o_custkey", "o_orderkey", "trailing_7d")
         .orderBy("o_custkey", "o_orderkey")
