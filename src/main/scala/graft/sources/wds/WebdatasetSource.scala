@@ -1,0 +1,164 @@
+package graft.sources.wds
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable
+
+import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Webdataset (tar-of-samples) as a READABLE Spark source — the
+  * DataSourceV2 counterpart of [[graft.sinks.Sinks.writeWebdataset]]
+  * (layout per webdataset.github.io: consecutive `{key}.jpg`,
+  * `{key}.txt`, `{key}.json` entries per sample, one shard per tar).
+  *
+  * Usage: `spark.read.format("webdataset").load("/path/to/shards")`
+  * → `(shard string, key string, jpg binary, txt string, json string)`.
+  *
+  * Scale shape: one input partition PER TAR FILE (a shard is the
+  * natural parallelism unit; tars don't split), streamed entry-by-
+  * entry — one open file and one sample buffered per task. Column
+  * pruning is pushed down: payload bytes of pruned columns are
+  * skipped, not read (`SupportsPushDownRequiredColumns`).
+  */
+class WebdatasetSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "webdataset"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WebdatasetSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new WdsTable(properties.get("path"))
+}
+
+object WebdatasetSource {
+  val schema: StructType = StructType(Seq(
+    StructField("shard", StringType), StructField("key", StringType),
+    StructField("jpg", BinaryType), StructField("txt", StringType),
+    StructField("json", StringType)))
+}
+
+class WdsTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"webdataset($path)"
+  override def schema(): StructType = WebdatasetSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WdsScanBuilder(Option(path).getOrElse(options.get("path")))
+}
+
+class WdsScanBuilder(path: String) extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = WebdatasetSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
+  override def build(): Scan = new WdsScan(path, required)
+}
+
+class WdsScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val stats =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).filter(_.getPath.getName.endsWith(".tar"))
+      else fs.globStatus(p)
+    stats.sortBy(_.getPath.getName)
+      .map(st => WdsPartition(st.getPath.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WdsReaderFactory(required)
+}
+
+case class WdsPartition(tarPath: String) extends InputPartition
+
+case class WdsReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WdsReader(partition.asInstanceOf[WdsPartition].tarPath, required)
+}
+
+/** Streams one tar, grouping consecutive same-key entries into rows. */
+class WdsReader(tarPath: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val hPath = new Path(tarPath)
+  private val in = new TarArchiveInputStream(
+    hPath.getFileSystem(new Configuration()).open(hPath))
+  private val shardName = {
+    val n = hPath.getName
+    n.substring(0, n.length - 4)
+  }
+  private val fieldIdx = required.fieldNames.zipWithIndex.toMap
+  private val wantPayload = fieldIdx.contains("jpg")
+  private val wantTxt = fieldIdx.contains("txt")
+  private val wantJson = fieldIdx.contains("json")
+
+  private var currentKey: String = null
+  private var parts: mutable.Map[String, Array[Byte]] = mutable.Map.empty
+  private var row: InternalRow = null
+  private var pendingName: String = null
+  private var done = false
+
+  private def emit(): InternalRow = {
+    val values = required.fieldNames.map {
+      case "shard" => UTF8String.fromString(shardName)
+      case "key" => UTF8String.fromString(currentKey)
+      case "jpg" => parts.get("jpg").orNull
+      case "txt" => parts.get("txt").map(b => UTF8String.fromString(new String(b, "UTF-8"))).orNull
+      case "json" => parts.get("json").map(b => UTF8String.fromString(new String(b, "UTF-8"))).orNull
+      case _ => null
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  private def wanted(ext: String): Boolean = ext match {
+    case "txt" => wantTxt
+    case "json" => wantJson
+    case _ => wantPayload
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    row = null
+    while (row == null) {
+      val entry = in.getNextEntry
+      if (entry == null) {
+        done = true
+        if (currentKey != null) { row = emit(); currentKey = null }
+        return row != null
+      }
+      if (!entry.isDirectory) {
+        val name = entry.getName
+        val dot = name.lastIndexOf('.')
+        val (key, ext) = if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
+        if (currentKey != null && key != currentKey) {
+          row = emit()
+          parts = mutable.Map.empty
+        }
+        currentKey = key
+        if (wanted(ext)) {
+          val bytes = in.readNBytes(entry.getSize.toInt)
+          parts(ext) = bytes
+        }
+        // skipping unread bytes is implicit: TarArchiveInputStream
+        // repositions on getNextEntry
+      }
+    }
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
