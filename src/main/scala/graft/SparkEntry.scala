@@ -361,6 +361,19 @@ object SparkEntry {
       TextAnalysis.fingerprints(t(s, dir, "documents"), "text")
         .select("doc_id", "fingerprint", "rolling_hash").orderBy("doc_id")
     }),
+    "txt_packing" -> ((s, dir) => {
+      // Sequence packing for LLM training: assign each document to the
+      // token-budget pack in which it starts (budget 2048), via a
+      // running token count. (At 100 TB: pack per partition after a
+      // repartitionByRange on the sort key, same arithmetic.)
+      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / 2048).cast("long"))
+        .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"), col("pack_id"))
+        .orderBy("doc_id")
+    }),
     "txt_curation" -> ((s, dir) => {
       // End-to-end curation: language filter + quality threshold +
       // near-dup removal (keep the smallest doc_id of each ngram
@@ -806,6 +819,16 @@ object SparkEntry {
                c -> CAST(ascii(c) AS BIGINT))),
            (acc, c) -> (acc * 131 + c) % 1125899906842597) AS rolling_hash
          FROM documents ORDER BY doc_id""",
+    "txt_packing" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+         FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM t)
+         SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id
+         FROM c ORDER BY doc_id""",
     "txt_curation" ->
       s"""WITH t AS (SELECT doc_id, text,
            regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
