@@ -120,41 +120,70 @@ object Pipeline {
             "original_width", "original_height") ++
         (if (cfg.extractExif) Seq("exif") else Nil) ++
         cfg.computeHashCol.toSeq).distinct.filterNot(_ == "key").prepended("key")
-    // The sink fan-out below runs up to three actions over this frame
-    // (sample sink, parquet sidecar, stats agg). Persist so the
-    // download+resize map runs ONCE — re-fetching 100 TB of payloads
-    // per action would triple network cost; disk spill of the resized
-    // payloads is orders of magnitude cheaper.
     val prepared = meta
       .withColumn("_final_payload",
         when(col("status") === "success", col("_resized_payload")))
       .withColumn("_caption_out",
         if (pending.columns.contains("caption")) col("caption") else lit(null).cast("string"))
       .withColumn("_meta_json", to_json(struct(metaCols.map(col): _*)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // SINK dispatch (K1-K6) + parquet sidecar invariant.
-    val sidecar = prepared.select(
+    //
+    // Exactly-once downloads by durable materialization, never by
+    // block-manager caching: a cached partition that gets evicted (or
+    // lost with an executor) would silently RE-DOWNLOAD on the next
+    // action, so two sinks could see different bytes for the same key.
+    // Instead the first write IS the materialization point:
+    //  - parquet/dummy: the sidecar parquet is written straight off the
+    //    pipeline (one pass); stats re-read the written sidecars.
+    //  - files/webdataset/tfrecord: the pipeline lands once in a
+    //    `_work_tmp` parquet checkpoint; sink, sidecar and stats all
+    //    read those identical bytes; the checkpoint is then deleted.
+    def sidecarOf(df: DataFrame) = df.select(
       (metaCols.map(col) :+ col("shard_id")) ++
         (if (cfg.outputFormat == "parquet")
            Seq(col("_final_payload").as(cfg.encodeFormat)) else Nil): _*)
-    cfg.outputFormat match {
-      case "files" => Sinks.writeFiles(prepared, outDir, cfg)
-      case "webdataset" => Sinks.writeWebdataset(prepared, outDir, cfg)
-      case "tfrecord" => Sinks.writeTfrecord(prepared, outDir, cfg)
-      case "dummy" => Sinks.writeDummy(prepared.select("shard_id", "key", "status"))
-      case "parquet" => // payload rides the sidecar below
+    val shardFromKey =
+      floor(col("key").cast("long") / math.pow(10, cfg.oomSamplesPerShard).toLong).cast("long")
+    val statsInput: DataFrame = cfg.outputFormat match {
+      case "parquet" | "dummy" =>
+        Sinks.writeMetaParquet(sidecarOf(prepared), outDir, cfg)
+        // Read-back includes prior runs' sidecars in incremental mode;
+        // restrict stats to THIS run's shards.
+        val readback = spark.read.parquet(s"$outDir/*.parquet")
+          .withColumn("shard_id", shardFromKey)
+          .select("shard_id", "status", "error_message")
+        if (done.isEmpty) readback
+        else {
+          import spark.implicits._
+          readback.join(broadcast(done.toDF("shard_id")), Seq("shard_id"), "left_anti")
+        }
+      case fmt =>
+        val ckpt = s"$outDir/_work_tmp"
+        prepared.write.mode("overwrite").parquet(ckpt)
+        val work = spark.read.parquet(ckpt)
+        fmt match {
+          case "files" => Sinks.writeFiles(work, outDir, cfg)
+          case "webdataset" => Sinks.writeWebdataset(work, outDir, cfg)
+          case "tfrecord" => Sinks.writeTfrecord(work, outDir, cfg)
+        }
+        Sinks.writeMetaParquet(sidecarOf(work), outDir, cfg)
+        val stats = work.select("shard_id", "status", "error_message")
+        stats
     }
-    Sinks.writeMetaParquet(sidecar, outDir, cfg)
 
     // AGG: per-shard stats sidecars + global counters (A1-A7)
-    val statsDf = Stats.shardStats(prepared.select("shard_id", "status", "error_message")).cache()
+    val statsDf = Stats.shardStats(statsInput).cache()
     val endTime = System.currentTimeMillis() / 1000.0
     Stats.writeShardStats(statsDf, outDir, cfg.oomShardCount, startTime, endTime)
     val g = Stats.globalStats(statsDf, startTime, endTime)
     statsDf.unpersist()
-    prepared.unpersist()
-    Result(sidecar, g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+    if (cfg.outputFormat != "parquet" && cfg.outputFormat != "dummy")
+      fs.delete(new Path(s"$outDir/_work_tmp"), true)
+    // metaFrame reads the durable sidecars — acting on it later must
+    // never re-trigger downloads.
+    Result(spark.read.parquet(s"$outDir/*.parquet"),
+      g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
   }
 
   private def hashCol(payload: org.apache.spark.sql.Column, tpe: String) = tpe match {
