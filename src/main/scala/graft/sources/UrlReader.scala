@@ -105,12 +105,22 @@ object UrlReader {
   /** Full read: dispatch → canonicalize → shard → repartition so each
     * task owns whole shards. Directory inputs glob `*.format` sorted
     * (S8) — Spark's file listing is sorted by path.
+    *
+    * The repartition uses an EXPLICIT partition count (= shard count):
+    * each input row expands ~1000× downstream (url → image bytes) and
+    * does heavy I/O+CPU, so AQE's byte-based coalescing of the tiny
+    * url shuffle would collapse the download stage onto a few tasks.
+    * Pinning tasks to shards is exactly the reference's execution
+    * model (one worker task per shard, R5).
     */
   def read(spark: SparkSession, path: String, cfg: DownloadConfig,
            startShardId: Long = 0L): DataFrame = {
     val fmt = if (cfg.inputFormat == "auto") sniffFormat(path) else cfg.inputFormat
     val raw = readRaw(spark, path, fmt)
-    val sharded = withShards(canonicalize(raw, cfg), cfg, startShardId)
-    sharded.repartition(col("shard_id"))
+    val canonical = canonicalize(raw, cfg)
+    val nShards = math.max(
+      math.ceil(canonical.count().toDouble / cfg.samplesPerShard).toInt, 1)
+    val sharded = withShards(canonical, cfg, startShardId)
+    sharded.repartition(nShards, col("shard_id"))
   }
 }
