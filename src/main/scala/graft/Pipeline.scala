@@ -28,7 +28,10 @@ object Pipeline {
   case class Result(
       metaFrame: DataFrame,
       count: Long, successes: Long,
-      failedToDownload: Long, failedToResize: Long)
+      failedToDownload: Long, failedToResize: Long,
+      /** `observe()` metrics captured on the materializing write:
+        * n_rows, n_success, payload_bytes. Empty if no rows ran. */
+      observed: Map[String, Any] = Map.empty)
 
   /** Existing-output shard ids (L1 incremental / F6 anti-join input):
     * parse `{shard}_stats.json` names like `main.py:157-158`.
@@ -120,12 +123,20 @@ object Pipeline {
             "original_width", "original_height") ++
         (if (cfg.extractExif) Seq("exif") else Nil) ++
         cfg.computeHashCol.toSeq).distinct.filterNot(_ == "key").prepended("key")
+    // observe(): free global counters riding the materializing write —
+    // the batch-engine analog of the reference's live stats stream
+    // (A6); no extra action, collected by the driver post-write.
+    val observation = new org.apache.spark.sql.Observation(s"graft_pipeline_$startTime")
     val prepared = meta
       .withColumn("_final_payload",
         when(col("status") === "success", col("_resized_payload")))
       .withColumn("_caption_out",
         if (pending.columns.contains("caption")) col("caption") else lit(null).cast("string"))
       .withColumn("_meta_json", to_json(struct(metaCols.map(col): _*)))
+      .observe(observation,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("status") === "success", 1L).otherwise(0L)).as("n_success"),
+        sum(coalesce(octet_length(col("_final_payload")), lit(0))).as("payload_bytes"))
 
     // SINK dispatch (K1-K6) + parquet sidecar invariant.
     //
@@ -182,8 +193,17 @@ object Pipeline {
       fs.delete(new Path(s"$outDir/_work_tmp"), true)
     // metaFrame reads the durable sidecars — acting on it later must
     // never re-trigger downloads.
+    // observation.get blocks until metrics arrive; an all-shards-done
+    // incremental run may produce a zero-task write that never emits
+    // them, so bound the wait.
+    val observed: Map[String, Any] = try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future(observation.get), 10.seconds)
+    } catch { case _: Throwable => Map.empty }
     Result(spark.read.parquet(s"$outDir/*.parquet"),
-      g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+      g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3), observed)
   }
 
   private def hashCol(payload: org.apache.spark.sql.Column, tpe: String) = tpe match {
