@@ -39,6 +39,8 @@ class PipelineSpec extends SparkSpec {
     assert(res.count == urls.size)
     assert(res.successes == server.allowedUrls.size)
     assert(res.failedToDownload == 1)
+    assert(res.observed.get("n_rows").contains(urls.size.toLong), s"observe(): ${res.observed}")
+    assert(res.observed.get("n_success").contains(7L))
     // sidecar parquet per shard: ceil(8/5) = 2 shards
     val sidecars = new java.io.File(out).listFiles.filter(_.getName.endsWith(".parquet"))
     assert(sidecars.map(_.getName).sorted.toSeq == Seq("00000.parquet", "00001.parquet"))
