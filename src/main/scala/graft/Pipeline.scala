@@ -55,16 +55,16 @@ object Pipeline {
     val fs = new Path(outDir).getFileSystem(new Configuration())
 
     // L1 lifecycle (main.py:151-168)
+    if (cfg.incrementalMode == "overwrite") fs.delete(new Path(outDir), true)
+    // Shards present BEFORE this run — excluded from this run's stats
+    // and (in incremental mode) from processing.
+    val preexisting = doneShardIds(spark, outDir)
     val done = cfg.incrementalMode match {
-      case "overwrite" =>
-        fs.delete(new Path(outDir), true); Nil
-      case "incremental" => doneShardIds(spark, outDir)
-      case "extend" => Nil
+      case "incremental" => preexisting
+      case _ => Nil
     }
     val startShardId = cfg.incrementalMode match {
-      case "extend" =>
-        val existing = doneShardIds(spark, outDir)
-        if (existing.isEmpty) 0L else existing.max + 1
+      case "extend" => if (preexisting.isEmpty) 0L else preexisting.max + 1
       case _ => 0L
     }
     fs.mkdirs(new Path(outDir))
@@ -118,7 +118,10 @@ object Pipeline {
 
     // Final payload + caption + sidecar JSON for the sample sinks.
     val metaCols: Seq[String] =
-      (pending.columns.filterNot(c => c == "shard_id" || cfg.verifyHash.exists(_._1 == c)) ++
+      // P3: drop the verify-hash input column by its CANONICAL
+      // (post-rename) name — i.e. the hash type; computeHashCol
+      // re-adds it below with recomputed values when configured.
+      (pending.columns.filterNot(c => c == "shard_id" || cfg.verifyHash.exists(_._2 == c)) ++
         Seq("key", "status", "error_message", "width", "height",
             "original_width", "original_height") ++
         (if (cfg.extractExif) Seq("exif") else Nil) ++
@@ -159,15 +162,15 @@ object Pipeline {
     val statsInput: DataFrame = cfg.outputFormat match {
       case "parquet" | "dummy" =>
         Sinks.writeMetaParquet(sidecarOf(prepared), outDir, cfg)
-        // Read-back includes prior runs' sidecars in incremental mode;
-        // restrict stats to THIS run's shards.
+        // Read-back includes prior runs' sidecars (incremental AND
+        // extend modes); restrict stats to THIS run's shards.
         val readback = spark.read.parquet(s"$outDir/*.parquet")
           .withColumn("shard_id", shardFromKey)
           .select("shard_id", "status", "error_message")
-        if (done.isEmpty) readback
+        if (preexisting.isEmpty) readback
         else {
           import spark.implicits._
-          readback.join(broadcast(done.toDF("shard_id")), Seq("shard_id"), "left_anti")
+          readback.join(broadcast(preexisting.toDF("shard_id")), Seq("shard_id"), "left_anti")
         }
       case fmt =>
         val ckpt = s"$outDir/_work_tmp"

@@ -50,13 +50,21 @@ object Downloader {
       conn.setRequestProperty("User-Agent", ua)
       conn.setInstanceFollowRedirects(true)
       val code = conn.getResponseCode
-      // F1: robots directives in response headers (downloader.py:21-35)
+      // F1: robots directives (downloader.py:20-35): an optional
+      // "agent:" prefix scopes the directive list — it only applies
+      // when unscoped or when the agent matches our UA token.
       val disallowed = Option(conn.getHeaderField("X-Robots-Tag")).exists { tag =>
-        tag.split(",").map(_.trim.toLowerCase)
-          .map(d => d.split(":").last.trim) // "agent: directive" form
+        val parts = tag.split(":", 2)
+        val (agent, directiveStr) =
+          if (parts.length == 2) (Some(parts(0).trim.toLowerCase), parts(1)) else (None, tag)
+        val applies = agent.isEmpty || cfg.userAgentToken.map(_.toLowerCase) == agent
+        applies && directiveStr.split(",").map(_.trim.toLowerCase)
           .exists(cfg.disallowedHeaderDirectives.contains)
       }
-      if (code >= 400) (null, s"HTTP $code")
+      // >= 300: redirects the client did not follow (e.g. http→https
+      // cross-protocol, which HttpURLConnection refuses) — the 3xx
+      // body is NOT the image; treat as a download failure.
+      if (code >= 300) (null, s"HTTP $code")
       else if (disallowed) (null, "Use of image disallowed by X-Robots-Tag directive")
       else {
         val in = conn.getInputStream

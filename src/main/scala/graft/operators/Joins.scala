@@ -57,12 +57,16 @@ object Joins {
                 partitionCols: Seq[String], tsCol: String,
                 before: Long, after: Long, granularity: Long): DataFrame = {
     require(granularity > 0 && before >= 0 && after >= 0)
+    // Integer `div`, not double floor-division: ns-epoch timestamps
+    // (~1.7e18) exceed double's 2^53 exact range, and a 256 ns
+    // rounding error at a bucket boundary would silently drop pairs.
+    // Requires non-negative ts - before (true for epoch timestamps).
     val lb = left
       .withColumn("_lbucket", explode(sequence(
-        floor((col(tsCol) - before) / granularity).cast("long"),
-        floor((col(tsCol) + after) / granularity).cast("long"))))
+        expr(s"($tsCol - ${before}L) div ${granularity}L"),
+        expr(s"($tsCol + ${after}L) div ${granularity}L"))))
     val rb = right.select(right.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
-      .withColumn("_rbucket", floor(col(s"r_$tsCol") / granularity).cast("long"))
+      .withColumn("_rbucket", expr(s"r_$tsCol div ${granularity}L"))
     val cond = (partitionCols.map(c => col(c) === col(s"r_$c")) :+
       (col("_lbucket") === col("_rbucket"))).reduce(_ && _)
     lb.join(rb, cond)

@@ -22,6 +22,11 @@ object Skew {
                  saltBy: String, saltFactor: Int = 16,
                  joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // Replicating the build side makes right/full-outer unsound: an
+    // unmatched build row would surface once per salt value.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti", "cross").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left-flavored joins only, got $joinType")
     val l = skewed.withColumn("_salt", pmod(xxhash64(col(saltBy)), lit(saltFactor.toLong)))
     val r = other.withColumn("_salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))

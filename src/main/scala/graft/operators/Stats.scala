@@ -57,8 +57,16 @@ object Stats {
     rows.foreach { r =>
       val shard = r.getLong(0)
       val dict = Option(r.getAs[Map[String, Long]](5)).getOrElse(Map.empty)
+      // Full JSON escape — error messages are arbitrary exception text;
+      // a raw tab/CR would make the stats file unparseable.
+      def esc(s: String): String = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       val dictJson = dict.toSeq.sortBy { case (k, n) => (-n, k) }
-        .map { case (k, n) => "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + s"\": $n" }
+        .map { case (k, n) => "\"" + esc(k) + s"\": $n" }
         .mkString("{", ", ", "}")
       val json =
         s"""{"count": ${r.getLong(1)}, "successes": ${r.getLong(2)},

@@ -76,9 +76,10 @@ object UrlReader {
     cfg.verifyHash.foreach { case (inCol, tpe) =>
       if (inCol != tpe) d = d.withColumnRenamed(inCol, tpe)
     }
-    val keep = cfg.saveAdditionalColumns ++
+    val keep = (cfg.saveAdditionalColumns ++
+      cfg.bboxCol.toSeq ++
       cfg.captionCol.map(_ => "caption").toSeq ++
-      cfg.verifyHash.map(_._2).toSeq :+ "url"
+      cfg.verifyHash.map(_._2).toSeq :+ "url").distinct
     d.select(keep.map(col): _*)
   }
 

@@ -35,36 +35,46 @@ class WebdatasetSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "webdataset"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    WebdatasetSource.schema
+    WebdatasetSource.schemaFor(WebdatasetSource.payloadExt(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new WdsTable(properties.get("path"))
+                        properties: JMap[String, String]): Table = {
+    val ext = Option(properties.get(WebdatasetSource.PayloadExtOption)).getOrElse("jpg")
+    new WdsTable(properties.get("path"), ext)
+  }
 }
 
 object WebdatasetSource {
-  val schema: StructType = StructType(Seq(
+  /** Option naming the payload entry extension (and its column). */
+  val PayloadExtOption = "payload_ext"
+
+  def payloadExt(options: CaseInsensitiveStringMap): String =
+    Option(options.get(PayloadExtOption)).getOrElse("jpg")
+
+  /** Schema parameterized by the payload column: `{ext} binary`. */
+  def schemaFor(payloadExt: String): StructType = StructType(Seq(
     StructField("shard", StringType), StructField("key", StringType),
-    StructField("jpg", BinaryType), StructField("txt", StringType),
+    StructField(payloadExt, BinaryType), StructField("txt", StringType),
     StructField("json", StringType)))
 }
 
-class WdsTable(path: String) extends Table with SupportsRead {
+class WdsTable(path: String, payloadExt: String) extends Table with SupportsRead {
   override def name(): String = s"webdataset($path)"
-  override def schema(): StructType = WebdatasetSource.schema
+  override def schema(): StructType = WebdatasetSource.schemaFor(payloadExt)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WdsScanBuilder(Option(path).getOrElse(options.get("path")))
+    new WdsScanBuilder(Option(path).getOrElse(options.get("path")), payloadExt)
 }
 
-class WdsScanBuilder(path: String) extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = WebdatasetSource.schema
+class WdsScanBuilder(path: String, payloadExt: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = WebdatasetSource.schemaFor(payloadExt)
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
-  override def build(): Scan = new WdsScan(path, required)
+  override def build(): Scan = new WdsScan(path, required, payloadExt)
 }
 
-class WdsScan(path: String, required: StructType) extends Scan with Batch {
+class WdsScan(path: String, required: StructType, payloadExt: String) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -79,18 +89,19 @@ class WdsScan(path: String, required: StructType) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    WdsReaderFactory(required)
+    WdsReaderFactory(required, payloadExt)
 }
 
 case class WdsPartition(tarPath: String) extends InputPartition
 
-case class WdsReaderFactory(required: StructType) extends PartitionReaderFactory {
+case class WdsReaderFactory(required: StructType, payloadExt: String)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WdsReader(partition.asInstanceOf[WdsPartition].tarPath, required)
+    new WdsReader(partition.asInstanceOf[WdsPartition].tarPath, required, payloadExt)
 }
 
 /** Streams one tar, grouping consecutive same-key entries into rows. */
-class WdsReader(tarPath: String, required: StructType)
+class WdsReader(tarPath: String, required: StructType, payloadExt: String)
     extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(tarPath)
@@ -101,7 +112,7 @@ class WdsReader(tarPath: String, required: StructType)
     n.substring(0, n.length - 4)
   }
   private val fieldIdx = required.fieldNames.zipWithIndex.toMap
-  private val wantPayload = fieldIdx.contains("jpg")
+  private val wantPayload = fieldIdx.contains(payloadExt)
   private val wantTxt = fieldIdx.contains("txt")
   private val wantJson = fieldIdx.contains("json")
 
@@ -115,9 +126,9 @@ class WdsReader(tarPath: String, required: StructType)
     val values = required.fieldNames.map {
       case "shard" => UTF8String.fromString(shardName)
       case "key" => UTF8String.fromString(currentKey)
-      case "jpg" => parts.get("jpg").orNull
       case "txt" => parts.get("txt").map(b => UTF8String.fromString(new String(b, "UTF-8"))).orNull
       case "json" => parts.get("json").map(b => UTF8String.fromString(new String(b, "UTF-8"))).orNull
+      case e if e == payloadExt => parts.get(payloadExt).orNull
       case _ => null
     }
     InternalRow.fromSeq(values.toIndexedSeq)
@@ -126,7 +137,7 @@ class WdsReader(tarPath: String, required: StructType)
   private def wanted(ext: String): Boolean = ext match {
     case "txt" => wantTxt
     case "json" => wantJson
-    case _ => wantPayload
+    case e => wantPayload && e == payloadExt
   }
 
   override def next(): Boolean = {

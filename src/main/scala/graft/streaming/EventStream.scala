@@ -46,8 +46,10 @@ object EventStream {
 
   /** Gap-based sessionization with explicit state: events of a user
     * belong to one session while gaps stay under `gapMillis`; a
-    * session is emitted when the gap is exceeded (or the state times
-    * out). `flatMapGroupsWithState` in Append mode.
+    * session is emitted when a larger gap closes it. The trailing
+    * (still-open) session per user stays in state awaiting more data —
+    * add a GroupStateTimeout flush if end-of-stream emission is
+    * needed. `flatMapGroupsWithState` in Append mode.
     */
   def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
     import events.sparkSession.implicits._

@@ -205,6 +205,10 @@ class PipelineSpec extends SparkSpec {
       baseCfg.copy(outputFormat = "dummy", incrementalMode = "extend"))
     val stats = new java.io.File(out).listFiles.filter(_.getName.endsWith("_stats.json"))
     assert(stats.map(_.getName).sorted.toSeq == Seq("00000_stats.json", "00001_stats.json"))
+    // run 2's global counters must cover ONLY its own shard
+    val second = Pipeline.download(spark, writeUrlList("ext3", server.allowedUrls.take(3)),
+      out, baseCfg.copy(outputFormat = "dummy", incrementalMode = "extend"))
+    assert(second.count == 3, s"extend-run stats isolated to new shards, got ${second.count}")
   }
 
   test("bbox blur + exif through the pipeline") {

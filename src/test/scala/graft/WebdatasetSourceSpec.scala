@@ -38,6 +38,21 @@ class WebdatasetSourceSpec extends SparkSpec {
     assert(back.join(sidecar, "key").count() == collected.length)
   }
 
+  test("payload_ext option: png tars round-trip with a png column") {
+    val d = Files.createTempDirectory("graft_wdspng").toString
+    val list = java.nio.file.Paths.get(d, "u.txt")
+    Files.write(list, server.allowedUrls.take(3).mkString("\n").getBytes)
+    val out = Files.createTempDirectory("graft_wdspng_out").toString
+    Pipeline.download(spark, list.toString, out,
+      DownloadConfig(outputFormat = "webdataset", encodeFormat = "png",
+        samplesPerShard = 10, threadCount = 8, incrementalMode = "overwrite"))
+    val back = spark.read.format("webdataset")
+      .option("payload_ext", "png").load(out)
+    assert(back.columns.contains("png"))
+    val payloads = back.select("png").collect().map(_.getAs[Array[Byte]](0))
+    assert(payloads.length == 3 && payloads.forall(p => p != null && p.length > 100))
+  }
+
   test("column pruning: payload not materialized when unselected") {
     val outs = Files.createTempDirectory("graft_wds_prune").toString
     val list = Files.createTempDirectory("g").resolve("u.txt")
