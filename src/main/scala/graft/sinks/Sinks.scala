@@ -39,7 +39,12 @@ object Sinks {
 
   private def fs(dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
-    (p.getFileSystem(new Configuration()), p)
+    val f = p.getFileSystem(new Configuration())
+    // LocalFileSystem otherwise writes a .crc sibling per created file —
+    // doubling file-count overhead in the per-sample sinks.
+    f.setWriteChecksum(false)
+    f.setVerifyChecksum(false)
+    (f, p)
   }
 
   /** Stream a partition's rows (sorted by shard_id) through a
