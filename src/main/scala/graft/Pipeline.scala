@@ -93,9 +93,10 @@ object Pipeline {
       case None => fetched.withColumn("_hash_mismatch", lit(false))
     }
 
-    // T10 (optional) + T3-T9/F3-F5
-    val blurred = Blurrer.maybeBlur(verified, cfg, Downloader.PayloadCol)
-    val resized = Resizer.resize(blurred, cfg)
+    // T10 (optional, inside the resize decode) + T3-T9/F3-F5.
+    // Raw downloaded bytes stay untouched in _payload: hash (T12) and
+    // exif (T11) are computed over them, as in downloader.py:324-340.
+    val resized = Resizer.resize(verified, cfg)
 
     // EXTEND: status, error_message, hash, exif (T11/T12)
     var meta = resized
@@ -159,18 +160,28 @@ object Pipeline {
            Seq(col("_final_payload").as(cfg.encodeFormat)) else Nil): _*)
     val shardFromKey =
       floor(col("key").cast("long") / math.pow(10, cfg.oomSamplesPerShard).toLong).cast("long")
+    def sidecarsExist: Boolean =
+      Option(fs.globStatus(new Path(s"$outDir/*.parquet"))).exists(_.nonEmpty)
+    def emptyStats: DataFrame = {
+      import spark.implicits._
+      Seq.empty[(Long, String, String)].toDF("shard_id", "status", "error_message")
+    }
     val statsInput: DataFrame = cfg.outputFormat match {
       case "parquet" | "dummy" =>
         Sinks.writeMetaParquet(sidecarOf(prepared), outDir, cfg)
         // Read-back includes prior runs' sidecars (incremental AND
-        // extend modes); restrict stats to THIS run's shards.
-        val readback = spark.read.parquet(s"$outDir/*.parquet")
-          .withColumn("shard_id", shardFromKey)
-          .select("shard_id", "status", "error_message")
-        if (preexisting.isEmpty) readback
+        // extend modes); restrict stats to THIS run's shards. An empty
+        // input writes no sidecars at all — nothing to read.
+        if (!sidecarsExist) emptyStats
         else {
-          import spark.implicits._
-          readback.join(broadcast(preexisting.toDF("shard_id")), Seq("shard_id"), "left_anti")
+          val readback = spark.read.parquet(s"$outDir/*.parquet")
+            .withColumn("shard_id", shardFromKey)
+            .select("shard_id", "status", "error_message")
+          if (preexisting.isEmpty) readback
+          else {
+            import spark.implicits._
+            readback.join(broadcast(preexisting.toDF("shard_id")), Seq("shard_id"), "left_anti")
+          }
         }
       case fmt =>
         val ckpt = s"$outDir/_work_tmp"
@@ -195,7 +206,7 @@ object Pipeline {
     if (cfg.outputFormat != "parquet" && cfg.outputFormat != "dummy")
       fs.delete(new Path(s"$outDir/_work_tmp"), true)
     // metaFrame reads the durable sidecars — acting on it later must
-    // never re-trigger downloads.
+    // never re-trigger downloads. Empty input → empty frame.
     // observation.get blocks until metrics arrive; an all-shards-done
     // incremental run may produce a zero-task write that never emits
     // them, so bound the wait.
@@ -205,7 +216,10 @@ object Pipeline {
       import scala.concurrent.ExecutionContext.Implicits.global
       Await.result(Future(observation.get), 10.seconds)
     } catch { case _: Throwable => Map.empty }
-    Result(spark.read.parquet(s"$outDir/*.parquet"),
+    val metaFrame =
+      if (sidecarsExist) spark.read.parquet(s"$outDir/*.parquet")
+      else spark.emptyDataFrame
+    Result(metaFrame,
       g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3), observed)
   }
 

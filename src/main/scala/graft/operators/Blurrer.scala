@@ -81,12 +81,13 @@ object Blurrer {
     out
   }
 
-  /** Blur the regions of `bytes` covered by normalized bboxes. */
-  def blurBytes(bytes: Array[Byte], bboxes: Seq[Seq[Double]], cfg: DownloadConfig): Array[Byte] = {
-    if (bytes == null || bboxes == null || bboxes.isEmpty) return bytes
+  /** Blur the regions of a DECODED image covered by normalized bboxes
+    * — called inside the resize kernel so the image is decoded exactly
+    * once and no intermediate lossy generation is produced.
+    */
+  def blurImage(img: BufferedImage, bboxes: Seq[Seq[Double]]): BufferedImage = {
+    if (img == null || bboxes == null || bboxes.isEmpty) return img
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null) return bytes
       val w = img.getWidth; val h = img.getHeight
       // Dilate each box by 10% of its diagonal (blurrer.py:34-44).
       val dilated = bboxes.map { b =>
@@ -108,19 +109,17 @@ object Blurrer {
           y += 1
         }
       }
-      Resizer.encode(out, cfg.encodeFormat, cfg.encodeQuality)
+      out
+    } catch { case _: Throwable => img }
+  }
+
+  /** Byte-level convenience (decode → blur → encode) for direct use. */
+  def blurBytes(bytes: Array[Byte], bboxes: Seq[Seq[Double]], cfg: DownloadConfig): Array[Byte] = {
+    if (bytes == null || bboxes == null || bboxes.isEmpty) return bytes
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) bytes
+      else Resizer.encode(blurImage(img, bboxes), cfg.encodeFormat, cfg.encodeQuality)
     } catch { case _: Throwable => bytes }
   }
-
-  def blurUdf(cfg: DownloadConfig): Column => Column = {
-    val f = udf((bytes: Array[Byte], bboxes: Seq[Seq[Double]]) => blurBytes(bytes, bboxes, cfg))
-    (payload: Column) => f(payload, col(cfg.bboxCol.getOrElse("bboxes")))
-  }
-
-  /** Apply bbox blur in place on the payload column when configured. */
-  def maybeBlur(df: DataFrame, cfg: DownloadConfig, payloadCol: String): DataFrame =
-    cfg.bboxCol match {
-      case Some(_) => df.withColumn(payloadCol, blurUdf(cfg)(col(payloadCol)))
-      case None => df
-    }
 }

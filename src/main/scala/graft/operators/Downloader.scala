@@ -53,7 +53,14 @@ object Downloader {
       // F1: robots directives (downloader.py:20-35): an optional
       // "agent:" prefix scopes the directive list — it only applies
       // when unscoped or when the agent matches our UA token.
-      val disallowed = Option(conn.getHeaderField("X-Robots-Tag")).exists { tag =>
+      val robotsTags: Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        // ALL occurrences of the header, not just the last one.
+        conn.getHeaderFields.asScala.collectFirst {
+          case (k, v) if k != null && k.equalsIgnoreCase("X-Robots-Tag") => v.asScala.toSeq
+        }.getOrElse(Nil)
+      }
+      val disallowed = robotsTags.exists { tag =>
         val parts = tag.split(":", 2)
         val (agent, directiveStr) =
           if (parts.length == 2) (Some(parts(0).trim.toLowerCase), parts(1)) else (None, tag)

@@ -49,7 +49,8 @@ object Resizer {
     if (bytes == null || bytes.length < 12) None
     else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) Some("jpg")
     else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') Some("png")
-    else if (bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P') Some("webp")
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+             bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P') Some("webp")
     else None
   }
 
@@ -99,15 +100,23 @@ object Resizer {
     out.toByteArray
   }
 
-  /** The full T3–T9 / F3–F5 kernel over raw bytes. */
-  def resizeBytes(bytes: Array[Byte], cfg: DownloadConfig): ResizeResult = {
+  /** The full T3–T9 / F3–F5 kernel over raw bytes, with optional T10
+    * bbox blur applied on the SINGLE decoded image (reference
+    * ordering: decode → blur → resize, `resizer.py:150-161`) — no
+    * intermediate lossy re-encode, raw bytes left untouched for
+    * hash/exif.
+    */
+  def resizeBytes(bytes: Array[Byte], cfg: DownloadConfig,
+                  bboxes: Seq[Seq[Double]] = null): ResizeResult = {
     if (bytes == null) return err("no payload")
     if (cfg.disableAllReencoding)                      // T9 passthrough
       return ResizeResult(bytes, None, None, None, None, None)
     try {
       val raw = ImageIO.read(new ByteArrayInputStream(bytes))  // T3 decode
       if (raw == null) return err("image decode failed")
-      val img0 = flattenAlpha(raw)                             // T4
+      val blurredIn =
+        if (bboxes != null && bboxes.nonEmpty) Blurrer.blurImage(raw, bboxes) else raw
+      val img0 = flattenAlpha(blurredIn)                       // T4
       val (ow, oh) = (img0.getWidth, img0.getHeight)
       // F3/F4/F5 — resizer.py:162-168
       if (math.min(oh, ow) < cfg.minImageSize) return err("image too small", Some(ow), Some(oh))
@@ -148,8 +157,10 @@ object Resizer {
             } else (scaled, nw, nh)
           }
       }
-      // T8/T9: skip re-encode when unchanged and format already matches.
-      val unchanged = (img eq img0) && sniffFormat(bytes).contains(cfg.encodeFormat)
+      // T8/T9: skip re-encode when unchanged (incl. no blur applied)
+      // and the format already matches.
+      val unchanged = (img eq img0) && (blurredIn eq raw) &&
+        sniffFormat(bytes).contains(cfg.encodeFormat)
       val outBytes =
         if (cfg.skipReencode && unchanged) bytes
         else encode(img, cfg.encodeFormat, cfg.encodeQuality)
@@ -175,10 +186,17 @@ object Resizer {
   }
 
   /** Apply to a downloaded frame: adds payload/width/height/original_*
-    * columns + `_resize_error`.
+    * columns + `_resize_error`. When `cfg.bboxCol` is set, the blur
+    * runs inside the same decode (T10).
     */
   def resize(df: DataFrame, cfg: DownloadConfig): DataFrame = {
-    val res = resizeUdf(cfg)(col(Downloader.PayloadCol))
+    val res = cfg.bboxCol match {
+      case Some(bc) =>
+        val f = udf((bytes: Array[Byte], bboxes: Seq[Seq[Double]]) =>
+          resizeBytes(bytes, cfg, bboxes))
+        f(col(Downloader.PayloadCol), col(bc))
+      case None => resizeUdf(cfg)(col(Downloader.PayloadCol))
+    }
     df.withColumn("_rr", res)
       .withColumn("_resized_payload", col("_rr.payload"))
       .withColumn("width", col("_rr.width"))

@@ -25,16 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  /** A1 + A2/A3: per-shard success/failure counters + top-k error map. */
+  /** A1 + A2/A3: per-shard success/failure counters + top-k status map.
+    * Keys are error messages for failures and "success" for successes,
+    * mirroring `status_dict.increment(...)` at downloader.py:263,322.
+    */
   def shardStats(df: DataFrame, topK: Int = 100): DataFrame = {
     val errCounts = df
-      .filter(col("status") =!= "success" && col("error_message").isNotNull)
-      .groupBy("shard_id", "error_message").agg(count("*").as("n"))
+      .withColumn("_k",
+        when(col("status") === "success", lit("success")).otherwise(col("error_message")))
+      .filter(col("_k").isNotNull)
+      .groupBy("shard_id", "_k").agg(count("*").as("n"))
       .withColumn("rk", row_number().over(
-        Window.partitionBy("shard_id").orderBy(col("n").desc, col("error_message"))))
+        Window.partitionBy("shard_id").orderBy(col("n").desc, col("_k"))))
       .filter(col("rk") <= topK)
       .groupBy("shard_id")
-      .agg(map_from_entries(collect_list(struct(col("error_message"), col("n")))).as("status_dict"))
+      .agg(map_from_entries(collect_list(struct(col("_k"), col("n")))).as("status_dict"))
     df.groupBy("shard_id").agg(
         count("*").as("count"),
         sum(when(col("status") === "success", 1L).otherwise(0L)).as("successes"),

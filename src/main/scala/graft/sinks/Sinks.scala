@@ -92,7 +92,11 @@ object Sinks {
       val part = hfs.listStatus(st.getPath).map(_.getPath)
         .find(_.getName.endsWith(".parquet"))
       part.foreach { p =>
-        hfs.rename(p, new Path(outDir, shardStem(shard, cfg.oomShardCount) + ".parquet"))
+        val dest = new Path(outDir, shardStem(shard, cfg.oomShardCount) + ".parquet")
+        // Hadoop rename returns false if dest exists (e.g. a crashed
+        // prior attempt) — replace it, never keep stale data silently.
+        if (hfs.exists(dest)) hfs.delete(dest, false)
+        require(hfs.rename(p, dest), s"rename $p -> $dest failed")
       }
     }
     hfs.delete(new Path(tmp), true)

@@ -118,7 +118,12 @@ object UrlReader {
            startShardId: Long = 0L): DataFrame = {
     val fmt = if (cfg.inputFormat == "auto") sniffFormat(path) else cfg.inputFormat
     val raw = readRaw(spark, path, fmt)
+    // The url frame is read three times (shard-count, zipWithIndex's
+    // offset pass, the data pass) — cache it; it is O(input list),
+    // tiny next to the payloads it fans out to, and this matters for
+    // non-splittable gzipped inputs.
     val canonical = canonicalize(raw, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nShards = math.max(
       math.ceil(canonical.count().toDouble / cfg.samplesPerShard).toInt, 1)
     val sharded = withShards(canonical, cfg, startShardId)

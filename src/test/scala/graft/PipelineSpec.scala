@@ -234,6 +234,24 @@ class PipelineSpec extends SparkSpec {
     assert(bi.getWidth == 321 && bi.getHeight == 421)
   }
 
+  test("empty input: empty result, no crash") {
+    val list = writeUrlList("empty", Seq.empty)
+    val out = tmpDir("empty_out")
+    val res = Pipeline.download(spark, list, out, baseCfg.copy(outputFormat = "dummy"))
+    assert(res.count == 0 && res.successes == 0)
+  }
+
+  test("stats sidecar status_dict includes success counts (reference parity)") {
+    val urls = server.allowedUrls.take(3) ++ Seq(server.url("/missing/x.jpg"))
+    val out = tmpDir("sdict")
+    Pipeline.download(spark, writeUrlList("sdict", urls), out,
+      baseCfg.copy(outputFormat = "dummy"))
+    val f = new java.io.File(out).listFiles.find(_.getName.endsWith("_stats.json")).get
+    val json = new String(Files.readAllBytes(f.toPath), "UTF-8")
+    assert(json.contains("\"success\": 3"), json)
+    assert(json.contains("HTTP 404"), json)
+  }
+
   test("streaming stats: running totals over stats sidecars") {
     val urls = server.allowedUrls
     val out = tmpDir("stream")
