@@ -408,6 +408,14 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), rd(col("c"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    "dedup_clusters" -> ((s, dir) => {
+      // Connected components over the exact near-dup pairs: cluster
+      // canonicalization (min reachable doc_id per member).
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.3)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
           shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.3)
@@ -887,6 +895,29 @@ object SparkEntry {
            GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
          SELECT id_a, id_b, ${roundToSql("jac", 6)} AS jaccard FROM j
          WHERE jac >= 0.3 ORDER BY id_a, id_b""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+           regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shingles FROM t),
+         e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+         j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM e a JOIN e b USING (sh) WHERE a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+           HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.3),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM j
+                   UNION SELECT id_b, id_a FROM j),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         nodes AS (SELECT DISTINCT src AS doc_id FROM edges)
+         SELECT n.doc_id,
+           least(n.doc_id, min(r.dst)) AS cluster_id
+         FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
+         GROUP BY n.doc_id ORDER BY n.doc_id""",
     "dedup_embed_cosine" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCos("a.v", "b.v")} AS c

@@ -179,6 +179,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair list: every node gets
+    * the minimum reachable id as its cluster id — the canonicalization
+    * step that turns pairwise matches into dedup clusters.
+    *
+    * Algorithm: iterative min-label propagation (each round joins
+    * labels across edges and keeps the min of self + neighbors),
+    * converging in O(diameter) rounds — dedup clusters are shallow, so
+    * a handful of shuffles on the (small) pair set. Driver only checks
+    * the convergence counter; labels never leave the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                          maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaEdges = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(viaEdges)
+        .groupBy("id").agg(min("label").as("label"))
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      // checkpoint the lineage each round: iterative self-joins
+      // otherwise build an exponentially deep plan
+      labels = next.localCheckpoint(eager = true)
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Seeded random hyperplanes for cosine LSH, baked as plan literals. */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rng = new Random(seed)

@@ -83,6 +83,18 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF@nprobe=4/8 recall $recall vs brute force")
   }
 
+  test("connected components: chains and triangles collapse to min id") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),          // chain 1-2-3
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (20L, 21L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                     10L -> 10L, 11L -> 10L, 12L -> 10L,
+                     20L -> 20L, 21L -> 20L))
+  }
+
   test("native vector expressions match HOF reference formulation bit-exactly") {
     import graft.functions.VectorFunctions
     val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet")).limit(50)
