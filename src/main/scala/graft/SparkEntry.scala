@@ -161,17 +161,19 @@ object SparkEntry {
       val agg = t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-        .rollup("r_name", "n_name")
+        .rollup(col("r_name"), col("n_name"))
         .agg(count("*").as("n_cust"), rd(sum("c_acctbal"), 2).as("sum_bal"))
-      // qualified refs: rollup re-aliases grouping cols, and by-name
-      // orderBy intermittently trips the ambiguous-column check
-      agg.orderBy(agg("r_name").asc_nulls_first, agg("n_name").asc_nulls_first)
+      // toDF cuts dataset lineage: rollup over a multi-join otherwise
+      // trips the ambiguous-self-join check on the sort columns
+      agg.toDF("r_name", "n_name", "n_cust", "sum_bal")
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
     "q14_cube" -> ((s, dir) => {
-      val agg = t(s, dir, "orders")
+      t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count("*").as("n"), rd(sum("o_totalprice"), 2).as("sum_price"))
-      agg.orderBy(agg("o_orderstatus").asc_nulls_first, agg("o_orderpriority").asc_nulls_first)
+        .toDF("o_orderstatus", "o_orderpriority", "n", "sum_price")
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
     "q15_having" -> ((s, dir) => {
       t(s, dir, "orders").groupBy("o_custkey").agg(count("*").as("n"))

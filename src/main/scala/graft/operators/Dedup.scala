@@ -212,6 +212,10 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"connectedComponents: not converged after $maxIter rounds — " +
+          "clusters with diameter > maxIter are split; raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

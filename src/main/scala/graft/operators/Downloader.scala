@@ -55,10 +55,13 @@ object Downloader {
       // when unscoped or when the agent matches our UA token.
       val robotsTags: Seq[String] = {
         import scala.jdk.CollectionConverters._
-        // ALL occurrences of the header, not just the last one.
-        conn.getHeaderFields.asScala.collectFirst {
+        // ALL occurrences across ALL casings: HttpURLConnection keys the
+        // map by header name as received, so `X-Robots-Tag` and
+        // `x-robots-tag` land in separate entries (reference uses
+        // headers.get_all, case-insensitive over every occurrence).
+        conn.getHeaderFields.asScala.collect {
           case (k, v) if k != null && k.equalsIgnoreCase("X-Robots-Tag") => v.asScala.toSeq
-        }.getOrElse(Nil)
+        }.toSeq.flatten
       }
       val disallowed = robotsTags.exists { tag =>
         val parts = tag.split(":", 2)

@@ -157,9 +157,10 @@ object Resizer {
             } else (scaled, nw, nh)
           }
       }
-      // T8/T9: skip re-encode when unchanged (incl. no blur applied)
-      // and the format already matches.
-      val unchanged = (img eq img0) && (blurredIn eq raw) &&
+      // T8/T9: skip re-encode when unchanged (incl. no blur applied AND
+      // no alpha flatten — the reference sets encode_needed after alpha
+      // matting, `resizer.py:191-199`) and the format already matches.
+      val unchanged = (img eq img0) && (blurredIn eq raw) && (img0 eq blurredIn) &&
         sniffFormat(bytes).contains(cfg.encodeFormat)
       val outBytes =
         if (cfg.skipReencode && unchanged) bytes

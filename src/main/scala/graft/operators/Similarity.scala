@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -10,14 +11,17 @@ import graft.functions.VectorFunctions._
   *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query
   *    set against the corpus; one corpus scan, no corpus shuffle.
   *  - [[ivfTopK]]        — IVF-style scale path: partition the corpus
-  *    into cells around centroids; probe only `nProbe` cells per query,
-  *    scanning ~nProbe/nCells of the corpus.
+  *    into cells around k-means centroids; probe only `nProbe` cells
+  *    per query, scanning ~nProbe/nCells of the corpus.
   *
-  * Scale design: the corpus never self-joins. Brute force is
-  * O(|Q|·|C|) compute but a single pass over C (the |Q| side is
-  * broadcast); IVF cuts the scanned fraction and the cell assignment
-  * is itself a broadcast join (centroids are tiny). Top-k per query
-  * uses a window over the per-query slice — the shuffle key is
+  * Scale design: the corpus never self-joins and never shuffles.
+  * Brute force is O(|Q|·|C|) compute but a single pass over C (the
+  * |Q| side is broadcast). IVF centroid training is sampled seeding
+  * (bounded-heap top-k over a hash — no global sort, no count()) plus
+  * Lloyd rounds whose per-round cost is one narrow corpus map
+  * ([[graft.plans.NearestCentroid]] with the centroid matrix as a plan
+  * literal) and a (cell,dim)-sized partial-aggregated shuffle. Top-k
+  * per query uses a bounded-heap aggregate — the shuffle key is
   * query_id, so it scales with queries, not corpus.
   */
 object Similarity {
@@ -49,12 +53,53 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** IVF (inverted-file) ANN. Centroids are taken deterministically
-    * from the corpus (every |C|/nCells-th vector by id — at real scale
-    * substitute a k-means pass; the plumbing is identical). Corpus
-    * vectors are assigned to their nearest centroid once (broadcast
-    * join + `min_by`, no corpus shuffle besides the final bucketing);
-    * each query probes its `nProbe` nearest cells.
+  /** k-means centroids without any full-corpus shuffle or global sort:
+    *
+    *  1. SEED — the `nCells` corpus rows with the largest
+    *     `xxhash64(id)` (a deterministic pseudo-random sample) picked
+    *     by the bounded-heap top-k aggregate: map-side partial top-k,
+    *     the shuffle carries ≤ nCells rows per partition. No `count()`
+    *     over the corpus, no single-partition `Window.orderBy`.
+    *  2. LLOYD rounds — assignment is a narrow map (the centroid
+    *     matrix is a plan literal inside [[graft.plans.NearestCentroid]]);
+    *     the new means come from a posexplode + partial-aggregated
+    *     avg keyed by (cell, dim): the shuffle is O(cells·dim·parts),
+    *     independent of corpus size. Empty cells keep their previous
+    *     centroid.
+    */
+  def kmeansCentroids(c: DataFrame, nCells: Int, lloydIters: Int = 2): Array[Array[Double]] = {
+    val seedIds = c
+      .agg(graft.plans.TopKByScore.topKByScore(
+        xxhash64(col("corpus_id")).cast("double"), col("corpus_id"), nCells).as("top"))
+      .select(explode(col("top.id")).as("id"))
+      .collect().map(_.getLong(0))
+    var cents: Array[Array[Double]] = c
+      .filter(col("corpus_id").isin(seedIds.map(_.asInstanceOf[Any]): _*))
+      .orderBy("corpus_id")  // tiny frame (nCells rows): determinism only
+      .select("cv").collect()
+      .map(_.getSeq[Double](0).toArray)
+
+    for (_ <- 1 to lloydIters) {
+      val assigned = c.withColumn("cell_id",
+        column(graft.plans.NearestCentroid(expression(col("cv")), cents.toSeq.map(_.toSeq))))
+      val means = assigned
+        .select(col("cell_id"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("cell_id", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) ANN with k-means-trained centroids. Corpus
+    * vectors are assigned to their nearest centroid with a narrow map;
+    * each query probes its `nProbe` nearest cells; only probed cells
+    * are scored (broadcast hash join on cell_id — still no corpus
+    * shuffle).
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -63,23 +108,21 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
 
-    // Deterministic centroid sample: rank corpus by id, take every n-th.
-    val n = c.count()
-    val stride = math.max(n / nCells, 1L)
-    val w = Window.orderBy("corpus_id")
-    val centroids = c.withColumn("rn", row_number().over(w) - 1)
-      .filter(col("rn") % stride === 0).limit(nCells)
-      .select(col("rn").as("cell_id"), col("cv").as("centroid"))
+    val cents = kmeansCentroids(c, nCells)
+    val centsSeq = cents.toSeq.map(_.toSeq)
 
-    // Assign each corpus vector to its nearest centroid (broadcast).
-    val assigned = c.crossJoin(broadcast(centroids))
-      .select(col("corpus_id"), col("cv"), col("cell_id"), sqDist(col("cv"), col("centroid")).as("d"))
-      .groupBy("corpus_id", "cv")
-      .agg(min_by(col("cell_id"), col("d")).as("cell_id"))
+    // Narrow assignment: one int column, no join, no shuffle.
+    val assigned = c.withColumn("cell_id",
+      column(graft.plans.NearestCentroid(expression(col("cv")), centsSeq)))
 
-    // Each query probes its nProbe nearest cells.
+    // Each query probes its nProbe nearest cells. The centroid frame is
+    // driver-built (nCells rows) — broadcast by construction.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroidsDf = cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell_id", "centroid")
     val wq = Window.partitionBy("query_id").orderBy(col("d").asc, col("cell_id").asc)
-    val probes = q.crossJoin(broadcast(centroids))
+    val probes = q.crossJoin(broadcast(centroidsDf))
       .select(col("query_id"), col("qv"), col("cell_id"), sqDist(col("qv"), col("centroid")).as("d"))
       .withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= nProbe)

@@ -79,7 +79,12 @@ case class CappedCounter(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, n) => out.writeUTF(k); out.writeLong(n) }
+    // Length-prefixed UTF-8 (not writeUTF: that throws past 64 KiB keys,
+    // and this aggregate is SQL-registered over arbitrary strings).
+    buf.foreach { case (k, n) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(n)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -88,7 +93,11 @@ case class CappedCounter(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { val k = in.readUTF(); buf.update(k, in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      val k = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+      buf.update(k, in.readLong()); i += 1
+    }
     buf
   }
 

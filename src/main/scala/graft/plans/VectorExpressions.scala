@@ -188,6 +188,42 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
     copy(child = newChild)
 }
 
+/** Argmin-squared-distance over a literal centroid matrix: the IVF
+  * cell-assignment step as a NARROW map — the centroid matrix rides
+  * along as a reference object, so assignment costs zero shuffles and
+  * zero joins (vs the crossJoin+groupBy formulation, which re-shuffles
+  * the whole corpus per k-means round). Ties break to the lowest cell
+  * id. CodegenFallback — the eval body is already a tight loop.
+  */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val mat: Array[Array[Double]] = centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < mat.length) {
+      val cen = mat(c)
+      var acc = 0.0
+      var i = 0
+      val n = math.min(dim, cen.length)
+      while (i < n) { val d = v.getDouble(i) - cen(i); acc += d * d; i += 1 }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Squared Euclidean distance Σ (a_i-b_i)², one generated pass. */
 case class SquaredDistance(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "vec_sqdist"

@@ -160,6 +160,12 @@ class WdsReader(tarPath: String, required: StructType, payloadExt: String)
         }
         currentKey = key
         if (wanted(ext)) {
+          // guard the Int cast: a >= 2 GiB tar member would overflow to a
+          // negative/truncated count and yield corrupt short payloads
+          if (entry.getSize > Int.MaxValue - 8)
+            throw new java.io.IOException(
+              s"webdataset member $name is ${entry.getSize} bytes; " +
+              "members >= 2 GiB are not supported (byte[] payload limit)")
           val bytes = in.readNBytes(entry.getSize.toInt)
           parts(ext) = bytes
         }

@@ -37,6 +37,16 @@ class PlanAuditSpec extends SparkSpec {
       s"query side broadcast:\n$p")
   }
 
+  test("ann ivf: no single-partition exchange in the query plan") {
+    // centroid training runs as separate tiny jobs; the returned plan
+    // (assign → broadcast probe join → bounded top-k) must not funnel
+    // the corpus through one task
+    val p = plan("ann_ivf_topk")
+    assert(!p.contains("Exchange SinglePartition"), s"single-partition exchange:\n$p")
+    assert(p.contains("nearest_centroid"), "narrow literal-matrix assignment present")
+    assert(p.contains("BroadcastExchange"), "probes broadcast to the corpus side")
+  }
+
   test("dedup exact: single hash-aggregate shuffle, no join") {
     val p = plan("dedup_exact")
     assert(!p.contains("Join"), "exact dedup must not join")
