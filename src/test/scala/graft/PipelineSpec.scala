@@ -234,6 +234,24 @@ class PipelineSpec extends SparkSpec {
     assert(bi.getWidth == 321 && bi.getHeight == 421)
   }
 
+  test("live progress: throttled emissions during a multi-shard run") {
+    import graft.operators.DownloadProgress
+    val captured = new scala.collection.mutable.ArrayBuffer[String]()
+    val prior = DownloadProgress.sink
+    DownloadProgress.sink = s => captured.synchronized { captured += s }
+    try {
+      val urls = server.allowedUrls ++ server.allowedUrls.map(u => u + "?v=2")
+      val res = Pipeline.download(spark, writeUrlList("progress", urls), tmpDir("progress"),
+        baseCfg.copy(outputFormat = "parquet", progressIntervalMs = 25))
+      assert(res.count == urls.size)
+      val lines = captured.synchronized(captured.toSeq)
+      assert(lines.nonEmpty, "at least one progress emission")
+      assert(lines.last.contains("total"), s"final summary line: $lines")
+      assert(lines.last.contains(s"count: ${urls.size}"), s"final count reflects all rows: $lines")
+      assert(lines.forall(_.contains("images per sec")), s"reference line shape: $lines")
+    } finally DownloadProgress.sink = prior
+  }
+
   test("empty input: empty result, no crash") {
     val list = writeUrlList("empty", Seq.empty)
     val out = tmpDir("empty_out")

@@ -67,6 +67,27 @@ class UrlReaderSpec extends SparkSpec {
     assert(dfc.select("url").collect().map(_.getString(0)).toSeq == urls)
   }
 
+  test("column-oriented json at 105k rows: bounded plan, order preserved") {
+    // reference reader perf case (tests/test_reader.py:87-97) — the
+    // point is plan size stays O(#columns): an O(rows) expression tree
+    // here would hang codegen long before the assert
+    val d = dir("bigjson")
+    val n = 105000
+    val sb = new StringBuilder("{\"url\": {")
+    var i = 0
+    while (i < n) { if (i > 0) sb.append(','); sb.append(s""""$i": "http://x/$i.jpg""""); i += 1 }
+    sb.append("}}")
+    Files.write(Paths.get(d, "big.json"), sb.toString.getBytes)
+    val t0 = System.nanoTime()
+    val df = UrlReader.readRaw(spark, s"$d/big.json", "json")
+    val got = df.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.length == n)
+    assert(got(0).getString(0) == "http://x/0.jpg")
+    assert(got(n - 1).getString(0) == s"http://x/${n - 1}.jpg")
+    assert(secs < 30.0, s"105k-row column json took $secs s")
+  }
+
   test("parquet + directory glob (S7/S8)") {
     import spark.implicits._
     val d = dir("pq")
