@@ -78,6 +78,98 @@ object SparkEntry {
     s"(CASE WHEN sqrt(${sq(a)}) * sqrt(${sq(b)}) = 0 THEN 0.0 ELSE $dot / (sqrt(${sq(a)}) * sqrt(${sq(b)})) END)"
   }
 
+  /** DuckDB replication of [[Dedup.portableHash60]]: first 15 hex
+    * chars of md5 parsed as a 60-bit integer (fits BIGINT, < 2^60).
+    */
+  private def duckHex60(s: String): String =
+    s"list_reduce(list_transform(range(1, 16), i -> " +
+    s"CAST(strpos('0123456789abcdef', substr(md5($s), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)), " +
+    s"(a, b) -> a * 16 + b)"
+
+  /** DuckDB replication of the FULL portable MinHash+LSH pipeline
+    * (signature with the same baked (a,b) coefficient literals,
+    * banding, bucket-size cap, exact-Jaccard verification) — the
+    * algorithm itself is the oracle contract, not just its exact
+    * counterpart.
+    */
+  private def minhashLshOracleSql: String = {
+    val coeffs = Dedup.minhashCoeffs(128)
+      .map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+    s"""WITH t AS (SELECT doc_id,
+         regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles FROM t),
+       hs AS (SELECT doc_id, shingles,
+         list_transform(shingles, s -> ${duckHex60("s")}) AS hashes FROM sh),
+       sg AS (SELECT doc_id, shingles,
+         list_transform($coeffs,
+           c -> list_min(list_transform(hashes,
+             h -> (c[1] * (h % 2147483647) + c[2]) % 2147483647))) AS sig FROM hs),
+       bk AS (SELECT doc_id, unnest(list_transform(range(0, 32), j ->
+           {'band': j, 'key': array_to_string(sig[(j*4+1):(j*4+4)], '_')})) AS u FROM sg),
+       buckets AS (SELECT doc_id, u.band AS band, u.key AS key FROM bk),
+       ok AS (SELECT band, key FROM buckets GROUP BY band, key HAVING count(*) <= 1000),
+       sized AS (SELECT b.doc_id, b.band, b.key FROM buckets b JOIN ok USING (band, key)),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sized a JOIN sized b USING (band, key) WHERE a.doc_id < b.doc_id),
+       ver AS (SELECT id_a, id_b,
+           CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) AS jac
+         FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)
+       SELECT id_a, id_b, ${roundToSql("jac", 6)} AS jaccard FROM ver
+       WHERE jac >= 0.3 ORDER BY id_a, id_b"""
+  }
+
+  /** DuckDB replication of the portable 60-bit SimHash pipeline:
+    * same +1/-1 bit fold, MSB-first packing, 4×15-bit chunk banding,
+    * bucket cap, and Hamming verification as the Spark plan.
+    */
+  private def simhashOracleSql: String =
+    s"""WITH t AS (SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+       hs AS (SELECT doc_id, list_transform(toks, s -> ${duckHex60("s")}) AS hashes FROM t),
+       sg AS (SELECT doc_id, list_reduce(list_transform(range(0, 60), b ->
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h >> b) & 1)) > len(hashes)
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         (a, x) -> a * 2 + x) AS sig FROM hs),
+       bk AS (SELECT doc_id, sig, unnest(list_transform(range(0, 4), j ->
+           {'band': j, 'key': (sig >> (j * 15)) & 32767})) AS u FROM sg),
+       buckets AS (SELECT doc_id, sig, u.band AS band, u.key AS key FROM bk),
+       ok AS (SELECT band, key FROM buckets GROUP BY band, key HAVING count(*) <= 10000),
+       sized AS (SELECT b.doc_id, b.sig, b.band, b.key FROM buckets b JOIN ok USING (band, key)),
+       pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         FROM sized a JOIN sized b USING (band, key) WHERE a.doc_id < b.doc_id)
+       SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8 ORDER BY id_a, id_b"""
+
+  /** DuckDB replication of hyperplane-LSH embedding near-dup: the SAME
+    * seeded gaussian planes ([[Dedup.randomPlanes]]) baked as literals,
+    * sign-bit bucket fold in the same order, exact-cosine verification
+    * with the bit-identical sequential fold.
+    */
+  private def embedLshOracleSql: String = {
+    val tables = (0 until 8).map { t =>
+      val planes = Dedup.randomPlanes(8, 64, 42L + t)
+      val bits = planes.zipWithIndex.map { case (p, pi) =>
+        val lits = p.map(_.toString).mkString("[", ",", "]")
+        s"(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * ($lits)[i]), (x, y) -> x + y) >= 0.0 " +
+        s"THEN ${1L << (7 - pi)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"{'tbl': $t, 'key': ($bits)}"
+    }.mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       bk AS (SELECT vec_id, unnest($tables) AS u FROM v),
+       buckets AS (SELECT vec_id, u.tbl AS tbl, u.key AS key FROM bk),
+       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM buckets a JOIN buckets b USING (tbl, key) WHERE a.vec_id < b.vec_id),
+       sc AS (SELECT id_a, id_b, ${duckCos("va.v", "vb.v")} AS c
+         FROM cand JOIN v va ON va.vec_id = cand.id_a JOIN v vb ON vb.vec_id = cand.id_b)
+       SELECT id_a, id_b, ${roundToSql("c", 6)} AS cosine FROM sc
+       WHERE c >= 0.4 ORDER BY id_a, id_b"""
+  }
+
   private val enList = TextFunctions.enStopwords.mkString("['", "', '", "']")
   private val esList = TextFunctions.esStopwords.mkString("['", "', '", "']")
   private val deList = TextFunctions.deStopwords.mkString("['", "', '", "']")
@@ -418,13 +510,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     }),
+    // portableHash: the oracle-checked variants hash shingles/tokens
+    // with the engine-independent md5-based hash so the DuckDB oracle
+    // replicates the WHOLE approximate pipeline (signature, banding,
+    // bucket cap, verification) bit-for-bit; the xxh64 fast path is
+    // covered by DedupSpec recall tests.
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
-          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.3)
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.3,
+          portableHash = true)
         .select(col("id_a"), col("id_b"), rd(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
+      Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8,
+          portableHash = true)
         .orderBy("id_a", "id_b")),
     "dedup_embed_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -926,6 +1025,9 @@ object SparkEntry {
            FROM v a JOIN v b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, ${roundToSql("c", 6)} AS cosine FROM p
          WHERE c >= 0.4 ORDER BY id_a, id_b""",
+    "dedup_minhash_lsh" -> minhashLshOracleSql,
+    "dedup_simhash" -> simhashOracleSql,
+    "dedup_embed_lsh" -> embedLshOracleSql,
     "ann_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),

@@ -53,11 +53,23 @@ object Dedup {
 
   /** Seeded MinHash coefficient pairs (a, b), identical on every
     * executor because they are baked into the plan as literals.
+    * Public so the oracle SQL generator can bake the SAME pairs into
+    * the DuckDB replication of the signature.
     */
-  private def minhashCoeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+  def minhashCoeffs(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     val rng = new Random(seed)
     Seq.fill(numHashes)((math.abs(rng.nextLong()) % Prime + 1, math.abs(rng.nextLong()) % Prime))
   }
+
+  /** Cross-engine 60-bit string hash: the first 15 hex chars of md5,
+    * parsed as an integer. Any engine with md5 reproduces it exactly
+    * (the DuckDB oracle does), unlike Spark's seed-42 xxh64 kernel.
+    * Production defaults keep the faster native xxh64; the
+    * oracle-checked LSH queries pass `portableHash = true` so the
+    * whole approximate pipeline is independently recomputable.
+    */
+  def portableHash60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** MinHash signature of the shingle set as `array<bigint>`:
     * min over shingles of `(a·(xxh64(s) mod P) + b) mod P` per hash
@@ -74,10 +86,19 @@ object Dedup {
   /** LSH band keys: hash each r-row slice of the signature. Two docs
     * land in the same (band, key) bucket iff their signatures agree on
     * that band — P[collision] = 1-(1-j^r)^b for Jaccard j.
+    *
+    * `portable = false` (default): 8-byte `xxhash64` keys — smallest
+    * shuffle, Spark-only. `portable = true`: the joined slice values
+    * as a string key (equality-equivalent, engine-independent).
     */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int,
+               portable: Boolean = false): Column =
     array((0 until bands).map { j =>
-      struct(lit(j).as("band"), xxhash64(slice(sig, j * rowsPerBand + 1, rowsPerBand)).as("key"))
+      val sliced = slice(sig, j * rowsPerBand + 1, rowsPerBand)
+      val key =
+        if (portable) concat_ws("_", sliced.cast("array<string>"))
+        else xxhash64(sliced)
+      struct(lit(j).as("band"), key.as("key"))
     }: _*)
 
   /** Candidate pairs from LSH banding, verified with exact Jaccard over
@@ -88,18 +109,24 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.7, seed: Long = 42L,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      portableHash: Boolean = false): DataFrame = {
     val r = numHashes / bands
     val base = df.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("shingles"))
-    val sigs = base.withColumn("sig", minhashSignature(col("shingles"), numHashes, seed))
+    // portableHash: pre-hash shingles with the engine-independent
+    // 60-bit md5 hash so a DuckDB oracle can replicate the signature.
+    val sigInput =
+      if (portableHash) transform(col("shingles"), portableHash60 _)
+      else col("shingles")
+    val sigs = base.withColumn("sig", minhashSignature(sigInput, numHashes, seed))
     // Buckets carry ONLY (id, band, key): the band explode multiplies
     // rows by `bands`, so shuffling shingle arrays through it would
     // multiply shuffle bytes 32×. Shingles rejoin later, once per
     // candidate id, not per bucket row.
     val buckets = sigs
-      .select(col("id"), explode(bandKeys(col("sig"), bands, r)).as("bk"))
+      .select(col("id"), explode(bandKeys(col("sig"), bands, r, portableHash)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
     // Cap degenerate buckets: a bucket of size m yields m^2 candidate
     // pairs; beyond maxBucketSize that is a skew bomb, and near-dup
@@ -130,18 +157,37 @@ object Dedup {
     column(graft.plans.SimHash64Expr(expression(tokens(text))))
   }
 
-  /** SimHash near-dups: band the 64-bit fingerprint into 4 × 16-bit
-    * chunks (pigeonhole: Hamming distance ≤ 3 ⇒ at least one chunk
+  /** SimHash of pre-hashed tokens over the low `nBits` bits — the
+    * oracle-parity form (portable 60-bit md5 token hashes).
+    */
+  def simhashPortable(text: Column, nBits: Int = 60): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.plans.SimHash64Expr(
+      expression(transform(tokens(text), portableHash60 _)), nBits))
+  }
+
+  /** SimHash near-dups: band the fingerprint into `chunks` equal bit
+    * slices (pigeonhole: Hamming ≤ chunks-1 ⇒ at least one chunk
     * equal), bucket-join on chunks, verify with `bit_count(xor)`.
+    *
+    * `portableHash = true` switches to the 60-bit md5-based simhash
+    * (4 × 15-bit chunks) that the DuckDB oracle recomputes.
     */
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      portableHash: Boolean = false): DataFrame = {
     val chunks = 4
-    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val chunkBits = if (portableHash) 15 else 16
+    val chunkMask = (1L << chunkBits) - 1
+    val sigCol =
+      if (portableHash) simhashPortable(col(textCol), chunks * chunkBits)
+      else simhash64(col(textCol))
+    val withSig = df.select(col(idCol).as("id"), sigCol.as("sig"))
     val keyed = withSig.select(col("id"), col("sig"),
       explode(array((0 until chunks).map { j =>
-        struct(lit(j).as("band"), shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+        struct(lit(j).as("band"),
+          shiftrightunsigned(col("sig"), j * chunkBits).bitwiseAND(lit(chunkMask)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
     val counts = keyed.groupBy("band", "key").agg(count("*").as("bucket_n"))

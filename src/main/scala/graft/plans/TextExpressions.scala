@@ -68,8 +68,13 @@ case class WordShinglesExpr(child: Expression, n: Int)
 }
 
 /** MinHash signature: for each (a_k, b_k), min over shingles of
-  * (a_k · (xxh64(s) mod P) + b_k) mod P. One pass over the shingle
+  * (a_k · (h(s) mod P) + b_k) mod P. One pass over the shingle
   * array computes all K signature rows.
+  *
+  * Input is either `array<string>` (shingles hashed in-loop with the
+  * fast xxh64 kernel — the production path) or `array<bigint>` of
+  * PRE-hashed shingles (the oracle-parity path, where the hash must be
+  * reproducible in other engines — see `Dedup.portableHash60`).
   */
 case class MinHashSignatureExpr(child: Expression, coeffs: Seq[(Long, Long)], prime: Long)
     extends UnaryExpression with CodegenFallback {
@@ -79,6 +84,11 @@ case class MinHashSignatureExpr(child: Expression, coeffs: Seq[(Long, Long)], pr
   private val as: Array[Long] = coeffs.map(_._1).toArray
   private val bs: Array[Long] = coeffs.map(_._2).toArray
 
+  @transient private lazy val prehashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val shingles = input.asInstanceOf[ArrayData]
     val k = as.length
@@ -86,7 +96,7 @@ case class MinHashSignatureExpr(child: Expression, coeffs: Seq[(Long, Long)], pr
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val h = TextExprs.xxh64(shingles.getUTF8String(i))
+      val h = if (prehashed) shingles.getLong(i) else TextExprs.xxh64(shingles.getUTF8String(i))
       val red = java.lang.Math.floorMod(h, prime)
       var j = 0
       while (j < k) {
@@ -103,35 +113,45 @@ case class MinHashSignatureExpr(child: Expression, coeffs: Seq[(Long, Long)], pr
     copy(child = newChild)
 }
 
-/** 64-bit SimHash over a token array: per token-hash bit, fold a
-  * +1/-1 counter; sign bits packed MSB-first (bit 63 of the hash
+/** SimHash over a token array: per token-hash bit, fold a +1/-1
+  * counter; sign bits packed MSB-first (bit nBits-1 of the hash
   * first), matching the composable `foldLeft` formulation in
   * [[graft.operators.Dedup.simhash64]].
+  *
+  * `array<string>` input hashes tokens in-loop with xxh64 (production,
+  * nBits=64); `array<bigint>` input uses the pre-hashed values
+  * directly (oracle-parity path with the portable 60-bit hash).
   */
-case class SimHash64Expr(child: Expression)
+case class SimHash64Expr(child: Expression, nBits: Int = 64)
     extends UnaryExpression with CodegenFallback {
+  require(nBits >= 1 && nBits <= 64)
   override def prettyName: String = "simhash64"
   override def dataType: DataType = LongType
 
+  @transient private lazy val prehashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
-    val counters = new Array[Int](64)
+    val counters = new Array[Int](nBits)
     val n = toks.numElements()
     var i = 0
     while (i < n) {
-      val h = TextExprs.xxh64(toks.getUTF8String(i))
+      val h = if (prehashed) toks.getLong(i) else TextExprs.xxh64(toks.getUTF8String(i))
       var b = 0
-      while (b < 64) {
+      while (b < nBits) {
         counters(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
         b += 1
       }
       i += 1
     }
     var packed = 0L
-    // Fold order i = 0..63 with acc<<1|bit ⇒ bit for shift i ends up
-    // at position 63-i, same as the expression-tree version.
+    // Fold order i = 0..nBits-1 with acc<<1|bit ⇒ bit for shift i ends
+    // up at position nBits-1-i, same as the expression-tree version.
     var b = 0
-    while (b < 64) {
+    while (b < nBits) {
       packed = (packed << 1) | (if (counters(b) > 0) 1L else 0L)
       b += 1
     }
