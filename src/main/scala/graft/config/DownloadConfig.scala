@@ -15,7 +15,7 @@ case class DownloadConfig(
     inputFormat: String = "auto",
     /** files|webdataset|parquet|tfrecord|dummy (writer.py:55-306). */
     outputFormat: String = "files",
-    /** jpg|png|webp (webp unsupported by the JVM codecs — rejected). */
+    /** jpg|png|webp (webp = from-scratch lossless VP8L encoder). */
     encodeFormat: String = "jpg",
     encodeQuality: Int = 95,
     samplesPerShard: Int = 10000,     // number_sample_per_shard, main.py:91
@@ -68,7 +68,7 @@ case class DownloadConfig(
     require(ValidResizeModes.contains(resizeMode), s"resizeMode must be one of $ValidResizeModes")
     require(ValidOutputFormats.contains(outputFormat), s"outputFormat must be one of $ValidOutputFormats")
     require(ValidEncodeFormats.contains(encodeFormat),
-      s"encodeFormat must be one of $ValidEncodeFormats (webp has no JVM codec — use jpg or png)")
+      s"encodeFormat must be one of $ValidEncodeFormats")
     require(ValidIncrementalModes.contains(incrementalMode),
       s"incrementalMode must be one of $ValidIncrementalModes")
     val reserved = ReservedColumns ++ ValidEncodeFormats
@@ -90,7 +90,7 @@ object DownloadConfig {
     Set("no", "border", "keep_ratio", "keep_ratio_largest", "center_crop")
   val ValidOutputFormats: Set[String] =
     Set("files", "webdataset", "parquet", "tfrecord", "dummy")
-  val ValidEncodeFormats: Set[String] = Set("jpg", "png")
+  val ValidEncodeFormats: Set[String] = Set("jpg", "png", "webp")
   val ValidIncrementalModes: Set[String] = Set("incremental", "overwrite", "extend")
   /** Reserved output schema appendix — `main.py:45-70` + writer payload. */
   val ReservedColumns: Set[String] = Set(

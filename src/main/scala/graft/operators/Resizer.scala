@@ -96,6 +96,10 @@ object Resizer {
         ios.flush(); writer.dispose()
       case "png" =>
         ImageIO.write(img, "png", out)
+      case "webp" =>
+        // lossless VP8L, written from the public spec (no JVM webp
+        // codec exists offline) — see WebpCodec; quality is ignored
+        out.write(WebpCodec.encodeLossless(img))
     }
     out.toByteArray
   }
@@ -112,7 +116,13 @@ object Resizer {
     if (cfg.disableAllReencoding)                      // T9 passthrough
       return ResizeResult(bytes, None, None, None, None, None)
     try {
-      val raw = ImageIO.read(new ByteArrayInputStream(bytes))  // T3 decode
+      // T3 decode; ImageIO has no webp reader, so fall back to the
+      // from-scratch VP8L decoder for lossless webp payloads
+      val viaImageIO = ImageIO.read(new ByteArrayInputStream(bytes))
+      val raw =
+        if (viaImageIO != null) viaImageIO
+        else if (WebpCodec.isLosslessWebp(bytes)) WebpCodec.decodeLossless(bytes)
+        else null
       if (raw == null) return err("image decode failed")
       val blurredIn =
         if (bboxes != null && bboxes.nonEmpty) Blurrer.blurImage(raw, bboxes) else raw

@@ -234,6 +234,25 @@ class PipelineSpec extends SparkSpec {
     assert(bi.getWidth == 321 && bi.getHeight == 421)
   }
 
+  test("webp encode end-to-end: files sink writes decodable VP8L .webp") {
+    val urls = server.allowedUrls
+    val out = tmpDir("webp")
+    val res = Pipeline.download(spark, writeUrlList("webp", urls), out,
+      baseCfg.copy(outputFormat = "files", encodeFormat = "webp"))
+    assert(res.successes == urls.size)
+    val shard0 = new java.io.File(out, "00000")
+    val webps = shard0.listFiles.filter(_.getName.endsWith(".webp"))
+    assert(webps.nonEmpty, "per-sample .webp files written")
+    webps.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      assert(graft.operators.WebpCodec.isLosslessWebp(bytes), s"${f.getName} container")
+      val img = graft.operators.WebpCodec.decodeLossless(bytes)
+      assert(img.getWidth == 256 && img.getHeight == 256, s"${f.getName} dims")
+    }
+    val meta = spark.read.parquet(s"$out/*.parquet")
+    assert(meta.filter(col("status") === "success").count() == urls.size)
+  }
+
   test("live progress: throttled emissions during a multi-shard run") {
     import graft.operators.DownloadProgress
     val captured = new scala.collection.mutable.ArrayBuffer[String]()

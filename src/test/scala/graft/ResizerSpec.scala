@@ -106,6 +106,47 @@ class ResizerSpec extends SparkSpec {
     assert((out.getRGB(190, 90) & 0xFFFFFF) == (img.getRGB(190, 90) & 0xFFFFFF))
   }
 
+  test("webp: VP8L encode/decode round-trips pixels exactly") {
+    val rng = new scala.util.Random(7)
+    // exercise all huffman paths: gradient (full codes), flat color
+    // (1-symbol simple), two-tone (2-symbol), random (near-flat
+    // histograms → uniform-length perturbation), 1x1 edge
+    val cases = Seq[(Int, Int, (Int, Int) => Int)](
+      (61, 47, (x, y) => 0xFF000000 | ((x * 4 % 256) << 16) | ((y * 5 % 256) << 8) | ((x + y) % 256)),
+      (16, 16, (_, _) => 0xFF123456),
+      (33, 9, (x, _) => if (x % 2 == 0) 0xFF000000 else 0xFFFFFFFF),
+      (64, 64, (_, _) => 0xFF000000 | rng.nextInt(1 << 24)),
+      (1, 1, (_, _) => 0xFFABCDEF))
+    for (((w, h, f), ci) <- cases.zipWithIndex) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bytes = graft.operators.WebpCodec.encodeLossless(img)
+      assert(Resizer.sniffFormat(bytes).contains("webp"), s"case $ci container magic")
+      val back = graft.operators.WebpCodec.decodeLossless(bytes)
+      assert(back.getWidth == w && back.getHeight == h, s"case $ci dims")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(back.getRGB(x, y) == img.getRGB(x, y), s"case $ci pixel ($x,$y)")
+    }
+  }
+
+  test("webp: resizeBytes with encode_format=webp matches the png pipeline pixel-for-pixel") {
+    val cfgW = DownloadConfig(resizeMode = "border", imageSize = 64, encodeFormat = "webp")
+    val cfgP = DownloadConfig(resizeMode = "border", imageSize = 64, encodeFormat = "png")
+    val in = makeJpg(123, 45)
+    val rw = Resizer.resizeBytes(in, cfgW)
+    val rp = Resizer.resizeBytes(in, cfgP)
+    assert(rw.error.isEmpty, rw.error.toString)
+    assert(rw.width.contains(64) && rw.height.contains(64))
+    assert(Resizer.sniffFormat(rw.payload).contains("webp"))
+    val wImg = graft.operators.WebpCodec.decodeLossless(rw.payload)
+    val pImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rp.payload))
+    for (y <- 0 until 64; x <- 0 until 64)
+      assert((wImg.getRGB(x, y) & 0xFFFFFF) == (pImg.getRGB(x, y) & 0xFFFFFF), s"pixel ($x,$y)")
+    // webp payloads decode back through resizeBytes (VP8L fallback path)
+    val again = Resizer.resizeBytes(rw.payload, cfgP)
+    assert(again.error.isEmpty && again.originalWidth.contains(64))
+  }
+
   test("EXIF: parses crafted APP1 segment; {} when absent") {
     assert(ExifExtractor.parseToJson(makeJpg(10, 10)) == "{}")
     // hand-build a minimal EXIF jpeg: SOI + APP1(Exif, IFD0 with Make="T")

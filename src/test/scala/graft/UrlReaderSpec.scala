@@ -142,7 +142,8 @@ class UrlReaderSpec extends SparkSpec {
       DownloadConfig(verifyHash = Some(("h", "md5")), computeHashCol = Some("sha256")).validate()
     }
     intercept[IllegalArgumentException] {
-      DownloadConfig(encodeFormat = "webp").validate()
+      DownloadConfig(encodeFormat = "gif").validate()
     }
+    DownloadConfig(encodeFormat = "webp").validate() // VP8L encoder exists
   }
 }
