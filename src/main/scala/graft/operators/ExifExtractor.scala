@@ -22,7 +22,18 @@ object ExifExtractor {
     0x829A -> "ExposureTime", 0x829D -> "FNumber", 0x8827 -> "ISOSpeedRatings",
     0x9003 -> "DateTimeOriginal", 0x9004 -> "DateTimeDigitized",
     0x920A -> "FocalLength", 0xA002 -> "PixelXDimension", 0xA003 -> "PixelYDimension",
-    0xA405 -> "FocalLengthIn35mmFilm", 0x8769 -> "ExifIFDPointer")
+    0xA405 -> "FocalLengthIn35mmFilm", 0x8769 -> "ExifIFDPointer",
+    0x8825 -> "GPSInfoIFDPointer")
+
+  /** GPS IFD tags live in their own id namespace (they collide with
+    * IFD0 ids), keyed like PIL's GPSTAGS.
+    */
+  private val GpsTagNames: Map[Int, String] = Map(
+    0x0000 -> "GPSVersionID", 0x0001 -> "GPSLatitudeRef", 0x0002 -> "GPSLatitude",
+    0x0003 -> "GPSLongitudeRef", 0x0004 -> "GPSLongitude", 0x0005 -> "GPSAltitudeRef",
+    0x0006 -> "GPSAltitude", 0x0007 -> "GPSTimeStamp", 0x0008 -> "GPSSatellites",
+    0x0009 -> "GPSStatus", 0x0010 -> "GPSImgDirection", 0x0011 -> "GPSImgDirectionRef",
+    0x0012 -> "GPSMapDatum", 0x001D -> "GPSDateStamp")
 
   /** Parse EXIF from JPEG bytes; None when absent/corrupt. */
   def parse(bytes: Array[Byte]): Option[Map[String, String]] = {
@@ -54,7 +65,7 @@ object ExifExtractor {
       bb.order(order)
       if (bb.getShort(2) != 42) return None
       val out = scala.collection.mutable.LinkedHashMap[String, String]()
-      def readIfd(off: Int, depth: Int): Unit = {
+      def readIfd(off: Int, depth: Int, names: Map[Int, String]): Unit = {
         if (depth > 2 || off < 0 || off + 2 > bb.limit()) return
         val n = bb.getShort(off) & 0xFFFF
         var e = 0
@@ -65,7 +76,7 @@ object ExifExtractor {
             val tpe = bb.getShort(base + 2) & 0xFFFF
             val count = bb.getInt(base + 4)
             val tsize = tpe match {
-              case 1 | 2 | 7 => 1; case 3 => 2; case 4 | 9 => 4; case 5 | 10 => 8; case _ => 0
+              case 1 | 2 | 6 | 7 => 1; case 3 => 2; case 4 | 9 => 4; case 5 | 10 => 8; case _ => 0
             }
             val total = tsize * count
             val voff = if (total <= 4) base + 8 else bb.getInt(base + 8)
@@ -75,24 +86,31 @@ object ExifExtractor {
                   val arr = new Array[Byte](math.max(0, count - 1))
                   var j = 0; while (j < arr.length) { arr(j) = bb.get(voff + j); j += 1 }
                   new String(arr, "ISO-8859-1").trim
-                case 3 => (0 until math.min(count, 8)).map(j => (bb.getShort(voff + 2 * j) & 0xFFFF).toString).mkString(",")
-                case 4 => (0 until math.min(count, 8)).map(j => (bb.getInt(voff + 4 * j) & 0xFFFFFFFFL).toString).mkString(",")
-                case 9 => (0 until math.min(count, 8)).map(j => bb.getInt(voff + 4 * j).toString).mkString(",")
+                case 1 | 7 => (0 until math.min(count, 16)).map(j => (bb.get(voff + j) & 0xFF).toString).mkString(",")
+                case 6 => (0 until math.min(count, 16)).map(j => bb.get(voff + j).toString).mkString(",")
+                case 3 => (0 until math.min(count, 16)).map(j => (bb.getShort(voff + 2 * j) & 0xFFFF).toString).mkString(",")
+                case 4 => (0 until math.min(count, 16)).map(j => (bb.getInt(voff + 4 * j) & 0xFFFFFFFFL).toString).mkString(",")
+                case 9 => (0 until math.min(count, 16)).map(j => bb.getInt(voff + 4 * j).toString).mkString(",")
                 case 5 | 10 =>
-                  (0 until math.min(count, 4)).map { j =>
+                  // rational arrays in full (GPSLatitude is rational[3],
+                  // GPSTimeStamp rational[3]) — PIL prints every element
+                  (0 until math.min(count, 16)).map { j =>
                     val num = bb.getInt(voff + 8 * j); val den = bb.getInt(voff + 8 * j + 4)
                     if (den == 0) "0" else s"$num/$den"
                   }.mkString(",")
                 case _ => s"<$tpe:$count>"
               }
-              if (tag == 0x8769) readIfd(bb.getInt(base + 8), depth + 1) // Exif sub-IFD
-              else out(TagNames.getOrElse(tag, tag.toString)) = value
+              if (tag == 0x8769 && (names eq TagNames))
+                readIfd(bb.getInt(base + 8), depth + 1, TagNames)   // Exif sub-IFD
+              else if (tag == 0x8825 && (names eq TagNames))
+                readIfd(bb.getInt(base + 8), depth + 1, GpsTagNames) // GPS IFD
+              else out(names.getOrElse(tag, tag.toString)) = value
             }
           }
           e += 1
         }
       }
-      readIfd(bb.getInt(4), 0)
+      readIfd(bb.getInt(4), 0, TagNames)
       Some(out.toMap)
     } catch { case _: Throwable => None }
   }

@@ -167,4 +167,33 @@ class ResizerSpec extends SparkSpec {
     val json = ExifExtractor.parseToJson(jpeg)
     assert(json == """{"Make": "T"}""", s"got $json")
   }
+
+  test("EXIF: GPS IFD with rational arrays (PIL GPSTAGS key parity)") {
+    // TIFF layout: IFD0 {Make="T", GPSInfoIFDPointer -> GPS IFD},
+    // GPS IFD {GPSLatitudeRef="N", GPSLatitude=rational[3]}
+    val tiff = java.nio.ByteBuffer.allocate(128).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    tiff.putShort(2)                    // IFD0: 2 entries
+    tiff.putShort(0x010F).putShort(2).putInt(2)
+      .put('T'.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    tiff.putShort(0x8825.toShort).putShort(4).putInt(1).putInt(38) // GPS IFD at 38
+    tiff.putInt(0)                      // next IFD
+    assert(tiff.position() == 38)
+    tiff.putShort(2)                    // GPS IFD: 2 entries
+    tiff.putShort(0x0001).putShort(2).putInt(2)
+      .put('N'.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    tiff.putShort(0x0002).putShort(5).putInt(3).putInt(68) // rationals at 68
+    tiff.putInt(0)
+    assert(tiff.position() == 68)
+    tiff.putInt(40).putInt(1).putInt(26).putInt(1).putInt(3000).putInt(100)
+    val tiffBytes = java.util.Arrays.copyOf(tiff.array(), tiff.position())
+    val app1Body = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ tiffBytes
+    val seg = Array[Byte](0xFF.toByte, 0xE1.toByte,
+      (((app1Body.length + 2) >> 8) & 0xFF).toByte, ((app1Body.length + 2) & 0xFF).toByte) ++ app1Body
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte) ++ seg ++
+      Array[Byte](0xFF.toByte, 0xDA.toByte, 0, 2)
+    val json = ExifExtractor.parseToJson(jpeg)
+    assert(json == """{"Make": "T", "GPSLatitudeRef": "N", "GPSLatitude": "40/1,26/1,3000/100"}""",
+      s"got $json")
+  }
 }
