@@ -37,6 +37,9 @@ case class DownloadConfig(
     bboxCol: Option[String] = None,
     timeoutSeconds: Int = 10,
     retries: Int = 0,
+    /** Skip TLS certificate/hostname verification, like the
+      * reference's `ignore_ssl_certificate` (downloader.py:38-51). */
+    ignoreSslCertificate: Boolean = false,
     userAgentToken: Option[String] = None,
     disallowedHeaderDirectives: Seq[String] =
       Seq("noai", "noimageai", "noindex", "noimageindex"), // main.py:114-117

@@ -38,11 +38,32 @@ object Downloader {
   val PayloadCol = "_payload"
   val FetchErrorCol = "_fetch_error"
 
+  /** Trust-all socket factory for `ignoreSslCertificate` — mirror of
+    * the reference's CERT_NONE context (downloader.py:47-51). Built
+    * once per executor.
+    */
+  private lazy val trustAllFactory: javax.net.ssl.SSLSocketFactory = {
+    val tm: Array[javax.net.ssl.TrustManager] = Array(new javax.net.ssl.X509TrustManager {
+      override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+    })
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, tm, new java.security.SecureRandom())
+    ctx.getSocketFactory
+  }
+
   /** One GET with timeout + UA; returns payload or error string. */
   private def fetchOnce(url: String, cfg: DownloadConfig): (Array[Byte], String) = {
     var conn: HttpURLConnection = null
     try {
       conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn match {
+        case https: javax.net.ssl.HttpsURLConnection if cfg.ignoreSslCertificate =>
+          https.setSSLSocketFactory(trustAllFactory)
+          https.setHostnameVerifier((_, _) => true)
+        case _ =>
+      }
       conn.setConnectTimeout(cfg.timeoutSeconds * 1000)
       conn.setReadTimeout(cfg.timeoutSeconds * 1000)
       val ua = "Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:72.0) Gecko/20100101 Firefox/72.0" +
