@@ -77,10 +77,11 @@ object Dedup {
     * ([[graft.plans.MinHashSignatureExpr]]); all K mins computed in a
     * single compiled loop over the shingle array.
     */
-  def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column = {
+  def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = 42L,
+                       portableMd5: Boolean = false): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     column(graft.plans.MinHashSignatureExpr(
-      expression(shingles), minhashCoeffs(numHashes, seed), Prime))
+      expression(shingles), minhashCoeffs(numHashes, seed), Prime, portableMd5))
   }
 
   /** LSH band keys: hash each r-row slice of the signature. Two docs
@@ -115,12 +116,11 @@ object Dedup {
     val base = df.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("shingles"))
-    // portableHash: pre-hash shingles with the engine-independent
-    // 60-bit md5 hash so a DuckDB oracle can replicate the signature.
-    val sigInput =
-      if (portableHash) transform(col("shingles"), portableHash60 _)
-      else col("shingles")
-    val sigs = base.withColumn("sig", minhashSignature(sigInput, numHashes, seed))
+    // portableHash: hash shingles with the engine-independent 60-bit
+    // md5 hash (natively, inside the signature expression's loop) so a
+    // DuckDB oracle can replicate the signature.
+    val sigs = base.withColumn("sig",
+      minhashSignature(col("shingles"), numHashes, seed, portableMd5 = portableHash))
     // Buckets carry ONLY (id, band, key): the band explode multiplies
     // rows by `bands`, so shuffling shingle arrays through it would
     // multiply shuffle bytes 32×. Shingles rejoin later, once per
@@ -157,13 +157,13 @@ object Dedup {
     column(graft.plans.SimHash64Expr(expression(tokens(text))))
   }
 
-  /** SimHash of pre-hashed tokens over the low `nBits` bits — the
-    * oracle-parity form (portable 60-bit md5 token hashes).
+  /** SimHash over the low `nBits` bits of the portable 60-bit md5
+    * token hash — the oracle-parity form, hashed natively in the
+    * expression loop.
     */
   def simhashPortable(text: Column, nBits: Int = 60): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    column(graft.plans.SimHash64Expr(
-      expression(transform(tokens(text), portableHash60 _)), nBits))
+    column(graft.plans.SimHash64Expr(expression(tokens(text)), nBits, portableMd5 = true))
   }
 
   /** SimHash near-dups: band the fingerprint into `chunks` equal bit

@@ -83,6 +83,15 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF@nprobe=4/8 recall $recall vs brute force")
   }
 
+  test("native md5Hash60 equals the conv(substring(md5)) column form") {
+    val strs = Seq("", "a", "hello world", "ünïcødé ⚡", "x" * 100, "the quick brown fox")
+    val df = strs.toDF("s")
+    val colForm = df.select(Dedup.portableHash60(col("s")).as("h")).collect().map(_.getLong(0))
+    val native = strs.map(s =>
+      graft.plans.TextExprs.md5Hash60(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    assert(colForm.toSeq == native, "portable hash parity between column form and native loop")
+  }
+
   test("connected components: chains and triangles collapse to min id") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L),          // chain 1-2-3
