@@ -355,9 +355,12 @@ object SparkEntry {
     }),
     // ---- img2dataset-surface operators (SURVEY §2) ----
     "i_t2_key_synthesis" -> ((s, dir) => {
-      val w = Window.orderBy("l_orderkey", "l_linenumber")
-      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
-        .withColumn("idx", row_number().over(w).cast("long") - 1)
+      // distributed global index: two-pass prefix COUNT in sort order
+      // (TextAnalysis.runningSum) — not a single-partition window
+      val base = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+        .withColumn("__one", lit(1L))
+      TextAnalysis.runningSum(base, Seq("l_orderkey", "l_linenumber"), "__one", "__rn")
+        .withColumn("idx", col("__rn") - 1)
         .withColumn("shard_id", PipelineFunctions.shardId(col("idx"), 1000))
         .withColumn("key", PipelineFunctions.computeKey(
           col("shard_id"), col("idx") - col("shard_id") * 1000, 3, 5))
@@ -457,14 +460,10 @@ object SparkEntry {
     }),
     "txt_packing" -> ((s, dir) => {
       // Sequence packing for LLM training: assign each document to the
-      // token-budget pack in which it starts (budget 2048), via a
-      // running token count. (At 100 TB: pack per partition after a
-      // repartitionByRange on the sort key, same arithmetic.)
-      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
-        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
-        .withColumn("cum", sum("n_tokens").over(w))
-        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / 2048).cast("long"))
+      // token-budget pack in which it starts (budget 2048), via the
+      // DISTRIBUTED two-pass running token count (range shuffle +
+      // broadcast prefix offsets) — no single-partition window.
+      TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text", 2048)
         .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"), col("pack_id"))
         .orderBy("doc_id")
     }),

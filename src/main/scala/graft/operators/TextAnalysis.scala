@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.functions.TextFunctions._
 
 /** Whole-table text-analysis transforms over a `documents(text)`
@@ -31,4 +32,45 @@ object TextAnalysis {
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", fingerprint(col(textCol)))
       .withColumn("rolling_hash", rollingHash(col(textCol)))
+
+  /** DISTRIBUTED global running sum of `valueCol` in `sortCol` order —
+    * the classic two-pass prefix sum, NOT a single-partition window:
+    * range-repartition on the sort key, per-partition subtotals
+    * (tiny collect: one long per partition), then a per-partition
+    * streaming pass that starts from the broadcast prefix offset.
+    * Identical values to `sum().over(Window.orderBy(sortCol))` at any
+    * partition count; holds at 100 TB because no task ever sees more
+    * than its own range slice.
+    */
+  def runningSum(df: DataFrame, sortCols: Seq[String], valueCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val valIdx = sorted.schema.fieldIndex(valueCol)
+    val partSums = sorted
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col(valueCol)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](n + 1)
+    for (p <- 0 until n) offsets(p + 1) = offsets(p) + partSums.getOrElse(p, 0L)
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r => acc += r.getLong(valIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Sequence packing for LLM training: assign each document to the
+    * token-budget pack in which it STARTS, via the distributed running
+    * token count. One range shuffle + two scan passes — no global
+    * window.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int = 2048): DataFrame = {
+    val withTok = df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+    runningSum(withTok, Seq(idCol), "n_tokens", "cum")
+      .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+  }
 }

@@ -47,6 +47,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "probes broadcast to the corpus side")
   }
 
+  test("key synthesis / packing: distributed prefix sum, no single-partition exchange") {
+    for (q <- Seq("i_t2_key_synthesis", "txt_packing")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q funnels through one task:\n$p")
+    }
+  }
+
   test("dedup exact: single hash-aggregate shuffle, no join") {
     val p = plan("dedup_exact")
     assert(!p.contains("Join"), "exact dedup must not join")
