@@ -353,6 +353,24 @@ object SparkEntry {
         .select(col("vec_id"), col("pos"), rd(col("col").cast("double"), 6).as("val"))
         .orderBy("vec_id", "pos")
     }),
+    "q39_full_outer" -> ((s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+        .groupBy("o_custkey")
+        .agg(count("*").as("n_big"), rd(sum("o_totalprice"), 2).as("sum_big"))
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey"), col("c_name"))
+      rich.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("n_big"), col("sum_big"))
+        .orderBy("custkey")
+    }),
+    "txt_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: docs sharing any 5-gram with the
+      // "eval set" (doc_id < 20) are removed — training-data hygiene.
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") < 20), "text", "doc_id", 5)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // ---- img2dataset-surface operators (SURVEY §2) ----
     "i_t2_key_synthesis" -> ((s, dir) => {
       // distributed global index: two-pass prefix COUNT in sort order
@@ -1024,6 +1042,26 @@ object SparkEntry {
            FROM v a JOIN v b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, ${roundToSql("c", 6)} AS cosine FROM p
          WHERE c >= 0.4 ORDER BY id_a, id_b""",
+    "q39_full_outer" ->
+      s"""WITH big AS (SELECT o_custkey, count(*) AS n_big,
+           ${roundToSql("sum(o_totalprice)", 2)} AS sum_big
+         FROM orders WHERE o_totalprice > 300000.0 GROUP BY o_custkey),
+         rich AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0)
+         SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_big, sum_big
+         FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey
+         ORDER BY custkey""",
+    "txt_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+           regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+             i -> array_to_string(toks[i:i+4], ' '))) AS shingles FROM t),
+         b AS (SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id < 20),
+         d AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+         contam AS (SELECT DISTINCT d.doc_id FROM d JOIN b USING (g))
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM contam) ORDER BY doc_id""",
     "dedup_minhash_lsh" -> minhashLshOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_embed_lsh" -> embedLshOracleSql,

@@ -270,6 +270,26 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Benchmark decontamination: drop (tag) documents that share any
+    * word n-gram with a benchmark/eval corpus — the standard
+    * training-data hygiene step. Shape: explode shingles on BOTH
+    * sides, distinct the benchmark side (small — eval sets are tiny
+    * next to the corpus; Spark broadcasts it under the threshold),
+    * semi-join to find contaminated ids, anti-join them away. Every
+    * step is an equi-join on the shingle key — scale-safe.
+    */
+  def decontaminate(df: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String,
+                    shingleSize: Int = 5): DataFrame = {
+    val docSh = df.select(col(idCol), explode(wordShingles(col(textCol), shingleSize)).as("__sh"))
+    val benchSh = benchmark
+      .select(explode(wordShingles(col(textCol), shingleSize)).as("__sh")).distinct()
+    val contaminated = docSh
+      .join(benchSh, "__sh")
+      .select(col(idCol)).distinct()
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Seeded random hyperplanes for cosine LSH, baked as plan literals. */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rng = new Random(seed)

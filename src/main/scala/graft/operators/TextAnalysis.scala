@@ -48,14 +48,18 @@ object TextAnalysis {
     val sorted = df.repartitionByRange(n, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     val valIdx = sorted.schema.fieldIndex(valueCol)
-    val partSums = sorted
-      .groupBy(spark_partition_id().as("pid"))
-      .agg(sum(col(valueCol)).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = new Array[Long](n + 1)
-    for (p <- 0 until n) offsets(p + 1) = offsets(p) + partSums.getOrElse(p, 0L)
+    // BOTH passes run over the SAME compiled RDD: a fresh `.rdd` (or a
+    // DataFrame agg) could get a different AQE partition coalescing,
+    // which would misalign partition ids with the prefix offsets.
+    val rdd = sorted.rdd
+    val nParts = rdd.getNumPartitions
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(valIdx)); Iterator((pid, s))
+    }.collect().toMap
+    val offsets = new Array[Long](nParts + 1)
+    for (p <- 0 until nParts) offsets(p + 1) = offsets(p) + partSums.getOrElse(p, 0L)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
-    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = offsets(pid)
       it.map { r => acc += r.getLong(valIdx); Row.fromSeq(r.toSeq :+ acc) }
     }
