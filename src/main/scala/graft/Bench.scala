@@ -26,7 +26,10 @@ object Bench {
       try {
         val server = new graft.util.HttpImageServer
         try {
-          val n = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_N", "2000").toInt
+          // 20k: large enough that JVM/scheduler startup stops
+          // dominating — 2k measured ~420 img/s where steady state is
+          // ~1400+ (README); the reference's own bench uses 10k+.
+          val n = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_N", "20000").toInt
           val urls = (0 until n).map { i =>
             val (w, h) = server.sizes(i % server.sizes.length)
             server.url(s"/allowed/${w}_$h.jpg")
