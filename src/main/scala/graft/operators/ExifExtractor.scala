@@ -32,7 +32,7 @@ object ExifExtractor {
     0x0000 -> "GPSVersionID", 0x0001 -> "GPSLatitudeRef", 0x0002 -> "GPSLatitude",
     0x0003 -> "GPSLongitudeRef", 0x0004 -> "GPSLongitude", 0x0005 -> "GPSAltitudeRef",
     0x0006 -> "GPSAltitude", 0x0007 -> "GPSTimeStamp", 0x0008 -> "GPSSatellites",
-    0x0009 -> "GPSStatus", 0x0010 -> "GPSImgDirection", 0x0011 -> "GPSImgDirectionRef",
+    0x0009 -> "GPSStatus", 0x0010 -> "GPSImgDirectionRef", 0x0011 -> "GPSImgDirection",
     0x0012 -> "GPSMapDatum", 0x001D -> "GPSDateStamp")
 
   /** Parse EXIF from JPEG bytes; None when absent/corrupt. */

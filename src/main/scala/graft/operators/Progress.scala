@@ -14,6 +14,13 @@ import org.apache.spark.util.LongAccumulator
   * the batch-engine analog of the reference's logger process pattern.
   * Emission goes through [[DownloadProgress.sink]] (default stdout) so
   * tests can capture lines.
+  *
+  * Counts are task-ATTEMPT-scoped (accumulators in a transformation):
+  * a speculative or retried task bumps them again, so under failures
+  * the line can over-count — it is live telemetry, exactly like the
+  * reference's per-attempt counter. The exact post-job numbers come
+  * from the `observe()` metrics and the stats sidecars, never from
+  * here.
   */
 class DownloadProgress(sc: SparkContext, intervalMs: Long = 5000) {
   val attempted: LongAccumulator = sc.longAccumulator("graft.progress.attempted")
@@ -37,7 +44,7 @@ class DownloadProgress(sc: SparkContext, intervalMs: Long = 5000) {
     running = true
     startMs = System.currentTimeMillis()
     thread = new Thread(() => {
-      var last = -1L
+      var last = 0L
       while (running) {
         try Thread.sleep(intervalMs) catch { case _: InterruptedException => }
         // only emit when something moved — the reference's logger also

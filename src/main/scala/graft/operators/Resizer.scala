@@ -117,11 +117,15 @@ object Resizer {
       return ResizeResult(bytes, None, None, None, None, None)
     try {
       // T3 decode; ImageIO has no webp reader, so fall back to the
-      // from-scratch VP8L decoder for lossless webp payloads
+      // from-scratch VP8L decoder for lossless webp payloads. A webp
+      // outside the subset (transforms/LZ77/lossy) must land in the
+      // same "image decode failed" row as any other undecodable image,
+      // not in the resize-failure bucket.
       val viaImageIO = ImageIO.read(new ByteArrayInputStream(bytes))
       val raw =
         if (viaImageIO != null) viaImageIO
-        else if (WebpCodec.isLosslessWebp(bytes)) WebpCodec.decodeLossless(bytes)
+        else if (WebpCodec.isLosslessWebp(bytes))
+          try WebpCodec.decodeLossless(bytes) catch { case _: Throwable => null }
         else null
       if (raw == null) return err("image decode failed")
       val blurredIn =

@@ -38,9 +38,13 @@ object TextAnalysis {
     * range-repartition on the sort key, per-partition subtotals
     * (tiny collect: one long per partition), then a per-partition
     * streaming pass that starts from the broadcast prefix offset.
-    * Identical values to `sum().over(Window.orderBy(sortCol))` at any
-    * partition count; holds at 100 TB because no task ever sees more
-    * than its own range slice.
+    * For UNIQUE `sortCols` keys the values are identical to
+    * `sum().over(Window.orderBy(sortCols))` at any partition count
+    * (callers must pass a key set that totally orders rows — with
+    * duplicate keys, tie order within a partition is arbitrary AND the
+    * window's default RANGE frame would sum peer rows together, so
+    * neither formulation is well-defined). Holds at 100 TB because no
+    * task ever sees more than its own range slice.
     */
   def runningSum(df: DataFrame, sortCols: Seq[String], valueCol: String, outCol: String): DataFrame = {
     val spark = df.sparkSession

@@ -66,14 +66,18 @@ object UrlReader {
     val whole = spark.read.option("wholetext", "true").text(path)
       .select(input_file_name().as("__f"),
         from_json(col("value"), MapType(StringType, MapType(StringType, StringType))).as("m"))
-    val bad = whole.filter(col("m").isNull).limit(1).count()
-    if (bad > 0) throw new IllegalArgumentException(
+    // ONE validation action for malformed-check + column discovery —
+    // each action re-parses the wholetext JSON, so don't spend two.
+    val info = whole.agg(
+      sum(when(col("m").isNull, 1L).otherwise(0L)).as("bad"),
+      array_distinct(flatten(collect_list(map_keys(col("m"))))).as("cols")).collect()(0)
+    if (info.getLong(0) > 0) throw new IllegalArgumentException(
       s"not column-oriented JSON: $path")
+    val colNames = info.getSeq[String](1).sorted
+    require(colNames.nonEmpty, s"empty column-oriented JSON: $path")
     val triples = whole
       .select(col("__f"), explode(col("m")).as(Seq("c", "im")))
       .select(col("__f"), col("c"), explode(col("im")).as(Seq("__idx", "v")))
-    val colNames = triples.select("c").distinct().collect().map(_.getString(0)).sorted
-    require(colNames.nonEmpty, s"empty column-oriented JSON: $path")
     triples
       .groupBy(col("__f"), col("__idx").cast("long").as("__idx"))
       .pivot("c", colNames).agg(first("v"))

@@ -147,6 +147,13 @@ class ResizerSpec extends SparkSpec {
     assert(again.error.isEmpty && again.originalWidth.contains(64))
   }
 
+  test("webp outside the VP8L subset degrades to 'image decode failed'") {
+    val junk = "RIFF".getBytes ++ Array[Byte](40, 0, 0, 0) ++ "WEBP".getBytes ++
+      "VP8L".getBytes ++ Array[Byte](16, 0, 0, 0) ++ Array.fill[Byte](16)(0x55)
+    val r = Resizer.resizeBytes(junk, DownloadConfig())
+    assert(r.error.contains("image decode failed"), s"got ${r.error}")
+  }
+
   test("EXIF: parses crafted APP1 segment; {} when absent") {
     assert(ExifExtractor.parseToJson(makeJpg(10, 10)) == "{}")
     // hand-build a minimal EXIF jpeg: SOI + APP1(Exif, IFD0 with Make="T")
