@@ -147,6 +147,30 @@ class ResizerSpec extends SparkSpec {
     assert(again.error.isEmpty && again.originalWidth.contains(64))
   }
 
+  test("webp: 30 random images round-trip exactly (property sweep)") {
+    val rng = new scala.util.Random(20260812)
+    for (i <- 0 until 30) {
+      val w = 1 + rng.nextInt(40)
+      val h = 1 + rng.nextInt(40)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+      // mix structured and random content, with and without alpha
+      val mode = i % 3
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = mode match {
+          case 0 => 0xFF000000 | rng.nextInt(1 << 24)             // opaque random
+          case 1 => (rng.nextInt(256) << 24) | rng.nextInt(1 << 24) // random alpha
+          case _ => 0xFF000000 | ((x * 7 % 256) << 16) | ((y * 11 % 256) << 8) | ((x ^ y) % 256)
+        }
+        img.setRGB(x, y, p)
+      }
+      val bytes = graft.operators.WebpCodec.encodeLossless(img)
+      val back = graft.operators.WebpCodec.decodeLossless(bytes)
+      assert(back.getWidth == w && back.getHeight == h, s"iter $i dims")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(back.getRGB(x, y) == img.getRGB(x, y), s"iter $i (${w}x$h mode $mode) pixel ($x,$y)")
+    }
+  }
+
   test("webp outside the VP8L subset degrades to 'image decode failed'") {
     val junk = "RIFF".getBytes ++ Array[Byte](40, 0, 0, 0) ++ "WEBP".getBytes ++
       "VP8L".getBytes ++ Array[Byte](16, 0, 0, 0) ++ Array.fill[Byte](16)(0x55)
