@@ -35,5 +35,22 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("capped_counter",
       (args: Seq[Expression]) =>
         CappedCounter(args(0), intArg(args(1), "cap")).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("nearest_centroid",
+      // args(0) = vector, args(1) = constant array<array<double>> of
+      // centroids (any foldable expression — `array(array(...))`
+      // literals included); folded once at resolution into the plan.
+      (args: Seq[Expression]) => args(1) match {
+        case e if e.foldable =>
+          val elemT = e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+          val v = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val cents = v.toObjectArray(elemT)
+            .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray().toSeq)
+            .toSeq
+          NearestCentroid(args(0), cents)
+        case other => throw new IllegalArgumentException(
+          s"nearest_centroid expects a constant array<array<double>> of centroids, got $other")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("simhash_portable",
+      (args: Seq[Expression]) => SimHash64Expr(args(0), 60, portableMd5 = true), "built-in")
   }
 }

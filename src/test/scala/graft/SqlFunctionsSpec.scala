@@ -27,6 +27,23 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getLong(6) != 0L)
   }
 
+  test("nearest_centroid and simhash_portable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT nearest_centroid(array(5.0d, 5.0d),
+                  array(array(0.0d, 0.0d), array(4.0d, 4.0d), array(9.0d, 9.0d))) AS cell,
+                simhash_portable(array('hello', 'world')) AS sh
+      """).collect()(0)
+    assert(r.getInt(0) == 1, "nearest of (5,5) is centroid (4,4)")
+    // parity with the operator-level portable simhash
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val viaOp = Seq("hello world").toDF("t")
+      .select(graft.operators.Dedup.simhashPortable(col("t")).as("sh"))
+      .collect()(0).getLong(0)
+    assert(r.getLong(1) == viaOp)
+  }
+
   test("capped_counter aggregate from SQL") {
     GraftFunctions.register(spark)
     import spark.implicits._
