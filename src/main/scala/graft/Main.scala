@@ -51,11 +51,16 @@ object Main {
     var cfg = DownloadConfig()
     def b(v: String): Boolean = v.toLowerCase == "true"
     def list(v: String): Seq[String] =
-      v.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+      v.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty).toSeq
     kv.foreach {
       case (k, _) if Ignored.contains(k) => // Spark subsumes / DEVIATIONS #1
       case ("url_list", _) | ("output_folder", _) => // handled by main
+      // the fire CLI's `None` sentinel = "keep the default" for every
+      // optional EXCEPT compute_hash, where an explicit None disables
+      // the (defaulted-on) hash column
+      case (k, "None") if k != "compute_hash" =>
       case ("image_size", v) => cfg = cfg.copy(imageSize = v.toInt)
       case ("resize_mode", v) => cfg = cfg.copy(resizeMode = v)
       case ("resize_only_if_bigger", v) => cfg = cfg.copy(resizeOnlyIfBigger = b(v))

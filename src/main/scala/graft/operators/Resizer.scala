@@ -125,7 +125,10 @@ object Resizer {
       val raw =
         if (viaImageIO != null) viaImageIO
         else if (WebpCodec.isLosslessWebp(bytes))
-          try WebpCodec.decodeLossless(bytes) catch { case _: Throwable => null }
+          // NonFatal only: an OOM/interrupt must fail the task, not be
+          // miscategorized as a decode failure
+          try WebpCodec.decodeLossless(bytes)
+          catch { case scala.util.control.NonFatal(_) => null }
         else null
       if (raw == null) return err("image decode failed")
       val blurredIn =

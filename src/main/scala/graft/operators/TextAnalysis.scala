@@ -57,15 +57,19 @@ object TextAnalysis {
     // which would misalign partition ids with the prefix offsets.
     val rdd = sorted.rdd
     val nParts = rdd.getNumPartitions
+    // nulls contribute 0 to the running total, matching sum().over()
+    // which skips null frame rows (the row itself still gets the
+    // carried total; downstream arithmetic null-propagates as before)
+    def valOf(r: Row): Long = if (r.isNullAt(valIdx)) 0L else r.getLong(valIdx)
     val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(valIdx)); Iterator((pid, s))
+      var s = 0L; it.foreach(r => s += valOf(r)); Iterator((pid, s))
     }.collect().toMap
     val offsets = new Array[Long](nParts + 1)
     for (p <- 0 until nParts) offsets(p + 1) = offsets(p) + partSums.getOrElse(p, 0L)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
     val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = offsets(pid)
-      it.map { r => acc += r.getLong(valIdx); Row.fromSeq(r.toSeq :+ acc) }
+      it.map { r => acc += valOf(r); Row.fromSeq(r.toSeq :+ acc) }
     }
     spark.createDataFrame(rows, schema)
   }

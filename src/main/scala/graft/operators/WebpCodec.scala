@@ -375,6 +375,10 @@ object WebpCodec {
     require(r.readBits(8) == 0x2F, "bad VP8L signature")
     val w = r.readBits(14) + 1
     val h = r.readBits(14) + 1
+    // allocation guard for untrusted headers: a crafted 16384x16384
+    // header would demand a 1 GiB pixel array before any pixel decodes
+    require(w.toLong * h <= (1L << 26),
+      s"VP8L dimensions ${w}x$h exceed the fallback decoder's 64M-pixel cap")
     r.readBits(1)  // alpha hint
     require(r.readBits(3) == 0, "bad VP8L version")
     require(r.readBits(1) == 0, "transforms unsupported by subset decoder")

@@ -39,16 +39,26 @@ object GraftFunctions {
       // args(0) = vector, args(1) = constant array<array<double>> of
       // centroids (any foldable expression — `array(array(...))`
       // literals included); folded once at resolution into the plan.
-      (args: Seq[Expression]) => args(1) match {
-        case e if e.foldable =>
-          val elemT = e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-          val v = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          val cents = v.toObjectArray(elemT)
-            .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray().toSeq)
-            .toSeq
-          NearestCentroid(args(0), cents)
-        case other => throw new IllegalArgumentException(
-          s"nearest_centroid expects a constant array<array<double>> of centroids, got $other")
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        def bad(what: String) = throw new IllegalArgumentException(
+          s"nearest_centroid expects a non-null constant array<array<double>> of centroids; $what")
+        args(1) match {
+          case e if e.foldable => e.dataType match {
+            case ArrayType(ArrayType(DoubleType, _), _) =>
+              val v = e.eval()
+              if (v == null) bad("got NULL")
+              val cents = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+                .toObjectArray(ArrayType(DoubleType))
+                .map { row =>
+                  if (row == null) bad("got a NULL centroid row")
+                  row.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray().toSeq
+                }.toSeq
+              NearestCentroid(args(0), cents)
+            case t => bad(s"got type ${t.simpleString} (write double literals, e.g. 1.0d)")
+          }
+          case other => bad(s"got non-constant $other")
+        }
       }, "built-in")
     reg.createOrReplaceTempFunction("simhash_portable",
       (args: Seq[Expression]) => SimHash64Expr(args(0), 60, portableMd5 = true), "built-in")

@@ -69,7 +69,7 @@ object UrlReader {
     // ONE validation action for malformed-check + column discovery —
     // each action re-parses the wholetext JSON, so don't spend two.
     val info = whole.agg(
-      sum(when(col("m").isNull, 1L).otherwise(0L)).as("bad"),
+      coalesce(sum(when(col("m").isNull, 1L).otherwise(0L)), lit(0L)).as("bad"),
       array_distinct(flatten(collect_list(map_keys(col("m"))))).as("cols")).collect()(0)
     if (info.getLong(0) > 0) throw new IllegalArgumentException(
       s"not column-oriented JSON: $path")

@@ -50,6 +50,18 @@ class MainSpec extends AnyFunSuite {
     assert(cfg("compute_hash", "None").computeHashCol.isEmpty)
   }
 
+  test("None sentinel keeps defaults for every other optional") {
+    val c = cfg("caption_col", "None", "bbox_col", "None", "verify_hash", "None",
+      "user_agent_token", "None", "disallowed_header_directives", "None",
+      "save_additional_columns", "None")
+    assert(c == graft.config.DownloadConfig())
+  }
+
+  test("double-quoted list values parse like single-quoted") {
+    assert(cfg("save_additional_columns", """["label","score"]""").saveAdditionalColumns ==
+      Seq("label", "score"))
+  }
+
   test("parseArgs: --key=value, --key value, and bare flags") {
     val m = Main.parseArgs(Array(
       "--url_list=urls.txt", "--image_size", "128", "--extract_exif"))
