@@ -37,14 +37,20 @@ object Bench {
           val tmp = java.nio.file.Files.createTempDirectory("graft_bench_pipe")
           val urlFile = tmp.resolve("urls.txt")
           java.nio.file.Files.write(urlFile, urls.mkString("\n").getBytes("UTF-8"))
-          val outDir = tmp.resolve("out").toString
-          val t0 = System.nanoTime()
-          val res = Pipeline.download(spark, urlFile.toString, outDir,
-            graft.config.DownloadConfig(outputFormat = "dummy", samplesPerShard = 250,
-              threadCount = 64, resizeMode = "border", imageSize = 256,
-              computeHashCol = Some("sha256"), incrementalMode = "overwrite"))
-          val secs = (System.nanoTime() - t0) / 1e9
-          s""","pipeline":{"images":${res.count},"successes":${res.successes},"sec":$secs,"img_per_sec":${res.count / secs}}"""
+          def run(fmt: String, out: String): String = {
+            val t0 = System.nanoTime()
+            val res = Pipeline.download(spark, urlFile.toString, tmp.resolve(out).toString,
+              graft.config.DownloadConfig(outputFormat = fmt, samplesPerShard = 250,
+                threadCount = 64, resizeMode = "border", imageSize = 256,
+                computeHashCol = Some("sha256"), incrementalMode = "overwrite"))
+            val secs = (System.nanoTime() - t0) / 1e9
+            s"""{"images":${res.count},"successes":${res.successes},"sec":$secs,"img_per_sec":${res.count / secs}}"""
+          }
+          // dummy = pure engine ceiling; webdataset = the reference's
+          // published configuration (1350 img/s single node)
+          val dummy = run("dummy", "out")
+          val wds = run("webdataset", "out_wds")
+          s""","pipeline":$dummy,"pipeline_webdataset":$wds"""
         } finally server.stop()
       } catch { case e: Throwable => s""","pipeline":{"error":"${e.getClass.getSimpleName}"}""" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

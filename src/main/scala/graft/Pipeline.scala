@@ -174,7 +174,7 @@ object Pipeline {
       Seq.empty[(Long, String, String)].toDF("shard_id", "status", "error_message")
     }
     progress.foreach(_.start())
-    val statsInput: DataFrame = cfg.outputFormat match {
+    val statsInput: DataFrame = try { cfg.outputFormat match {
       case "parquet" | "dummy" =>
         Sinks.writeMetaParquet(sidecarOf(prepared), outDir, cfg)
         // Read-back includes prior runs' sidecars (incremental AND
@@ -203,10 +203,11 @@ object Pipeline {
         Sinks.writeMetaParquet(sidecarOf(work), outDir, cfg)
         val stats = work.select("shard_id", "status", "error_message")
         stats
-    }
     // downloads only run during the materializing write above —
-    // everything after reads durable bytes
-    progress.foreach(_.stop())
+    // everything after reads durable bytes. stop() in finally: a
+    // failed write must not leak the poller thread (it would keep
+    // emitting lines into the next run)
+    } } finally progress.foreach(_.stop())
 
     // AGG: per-shard stats sidecars + global counters (A1-A7)
     val statsDf = Stats.shardStats(statsInput).cache()
