@@ -44,6 +44,21 @@ object EventStream {
       .groupBy(window(col("tstamp"), window_), col("event_type"))
       .agg(count("*").as("n"), sum("value").as("sum_value"))
 
+  /** Streaming exact dedup for a document ingest stream: the first
+    * arrival of each content fingerprint passes; duplicates within the
+    * watermark horizon are dropped and fingerprint state is PURGED
+    * past it (`dropDuplicatesWithinWatermark`), so state is O(docs per
+    * horizon), not O(corpus) — the property that makes streaming dedup
+    * viable on an unbounded 100 TB ingest (a plain `dropDuplicates`
+    * would grow state forever).
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Gap-based sessionization with explicit state: events of a user
     * belong to one session while gaps stay under `gapMillis`; a
     * session is emitted when a larger gap closes it. The trailing

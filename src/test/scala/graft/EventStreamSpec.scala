@@ -61,4 +61,22 @@ class EventStreamSpec extends SparkSpec {
     assert(s.user_id == 1 && s.n_events == 3 && s.sum_value == 6.0)
     assert(s.start_ms == 1000 && s.end_ms == 3000)
   }
+
+  test("streaming dedup: first arrival per fingerprint passes, dups dropped, state bounded") {
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    def d(id: Long, ms: Long, text: String) = (id, new Timestamp(ms), text)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, String)](spark)
+    stream.addData(Seq(
+      d(1, 1000, "alpha beta"), d(2, 2000, "alpha   BETA"), // dup after normalization
+      d(3, 3000, "gamma"), d(4, 4000, "alpha beta"),        // dup again
+      d(5, 5000, "delta")))
+    val docs = stream.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.dedupStream(docs, "text", "ts", "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT doc_id FROM dedup_stream ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 3L, 5L), s"first arrivals only, got $out")
+  }
 }
