@@ -229,11 +229,15 @@ object Dedup {
     * the minimum reachable id as its cluster id — the canonicalization
     * step that turns pairwise matches into dedup clusters.
     *
-    * Algorithm: iterative min-label propagation (each round joins
-    * labels across edges and keeps the min of self + neighbors),
-    * converging in O(diameter) rounds — dedup clusters are shallow, so
-    * a handful of shuffles on the (small) pair set. Driver only checks
-    * the convergence counter; labels never leave the cluster.
+    * Algorithm: min-label propagation WITH pointer doubling — each
+    * round takes the min over {self, neighbors' labels, label's
+    * label}. The shortcut join halves label-chain depth per round, so
+    * convergence is O(log diameter) rounds instead of O(diameter):
+    * maxIter = 20 covers diameters up to ~2^19, where plain
+    * propagation would silently truncate any chain longer than 20.
+    * All joins are equi-joins on id/label (hash-partitionable at any
+    * cluster size); labels never leave the executors — the driver only
+    * reads the convergence flag.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                           maxIter: Int = 20): DataFrame = {
@@ -247,8 +251,19 @@ object Dedup {
     while (!converged && i < maxIter) {
       val viaEdges = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(viaEdges)
-        .groupBy("id").agg(min("label").as("label"))
+      // pointer doubling: follow each node's label to THAT node's
+      // label (labels are node ids, so this is a self-join on the
+      // label frame) — chains compress exponentially. Engaged from
+      // round 3: shallow graphs (the common dedup case) converge
+      // before paying the extra join; deep chains still finish in
+      // O(log diameter) rounds.
+      val base = labels.select(col("id"), col("label")).union(viaEdges)
+      val withShortcut =
+        if (i < 2) base
+        else base.union(labels.as("x")
+          .join(labels.as("y"), col("x.label") === col("y.id"))
+          .select(col("x.id").as("id"), col("y.label").as("label")))
+      val next = withShortcut.groupBy("id").agg(min("label").as("label"))
       // ONE action per round: the changed flag rides the eagerly
       // checkpointed frame (which also bounds the iterative-join
       // lineage), so the convergence probe below reads materialized

@@ -83,6 +83,16 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF@nprobe=4/8 recall $recall vs brute force")
   }
 
+  test("connected components: 100-deep chain converges via pointer doubling") {
+    // plain O(diameter) propagation would need 100 rounds and silently
+    // truncate at maxIter=20; pointer doubling needs ~log2(100) ≈ 7
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 101)
+    assert(cc.values.forall(_ == 0L), "every chain node labeled with the min id 0")
+  }
+
   test("native md5Hash60 equals the conv(substring(md5)) column form") {
     val strs = Seq("", "a", "hello world", "ünïcødé ⚡", "x" * 100, "the quick brown fox")
     val df = strs.toDF("s")
