@@ -144,6 +144,40 @@ object SparkEntry {
          FROM sized a JOIN sized b USING (band, key) WHERE a.doc_id < b.doc_id)
        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8 ORDER BY id_a, id_b"""
 
+  /** DuckDB replication of the deterministic IVF ANN query: same
+    * portable integer seed hash, cell ids in corpus-id order over the
+    * top-16 seeds, argmin assignment and probe ranking with explicit
+    * (distance, cell) tie-breaks, and the bit-identical sequential
+    * folds for squared distance and cosine.
+    */
+  private def annIvfOracleSql: String = {
+    def sqd(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    s"""WITH cor AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+       q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+       seed AS (SELECT corpus_id, cv FROM cor
+         ORDER BY ((corpus_id % 1000003) * 2654435761) % 2147483647 DESC, corpus_id LIMIT 16),
+       cents AS (SELECT CAST(row_number() OVER (ORDER BY corpus_id) - 1 AS INTEGER) AS cell_id,
+           cv AS centroid FROM seed),
+       ad AS (SELECT cor.corpus_id, cor.cv, cents.cell_id,
+           ${sqd("cor.cv", "cents.centroid")} AS d FROM cor CROSS JOIN cents),
+       assigned AS (SELECT corpus_id, cv, cell_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY corpus_id ORDER BY d ASC, cell_id ASC) AS rn
+           FROM ad) WHERE rn = 1),
+       qd AS (SELECT q.query_id, q.qv, cents.cell_id,
+           ${sqd("q.qv", "cents.centroid")} AS d FROM q CROSS JOIN cents),
+       probes AS (SELECT query_id, qv, cell_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d ASC, cell_id ASC) AS rn
+           FROM qd) WHERE rn <= 4),
+       scored AS (SELECT p.query_id, a.corpus_id, ${duckCos("p.qv", "a.cv")} AS sc
+         FROM assigned a JOIN probes p USING (cell_id)),
+       ranked AS (SELECT query_id, corpus_id, ${roundToSql("sc", 6)} AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, corpus_id) AS INTEGER) AS rank
+         FROM scored)
+       SELECT query_id, corpus_id, cosine, rank FROM ranked
+       WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   /** DuckDB replication of hyperplane-LSH embedding near-dup: the SAME
     * seeded gaussian planes ([[Dedup.randomPlanes]]) baked as literals,
     * sign-bit bucket fold in the same order, exact-cosine verification
@@ -557,10 +591,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "ann_ivf_topk" -> ((s, dir) => {
+      // deterministic variant (portable-hash seed cells, no Lloyd
+      // averaging) so the DuckDB oracle replicates the whole IVF
+      // pipeline; the k-means path keeps its recall gate in DedupSpec
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(
           e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
-          "embedding", "vec_id", 10, nCells = 16, nProbe = 4)
+          "embedding", "vec_id", 10, nCells = 16, nProbe = 4,
+          lloydIters = 0, portableSeed = true)
         .select(col("query_id"), col("corpus_id"), rd(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -1065,6 +1103,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashLshOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_embed_lsh" -> embedLshOracleSql,
+    "ann_ivf_topk" -> annIvfOracleSql,
     "ann_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),

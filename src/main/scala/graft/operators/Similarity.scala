@@ -67,10 +67,19 @@ object Similarity {
     *     independent of corpus size. Empty cells keep their previous
     *     centroid.
     */
-  def kmeansCentroids(c: DataFrame, nCells: Int, lloydIters: Int = 2): Array[Array[Double]] = {
+  def kmeansCentroids(c: DataFrame, nCells: Int, lloydIters: Int = 2,
+                      portableSeed: Boolean = false): Array[Array[Double]] = {
+    // portableSeed: integer-arithmetic id hash any engine reproduces
+    // exactly ((id mod 1000003)·2654435761 mod 2^31-1 — intermediates
+    // < 2^52, ANSI-safe), so a DuckDB oracle can re-derive the exact
+    // seed set; default is the faster xxhash64.
+    val seedHash =
+      if (portableSeed)
+        pmod(pmod(col("corpus_id"), lit(1000003L)) * lit(2654435761L), lit(2147483647L))
+      else xxhash64(col("corpus_id"))
     val seedIds = c
       .agg(graft.plans.TopKByScore.topKByScore(
-        xxhash64(col("corpus_id")).cast("double"), col("corpus_id"), nCells).as("top"))
+        seedHash.cast("double"), col("corpus_id"), nCells).as("top"))
       .select(explode(col("top.id")).as("id"))
       .collect().map(_.getLong(0))
     var cents: Array[Array[Double]] = c
@@ -104,11 +113,17 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 2, portableSeed: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
 
-    val cents = kmeansCentroids(c, nCells)
+    // lloydIters = 0 + portableSeed: centroids are exact corpus rows
+    // picked by the portable hash — every downstream double (sqdist,
+    // argmin, cosine) is a sequential fold over exact parquet values,
+    // so the whole query is bit-replicable in a DuckDB oracle. The
+    // k-means default trades that for better cells (recall-tested).
+    val cents = kmeansCentroids(c, nCells, lloydIters, portableSeed)
     val centsSeq = cents.toSeq.map(_.toSeq)
 
     // Narrow assignment: one int column, no join, no shuffle.
