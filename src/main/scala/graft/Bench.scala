@@ -50,6 +50,15 @@ object Bench {
             val secs = (System.nanoTime() - t0) / 1e9
             s"""{"images":${res.count},"successes":${res.successes},"sec":$secs,"img_per_sec":${res.count / secs}}"""
           }
+          // untimed FULL-SIZE pipeline warm-up: the first pipeline run
+          // after the query phase absorbs HTTP-client/JIT/ImageIO/
+          // page-cache warm-up plus the query phase's heap pressure —
+          // measured order-swap experiments show warm-up is
+          // progressive (a 2k run is not enough: first 20k run 2040
+          // img/s, third 3017 img/s on identical code), which is why
+          // round-2's first timed run (dummy) recorded BELOW the
+          // webdataset run that followed it (791 vs 2602 img/s)
+          run("dummy", "out_warm")
           // dummy = pure engine ceiling; webdataset = the reference's
           // published configuration (1350 img/s single node)
           val dummy = run("dummy", "out")

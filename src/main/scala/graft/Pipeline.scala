@@ -198,7 +198,7 @@ object Pipeline {
         fmt match {
           case "files" => Sinks.writeFiles(work, outDir, cfg)
           case "webdataset" => Sinks.writeWebdataset(work, outDir, cfg)
-          case "tfrecord" => Sinks.writeTfrecord(work, outDir, cfg)
+          case "tfrecord" => Sinks.writeTfrecord(work, outDir, cfg, metaCols)
         }
         Sinks.writeMetaParquet(sidecarOf(work), outDir, cfg)
         val stats = work.select("shard_id", "status", "error_message")

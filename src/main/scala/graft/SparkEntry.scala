@@ -86,41 +86,46 @@ object SparkEntry {
     s"CAST(strpos('0123456789abcdef', substr(md5($s), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)), " +
     s"(a, b) -> a * 16 + b)"
 
-  /** DuckDB replication of the FULL portable MinHash+LSH pipeline
-    * (signature with the same baked (a,b) coefficient literals,
-    * banding, bucket-size cap, exact-Jaccard verification) — the
-    * algorithm itself is the oracle contract, not just its exact
-    * counterpart.
+  /** Shared DuckDB CTE chain replicating the FULL portable MinHash+LSH
+    * pipeline (signature with the same baked (a,b) coefficient
+    * literals, banding, bucket-size cap, exact-Jaccard verification).
+    * Terminal CTE is `mh_ver(id_a, id_b, jac)` — threshold-free, so
+    * both the pair query (>= 0.3) and the curation loser set (>= 0.5)
+    * reuse it. `mh_`-prefixed names avoid collisions when composed
+    * into larger oracle queries.
     */
-  private def minhashLshOracleSql: String = {
+  private def minhashLshCtes: String = {
     val coeffs = Dedup.minhashCoeffs(128)
       .map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
-    s"""WITH t AS (SELECT doc_id,
+    s"""mh_t AS (SELECT doc_id,
          regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
        FROM documents),
-       sh AS (SELECT doc_id,
+       mh_sh AS (SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-           i -> array_to_string(toks[i:i+2], ' '))) AS shingles FROM t),
-       hs AS (SELECT doc_id, shingles,
-         list_transform(shingles, s -> ${duckHex60("s")}) AS hashes FROM sh),
-       sg AS (SELECT doc_id, shingles,
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles FROM mh_t),
+       mh_hs AS (SELECT doc_id, shingles,
+         list_transform(shingles, s -> ${duckHex60("s")}) AS hashes FROM mh_sh),
+       mh_sg AS (SELECT doc_id, shingles,
          list_transform($coeffs,
            c -> list_min(list_transform(hashes,
-             h -> (c[1] * (h % 2147483647) + c[2]) % 2147483647))) AS sig FROM hs),
-       bk AS (SELECT doc_id, unnest(list_transform(range(0, 32), j ->
-           {'band': j, 'key': array_to_string(sig[(j*4+1):(j*4+4)], '_')})) AS u FROM sg),
-       buckets AS (SELECT doc_id, u.band AS band, u.key AS key FROM bk),
-       ok AS (SELECT band, key FROM buckets GROUP BY band, key HAVING count(*) <= 1000),
-       sized AS (SELECT b.doc_id, b.band, b.key FROM buckets b JOIN ok USING (band, key)),
-       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM sized a JOIN sized b USING (band, key) WHERE a.doc_id < b.doc_id),
-       ver AS (SELECT id_a, id_b,
+             h -> (c[1] * (h % 2147483647) + c[2]) % 2147483647))) AS sig FROM mh_hs),
+       mh_bk AS (SELECT doc_id, unnest(list_transform(range(0, 32), j ->
+           {'band': j, 'key': array_to_string(sig[(j*4+1):(j*4+4)], '_')})) AS u FROM mh_sg),
+       mh_buckets AS (SELECT doc_id, u.band AS band, u.key AS key FROM mh_bk),
+       mh_ok AS (SELECT band, key FROM mh_buckets GROUP BY band, key HAVING count(*) <= 1000),
+       mh_sized AS (SELECT b.doc_id, b.band, b.key FROM mh_buckets b JOIN mh_ok USING (band, key)),
+       mh_cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM mh_sized a JOIN mh_sized b USING (band, key) WHERE a.doc_id < b.doc_id),
+       mh_ver AS (SELECT id_a, id_b,
            CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
              / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) AS jac
-         FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)
-       SELECT id_a, id_b, ${roundToSql("jac", 6)} AS jaccard FROM ver
-       WHERE jac >= 0.3 ORDER BY id_a, id_b"""
+         FROM mh_cand JOIN mh_sh sa ON sa.doc_id = mh_cand.id_a JOIN mh_sh sb ON sb.doc_id = mh_cand.id_b)"""
   }
+
+  private def minhashLshOracleSql: String =
+    s"""WITH $minhashLshCtes
+       SELECT id_a, id_b, ${roundToSql("jac", 6)} AS jaccard FROM mh_ver
+       WHERE jac >= 0.3 ORDER BY id_a, id_b"""
 
   /** DuckDB replication of the portable 60-bit SimHash pipeline:
     * same +1/-1 bit fold, MSB-first packing, 4×15-bit chunk banding,
@@ -196,8 +201,10 @@ object SparkEntry {
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        bk AS (SELECT vec_id, unnest($tables) AS u FROM v),
        buckets AS (SELECT vec_id, u.tbl AS tbl, u.key AS key FROM bk),
+       ok AS (SELECT tbl, key FROM buckets GROUP BY tbl, key HAVING count(*) <= 1000),
+       sized AS (SELECT b.vec_id, b.tbl, b.key FROM buckets b JOIN ok USING (tbl, key)),
        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         FROM buckets a JOIN buckets b USING (tbl, key) WHERE a.vec_id < b.vec_id),
+         FROM sized a JOIN sized b USING (tbl, key) WHERE a.vec_id < b.vec_id),
        sc AS (SELECT id_a, id_b, ${duckCos("va.v", "vb.v")} AS c
          FROM cand JOIN v va ON va.vec_id = cand.id_a JOIN v vb ON vb.vec_id = cand.id_b)
        SELECT id_a, id_b, ${roundToSql("c", 6)} AS cosine FROM sc
@@ -521,12 +528,18 @@ object SparkEntry {
     }),
     "txt_curation" -> ((s, dir) => {
       // End-to-end curation: language filter + quality threshold +
-      // near-dup removal (keep the smallest doc_id of each ngram
-      // near-dup cluster). The composed form of the text-analysis +
-      // dedup operators — the LLM-training-data use case in one plan.
+      // near-dup removal (keep the smallest doc_id of each near-dup
+      // cluster). The composed form of the text-analysis + dedup
+      // operators — the LLM-training-data use case in one plan.
+      // Near-dup step is the CAPPED MinHash-LSH path (the at-scale
+      // plan: bucketed equi-joins, skew cap), not the exact n-gram
+      // join whose hot-shingle buckets go quadratic at 100 TB; the
+      // exact form remains its own oracle query (dedup_ngram_jaccard).
       val docs = t(s, dir, "documents")
       val scored = TextAnalysis.quality(TextAnalysis.withLangId(docs, "text"), "text")
-      val dupLosers = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      val dupLosers = Dedup.minhashNearDups(docs, "text", "doc_id",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5,
+          portableHash = true)
         .select(col("id_b").as("doc_id")).distinct()
       scored
         .filter(col("lang_pred") === "en" && col("quality_score") >= 0.5)
@@ -994,7 +1007,8 @@ object SparkEntry {
            CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id
          FROM c ORDER BY doc_id""",
     "txt_curation" ->
-      s"""WITH t AS (SELECT doc_id, text,
+      s"""WITH $minhashLshCtes,
+         t AS (SELECT doc_id, text,
            regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
          h AS (SELECT doc_id, text, toks,
            len(list_filter(toks, x -> list_contains($enList, x))) AS en,
@@ -1018,17 +1032,7 @@ object SparkEntry {
          q AS (SELECT doc_id, lang_pred,
            ${roundToSql("least(n / 64.0, 1.0) * least(1.0, 4096.0 / greatest(n, 1.0)) * 0.5 + least(sr * 4.0, 1.0) * 0.3 + (1.0 - least(pr * 4.0, 1.0)) * 0.2", 6)} AS quality_score
          FROM m),
-         tk AS (SELECT doc_id,
-           regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
-         FROM documents),
-         sh AS (SELECT doc_id,
-           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-             i -> array_to_string(toks[i:i+2], ' '))) AS shingles FROM tk),
-         e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
-         losers AS (SELECT DISTINCT b.doc_id AS doc_id
-           FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
-           HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5)
+         losers AS (SELECT DISTINCT id_b AS doc_id FROM mh_ver WHERE jac >= 0.5)
          SELECT doc_id, lang_pred, quality_score FROM q
          WHERE lang_pred = 'en' AND quality_score >= 0.5
            AND doc_id NOT IN (SELECT doc_id FROM losers)

@@ -72,6 +72,13 @@ case class DownloadConfig(
     require(ValidOutputFormats.contains(outputFormat), s"outputFormat must be one of $ValidOutputFormats")
     require(ValidEncodeFormats.contains(encodeFormat),
       s"encodeFormat must be one of $ValidEncodeFormats")
+    require(encodeQuality >= 0 && encodeQuality <= 100,
+      s"encodeQuality must be in [0, 100], got $encodeQuality")
+    // The webp encoder is lossless VP8L (DEVIATIONS.md #2): rejecting
+    // a non-default quality beats silently ignoring the knob.
+    require(encodeFormat != "webp" || encodeQuality == 95,
+      "webp encoding here is lossless VP8L — encode_quality has no effect; " +
+      "leave it at the default (95) or use jpg/png for lossy quality control")
     require(ValidIncrementalModes.contains(incrementalMode),
       s"incrementalMode must be one of $ValidIncrementalModes")
     val reserved = ReservedColumns ++ ValidEncodeFormats

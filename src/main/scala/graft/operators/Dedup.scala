@@ -319,17 +319,31 @@ object Dedup {
   def embeddingNearDups(
       df: DataFrame, vecCol: String, idCol: String, dim: Int,
       threshold: Double = 0.95, nPlanes: Int = 12, nTables: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val planes = (0 until nTables).map(t => randomPlanes(nPlanes, dim, seed + t))
     val keyed = base.withColumn("buckets",
       column(graft.plans.HyperplaneBuckets(expression(col("v")), planes)))
-    val ex = keyed.select(col("id"), col("v"), posexplode(col("buckets")).as(Seq("table", "key")))
-    val a = ex.select(col("table"), col("key"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = ex.select(col("table"), col("key"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("table", "key")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // Buckets carry ONLY (id, table, key): the explode multiplies rows
+    // by nTables, so shuffling the (dim-sized) vectors through it would
+    // multiply shuffle bytes nTables×. Vectors rejoin later, once per
+    // candidate id, not per bucket row.
+    val buckets = keyed.select(col("id"), posexplode(col("buckets")).as(Seq("table", "key")))
+    // Cap degenerate buckets: duplicate or near-zero vectors all hash
+    // to one sign pattern, and a size-m bucket yields m² candidate
+    // pairs — a skew bomb at scale. Dropped mega-buckets only cost
+    // recall on pairs the other tables still catch.
+    val counts = buckets.groupBy("table", "key").agg(count("*").as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val sized = buckets.join(counts, Seq("table", "key"))
+    val a = sized.select(col("table"), col("key"), col("id").as("id_a"))
+    val b = sized.select(col("table"), col("key"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("table", "key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val vA = base.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vB = base.select(col("id").as("id_b"), col("v").as("v_b"))
+    cand.join(vA, "id_a").join(vB, "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

@@ -43,25 +43,76 @@ object Multimodal {
     df.withColumn(out, f(col(binaryCol)))
   }
 
-  /** Audio features (stub kernel, real plumbing). */
+  /** Audio features: REAL header parse for RIFF/WAVE payloads,
+    * deterministic stub for everything else (`stubbed = true`).
+    */
   case class AudioFeatures(n_bytes: Option[Int], duration_sec_est: Option[Double],
+                           sample_rate: Option[Int], channels: Option[Int],
+                           bits_per_sample: Option[Int],
                            fingerprint: Option[Long], stubbed: Boolean)
 
-  /** STUB audio feature extraction: deterministic fake features
-    * (byte-length-derived duration estimate + polynomial fingerprint).
-    * Swap the body for a real codec (javacv) without touching the
-    * plumbing: schema, batching, and partitioning stay identical.
+  /** Parsed `fmt ` + `data` chunks of a RIFF/WAVE container, or None
+    * if the payload is not a well-formed WAV. PCM (format 1) and IEEE
+    * float (format 3) are accepted — duration is EXACT from the data
+    * chunk length (`dataLen / byteRate`), no codec needed; compressed
+    * WAV formats (ADPCM, mp3-in-wav) are rejected → stub path.
+    */
+  private[graft] def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    def u16(o: Int) = ((b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8))
+    def u32(o: Int) = ((b(o) & 0xFF).toLong | ((b(o + 1) & 0xFF).toLong << 8) |
+      ((b(o + 2) & 0xFF).toLong << 16) | ((b(o + 3) & 0xFF).toLong << 24))
+    def tag(o: Int, s: String) = b.length >= o + 4 && s.indices.forall(i => b(o + i) == s(i).toByte)
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    // chunk walk: fmt and data can appear in any order with extension
+    // chunks (LIST, fact) between them
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Long)] = None // (format, channels, rate, byteRate)
+    var dataLen: Option[Long] = None
+    while (off + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
+      val size = u32(off + 4)
+      if (size > Int.MaxValue - 8) return None // corrupt header
+      if (tag(off, "fmt ") && off + 24 <= b.length) {
+        fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u32(off + 16)))
+      } else if (tag(off, "data")) {
+        // size may overrun a truncated payload — clamp to real bytes
+        dataLen = Some(math.min(size, (b.length - off - 8).toLong))
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    for {
+      (format, ch, rate, byteRate) <- fmt
+      dl <- dataLen
+      if (format == 1 || format == 3) && ch > 0 && rate > 0 && byteRate > 0
+    } yield {
+      val bits = (byteRate * 8 / (rate.toLong * ch)).toInt
+      (rate, ch, bits, dl.toDouble / byteRate)
+    }
+  }
+
+  /** Audio feature extraction: WAV/PCM payloads are REALLY parsed
+    * (sample rate, channels, bit depth, exact duration — a pure
+    * header read, no codec dependency, `stubbed = false`); any other
+    * format falls back to the deterministic stub estimate
+    * (`stubbed = true`) — swap that branch for a real codec (javacv)
+    * without touching the plumbing: schema, batching, and
+    * partitioning stay identical.
     */
   def withAudioFeatures(df: DataFrame, binaryCol: String, out: String = "audio_features"): DataFrame = {
     val f = udf((bytes: Array[Byte]) => {
-      if (bytes == null) AudioFeatures(None, None, None, stubbed = true)
+      if (bytes == null) AudioFeatures(None, None, None, None, None, None, stubbed = true)
       else {
-        // ??? real decode — stub: assume 16kHz 16-bit mono PCM estimate
-        val dur = bytes.length / 32000.0
         var h = 1125899906842597L
         var i = 0
         while (i < math.min(bytes.length, 4096)) { h = h * 31 + bytes(i); i += 1 }
-        AudioFeatures(Some(bytes.length), Some(dur), Some(h), stubbed = true)
+        parseWavHeader(bytes) match {
+          case Some((rate, ch, bits, dur)) =>
+            AudioFeatures(Some(bytes.length), Some(dur), Some(rate), Some(ch), Some(bits),
+              Some(h), stubbed = false)
+          case None =>
+            // stub estimate: assume 16kHz 16-bit mono PCM
+            AudioFeatures(Some(bytes.length), Some(bytes.length / 32000.0),
+              None, None, None, Some(h), stubbed = true)
+        }
       }
     })
     df.withColumn(out, f(col(binaryCol)))

@@ -82,8 +82,15 @@ object Similarity {
         seedHash.cast("double"), col("corpus_id"), nCells).as("top"))
       .select(explode(col("top.id")).as("id"))
       .collect().map(_.getLong(0))
+    // Fetch the seed rows via a broadcast semi-join on a 1-column
+    // frame: an `isin(ids…)` literal IN-list would put all nCells ids
+    // in the plan text, bloating plan size/compile time at large
+    // nCells; the join keeps the plan O(1) regardless of cell count.
+    val spark = c.sparkSession
+    import spark.implicits._
+    val seedDf = seedIds.toSeq.toDF("corpus_id")
     var cents: Array[Array[Double]] = c
-      .filter(col("corpus_id").isin(seedIds.map(_.asInstanceOf[Any]): _*))
+      .join(broadcast(seedDf), Seq("corpus_id"), "left_semi")
       .orderBy("corpus_id")  // tiny frame (nCells rows): determinism only
       .select("cv").collect()
       .map(_.getSeq[Double](0).toArray)

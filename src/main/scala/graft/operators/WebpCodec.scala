@@ -48,6 +48,10 @@ object WebpCodec {
       var v = 0
       var i = 0
       while (i < bits) {
+        // uniform descriptive failure for truncated/crafted payloads
+        // instead of a raw ArrayIndexOutOfBoundsException
+        if (pos >= data.length)
+          throw new IllegalStateException("truncated VP8L stream")
         val b = (data(pos) >> bit) & 1
         v |= b << i
         bit += 1

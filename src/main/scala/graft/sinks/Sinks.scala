@@ -37,11 +37,18 @@ object Sinks {
     */
   case class SinkInput(df: DataFrame, cfg: DownloadConfig)
 
+  /** Non-cached FileSystem with checksum sidecars disabled
+    * (LocalFileSystem otherwise writes a .crc sibling per created file
+    * — doubling file-count overhead in the per-sample sinks).
+    * `newInstance` instead of the cached `getFileSystem`: the
+    * checksum setters MUTATE the FileSystem object, and the JVM-wide
+    * cached instance is shared with every other write in the process
+    * (parquet sidecars, checkpoints), which would silently lose their
+    * .crc generation. Callers must `close()` the returned instance.
+    */
   private def fs(dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
-    val f = p.getFileSystem(new Configuration())
-    // LocalFileSystem otherwise writes a .crc sibling per created file —
-    // doubling file-count overhead in the per-sample sinks.
+    val f = FileSystem.newInstance(p.toUri, new Configuration())
     f.setWriteChecksum(false)
     f.setVerifyChecksum(false)
     (f, p)
@@ -87,6 +94,7 @@ object Sinks {
     df.repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(tmp)
     val (hfs, _) = fs(outDir)
+    try {
     val shardDirs = hfs.listStatus(new Path(tmp)).filter(_.isDirectory).map { st =>
       val name = st.getPath.getName // shard_id=N
       (st.getPath.toString, name.substring(name.indexOf('=') + 1).toLong)
@@ -109,6 +117,7 @@ object Sinks {
       }
     }
     hfs.delete(new Path(tmp), true)
+    } finally hfs.close()
   }
 
   /** K3: webdataset tar — entries `{key}.jpg`, `{key}.txt`,
@@ -123,25 +132,27 @@ object Sinks {
     val (ext, oom, dir) = (cfg.encodeFormat, cfg.oomShardCount, outDir)
     d.foreachPartition { (rows: Iterator[Row]) =>
       val (hfs, _) = fs(dir)
-      var out: TarArchiveOutputStream = null
-      def entry(name: String, bytes: Array[Byte]): Unit = {
-        val e = new TarArchiveEntry(name)
-        e.setSize(bytes.length)
-        out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
-      }
-      groupedByShard(rows, si)(
-        shard => {
-          out = new TarArchiveOutputStream(new BufferedOutputStream(
-            hfs.create(new Path(dir, shardStem(shard, oom) + ".tar"), true), 1 << 20))
-          out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
-        },
-        r => if (r.getString(sti) == "success" && !r.isNullAt(pi)) {
-          val key = r.getString(ki)
-          entry(s"$key.$ext", r.getAs[Array[Byte]](pi))
-          if (!r.isNullAt(ci)) entry(s"$key.txt", r.getString(ci).getBytes("UTF-8"))
-          entry(s"$key.json", r.getString(mi).getBytes("UTF-8"))
-        },
-        () => out.close())
+      try {
+        var out: TarArchiveOutputStream = null
+        def entry(name: String, bytes: Array[Byte]): Unit = {
+          val e = new TarArchiveEntry(name)
+          e.setSize(bytes.length)
+          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+        }
+        groupedByShard(rows, si)(
+          shard => {
+            out = new TarArchiveOutputStream(new BufferedOutputStream(
+              hfs.create(new Path(dir, shardStem(shard, oom) + ".tar"), true), 1 << 20))
+            out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+          },
+          r => if (r.getString(sti) == "success" && !r.isNullAt(pi)) {
+            val key = r.getString(ki)
+            entry(s"$key.$ext", r.getAs[Array[Byte]](pi))
+            if (!r.isNullAt(ci)) entry(s"$key.txt", r.getString(ci).getBytes("UTF-8"))
+            entry(s"$key.json", r.getString(mi).getBytes("UTF-8"))
+          },
+          () => out.close())
+      } finally hfs.close()
     }
   }
 
@@ -156,20 +167,22 @@ object Sinks {
     val (ext, oom, dir) = (cfg.encodeFormat, cfg.oomShardCount, outDir)
     d.foreachPartition { (rows: Iterator[Row]) =>
       val (hfs, _) = fs(dir)
-      var shardDir: Path = null
-      def put(name: String, bytes: Array[Byte]): Unit = {
-        val o = hfs.create(new Path(shardDir, name), true)
-        o.write(bytes); o.close()
-      }
-      groupedByShard(rows, si)(
-        shard => { shardDir = new Path(dir, shardStem(shard, oom)); hfs.mkdirs(shardDir) },
-        r => if (r.getString(sti) == "success" && !r.isNullAt(pi)) {
-          val key = r.getString(ki)
-          put(s"$key.$ext", r.getAs[Array[Byte]](pi))
-          if (!r.isNullAt(ci)) put(s"$key.txt", r.getString(ci).getBytes("UTF-8"))
-          put(s"$key.json", r.getString(mi).getBytes("UTF-8"))
-        },
-        () => ())
+      try {
+        var shardDir: Path = null
+        def put(name: String, bytes: Array[Byte]): Unit = {
+          val o = hfs.create(new Path(shardDir, name), true)
+          o.write(bytes); o.close()
+        }
+        groupedByShard(rows, si)(
+          shard => { shardDir = new Path(dir, shardStem(shard, oom)); hfs.mkdirs(shardDir) },
+          r => if (r.getString(sti) == "success" && !r.isNullAt(pi)) {
+            val key = r.getString(ki)
+            put(s"$key.$ext", r.getAs[Array[Byte]](pi))
+            if (!r.isNullAt(ci)) put(s"$key.txt", r.getString(ci).getBytes("UTF-8"))
+            put(s"$key.json", r.getString(mi).getBytes("UTF-8"))
+          },
+          () => ())
+      } finally hfs.close()
     }
   }
 
@@ -177,30 +190,48 @@ object Sinks {
     * per shard (writer.py:138-243). Protobuf and the TFRecord framing
     * (length + masked CRC32C) are encoded from scratch — see
     * [[TfRecordCodec]] — so no TF dependency is needed.
+    *
+    * Feature layout matches the reference exactly (writer.py:186-243):
+    * the payload under the encode-format key, `key` as bytes, the
+    * caption under `"txt"` when a caption column is configured, and
+    * EVERY metadata column as its own TYPED feature — int-likes →
+    * int64_list, float/double → float_list, arrays → the list form of
+    * their element type, everything else (and any NULL, matching the
+    * reference's value-typed `_feature(None)` → `b""`) → bytes_list.
     */
-  def writeTfrecord(df: DataFrame, outDir: String, cfg: DownloadConfig): Unit = {
+  def writeTfrecord(df: DataFrame, outDir: String, cfg: DownloadConfig,
+                    metaCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
     val d = prep(df)
     val si = d.schema.fieldIndex("shard_id"); val ki = d.schema.fieldIndex("key")
     val pi = d.schema.fieldIndex("_final_payload"); val ci = d.schema.fieldIndex("_caption_out")
-    val mi = d.schema.fieldIndex("_meta_json"); val sti = d.schema.fieldIndex("status")
+    val sti = d.schema.fieldIndex("status")
+    // caption presence in the SCHEMA is the reference's save_caption
+    // flag: a present-but-NULL caption still writes txt = "".
+    val saveCaption = d.columns.contains("caption")
+    val metaFields: Seq[(String, Int, DataType)] =
+      metaCols.filterNot(_ == "key").map(c => (c, d.schema.fieldIndex(c), d.schema(c).dataType))
     val (ext, oom, dir) = (cfg.encodeFormat, cfg.oomShardCount, outDir)
     d.foreachPartition { (rows: Iterator[Row]) =>
       val (hfs, _) = fs(dir)
-      var out: BufferedOutputStream = null
-      groupedByShard(rows, si)(
-        shard => out = new BufferedOutputStream(
-          hfs.create(new Path(dir, shardStem(shard, oom) + ".tfrecord"), true), 1 << 20),
-        r => if (r.getString(sti) == "success" && !r.isNullAt(pi)) {
-          val feats = Seq(
-            ext -> TfRecordCodec.bytesFeature(r.getAs[Array[Byte]](pi)),
-            "key" -> TfRecordCodec.bytesFeature(r.getString(ki).getBytes("UTF-8")),
-            "metadata" -> TfRecordCodec.bytesFeature(r.getString(mi).getBytes("UTF-8"))) ++
-            (if (!r.isNullAt(ci))
-               Seq("caption" -> TfRecordCodec.bytesFeature(r.getString(ci).getBytes("UTF-8")))
-             else Nil)
-          TfRecordCodec.writeRecord(out, TfRecordCodec.example(feats))
-        },
-        () => out.close())
+      try {
+        var out: BufferedOutputStream = null
+        groupedByShard(rows, si)(
+          shard => out = new BufferedOutputStream(
+            hfs.create(new Path(dir, shardStem(shard, oom) + ".tfrecord"), true), 1 << 20),
+          r => if (r.getString(sti) == "success" && !r.isNullAt(pi)) {
+            val feats =
+              Seq("key" -> TfRecordCodec.bytesFeature(r.getString(ki).getBytes("UTF-8")),
+                  ext -> TfRecordCodec.bytesFeature(r.getAs[Array[Byte]](pi))) ++
+              (if (saveCaption)
+                 Seq("txt" -> TfRecordCodec.bytesFeature(
+                   (if (r.isNullAt(ci)) "" else r.getString(ci)).getBytes("UTF-8")))
+               else Nil) ++
+              metaFields.map { case (name, i, dt) => name -> TfRecordCodec.typedFeature(r, i, dt) }
+            TfRecordCodec.writeRecord(out, TfRecordCodec.example(feats))
+          },
+          () => out.close())
+      } finally hfs.close()
     }
   }
 
@@ -230,6 +261,49 @@ object TfRecordCodec {
   /** Feature { bytes_list = 1 { repeated bytes value = 1 } } */
   def bytesFeature(value: Array[Byte]): Array[Byte] =
     lenDelim(1, lenDelim(1, value))
+
+  /** bytes_list with multiple values (the reference's list-of-str
+    * meta columns, writer.py:229-243).
+    */
+  def bytesListFeature(values: Seq[Array[Byte]]): Array[Byte] =
+    lenDelim(1, values.map(lenDelim(1, _)).foldLeft(Array.emptyByteArray)(_ ++ _))
+
+  /** Spark-typed row value → TF feature, mirroring the reference's
+    * value-type dispatch (writer.py:204-243): int-likes → int64_list,
+    * float/double → float_list, arrays → the list feature of their
+    * element type, everything else → bytes_list. A NULL of ANY type
+    * becomes an empty bytes_list — the reference types by VALUE, so
+    * `_feature(None)` is `bytes_list(b"")` even for int columns.
+    */
+  def typedFeature(r: Row, i: Int, dt: org.apache.spark.sql.types.DataType): Array[Byte] = {
+    import org.apache.spark.sql.types._
+    if (r.isNullAt(i)) bytesFeature(Array.emptyByteArray)
+    else dt match {
+      case BooleanType => int64Feature(Seq(if (r.getBoolean(i)) 1L else 0L))
+      case ByteType    => int64Feature(Seq(r.getByte(i).toLong))
+      case ShortType   => int64Feature(Seq(r.getShort(i).toLong))
+      case IntegerType => int64Feature(Seq(r.getInt(i).toLong))
+      case LongType    => int64Feature(Seq(r.getLong(i)))
+      case FloatType   => floatFeature(Seq(r.getFloat(i)))
+      case DoubleType  => floatFeature(Seq(r.getDouble(i).toFloat))
+      case BinaryType  => bytesFeature(r.getAs[Array[Byte]](i))
+      case ArrayType(et, _) =>
+        val vs = r.getSeq[Any](i)
+        et match {
+          case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+            int64Feature(vs.map {
+              case b: Boolean => if (b) 1L else 0L
+              case n: Number => n.longValue()
+            })
+          case FloatType | DoubleType =>
+            floatFeature(vs.map(_.asInstanceOf[Number].floatValue()))
+          case _ =>
+            bytesListFeature(vs.map(v =>
+              (if (v == null) "" else v.toString).getBytes("UTF-8")))
+        }
+      case _ => bytesFeature(r.get(i).toString.getBytes("UTF-8"))
+    }
+  }
 
   /** Feature { float_list = 2 { repeated float value = 1, packed } } */
   def floatFeature(values: Seq[Float]): Array[Byte] = {

@@ -70,6 +70,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh.nonEmpty, "some high-cosine pairs recalled")
   }
 
+  test("embedding LSH: degenerate all-identical-vector bucket is capped, not quadratic") {
+    // 500 identical vectors hash to ONE sign pattern in every table —
+    // uncapped, that bucket alone yields 500·499/2 ≈ 125k candidate
+    // pairs (and m² at any m: the skew bomb). With the cap they are
+    // dropped entirely: zero candidates reach the cosine verify.
+    val ident = (0L until 500L).map(i => (i, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(ident, "embedding", "vec_id", dim = 8,
+      threshold = 0.9, nPlanes = 4, nTables = 2, maxBucketSize = 100)
+    assert(pairs.isEmpty, "capped mega-buckets produce no candidate pairs")
+    // sanity: the same data under a loose cap DOES pair up — the cap,
+    // not a broken bucket key, is what suppressed the pairs above
+    val loose = Dedup.embeddingNearDups(ident.limit(20), "embedding", "vec_id", dim = 8,
+      threshold = 0.9, nPlanes = 4, nTables = 2, maxBucketSize = 1000)
+    assert(loose.count() == 20L * 19 / 2, "under the cap all identical pairs verify at cosine 1")
+  }
+
   test("IVF top-k recall vs brute force") {
     val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
     val corpus = emb.filter(col("vec_id") >= 5)

@@ -35,13 +35,65 @@ class MultimodalSpec extends SparkSpec {
     assert(img.getWidth == 128 && img.getHeight == 128)
   }
 
-  test("audio features: deterministic stub with real schema") {
+  test("audio features: deterministic stub for non-WAV payloads") {
     val df = Seq((1L, Array.fill[Byte](64000)(7))).toDF("id", "payload")
     val r = Multimodal.withAudioFeatures(df, "payload")
       .select("audio_features.*").collect()(0)
     assert(r.getInt(0) == 64000)
     assert(r.getDouble(1) == 2.0)       // 64000 bytes / 32000 Bps
-    assert(r.getBoolean(3), "stub is marked")
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4), "no parsed fields for non-WAV")
+    assert(r.getBoolean(6), "stub is marked")
+  }
+
+  /** Golden WAV: 16 kHz, mono, 16-bit PCM, exactly 1.0 s (16000
+    * samples = 32000 data bytes). Byte-for-byte canonical RIFF layout.
+    */
+  private def goldenWav(rate: Int = 16000, channels: Int = 1, bits: Int = 16,
+                        nSamples: Int = 16000): Array[Byte] = {
+    val dataLen = nSamples * channels * bits / 8
+    val byteRate = rate * channels * bits / 8
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                      // PCM
+      .putShort(channels.toShort)
+      .putInt(rate).putInt(byteRate)
+      .putShort((channels * bits / 8).toShort)
+      .putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) { // 440 Hz-ish sine so bytes aren't constant
+      val v = (math.sin(i * 2 * math.Pi * 440 / rate) * 16384).toShort
+      bb.putShort(v); i += 1
+    }
+    bb.array()
+  }
+
+  test("audio features: WAV header really parsed — exact duration, stubbed=false") {
+    val df = Seq((1L, goldenWav()), (2L, goldenWav(rate = 44100, channels = 2, nSamples = 22050)))
+      .toDF("id", "payload")
+    val rows = Multimodal.withAudioFeatures(df, "payload")
+      .select(col("id"), col("audio_features.*")).orderBy("id").collect()
+    val r1 = rows(0)
+    assert(r1.getDouble(2) == 1.0, "16000 samples at 16kHz = exactly 1.0s")
+    assert(r1.getInt(3) == 16000 && r1.getInt(4) == 1 && r1.getInt(5) == 16)
+    assert(!r1.getBoolean(7), "WAV path is NOT stubbed")
+    val r2 = rows(1)
+    assert(r2.getDouble(2) == 0.5, "22050 stereo samples at 44.1kHz = exactly 0.5s")
+    assert(r2.getInt(3) == 44100 && r2.getInt(4) == 2 && r2.getInt(5) == 16)
+    assert(!r2.getBoolean(7))
+  }
+
+  test("WAV parse rejects truncated and compressed-format payloads") {
+    assert(Multimodal.parseWavHeader(goldenWav().take(30)).isEmpty, "truncated header")
+    val adpcm = {
+      val w = goldenWav()
+      w(20) = 2 // format tag 2 = ADPCM — not parseable without a codec
+      w
+    }
+    assert(Multimodal.parseWavHeader(adpcm).isEmpty, "compressed WAV → stub path")
   }
 
   test("video frame sampling fans out frame rows with schema") {

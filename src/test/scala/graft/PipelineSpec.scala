@@ -102,6 +102,18 @@ class PipelineSpec extends SparkSpec {
       off += 12 + len + 4; n += 1
     }
     assert(n == 3 && off == bytes.length)
+    // reference feature layout (writer.py:186-198): every meta column
+    // is its OWN typed feature — the per-column names appear as map
+    // keys; the old single-JSON-blob "metadata" feature must be gone
+    def containsAscii(s: String): Boolean = {
+      val pat = s.getBytes("US-ASCII")
+      bytes.indices.exists(i => i + pat.length <= bytes.length &&
+        pat.indices.forall(j => bytes(i + j) == pat(j)))
+    }
+    for (name <- Seq("key", "url", "status", "width", "height",
+                     "original_width", "original_height", "md5"))
+      assert(containsAscii(name), s"feature key '$name' present")
+    assert(!containsAscii("metadata"), "no JSON-blob metadata feature")
   }
 
   test("robots directives: disallowed rows tagged, not dropped") {

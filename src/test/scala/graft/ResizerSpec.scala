@@ -171,6 +171,49 @@ class ResizerSpec extends SparkSpec {
     }
   }
 
+  test("webp: encodeLossless byte-level golden (encoder output pinned)") {
+    // Regression pin: any change to bit order, canonical-code
+    // assignment, or header layout shows up as a byte diff here —
+    // the cross-decoder compatibility risk class the round-2 advice
+    // flagged (a conventions drift would round-trip internally but
+    // break real decoders; this golden at least makes any drift loud).
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFF204060 else 0xFF80A0C0)
+    val got = graft.operators.WebpCodec.encodeLossless(img)
+    // Hand-checkable prefix: RIFF container + VP8L header for a 4x2
+    // opaque image (signature 0x2F, width-1=3 in 14 bits, height-1=1
+    // in 14 bits, alpha=0, version=0).
+    assert(got.take(12).toSeq ==
+      ("RIFF".getBytes.toSeq ++ Seq[Byte]((got.length - 8).toByte, 0, 0, 0) ++ "WEBP".getBytes.toSeq))
+    assert(got.slice(12, 16).toSeq == "VP8L".getBytes.toSeq)
+    assert((got(20) & 0xFF) == 0x2F, "VP8L signature byte")
+    // width-1 = 3: low 8 bits of the 14-bit field land in byte 21
+    assert((got(21) & 0xFF) == 0x03, "width bits")
+    // full-stream golden captured from this encoder (regression pin)
+    val golden = java.util.Base64.getDecoder.decode(goldenB64)
+    assert(got.toSeq == golden.toSeq,
+      s"encoder bytes drifted:\n got=${java.util.Base64.getEncoder.encodeToString(got)}")
+    // and the pinned bytes still decode pixel-exactly
+    val back = graft.operators.WebpCodec.decodeLossless(golden)
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert(back.getRGB(x, y) == img.getRGB(x, y))
+  }
+  // captured once from the current encoder; see the golden test above
+  private val goldenB64: String = sys.env.getOrElse("GRAFT_WEBP_GOLDEN", GoldenWebp.b64)
+
+  test("webp: truncated VP8L stream fails with a descriptive error, not AIOOBE") {
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_ARGB)
+    val rng = new scala.util.Random(3)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0xFF000000 | rng.nextInt(1 << 24))
+    val full = graft.operators.WebpCodec.encodeLossless(img)
+    val truncated = full.take(full.length - 4)
+    val e = intercept[IllegalStateException] {
+      graft.operators.WebpCodec.decodeLossless(truncated)
+    }
+    assert(e.getMessage.contains("truncated"), s"got: ${e.getMessage}")
+  }
+
   test("webp outside the VP8L subset degrades to 'image decode failed'") {
     val junk = "RIFF".getBytes ++ Array[Byte](40, 0, 0, 0) ++ "WEBP".getBytes ++
       "VP8L".getBytes ++ Array[Byte](16, 0, 0, 0) ++ Array.fill[Byte](16)(0x55)

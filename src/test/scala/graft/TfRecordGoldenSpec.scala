@@ -75,6 +75,29 @@ class TfRecordGoldenSpec extends AnyFunSuite {
     assert(got.toSeq == golden.toSeq)
   }
 
+  test("typedFeature: per-column reference layout (writer.py:204-243 dispatch)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // row shaped like a meta record: url(str), width(int), score(double),
+    // tags(array<str>), ids(array<long>), height(int, NULL)
+    val r = Row("u", 320, 0.5, Seq("a", "b"), Seq(1L, 2L), null)
+    def hex(b: Array[Byte]) = b.map("%02X".format(_)).mkString(" ")
+    // string → bytes_list: Feature{ bytes_list(1){ value(1)="u" } }
+    assert(hex(TfRecordCodec.typedFeature(r, 0, StringType)) == "0A 03 0A 01 75")
+    // int 320 → int64_list packed varint C0 02
+    assert(hex(TfRecordCodec.typedFeature(r, 1, IntegerType)) == "1A 04 0A 02 C0 02")
+    // double 0.5 → float_list fixed32 LE of 0.5f = 00 00 00 3F
+    assert(hex(TfRecordCodec.typedFeature(r, 2, DoubleType)) == "12 06 0A 04 00 00 00 3F")
+    // list<str> → bytes_list with two values
+    assert(hex(TfRecordCodec.typedFeature(r, 3, ArrayType(StringType))) ==
+      "0A 06 0A 01 61 0A 01 62")
+    // list<long> [1,2] → int64_list packed 01 02
+    assert(hex(TfRecordCodec.typedFeature(r, 4, ArrayType(LongType))) == "1A 04 0A 02 01 02")
+    // NULL of ANY type → empty bytes_list (reference types by VALUE:
+    // _feature(None) is bytes_feature(b""), even for an int column)
+    assert(hex(TfRecordCodec.typedFeature(r, 5, IntegerType)) == "0A 02 0A 00")
+  }
+
   test("int64/float features: wire-format golden") {
     // int64_list [3, 300]: field3 { field1 packed varints 03, AC 02 }
     val i64 = TfRecordCodec.int64Feature(Seq(3L, 300L))

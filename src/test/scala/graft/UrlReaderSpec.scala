@@ -145,5 +145,11 @@ class UrlReaderSpec extends SparkSpec {
       DownloadConfig(encodeFormat = "gif").validate()
     }
     DownloadConfig(encodeFormat = "webp").validate() // VP8L encoder exists
+    // webp is lossless VP8L — a non-default quality would be silently
+    // meaningless, so it's rejected instead (DEVIATIONS #2)
+    intercept[IllegalArgumentException] {
+      DownloadConfig(encodeFormat = "webp", encodeQuality = 80).validate()
+    }
+    DownloadConfig(encodeFormat = "jpg", encodeQuality = 80).validate() // jpg quality is real
   }
 }
