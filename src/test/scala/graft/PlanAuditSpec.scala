@@ -67,6 +67,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(viaPrefix.toSeq == viaWindow.toSeq, "prefix sum equals the window formulation")
   }
 
+  test("kmeans seed fetch: broadcast semi-join, no O(nCells) IN-list in the plan") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select(col("vec_id").as("corpus_id"), col("embedding").cast("array<double>").as("cv"))
+    // capture the executed seed-fetch plan via a listener-free probe:
+    // run centroid training at a large cell count and assert no plan
+    // ever contains an IN-list of ids (the literal form would bloat
+    // plan size/compile time at nCells=4096)
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit = plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.operators.Similarity.kmeansCentroids(emb, nCells = 64, lloydIters = 0)
+      // listener delivery is async: poll until the semi-join plan lands
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline &&
+             !plans.synchronized(plans.exists(_.contains("LeftSemi"))))
+        Thread.sleep(100)
+      val all = plans.synchronized(plans.mkString("\n===\n"))
+      assert(!all.contains(" IN ("), s"no literal IN-list in any seed-fetch plan")
+      assert(all.contains("BroadcastHashJoin") && all.contains("LeftSemi"),
+        s"seed rows fetched via broadcast semi-join:\n$all")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("dedup exact: single hash-aggregate shuffle, no join") {
     val p = plan("dedup_exact")
     assert(!p.contains("Join"), "exact dedup must not join")

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Nightly-style 10× stress point (VERDICT r2 #8): the sf0.1 bench
+  * cannot see super-linear blowups; this synthesizes a ~sf1 corpus
+  * (10× sf0.1) and asserts the CAPPED dedup family scales
+  * near-linearly. Opt-in via GRAFT_STRESS=1 — it takes minutes, so it
+  * is cancelled (not silently passed) in the default suite run.
+  *
+  * Corpus construction: 10 copies of sf0.1 documents with every token
+  * suffixed `_k` per copy k — copies share ZERO shingles across
+  * groups, so the true near-dup pair set scales exactly 10× and a
+  * wall-time ratio >> 10 can only come from super-linear plan
+  * behavior (e.g. an uncapped bucket going quadratic).
+  */
+class StressSpec extends SparkSpec {
+
+  private def tenX = {
+    val base = spark.read.parquet(sf("sf0.1") + "/documents.parquet")
+      .select("doc_id", "text")
+    val copies = (0 until 10).map { k =>
+      base.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"_$k"))), " ").as("text"))
+    }
+    (base, copies.reduce(_ union _))
+  }
+
+  private def timeOf(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  test("minhash LSH + connected components stay near-linear at 10x (sf~1)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    val (one, ten) = tenX
+    def dedupChain(df: org.apache.spark.sql.DataFrame): Unit = {
+      val pairs = Dedup.minhashNearDups(df, "text", "doc_id",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      Dedup.connectedComponents(pairs).count()
+    }
+    dedupChain(one)                    // warm-up: JIT + codegen + scan
+    val t1 = timeOf(dedupChain(one))
+    val t10 = timeOf(dedupChain(ten))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"capped LSH dedup must scale near-linearly: 10x data took $ratio%.1fx the time")
+  }
+
+  test("embedding LSH with cap survives 10x duplicated vectors sub-quadratically") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    // WORST case for hyperplane LSH: 10 identical copies of every
+    // vector — every copy group collapses into the same buckets, so
+    // bucket sizes grow 10x. The cap must keep candidate generation
+    // bounded; without it this goes quadratic in the duplication
+    // factor times corpus.
+    val base = spark.read.parquet(sf("sf0.1") + "/embeddings.parquet")
+    val ten = (0 until 10).map { k =>
+      base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"), col("embedding"))
+    }.reduce(_ union _)
+    val t = timeOf {
+      Dedup.embeddingNearDups(ten, "embedding", "vec_id", dim = 64,
+        threshold = 0.95, nPlanes = 8, nTables = 8, maxBucketSize = 100).count()
+    }
+    info(f"10x duplicated embeddings with cap: $t%.1fs")
+    assert(t < 120.0, f"capped embedding LSH took $t%.1fs — cap not engaging?")
+  }
+}
