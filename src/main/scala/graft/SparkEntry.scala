@@ -526,6 +526,12 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"), col("pack_id"))
         .orderBy("doc_id")
     }),
+    "txt_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals: most-frequent-token
+      // fraction + duplicated word-2-gram fraction.
+      TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "txt_curation" -> ((s, dir) => {
       // End-to-end curation: language filter + quality threshold +
       // near-dup removal (keep the smallest doc_id of each near-dup
@@ -570,6 +576,18 @@ object SparkEntry {
       // Connected components over the exact near-dup pairs: cluster
       // canonicalization (min reachable doc_id per member).
       val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.3)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+    "dedup_clusters_lsh" -> ((s, dir) => {
+      // The AT-SCALE clustering composition: connected components over
+      // the CAPPED MinHash-LSH pair set (bucketed equi-joins + skew
+      // cap) — what you actually run at 100 TB, where the exact-pair
+      // variant above is the sampled recall oracle.
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.3,
+        portableHash = true)
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
@@ -1104,6 +1122,37 @@ object SparkEntry {
          contam AS (SELECT DISTINCT d.doc_id FROM d JOIN b USING (g))
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM contam) ORDER BY doc_id""",
+    "txt_repetition" ->
+      s"""WITH t AS (SELECT doc_id,
+           regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+         e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         c AS (SELECT doc_id, tok, count(*) AS n FROM e GROUP BY doc_id, tok),
+         tt AS (SELECT doc_id,
+           ${roundToSql("CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)", 6)} AS top_token_frac
+         FROM c GROUP BY doc_id),
+         g AS (SELECT doc_id,
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams FROM t)
+         SELECT t.doc_id, tt.top_token_frac,
+           CASE WHEN len(g.grams) = 0 THEN 0.0
+                ELSE ${roundToSql("1.0 - CAST(len(list_distinct(g.grams)) AS DOUBLE) / CAST(len(g.grams) AS DOUBLE)", 6)}
+           END AS dup_2gram_frac
+         FROM t JOIN tt USING (doc_id) JOIN g ON g.doc_id = t.doc_id
+         ORDER BY t.doc_id""",
+    "dedup_clusters_lsh" ->
+      s"""WITH RECURSIVE $minhashLshCtes,
+         j AS (SELECT id_a, id_b FROM mh_ver WHERE jac >= 0.3),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM j
+                   UNION SELECT id_b, id_a FROM j),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         nodes AS (SELECT DISTINCT src AS doc_id FROM edges)
+         SELECT n.doc_id,
+           least(n.doc_id, min(r.dst)) AS cluster_id
+         FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
+         GROUP BY n.doc_id ORDER BY n.doc_id""",
     "dedup_minhash_lsh" -> minhashLshOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_embed_lsh" -> embedLshOracleSql,

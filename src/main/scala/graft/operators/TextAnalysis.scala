@@ -33,6 +33,33 @@ object TextAnalysis {
     df.withColumn("fingerprint", fingerprint(col(textCol)))
       .withColumn("rolling_hash", rollingHash(col(textCol)))
 
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 "repetition
+    * filters" family) — the standard quality gate against boilerplate
+    * and degenerate generations:
+    *
+    *  - `top_token_frac`: count of the most frequent token / total
+    *    tokens. Computed with an explode + two keyed aggregations —
+    *    both shuffles are keyed by (doc, token) / doc, partially
+    *    aggregated map-side, so the plan is safe at any corpus size.
+    *  - `dup_2gram_frac`: 1 − distinct/total word 2-grams, computed
+    *    entirely with array built-ins (no explode, no shuffle).
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.MathFunctions.roundTo
+    val toks = split(normalizeText(col(textCol)), " ")
+    val nGrams = size(toks) - 1
+    val grams = transform(sequence(lit(1), nGrams),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val dupFrac = when(nGrams <= 0, lit(0.0)).otherwise(
+      roundTo(lit(1.0) - size(array_distinct(grams)).cast("double") / nGrams.cast("double"), 6))
+    val withDup = df.select(col(idCol), col(textCol)).withColumn("dup_2gram_frac", dupFrac)
+    val top = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(idCol, "__tok").agg(count("*").as("__n"))
+      .groupBy(idCol).agg(
+        roundTo(max("__n").cast("double") / sum("__n").cast("double"), 6).as("top_token_frac"))
+    withDup.join(top, Seq(idCol)).select(idCol, "top_token_frac", "dup_2gram_frac")
+  }
+
   /** DISTRIBUTED global running sum of `valueCol` in `sortCol` order —
     * the classic two-pass prefix sum, NOT a single-partition window:
     * range-repartition on the sort key, per-partition subtotals

@@ -27,6 +27,20 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getLong(6) != 0L)
   }
 
+  test("repetition signals: planted values") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),       // top = 4/4, 2-grams: [a a, a a, a a] → dup 2/3
+      (2L, "a b c d"),       // top = 1/4, all 2-grams distinct
+      (3L, "x")              // single token: top 1.0, no 2-grams → 0.0
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis.repetition(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getDouble(1) == 1.0 && rows(0).getDouble(2) == 0.666667)
+    assert(rows(1).getDouble(1) == 0.25 && rows(1).getDouble(2) == 0.0)
+    assert(rows(2).getDouble(1) == 1.0 && rows(2).getDouble(2) == 0.0)
+  }
+
   test("nearest_centroid and simhash_portable from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
