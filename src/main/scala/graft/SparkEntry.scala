@@ -183,6 +183,41 @@ object SparkEntry {
        WHERE rank <= 10 ORDER BY query_id, rank"""
   }
 
+  /** DuckDB replication of the deterministic PQ/ADC ANN query: same
+    * portable seed set as the IVF oracle (codebook = seed rows in
+    * corpus-id order), per-subspace argmin encoding via
+    * list_position-of-min (ties → first = lowest code, matching
+    * PqEncode), and the ADC sum as an ORDERED list_reduce over
+    * subspaces — SUM() aggregation order is engine-dependent, the
+    * fold is not.
+    */
+  private def annPqOracleSql: String = {
+    def sub(vec: String, cent: String): String = {
+      val d = s"$vec[(j*8)+i] - $cent[(j*8)+i]"
+      s"list_reduce(list_transform(range(1, 9), i -> ($d) * ($d)), (x, y) -> x + y)"
+    }
+    val dlist = s"list_transform(range(0, 16), c -> ${sub("cor.cv", "cb[c+1]")})"
+    s"""WITH cor AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+       q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+       seed AS (SELECT corpus_id, cv FROM cor
+         ORDER BY ((corpus_id % 1000003) * 2654435761) % 2147483647 DESC, corpus_id LIMIT 16),
+       cents AS (SELECT CAST(row_number() OVER (ORDER BY corpus_id) - 1 AS INTEGER) AS cell_id,
+           cv AS centroid FROM seed),
+       cbl AS (SELECT list(centroid ORDER BY cell_id) AS cb FROM cents),
+       codes AS (SELECT cor.corpus_id,
+           list_transform(range(0, 8), j -> list_position($dlist, list_min($dlist)) - 1) AS codes
+         FROM cor CROSS JOIN cbl),
+       scored AS (SELECT q.query_id, codes.corpus_id,
+           list_reduce(list_transform(range(0, 8), j ->
+             ${sub("q.qv", "cb[codes.codes[j+1]+1]")}), (x, y) -> x + y) AS d
+         FROM codes CROSS JOIN cbl CROSS JOIN q),
+       ranked AS (SELECT query_id, corpus_id, ${roundToSql("d", 6)} AS approx_sqdist,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY d ASC, corpus_id) AS INTEGER) AS rank
+         FROM scored)
+       SELECT query_id, corpus_id, approx_sqdist, rank FROM ranked
+       WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   /** DuckDB replication of hyperplane-LSH embedding near-dup: the SAME
     * seeded gaussian planes ([[Dedup.randomPlanes]]) baked as literals,
     * sign-bit bucket fold in the same order, exact-cosine verification
@@ -631,6 +666,18 @@ object SparkEntry {
           "embedding", "vec_id", 10, nCells = 16, nProbe = 4,
           lloydIters = 0, portableSeed = true)
         .select(col("query_id"), col("corpus_id"), rd(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "ann_pq_topk" -> ((s, dir) => {
+      // deterministic variant (portable-seed codebook) so the DuckDB
+      // oracle replicates PQ encode + ADC scoring bit-for-bit
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(
+          e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+          "embedding", "vec_id", 10, m = 8, ksub = 16, lloydIters = 0,
+          portableSeed = true)
+        .select(col("query_id"), col("corpus_id"),
+                rd(col("approx_sqdist"), 6).as("approx_sqdist"), col("rank"))
         .orderBy("query_id", "rank")
     }),
     // ---- multimodal binary plumbing ----
@@ -1157,6 +1204,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracleSql,
     "dedup_embed_lsh" -> embedLshOracleSql,
     "ann_ivf_topk" -> annIvfOracleSql,
+    "ann_pq_topk" -> annPqOracleSql,
     "ann_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),

