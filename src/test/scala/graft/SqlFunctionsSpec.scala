@@ -27,6 +27,25 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getLong(6) != 0L)
   }
 
+  test("pq_encode / pq_adc_score from SQL") {
+    GraftFunctions.register(spark)
+    // codebook of two 4-dim rows; m=2 subspaces of 2 dims.
+    // vector (1,2,10,20): subspace 0 nearest row 0 (0,0 vs 5,5),
+    // subspace 1 nearest row 1 (9,9 closer than 0,0 to 10,20... both
+    // rows compared on dims 3-4: row0=(0,0) d=500, row1=(9,19) d=2)
+    val r = spark.sql(
+      """SELECT pq_encode(array(1.0d, 2.0d, 10.0d, 20.0d),
+                          array(array(0.0d, 0.0d, 0.0d, 0.0d),
+                                array(5.0d, 5.0d, 9.0d, 19.0d)), 2) AS codes,
+                pq_adc_score(array(1.0d, 2.0d, 10.0d, 20.0d),
+                          array(0, 1),
+                          array(array(0.0d, 0.0d, 0.0d, 0.0d),
+                                array(5.0d, 5.0d, 9.0d, 19.0d)), 2) AS d
+      """).collect()(0)
+    assert(r.getSeq[Int](0) == Seq(0, 1), "argmin per subspace")
+    assert(r.getDouble(1) == (1.0 + 4.0) + (1.0 + 1.0), "ADC = sum of subspace sqdists")
+  }
+
   test("repetition signals: planted values") {
     import spark.implicits._
     val df = Seq(
