@@ -59,6 +59,18 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Stream–static enrichment: join the event stream against a static
+    * dimension frame on `key`. The static side is BROADCAST: every
+    * micro-batch joins map-side with zero stream-side shuffle, and
+    * stream–static joins are STATELESS by construction (nothing is
+    * buffered across batches — only stream–stream joins keep state),
+    * so this holds on an unbounded ingest regardless of run length.
+    * Left join: events without a dimension row pass through with
+    * NULLs, they are never dropped by enrichment.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Gap-based sessionization with explicit state: events of a user
     * belong to one session while gaps stay under `gapMillis`; a
     * session is emitted when a larger gap closes it. The trailing

@@ -62,6 +62,22 @@ class EventStreamSpec extends SparkSpec {
     assert(s.start_ms == 1000 && s.end_ms == 3000)
   }
 
+  test("stream-static enrichment: broadcast dimension join, unmatched rows kept") {
+    def ev(id: Long, user: Long, ms: Long, v: Double) =
+      Event(id, new Timestamp(ms), user, "click", v)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    stream.addData(Seq(ev(1, 1, 1000, 1.0), ev(2, 2, 2000, 2.0), ev(3, 99, 3000, 3.0)))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = EventStream.enrich(stream.toDF(), dim, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("enriched")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT event_id, tier FROM enriched ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(out == Seq((1L, Some("gold")), (2L, Some("silver")), (3L, None)),
+      s"left enrichment keeps unmatched user 99: $out")
+  }
+
   test("streaming dedup: first arrival per fingerprint passes, dups dropped, state bounded") {
     case class Doc(doc_id: Long, ts: Timestamp, text: String)
     def d(id: Long, ms: Long, text: String) = (id, new Timestamp(ms), text)
