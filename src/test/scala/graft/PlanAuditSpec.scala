@@ -106,6 +106,24 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("txt_curation composes the CAPPED LSH near-dup path, not the exact n-gram join") {
+    val p = plan("txt_curation")
+    assert(p.contains("bucket_n"), "bucket-size cap aggregate present in the curation plan")
+    assert(!p.contains("n_sh"), "uncapped exact shingle join (ngramJaccardPairs) absent")
+    assert(p.contains("minhash_signature"), "native one-pass signature expression")
+  }
+
+  test("dedup_embed_lsh: bucket cap present, vectors not shuffled through the explode") {
+    val p = plan("dedup_embed_lsh")
+    assert(p.contains("bucket_n"), "bucket-size cap aggregate present")
+    // the bucket-side exchanges must carry only (id, table, key) —
+    // the vector column rejoins later, so no exchange should ship `v`
+    // together with a bucket key
+    val shipsVectorsThroughBuckets =
+      p.linesIterator.exists(l => l.contains("Exchange hashpartitioning(table") && l.contains(" v#"))
+    assert(!shipsVectorsThroughBuckets, "bucket shuffle is slim (no vector payload)")
+  }
+
   test("dedup exact: single hash-aggregate shuffle, no join") {
     val p = plan("dedup_exact")
     assert(!p.contains("Join"), "exact dedup must not join")
