@@ -561,6 +561,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"), col("pack_id"))
         .orderBy("doc_id")
     }),
+    "txt_scrub" -> ((s, dir) => {
+      // PII scrubbing audit: scrubbed text fingerprint + placeholder
+      // count (emails/URLs/IPv4 → typed tokens; parity-safe ASCII
+      // regex classes so any RE2/Java engine agrees byte-for-byte).
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(TextFunctions.scrubPii(col("text"))).as("scrubbed_md5"),
+        TextFunctions.piiCount(col("text")).as("n_pii"))
+        .orderBy("doc_id")
+    }),
     "txt_repetition" -> ((s, dir) => {
       // Gopher-style repetition quality signals: most-frequent-token
       // fraction + duplicated word-2-gram fraction.
@@ -1169,6 +1179,16 @@ object SparkEntry {
          contam AS (SELECT DISTINCT d.doc_id FROM d JOIN b USING (g))
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM contam) ORDER BY doc_id""",
+    "txt_scrub" ->
+      s"""WITH s AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '${TextFunctions.UrlPattern}', '<URL>', 'g'),
+             '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+             '${TextFunctions.Ipv4Pattern}', '<IP>', 'g') AS scrubbed
+         FROM documents)
+         SELECT doc_id, md5(scrubbed) AS scrubbed_md5,
+           CAST(len(regexp_extract_all(scrubbed, '<URL>|<EMAIL>|<IP>')) AS INTEGER) AS n_pii
+         FROM s ORDER BY doc_id""",
     "txt_repetition" ->
       s"""WITH t AS (SELECT doc_id,
            regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks

@@ -118,6 +118,33 @@ object TextFunctions {
     )
   }
 
+  /** PII scrubbing for training-data curation: replace emails, URLs
+    * and IPv4 addresses with typed placeholder tokens. Patterns use
+    * explicit ASCII classes (no `\d`/`\S`/`\w`) so Java regex (Spark)
+    * and RE2 (DuckDB/most engines) agree byte-for-byte — the oracle
+    * replicates the same chain with the `g` flag. Chained
+    * `regexp_replace` built-ins: codegen'd, scan-speed, no UDF.
+    * Order matters and is fixed: URLs first (they may contain
+    * email-/IP-shaped substrings), then emails, then bare IPs.
+    */
+  val UrlPattern = "https?://[^ \\t\\r\\n]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  def scrubPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, UrlPattern, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailPattern, "<EMAIL>")
+    regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+  }
+
+  /** Count of PII placeholders after scrubbing — the audit column a
+    * curation pipeline logs alongside the scrubbed text.
+    */
+  def piiCount(text: Column): Column = {
+    val scrubbed = scrubPii(text)
+    size(regexp_extract_all(scrubbed, lit("<URL>|<EMAIL>|<IP>"), lit(0)))
+  }
+
   /** Distinct word n-gram shingles of the normalized text, as strings.
     * The shingle set is the input to MinHash / Jaccard dedup. Native
     * single-pass expression ([[graft.plans.WordShinglesExpr]]) —

@@ -116,6 +116,27 @@ class PipelineSpec extends SparkSpec {
     assert(!containsAscii("metadata"), "no JSON-blob metadata feature")
   }
 
+  test("tfrecord sink with caption: txt feature written (reference writer.py:190-192)") {
+    import spark.implicits._
+    val dir = tmpDir("tfr_cap")
+    val in = s"$dir/in.parquet"
+    Seq((server.url("/allowed/123_456.jpg"), "a lovely caption"))
+      .toDF("url", "mycap").write.parquet(in)
+    val out = tmpDir("tfr_cap_out")
+    Pipeline.download(spark, in, out,
+      baseCfg.copy(outputFormat = "tfrecord", inputFormat = "parquet",
+        captionCol = Some("mycap")))
+    val bytes = Files.readAllBytes(new java.io.File(out, "00000.tfrecord").toPath)
+    def containsAscii(s: String): Boolean = {
+      val pat = s.getBytes("US-ASCII")
+      bytes.indices.exists(i => i + pat.length <= bytes.length &&
+        pat.indices.forall(j => bytes(i + j) == pat(j)))
+    }
+    assert(containsAscii("txt"), "caption feature under 'txt'")
+    assert(containsAscii("caption"), "caption also kept as its own meta feature")
+    assert(containsAscii("a lovely caption"), "caption value present")
+  }
+
   test("robots directives: disallowed rows tagged, not dropped") {
     val urls = server.allowedUrls.take(3) ++ server.disallowedUrls.take(4)
     val out = tmpDir("robots")

@@ -46,6 +46,25 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) == (1.0 + 4.0) + (1.0 + 1.0), "ADC = sum of subspace sqdists")
   }
 
+  test("PII scrub: planted emails/URLs/IPs replaced with typed tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or visit https://a.b/c?d=1 now"),
+      (2L, "server at 10.0.255.3 responded"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+        TextFunctions.scrubPii(col("text")).as("s"),
+        TextFunctions.piiCount(col("text")).as("n"))
+      .orderBy("doc_id").collect()
+    assert(rows(0).getString(1) == "contact <EMAIL> or visit <URL> now")
+    assert(rows(0).getInt(2) == 2)
+    assert(rows(1).getString(1) == "server at <IP> responded" && rows(1).getInt(2) == 1)
+    assert(rows(2).getString(1) == "no pii here at all" && rows(2).getInt(2) == 0)
+  }
+
   test("repetition signals: planted values") {
     import spark.implicits._
     val df = Seq(
