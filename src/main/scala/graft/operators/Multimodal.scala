@@ -118,6 +118,75 @@ object Multimodal {
     df.withColumn(out, f(col(binaryCol)))
   }
 
+  /** Video container metadata (real header parse, stub-free for MP4). */
+  case class VideoMeta(n_bytes: Option[Int], container: Option[String],
+                       duration_sec: Option[Double], timescale: Option[Int],
+                       stubbed: Boolean)
+
+  /** Parse an ISO BMFF (MP4/MOV) `moov/mvhd` box for (duration_sec,
+    * timescale) — a pure big-endian box walk, no codec needed. Returns
+    * None unless the payload is a well-formed MP4 with an mvhd box.
+    */
+  private[graft] def parseMp4Duration(b: Array[Byte]): Option[(Double, Int)] = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) | ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def typ(o: Int): String = new String(b, o + 4, 4, "US-ASCII")
+    // walk boxes in [start, end) looking for `name`; returns (payload
+    // offset, payload end) of the first match
+    def find(start: Int, end: Int, name: String): Option[(Int, Int)] = {
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = u32(off)
+        val (size, hdr) =
+          if (size0 == 1 && off + 16 <= end) (u64(off + 8), 16)
+          else if (size0 == 0) ((end - off).toLong, 8) // box extends to EOF
+          else (size0, 8)
+        if (size < hdr || off + size > end || size > Int.MaxValue) return None
+        if (typ(off) == name) return Some((off + hdr, off + size.toInt))
+        off += size.toInt
+      }
+      None
+    }
+    if (b.length < 16) return None
+    // MP4 sanity: a leading ftyp (or styp) box
+    val head = typ(0)
+    if (head != "ftyp" && head != "styp") return None
+    for {
+      (moovStart, moovEnd) <- find(0, b.length, "moov")
+      (mvhd, mvhdEnd) <- find(moovStart, moovEnd, "mvhd")
+      if mvhd + 4 <= mvhdEnd
+      version = b(mvhd) & 0xFF
+      result <- version match {
+        case 0 if mvhd + 20 <= mvhdEnd =>
+          val scale = u32(mvhd + 12); val dur = u32(mvhd + 16)
+          if (scale > 0) Some((dur.toDouble / scale, scale.toInt)) else None
+        case 1 if mvhd + 32 <= mvhdEnd =>
+          val scale = u32(mvhd + 20); val dur = u64(mvhd + 24)
+          if (scale > 0) Some((dur.toDouble / scale, scale.toInt)) else None
+        case _ => None
+      }
+    } yield result
+  }
+
+  /** Video metadata extraction: MP4/MOV containers are REALLY parsed
+    * (mvhd duration + timescale, `stubbed = false`); other containers
+    * keep the stub estimate, swappable for a real demuxer.
+    */
+  def withVideoMeta(df: DataFrame, binaryCol: String, out: String = "video_meta"): DataFrame = {
+    val f = udf((bytes: Array[Byte]) => {
+      if (bytes == null) VideoMeta(None, None, None, None, stubbed = true)
+      else parseMp4Duration(bytes) match {
+        case Some((dur, scale)) =>
+          VideoMeta(Some(bytes.length), Some("mp4"), Some(dur), Some(scale), stubbed = false)
+        case None =>
+          // stub estimate: ~1 Mbit/s payload
+          VideoMeta(Some(bytes.length), None, Some(bytes.length / 125000.0), None, stubbed = true)
+      }
+    })
+    df.withColumn(out, f(col(binaryCol)))
+  }
+
   /** Video frame-sample plumbing: emits one row per sampled frame
     * index with a frame payload column. Frame extraction itself is a
     * STUB (frame payload = null, `stubbed = true`); the row fan-out,

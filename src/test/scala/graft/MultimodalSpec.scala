@@ -96,6 +96,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWavHeader(adpcm).isEmpty, "compressed WAV → stub path")
   }
 
+  /** Minimal well-formed MP4: ftyp + moov(mvhd v0) with timescale
+    * 1000, duration 2500 → exactly 2.5 s.
+    */
+  private def goldenMp4(timescale: Int = 1000, duration: Int = 2500): Array[Byte] = {
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0))
+    val mvhdPayload = java.nio.ByteBuffer.allocate(100)
+      .putInt(0)                 // version 0 + flags
+      .putInt(0).putInt(0)       // ctime, mtime
+      .putInt(timescale).putInt(duration)
+      .array()
+    val moov = box("moov", box("mvhd", mvhdPayload))
+    ftyp ++ moov
+  }
+
+  test("video meta: MP4 mvhd really parsed — exact duration, stubbed=false") {
+    val df = Seq((1L, goldenMp4()), (2L, Array.fill[Byte](250000)(3)))
+      .toDF("id", "payload")
+    val rows = Multimodal.withVideoMeta(df, "payload")
+      .select(col("id"), col("video_meta.*")).orderBy("id").collect()
+    val mp4 = rows(0)
+    assert(mp4.getString(2) == "mp4" && mp4.getDouble(3) == 2.5 && mp4.getInt(4) == 1000)
+    assert(!mp4.getBoolean(5), "MP4 container parse is NOT stubbed")
+    val other = rows(1)
+    assert(other.isNullAt(2) && other.getDouble(3) == 2.0, "stub estimate for non-MP4")
+    assert(other.getBoolean(5))
+  }
+
+  test("MP4 parse rejects truncated/garbage payloads") {
+    assert(Multimodal.parseMp4Duration(goldenMp4().take(20)).isEmpty)
+    assert(Multimodal.parseMp4Duration("not a video at all".getBytes).isEmpty)
+    assert(Multimodal.parseMp4Duration(goldenMp4(timescale = 0)).isEmpty, "zero timescale")
+  }
+
   test("video frame sampling fans out frame rows with schema") {
     val df = Seq((1L, Array.fill[Byte](350000)(1))).toDF("id", "payload")
     val frames = Multimodal.sampleVideoFrames(df, "payload").collect()
