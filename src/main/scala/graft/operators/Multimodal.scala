@@ -89,6 +89,40 @@ object Multimodal {
     }
   }
 
+  /** Parsed `COMM` chunk of an AIFF container (big-endian sibling of
+    * WAV): (sampleRate, channels, bits, durationSec). The sample rate
+    * is an 80-bit IEEE 754 extended float per the AIFF spec — decoded
+    * exactly for the realistic exponent range.
+    */
+  private[graft] def parseAiffHeader(b: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    def u16(o: Int) = ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    def u32(o: Int) = ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    def tag(o: Int, s: String) = b.length >= o + 4 && s.indices.forall(i => b(o + i) == s(i).toByte)
+    if (b.length < 38 || !tag(0, "FORM") || !(tag(8, "AIFF") || tag(8, "AIFC"))) return None
+    var off = 12
+    while (off + 8 <= b.length) {
+      val size = u32(off + 4)
+      if (size > Int.MaxValue - 8) return None
+      if (tag(off, "COMM") && off + 8 + 18 <= b.length) {
+        val ch = u16(off + 8)
+        val nFrames = u32(off + 10)
+        val bits = u16(off + 14)
+        // 80-bit extended float: 1 sign + 15 exponent (bias 16383) +
+        // 64-bit mantissa with explicit integer bit
+        val exp = u16(off + 16) & 0x7FFF
+        val mantHi = u32(off + 18)
+        val mantLo = u32(off + 22)
+        val mant = (mantHi.toDouble * 4294967296.0) + mantLo.toDouble
+        val rate = mant * math.pow(2.0, exp - 16383 - 63)
+        val rateI = math.round(rate).toInt
+        return if (ch > 0 && rateI > 0) Some((rateI, ch, bits, nFrames.toDouble / rateI)) else None
+      }
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
   /** Audio feature extraction: WAV/PCM payloads are REALLY parsed
     * (sample rate, channels, bit depth, exact duration — a pure
     * header read, no codec dependency, `stubbed = false`); any other
@@ -104,7 +138,7 @@ object Multimodal {
         var h = 1125899906842597L
         var i = 0
         while (i < math.min(bytes.length, 4096)) { h = h * 31 + bytes(i); i += 1 }
-        parseWavHeader(bytes) match {
+        parseWavHeader(bytes).orElse(parseAiffHeader(bytes)) match {
           case Some((rate, ch, bits, dur)) =>
             AudioFeatures(Some(bytes.length), Some(dur), Some(rate), Some(ch), Some(bits),
               Some(h), stubbed = false)

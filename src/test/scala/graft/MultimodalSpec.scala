@@ -86,6 +86,33 @@ class MultimodalSpec extends SparkSpec {
     assert(!r2.getBoolean(7))
   }
 
+  /** Golden AIFF: FORM/AIFF with a COMM chunk — 44.1 kHz (the 80-bit
+    * extended-float encoding of 44100 is exp=0x400E, mantissa
+    * 0xAC44_0000_0000_0000), stereo, 16-bit, 22050 frames = 0.5 s.
+    */
+  private def goldenAiff(): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 18) // big-endian default
+    bb.put("FORM".getBytes("US-ASCII")).putInt(4 + 8 + 18)
+      .put("AIFF".getBytes("US-ASCII"))
+      .put("COMM".getBytes("US-ASCII")).putInt(18)
+      .putShort(2)                       // channels
+      .putInt(22050)                     // numSampleFrames
+      .putShort(16)                      // bits
+      .putShort(0x400E.toShort)          // 80-bit float: exponent
+      .putInt(0xAC440000)                // mantissa hi (44100 << 16)
+      .putInt(0)                         // mantissa lo
+    bb.array()
+  }
+
+  test("audio features: AIFF COMM chunk really parsed (80-bit rate decode)") {
+    val df = Seq((1L, goldenAiff())).toDF("id", "payload")
+    val r = Multimodal.withAudioFeatures(df, "payload")
+      .select("audio_features.*").collect()(0)
+    assert(r.getDouble(1) == 0.5, "22050 frames at 44.1kHz = exactly 0.5s")
+    assert(r.getInt(2) == 44100 && r.getInt(3) == 2 && r.getInt(4) == 16)
+    assert(!r.getBoolean(6), "AIFF path is NOT stubbed")
+  }
+
   test("WAV parse rejects truncated and compressed-format payloads") {
     assert(Multimodal.parseWavHeader(goldenWav().take(30)).isEmpty, "truncated header")
     val adpcm = {
