@@ -64,20 +64,22 @@ object Multimodal {
     def tag(o: Int, s: String) = b.length >= o + 4 && s.indices.forall(i => b(o + i) == s(i).toByte)
     if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
     // chunk walk: fmt and data can appear in any order with extension
-    // chunks (LIST, fact) between them
-    var off = 12
+    // chunks (LIST, fact) between them. The offset is a Long: a
+    // crafted u32 chunk size near 2^31 must walk the cursor PAST the
+    // payload (ending the loop), never wrap it negative into an AIOOBE
+    var offL = 12L
     var fmt: Option[(Int, Int, Int, Long)] = None // (format, channels, rate, byteRate)
     var dataLen: Option[Long] = None
-    while (off + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
+    while (offL + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
+      val off = offL.toInt
       val size = u32(off + 4)
-      if (size > Int.MaxValue - 8) return None // corrupt header
       if (tag(off, "fmt ") && off + 24 <= b.length) {
         fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u32(off + 16)))
       } else if (tag(off, "data")) {
         // size may overrun a truncated payload — clamp to real bytes
         dataLen = Some(math.min(size, (b.length - off - 8).toLong))
       }
-      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      offL += 8 + size + (size & 1) // chunks are word-aligned
     }
     for {
       (format, ch, rate, byteRate) <- fmt
@@ -100,10 +102,12 @@ object Multimodal {
       ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
     def tag(o: Int, s: String) = b.length >= o + 4 && s.indices.forall(i => b(o + i) == s(i).toByte)
     if (b.length < 38 || !tag(0, "FORM") || !(tag(8, "AIFF") || tag(8, "AIFC"))) return None
-    var off = 12
-    while (off + 8 <= b.length) {
+    // Long cursor: huge crafted chunk sizes end the walk instead of
+    // wrapping negative (same rationale as the WAV walk above)
+    var offL = 12L
+    while (offL + 8 <= b.length) {
+      val off = offL.toInt
       val size = u32(off + 4)
-      if (size > Int.MaxValue - 8) return None
       if (tag(off, "COMM") && off + 8 + 18 <= b.length) {
         val ch = u16(off + 8)
         val nFrames = u32(off + 10)
@@ -118,7 +122,7 @@ object Multimodal {
         val rateI = math.round(rate).toInt
         return if (ch > 0 && rateI > 0) Some((rateI, ch, bits, nFrames.toDouble / rateI)) else None
       }
-      off += 8 + size.toInt + (size.toInt & 1)
+      offL += 8 + size + (size & 1)
     }
     None
   }
@@ -192,12 +196,14 @@ object Multimodal {
       if mvhd + 4 <= mvhdEnd
       version = b(mvhd) & 0xFF
       result <- version match {
+        // timescale must also fit the Int it is reported as — a u32
+        // above 2^31 would otherwise narrow to a negative value
         case 0 if mvhd + 20 <= mvhdEnd =>
           val scale = u32(mvhd + 12); val dur = u32(mvhd + 16)
-          if (scale > 0) Some((dur.toDouble / scale, scale.toInt)) else None
+          if (scale > 0 && scale <= Int.MaxValue) Some((dur.toDouble / scale, scale.toInt)) else None
         case 1 if mvhd + 32 <= mvhdEnd =>
           val scale = u32(mvhd + 20); val dur = u64(mvhd + 24)
-          if (scale > 0) Some((dur.toDouble / scale, scale.toInt)) else None
+          if (scale > 0 && scale <= Int.MaxValue) Some((dur.toDouble / scale, scale.toInt)) else None
         case _ => None
       }
     } yield result

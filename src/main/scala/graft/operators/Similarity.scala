@@ -147,6 +147,9 @@ object Similarity {
     // several-fold better). lloydIters = 0 keeps the deterministic
     // seed-only codebook the DuckDB oracle replicates.
     val seed = kmeansCentroids(c, ksub, lloydIters = 0, portableSeed)
+    require(seed.isEmpty || seed(0).length % m == 0,
+      s"PQ subspace count m=$m must divide the embedding dim ${seed.headOption.fold(0)(_.length)} " +
+      "(integer truncation would silently drop trailing dimensions and break code indexing)")
     val cb = pqRefine(c, seed, m, lloydIters).toSeq.map(_.toSeq)
     val encoded = c
       .withColumn("codes", column(graft.plans.PqEncode(expression(col("cv")), cb, m)))

@@ -289,14 +289,22 @@ object TfRecordCodec {
       case BinaryType  => bytesFeature(r.getAs[Array[Byte]](i))
       case ArrayType(et, _) =>
         val vs = r.getSeq[Any](i)
+        // NULL elements inside typed lists: TF's Int64List/FloatList
+        // cannot represent null (the reference CRASHES here — a None
+        // inside a typed meta list raises in protobuf); map to 0
+        // rather than killing the sink task
         et match {
           case ByteType | ShortType | IntegerType | LongType | BooleanType =>
             int64Feature(vs.map {
+              case null => 0L
               case b: Boolean => if (b) 1L else 0L
               case n: Number => n.longValue()
             })
           case FloatType | DoubleType =>
-            floatFeature(vs.map(_.asInstanceOf[Number].floatValue()))
+            floatFeature(vs.map {
+              case null => 0.0f
+              case n: Number => n.floatValue()
+            })
           case _ =>
             bytesListFeature(vs.map(v =>
               (if (v == null) "" else v.toString).getBytes("UTF-8")))

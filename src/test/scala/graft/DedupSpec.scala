@@ -129,6 +129,10 @@ class DedupSpec extends SparkSpec {
     info(f"m=16 shortlist-50 + exact-rerank recall@10: $rrRecall%.2f")
     assert(rrRecall >= 0.6, s"rerank recall $rrRecall vs exact L2")
     // compression claim: encoded corpus carries m ints per vector
+    // m must divide dim — silent truncation would break code indexing
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(corpus, queries, "embedding", "vec_id", 10, m = 7)
+    }
     val cb = Similarity.kmeansCentroids(c, 16, lloydIters = 0)
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val codes = c.select(column(graft.plans.PqEncode(expression(col("cv")), cb.toSeq.map(_.toSeq), 8)).as("codes"))

@@ -123,6 +123,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWavHeader(adpcm).isEmpty, "compressed WAV → stub path")
   }
 
+  test("chunk walks survive crafted near-2^31 chunk sizes (no Int overflow)") {
+    // a chunk size of 0x7FFFFFF0 must end the walk (cursor past EOF),
+    // never wrap the offset negative into an AIOOBE
+    val wav = java.nio.ByteBuffer.allocate(100).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(92).put("WAVE".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(0x7FFFFFF0)
+      .array()
+    assert(Multimodal.parseWavHeader(wav).isEmpty, "WAV walk returns None, no crash")
+    val aiff = java.nio.ByteBuffer.allocate(100) // big-endian default
+      .put("FORM".getBytes("US-ASCII")).putInt(92).put("AIFF".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(0x7FFFFFF0)
+      .array()
+    assert(Multimodal.parseAiffHeader(aiff).isEmpty, "AIFF walk returns None, no crash")
+  }
+
   /** Minimal well-formed MP4: ftyp + moov(mvhd v0) with timescale
     * 1000, duration 2500 → exactly 2.5 s.
     */

@@ -96,6 +96,12 @@ class TfRecordGoldenSpec extends AnyFunSuite {
     // NULL of ANY type → empty bytes_list (reference types by VALUE:
     // _feature(None) is bytes_feature(b""), even for an int column)
     assert(hex(TfRecordCodec.typedFeature(r, 5, IntegerType)) == "0A 02 0A 00")
+    // NULL elements INSIDE typed lists → 0 (TF's Int64List/FloatList
+    // cannot represent null; the sink must not crash on them)
+    val rn = Row(Seq(1L, null), Seq(0.5, null))
+    assert(hex(TfRecordCodec.typedFeature(rn, 0, ArrayType(LongType))) == "1A 04 0A 02 01 00")
+    assert(hex(TfRecordCodec.typedFeature(rn, 1, ArrayType(DoubleType))) ==
+      "12 0A 0A 08 00 00 00 3F 00 00 00 00")
   }
 
   test("int64/float features: wire-format golden") {
