@@ -561,6 +561,37 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"), col("pack_id"))
         .orderBy("doc_id")
     }),
+    "txt_split" -> ((s, dir) => {
+      // Deterministic train/val/test assignment by portable id hash —
+      // THE 100 TB split mechanism: stable across runs/engines, no
+      // sampling state, any engine reproduces the same membership.
+      val h = pmod(Dedup.portableHash60(col("doc_id").cast("string")), lit(100))
+      t(s, dir, "documents").select(col("doc_id"),
+          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+    "txt_canonical" -> ((s, dir) => {
+      // Canonical selection: for each near-dup cluster (capped LSH
+      // pairs ≥ 0.3 → connected components) keep the HIGHEST-quality
+      // member (ties → lowest doc_id); singletons are their own
+      // canonical. The "which duplicate do we train on" step that
+      // follows clustering in a real curation stack.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.3,
+        portableHash = true)
+      val clusters = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val q = TextAnalysis.quality(docs, "text").select(col("doc_id"), col("quality_score"))
+      val withCluster = q.join(clusters, Seq("doc_id"), "left")
+        .withColumn("cl", coalesce(col("cluster_id"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cl").orderBy(col("quality_score").desc, col("doc_id").asc)
+      val canon = withCluster.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("cl"), col("doc_id").as("canonical_id"))
+      withCluster.join(canon, "cl")
+        .select("doc_id", "canonical_id").orderBy("doc_id")
+    }),
     "txt_scrub" -> ((s, dir) => {
       // PII scrubbing audit: scrubbed text fingerprint + placeholder
       // count (emails/URLs/IPv4 → typed tokens; parity-safe ASCII
@@ -1179,6 +1210,44 @@ object SparkEntry {
          contam AS (SELECT DISTINCT d.doc_id FROM d JOIN b USING (g))
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM contam) ORDER BY doc_id""",
+    "txt_split" ->
+      s"""SELECT doc_id,
+         CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id, ${duckHex60("CAST(doc_id AS VARCHAR)")} % 100 AS h
+               FROM documents)
+         ORDER BY doc_id""",
+    "txt_canonical" ->
+      s"""WITH RECURSIVE $minhashLshCtes,
+         j AS (SELECT id_a, id_b FROM mh_ver WHERE jac >= 0.3),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM j
+                   UNION SELECT id_b, id_a FROM j),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         lbl AS (SELECT n.doc_id, least(n.doc_id, min(r.dst)) AS cluster_id
+           FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id GROUP BY n.doc_id),
+         t AS (SELECT doc_id, text,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+         m AS (SELECT doc_id,
+           CAST(len(toks) AS DOUBLE) AS n,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text, '[^.,!?;:''"()\\-]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE) / len(toks) END AS sr
+         FROM t),
+         q AS (SELECT doc_id,
+           ${roundToSql("least(n / 64.0, 1.0) * least(1.0, 4096.0 / greatest(n, 1.0)) * 0.5 + least(sr * 4.0, 1.0) * 0.3 + (1.0 - least(pr * 4.0, 1.0)) * 0.2", 6)} AS quality_score
+         FROM m),
+         wc AS (SELECT q.doc_id, q.quality_score,
+           coalesce(lbl.cluster_id, q.doc_id) AS cl
+           FROM q LEFT JOIN lbl ON lbl.doc_id = q.doc_id),
+         canon AS (SELECT cl, doc_id AS canonical_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY cl ORDER BY quality_score DESC, doc_id) AS rn
+           FROM wc) WHERE rn = 1)
+         SELECT wc.doc_id, canon.canonical_id
+         FROM wc JOIN canon USING (cl) ORDER BY wc.doc_id""",
     "txt_scrub" ->
       s"""WITH s AS (SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(text,
