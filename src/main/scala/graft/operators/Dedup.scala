@@ -305,6 +305,44 @@ object Dedup {
     df.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Incremental batch dedup against a persisted fingerprint index —
+    * the "daily ingest" pattern: drop new documents whose normalized-
+    * text fingerprint already exists in the index, then append the
+    * survivors' fingerprints. Returns the deduplicated batch.
+    *
+    * Scale shape: the index is a plain parquet table of fingerprints;
+    * the membership test is a hash-partitioned `left_anti` equi-join
+    * (no driver-side set, no broadcast of the corpus-sized index) and
+    * the append writes only the new batch's fingerprints. Within-batch
+    * duplicates collapse first via the same one-shuffle group-by that
+    * [[exact]] uses. For the unbounded-stream form of this, see
+    * [[graft.streaming.EventStream.dedupStream]].
+    */
+  def incrementalExact(newDocs: DataFrame, textCol: String, idCol: String,
+                       indexPath: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val fp = newDocs.withColumn("__fp", fingerprint(col(textCol)))
+    // collapse within-batch dups: keep the min-id representative
+    val firstPerFp = fp.groupBy("__fp").agg(min(col(idCol)).as(idCol))
+      .join(fp, Seq("__fp", idCol))
+    val indexExists = {
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p)
+    }
+    val fresh =
+      if (!indexExists) firstPerFp
+      else {
+        val index = spark.read.parquet(indexPath).select(col("fingerprint").as("__fp"))
+        firstPerFp.join(index, Seq("__fp"), "left_anti")
+      }
+    // Materialize the survivors BEFORE appending their fingerprints:
+    // the append must not race the anti-join that reads the index.
+    val out = fresh.localCheckpoint(true)
+    out.select(col("__fp").as("fingerprint"))
+      .write.mode("append").parquet(indexPath)
+    out.drop("__fp")
+  }
+
   /** Seeded random hyperplanes for cosine LSH, baked as plan literals. */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rng = new Random(seed)

@@ -140,6 +140,23 @@ class DedupSpec extends SparkSpec {
     assert(codes.forall(_.getSeq[Int](0).length == 8), "64 doubles -> 8 codes")
   }
 
+  test("incremental exact dedup: second batch drops docs already in the index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString + "/index"
+    val batch1 = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "ALPHA   beta")) // 3 dups 1
+      .toDF("doc_id", "text")
+    val out1 = Dedup.incrementalExact(batch1, "text", "doc_id", dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out1 == Set(1L, 2L), "within-batch dup collapsed to min id")
+    val batch2 = Seq((10L, "alpha beta"), (11L, "delta"), (12L, "gamma"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.incrementalExact(batch2, "text", "doc_id", dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out2 == Set(11L), "only the genuinely new doc survives batch 2")
+    val batch3 = Seq((20L, "delta")).toDF("doc_id", "text")
+    assert(Dedup.incrementalExact(batch3, "text", "doc_id", dir).isEmpty,
+      "batch-2 survivor's fingerprint was appended to the index")
+  }
+
   test("connected components: 100-deep chain converges via pointer doubling") {
     // plain O(diameter) propagation would need 100 rounds and silently
     // truncate at maxIter=20; pointer doubling needs ~log2(100) ≈ 7
