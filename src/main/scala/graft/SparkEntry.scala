@@ -251,6 +251,24 @@ object SparkEntry {
   private val deList = TextFunctions.deStopwords.mkString("['", "', '", "']")
   private val frList = TextFunctions.frStopwords.mkString("['", "', '", "']")
 
+  /** Shared quality-score SQL fragments — the formula and its inputs
+    * live in ONE place for every oracle that scores quality
+    * (txt_quality, txt_curation, txt_canonical); a drift between
+    * copies would desynchronize an oracle from
+    * [[TextFunctions.qualityScore]] and surface only as a confusing
+    * hash mismatch. `qualityMetricsBody` expects (text, toks) in
+    * scope; `qualityScoreExpr` expects (n, pr, sr).
+    */
+  private def qualityMetricsBody: String =
+    s"""CAST(len(toks) AS DOUBLE) AS n,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text, '[^.,!?;:''"()\\-]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE) / len(toks) END AS sr"""
+
+  private def qualityScoreExpr: String =
+    roundToSql("least(n / 64.0, 1.0) * least(1.0, 4096.0 / greatest(n, 1.0)) * 0.5 + least(sr * 4.0, 1.0) * 0.3 + (1.0 - least(pr * 4.0, 1.0)) * 0.2", 6)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.5 generic surface) ----
     "q1_agg" -> ((s, dir) => {
@@ -1069,14 +1087,10 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, text,
            regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
          m AS (SELECT doc_id,
-           CAST(len(toks) AS DOUBLE) AS n,
-           CASE WHEN length(text) = 0 THEN 0.0
-                ELSE CAST(length(regexp_replace(text, '[^.,!?;:''"()\\-]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
-           CASE WHEN len(toks) = 0 THEN 0.0
-                ELSE CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE) / len(toks) END AS sr
+           $qualityMetricsBody
          FROM t)
          SELECT doc_id, ${roundToSql("pr", 6)} AS punct_ratio, ${roundToSql("sr", 6)} AS stopword_ratio,
-           ${roundToSql("least(n / 64.0, 1.0) * least(1.0, 4096.0 / greatest(n, 1.0)) * 0.5 + least(sr * 4.0, 1.0) * 0.3 + (1.0 - least(pr * 4.0, 1.0)) * 0.2", 6)} AS quality_score
+           $qualityScoreExpr AS quality_score
          FROM m ORDER BY doc_id""",
     "txt_langid" ->
       s"""WITH t AS (SELECT doc_id,
@@ -1129,14 +1143,10 @@ object SparkEntry {
                 WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred
          FROM h),
          m AS (SELECT doc_id, lang_pred,
-           CAST(len(toks) AS DOUBLE) AS n,
-           CASE WHEN length(text) = 0 THEN 0.0
-                ELSE CAST(length(regexp_replace(text, '[^.,!?;:''"()\\-]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
-           CASE WHEN len(toks) = 0 THEN 0.0
-                ELSE CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE) / len(toks) END AS sr
+           $qualityMetricsBody
          FROM lang),
          q AS (SELECT doc_id, lang_pred,
-           ${roundToSql("least(n / 64.0, 1.0) * least(1.0, 4096.0 / greatest(n, 1.0)) * 0.5 + least(sr * 4.0, 1.0) * 0.3 + (1.0 - least(pr * 4.0, 1.0)) * 0.2", 6)} AS quality_score
+           $qualityScoreExpr AS quality_score
          FROM m),
          losers AS (SELECT DISTINCT id_b AS doc_id FROM mh_ver WHERE jac >= 0.5)
          SELECT doc_id, lang_pred, quality_score FROM q
@@ -1231,14 +1241,10 @@ object SparkEntry {
          t AS (SELECT doc_id, text,
            regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
          m AS (SELECT doc_id,
-           CAST(len(toks) AS DOUBLE) AS n,
-           CASE WHEN length(text) = 0 THEN 0.0
-                ELSE CAST(length(regexp_replace(text, '[^.,!?;:''"()\\-]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
-           CASE WHEN len(toks) = 0 THEN 0.0
-                ELSE CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE) / len(toks) END AS sr
+           $qualityMetricsBody
          FROM t),
          q AS (SELECT doc_id,
-           ${roundToSql("least(n / 64.0, 1.0) * least(1.0, 4096.0 / greatest(n, 1.0)) * 0.5 + least(sr * 4.0, 1.0) * 0.3 + (1.0 - least(pr * 4.0, 1.0)) * 0.2", 6)} AS quality_score
+           $qualityScoreExpr AS quality_score
          FROM m),
          wc AS (SELECT q.doc_id, q.quality_score,
            coalesce(lbl.cluster_id, q.doc_id) AS cl

@@ -307,16 +307,23 @@ object Dedup {
 
   /** Incremental batch dedup against a persisted fingerprint index —
     * the "daily ingest" pattern: drop new documents whose normalized-
-    * text fingerprint already exists in the index, then append the
-    * survivors' fingerprints. Returns the deduplicated batch.
+    * text fingerprint already exists in the index. Returns the
+    * deduplicated batch.
+    *
+    * The survivors' fingerprints are NOT appended here: call
+    * [[commitFingerprints]] only AFTER the batch has been durably
+    * written downstream. Appending inside this call would make the
+    * operation non-idempotent — a failed downstream write that
+    * retries would find its own fingerprints already indexed, the
+    * anti-join would drop every document, and the batch would be
+    * silently lost.
     *
     * Scale shape: the index is a plain parquet table of fingerprints;
     * the membership test is a hash-partitioned `left_anti` equi-join
-    * (no driver-side set, no broadcast of the corpus-sized index) and
-    * the append writes only the new batch's fingerprints. Within-batch
-    * duplicates collapse first via the same one-shuffle group-by that
-    * [[exact]] uses. For the unbounded-stream form of this, see
-    * [[graft.streaming.EventStream.dedupStream]].
+    * (no driver-side set, no broadcast of the corpus-sized index).
+    * Within-batch duplicates collapse first via the same one-shuffle
+    * group-by that [[exact]] uses. For the unbounded-stream form of
+    * this, see [[graft.streaming.EventStream.dedupStream]].
     */
   def incrementalExact(newDocs: DataFrame, textCol: String, idCol: String,
                        indexPath: String): DataFrame = {
@@ -327,7 +334,11 @@ object Dedup {
       .join(fp, Seq("__fp", idCol))
     val indexExists = {
       val p = new org.apache.hadoop.fs.Path(indexPath)
-      p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p)
+      // session conf, NOT a bare Configuration: spark.hadoop.* (e.g.
+      // fs.defaultFS, object-store credentials) must resolve the SAME
+      // filesystem spark.read below uses, or the existence check
+      // silently consults the wrong store and dedup never engages
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
     val fresh =
       if (!indexExists) firstPerFp
@@ -335,13 +346,18 @@ object Dedup {
         val index = spark.read.parquet(indexPath).select(col("fingerprint").as("__fp"))
         firstPerFp.join(index, Seq("__fp"), "left_anti")
       }
-    // Materialize the survivors BEFORE appending their fingerprints:
-    // the append must not race the anti-join that reads the index.
-    val out = fresh.localCheckpoint(true)
-    out.select(col("__fp").as("fingerprint"))
-      .write.mode("append").parquet(indexPath)
-    out.drop("__fp")
+    // Materialized so the caller's later actions (including the
+    // commit) never re-run the anti-join against a changed index.
+    fresh.localCheckpoint(eager = true).drop("__fp")
   }
+
+  /** Record a durably-written batch's fingerprints in the index —
+    * the commit half of [[incrementalExact]]; idempotency contract:
+    * call exactly once per SUCCESSFULLY persisted batch.
+    */
+  def commitFingerprints(docs: DataFrame, textCol: String, indexPath: String): Unit =
+    docs.select(fingerprint(col(textCol)).as("fingerprint"))
+      .write.mode("append").parquet(indexPath)
 
   /** Seeded random hyperplanes for cosine LSH, baked as plan literals. */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
@@ -26,9 +25,14 @@ object Maintenance {
     *    sorted within partitions on those columns, so each output
     *    file covers a narrow key range — parquet row-group min/max
     *    stats then let later scans skip whole files/groups.
-    *  - Rewrite is staged into a `_compact_tmp` sibling and swapped
-    *    in only after the write succeeds — a failed compaction leaves
-    *    the original directory untouched.
+    *  - Rewrite is staged into a `_compact_tmp` sibling; the swap is
+    *    rename-based (orig → `_compact_old`, tmp → dir, delete old),
+    *    so a failure BEFORE the final rename leaves the original
+    *    either in place or restorable at `_compact_old` — never both
+    *    directories gone. Rename-swap is the strongest primitive a
+    *    bare filesystem offers; on object stores whose rename is
+    *    copy+delete, readers concurrent with the swap window need a
+    *    manifest-based table format instead.
     *
     * Returns the number of output files.
     */
@@ -37,10 +41,22 @@ object Maintenance {
                      sortCols: Seq[String] = Nil): Int = {
     require(targetBytes > 0)
     val path = new Path(dir)
-    val fs = path.getFileSystem(new Configuration())
-    val files = fs.listStatus(path).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    if (files.isEmpty) return 0
-    val totalBytes = files.map(_.getLen).sum
+    // session conf so spark.hadoop.* (fs.defaultFS, credentials)
+    // resolves the same filesystem the read/write below use
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // recursive listing: partitioned layouts (date=.../part-*.parquet)
+    // keep every file in subdirectories — a top-level listStatus would
+    // silently report "nothing to compact"
+    val it = fs.listFiles(path, true)
+    var totalBytes = 0L
+    var nFiles = 0
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        totalBytes += st.getLen; nFiles += 1
+      }
+    }
+    if (nFiles == 0) return 0
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
     val df = spark.read.parquet(dir)
@@ -50,10 +66,18 @@ object Maintenance {
         .sortWithinPartitions(sortCols.map(col): _*)
 
     val tmp = new Path(path.getParent, path.getName + "_compact_tmp")
+    val old = new Path(path.getParent, path.getName + "_compact_old")
     shaped.write.mode("overwrite").parquet(tmp.toString)
-    // swap: the staged write is durable before the original goes away
-    fs.delete(path, true)
-    require(fs.rename(tmp, path), s"rename $tmp -> $path failed")
+    // swap via renames: the original is never deleted before the
+    // replacement is in place
+    fs.delete(old, true) // leftover from a crashed prior run
+    require(fs.rename(path, old), s"rename $path -> $old failed; original untouched")
+    if (!fs.rename(tmp, path)) {
+      // restore and fail loudly — dir must never be left missing
+      fs.rename(old, path)
+      throw new IllegalStateException(s"rename $tmp -> $path failed; original restored")
+    }
+    fs.delete(old, true)
     nOut
   }
 }

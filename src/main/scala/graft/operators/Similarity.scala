@@ -139,6 +139,9 @@ object Similarity {
       m: Int = 8, ksub: Int = 16, lloydIters: Int = 2,
       rerank: Int = 0,
       portableSeed: Boolean = false): DataFrame = {
+    // parameter errors fail BEFORE any Spark job runs (m = 0 would
+    // otherwise surface as '/ by zero' after the seeding job)
+    require(m > 0 && ksub > 0 && k > 0, s"m=$m, ksub=$ksub, k=$k must all be positive")
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     // Codebook: ksub sampled corpus rows, then per-subspace Lloyd

@@ -140,21 +140,28 @@ class DedupSpec extends SparkSpec {
     assert(codes.forall(_.getSeq[Int](0).length == 8), "64 doubles -> 8 codes")
   }
 
-  test("incremental exact dedup: second batch drops docs already in the index") {
+  test("incremental exact dedup: commit-after-write keeps retries safe") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString + "/index"
     val batch1 = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "ALPHA   beta")) // 3 dups 1
       .toDF("doc_id", "text")
     val out1 = Dedup.incrementalExact(batch1, "text", "doc_id", dir)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(out1 == Set(1L, 2L), "within-batch dup collapsed to min id")
+    assert(out1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "within-batch dup collapsed to min id")
+    // idempotency: BEFORE the commit, a retry of the same batch sees
+    // the same survivors — a failed downstream write loses nothing
+    val retry = Dedup.incrementalExact(batch1, "text", "doc_id", dir)
+    assert(retry.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "pre-commit retry returns the full batch again")
+    Dedup.commitFingerprints(out1, "text", dir) // the batch is now 'durably written'
     val batch2 = Seq((10L, "alpha beta"), (11L, "delta"), (12L, "gamma"))
       .toDF("doc_id", "text")
     val out2 = Dedup.incrementalExact(batch2, "text", "doc_id", dir)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(out2 == Set(11L), "only the genuinely new doc survives batch 2")
+    assert(out2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L),
+      "only the genuinely new doc survives batch 2")
+    Dedup.commitFingerprints(out2, "text", dir)
     val batch3 = Seq((20L, "delta")).toDF("doc_id", "text")
     assert(Dedup.incrementalExact(batch3, "text", "doc_id", dir).isEmpty,
-      "batch-2 survivor's fingerprint was appended to the index")
+      "batch-2 survivor's committed fingerprint blocks batch 3")
   }
 
   test("connected components: 100-deep chain converges via pointer doubling") {
