@@ -11,14 +11,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query shuffle accounting: a task-level listener sums shuffle
+    // write bytes; the before/after delta per query is the direct
+    // evidence for the shuffle-minimization claims (a query whose
+    // bytes balloon at higher SF is a scale bug the wall-clock alone
+    // can hide behind fast local disks).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def drainListeners(): Unit =
+      try org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      catch { case _: Throwable => Thread.sleep(300) }
     // untimed warm-up: one representative query absorbs JVM/codegen/
     // scan warm-up so the first TIMED query isn't charged for it
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      drainListeners()
+      val s0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      drainListeners()
+      name -> ((secs, shuffleBytes.get() - s0))
     }
     // Flagship pipeline throughput: N images through
     // read → shard → thread-pooled download → resize(256 border) →
@@ -69,10 +88,12 @@ object Bench {
           s""","pipeline":$dummy,"pipeline_webdataset":$wds"""
         } finally server.stop()
       } catch { case e: Throwable => s""","pipeline":{"error":"${e.getClass.getSimpleName}"}""" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (secs, _)) => s"\"" + k + "\":" + secs }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$pipelineStats}""")
+    val sh = results.map { case (k, (_, b)) => s"\"" + k + "\":" + b }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"sf":"$sfDir"$pipelineStats}""")
     spark.stop()
   }
 }
