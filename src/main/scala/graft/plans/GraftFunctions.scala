@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   */
 object GraftFunctions {
 
-  private def intArg(e: Expression, what: String): Int = e match {
+  private[plans] def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
@@ -18,7 +18,7 @@ object GraftFunctions {
   /** Constant `array<array<double>>` argument (centroid matrix /
     * PQ codebook), folded once at resolution into the plan.
     */
-  private def matrixArg(e: Expression, fname: String): Seq[Seq[Double]] = {
+  private[plans] def matrixArg(e: Expression, fname: String): Seq[Seq[Double]] = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     def bad(what: String) = throw new IllegalArgumentException(
       s"$fname expects a non-null constant array<array<double>>; $what")

@@ -124,6 +124,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!shipsVectorsThroughBuckets, "bucket shuffle is slim (no vector payload)")
   }
 
+  test("txt_canonical / txt_split: no single-partition funnel") {
+    // note: the LSH pair generation + CC rounds materialize during
+    // construction (localCheckpoint), so the returned plan shows only
+    // the quality join + per-cluster window — the capped LSH path
+    // itself is audited via txt_curation above
+    val pc = plan("txt_canonical")
+    assert(!pc.contains("Exchange SinglePartition"),
+      s"canonical selection windows are keyed by cluster, never global:\n$pc")
+    val ps = plan("txt_split")
+    assert(!ps.contains("Exchange SinglePartition"), "split assignment is a narrow map + sort")
+    assert(!ps.contains("Join"), "no join in deterministic split assignment")
+  }
+
   test("dedup exact: single hash-aggregate shuffle, no join") {
     val p = plan("dedup_exact")
     assert(!p.contains("Join"), "exact dedup must not join")
