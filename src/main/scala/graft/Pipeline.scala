@@ -69,8 +69,11 @@ object Pipeline {
     }
     fs.mkdirs(new Path(outDir))
 
-    // SCAN → canonicalize → shard (S1-S9, P1/P2, R1/R2, T2)
-    val sharded = UrlReader.read(spark, inputPath, cfg, startShardId)
+    // SCAN → canonicalize → shard (S1-S9, P1/P2, R1/R2, T2). The url
+    // frame is cached inside the reader; release it after the
+    // materializing write (long-lived sessions would otherwise
+    // accumulate one pinned url cache per pipeline run).
+    val (sharded, urlCache) = UrlReader.readWithCache(spark, inputPath, cfg, startShardId)
 
     // F6: skip already-done shards (broadcast anti-join; `done` is a
     // driver-known, small list — one stats file per finished shard).
@@ -207,7 +210,10 @@ object Pipeline {
     // everything after reads durable bytes. stop() in finally: a
     // failed write must not leak the poller thread (it would keep
     // emitting lines into the next run)
-    } } finally progress.foreach(_.stop())
+    } } finally {
+      progress.foreach(_.stop())
+      urlCache.unpersist()
+    }
 
     // AGG: per-shard stats sidecars + global counters (A1-A7)
     val statsDf = Stats.shardStats(statsInput).cache()

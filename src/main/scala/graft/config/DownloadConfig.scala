@@ -68,6 +68,8 @@ case class DownloadConfig(
           s"(got verify=$tpe compute=$c)") // main.py:36-43
       }
     }
+    require(ValidInputFormats.contains(inputFormat),
+      s"inputFormat must be one of $ValidInputFormats") // else readRaw would MatchError
     require(ValidResizeModes.contains(resizeMode), s"resizeMode must be one of $ValidResizeModes")
     require(ValidOutputFormats.contains(outputFormat), s"outputFormat must be one of $ValidOutputFormats")
     require(ValidEncodeFormats.contains(encodeFormat),
@@ -96,6 +98,8 @@ case class DownloadConfig(
 
 object DownloadConfig {
   val ValidHashes: Set[String] = Set("md5", "sha256", "sha512")
+  val ValidInputFormats: Set[String] =
+    Set("auto", "txt", "csv", "tsv", "json", "jsonl", "parquet")
   val ValidResizeModes: Set[String] =
     Set("no", "border", "keep_ratio", "keep_ratio_largest", "center_crop")
   val ValidOutputFormats: Set[String] =

@@ -107,7 +107,17 @@ object Downloader {
         (buf.toByteArray, null)
       }
     } catch {
-      case e: Throwable => (null, Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+      // task kill (pool.shutdownNow) interrupts worker threads mid-
+      // fetch: restore the interrupt flag (InterruptedException clears
+      // it) so the retry loop sees the dying task and stops
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt(); (null, "interrupted")
+      case e: java.io.InterruptedIOException =>
+        Thread.currentThread().interrupt(); (null, "interrupted")
+      // NonFatal only: an OOM while buffering a payload must fail the
+      // task, not be recorded as a per-row download error
+      case scala.util.control.NonFatal(e) =>
+        (null, Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
     } finally {
       if (conn != null) conn.disconnect()
     }
@@ -117,7 +127,9 @@ object Downloader {
   private def fetchWithRetry(url: String, cfg: DownloadConfig): (Array[Byte], String) = {
     var attempt = 0
     var res = fetchOnce(url, cfg)
-    while (res._1 == null && attempt < cfg.retries) {
+    // interrupt guard: a killed task must not launch fresh full-
+    // timeout attempts from its dying pool threads
+    while (res._1 == null && attempt < cfg.retries && !Thread.currentThread().isInterrupted) {
       attempt += 1
       res = fetchOnce(url, cfg)
     }

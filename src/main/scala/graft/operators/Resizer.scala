@@ -184,7 +184,11 @@ object Resizer {
         else encode(img, cfg.encodeFormat, cfg.encodeQuality)
       ResizeResult(outBytes, Some(w), Some(h), Some(ow), Some(oh), None)
     } catch {
-      case e: Throwable => err(s"resize failed: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+      // NonFatal only — consistent with the decode guard above: a
+      // decompression-bomb OOM or an interrupt must FAIL the task, not
+      // masquerade as a tagged 'resize failed' row on a corrupted JVM
+      case scala.util.control.NonFatal(e) =>
+        err(s"resize failed: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
     }
   }
 

@@ -39,12 +39,18 @@ object UrlReader {
 
   /** S1–S8: read one file/glob in the given format. */
   def readRaw(spark: SparkSession, path: String, format: String): DataFrame = format match {
-    case "txt" => spark.read.text(path).toDF("url")                            // S1/S2
+    case "txt" =>
+      // pandas read_table skips blank lines by default: an interior
+      // blank line must not become an empty-url row (it would shift
+      // every later row's global index/shard/key off the reference's)
+      spark.read.text(path).toDF("url").filter(length(col("url")) > 0)         // S1/S2
     case "csv" => spark.read.option("header", "true").csv(path)                // S3
     case "tsv" => spark.read.option("header", "true").option("sep", "\t").csv(path) // S4
     case "jsonl" => spark.read.json(path)                                      // S6
     case "json" => readColumnOrientedJson(spark, path)                         // S5
     case "parquet" => spark.read.parquet(path)                                 // S7
+    case other => throw new IllegalArgumentException(
+      s"unsupported input format: $other (expected one of ${DownloadConfig.ValidInputFormats})")
   }
 
   /** S5: pandas column-oriented JSON `{"caption":{"0":…},"url":{"0":…}}`
@@ -78,10 +84,14 @@ object UrlReader {
     val triples = whole
       .select(col("__f"), explode(col("m")).as(Seq("c", "im")))
       .select(col("__f"), col("c"), explode(col("im")).as(Seq("__idx", "v")))
+    // Group on the RAW index label (a long cast would merge distinct
+    // labels like '0'/'00' and, under ANSI mode, THROW on pandas
+    // string index labels); order numerically when the labels are
+    // numeric (the to_json default), lexicographically otherwise.
     triples
-      .groupBy(col("__f"), col("__idx").cast("long").as("__idx"))
+      .groupBy(col("__f"), col("__idx"))
       .pivot("c", colNames).agg(first("v"))
-      .orderBy("__f", "__idx")
+      .orderBy(col("__f"), expr("try_cast(__idx AS BIGINT)").asc_nulls_last, col("__idx"))
       .drop("__f", "__idx")
   }
 
@@ -134,9 +144,42 @@ object UrlReader {
     * model (one worker task per shard, R5).
     */
   def read(spark: SparkSession, path: String, cfg: DownloadConfig,
-           startShardId: Long = 0L): DataFrame = {
-    val fmt = if (cfg.inputFormat == "auto") sniffFormat(path) else cfg.inputFormat
-    val raw = readRaw(spark, path, fmt)
+           startShardId: Long = 0L): DataFrame =
+    readWithCache(spark, path, cfg, startShardId)._1
+
+  /** [[read]] plus the CACHED url frame backing it: the cache pins
+    * block-manager storage until explicitly released, so long-lived
+    * sessions (repeated pipeline runs) must `unpersist()` it once the
+    * materializing write has consumed the urls — `Pipeline.download`
+    * does. `read` alone is fine for one-shot/test use.
+    */
+  def readWithCache(spark: SparkSession, path: String, cfg: DownloadConfig,
+                    startShardId: Long = 0L): (DataFrame, DataFrame) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // a glob path (dir/*.txt) is handed to Spark as-is, never probed
+    val isDir = !path.exists(c => "*?[{".contains(c)) &&
+      scala.util.Try(fs.getFileStatus(p).isDirectory).getOrElse(false)
+    val fmt =
+      if (cfg.inputFormat != "auto") cfg.inputFormat
+      else if (!isDir) sniffFormat(path)
+      else {
+        // directory in auto mode: sniff from the contained files
+        val known = fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+          .flatMap(n => scala.util.Try(sniffFormat(n)).toOption)
+        require(known.nonEmpty, s"no recognizable url-list files in directory: $path")
+        require(known.distinct.length == 1,
+          s"directory mixes url-list formats ${known.distinct.mkString(", ")}: " +
+          "pass inputFormat explicitly")
+        known.head
+      }
+    // S8: directory inputs read ONLY `*.fmt` (+ .gz) — a stray
+    // _SUCCESS / README / stats sidecar must not become url rows.
+    // Spark's file listing is path-sorted, preserving order.
+    val src =
+      if (isDir) s"${path.stripSuffix("/")}/*.{$fmt,$fmt.gz}"
+      else path
+    val raw = readRaw(spark, src, fmt)
     // The url frame is read three times (shard-count, zipWithIndex's
     // offset pass, the data pass) — cache it; it is O(input list),
     // tiny next to the payloads it fans out to, and this matters for
@@ -146,6 +189,6 @@ object UrlReader {
     val nShards = math.max(
       math.ceil(canonical.count().toDouble / cfg.samplesPerShard).toInt, 1)
     val sharded = withShards(canonical, cfg, startShardId)
-    sharded.repartition(nShards, col("shard_id"))
+    (sharded.repartition(nShards, col("shard_id")), canonical)
   }
 }

@@ -96,6 +96,56 @@ class UrlReaderSpec extends SparkSpec {
     assert(df.count() == 17)
   }
 
+  test("txt: interior blank lines skipped (pandas read_table parity)") {
+    val d = dir("blank")
+    Files.write(Paths.get(d, "u.txt"),
+      (urls.take(3) ++ Seq("", "") ++ urls.slice(3, 5)).mkString("\n").getBytes)
+    val df = UrlReader.readRaw(spark, s"$d/u.txt", "txt")
+    assert(df.count() == 5, "blank lines are not url rows")
+  }
+
+  test("directory input: only *.fmt files read, strays ignored (S8)") {
+    val d = dir("dirin")
+    Files.write(Paths.get(d, "a.txt"), urls.take(3).mkString("\n").getBytes)
+    Files.write(Paths.get(d, "b.txt"), urls.slice(3, 5).mkString("\n").getBytes)
+    Files.write(Paths.get(d, "_SUCCESS"), Array.emptyByteArray)
+    Files.write(Paths.get(d, "README.md"), "not a url".getBytes)
+    // auto mode sniffs the format from the contained files
+    val df = UrlReader.read(spark, d, DownloadConfig(samplesPerShard = 100))
+    assert(df.count() == 5, "stray files contribute no rows")
+    // explicit format behaves identically
+    val df2 = UrlReader.read(spark, d, DownloadConfig(inputFormat = "txt", samplesPerShard = 100))
+    assert(df2.count() == 5)
+  }
+
+  test("keys widen (zfill) instead of truncating past the digit budget") {
+    import spark.implicits._
+    import graft.functions.PipelineFunctions
+    // shard 149999 with oomShardCount=5: Python zfill widens to 6
+    // digits; a truncating lpad would collide with shard 14999
+    val r = Seq((149999L, 7L)).toDF("s", "i")
+      .select(PipelineFunctions.shardName(col("s"), 5).as("name"),
+              PipelineFunctions.computeKey(col("s"), col("i"), 1, 5).as("key"))
+      .collect()(0)
+    assert(r.getString(0) == "149999", "shard name never truncates")
+    assert(r.getString(1) == "1499997", "key = 10^oom*shard+idx, widened not truncated")
+    // and the normal in-budget case still zero-pads
+    val r2 = Seq((42L, 3L)).toDF("s", "i")
+      .select(PipelineFunctions.shardName(col("s"), 5).as("name"),
+              PipelineFunctions.computeKey(col("s"), col("i"), 4, 5).as("key"))
+      .collect()(0)
+    assert(r2.getString(0) == "00042" && r2.getString(1) == "000420003")
+  }
+
+  test("column-oriented json: string index labels survive (no ANSI cast crash)") {
+    val d = dir("stridx")
+    Files.write(Paths.get(d, "s.json"),
+      """{"url": {"a": "http://x/1.jpg", "b": "http://x/2.jpg"}}""".getBytes)
+    val df = UrlReader.readRaw(spark, s"$d/s.json", "json")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("http://x/1.jpg", "http://x/2.jpg"))
+  }
+
   test("canonicalize renames url/caption/hash columns (P2) and prunes (P1)") {
     import spark.implicits._
     val df = Seq(("u1", "c1", "h1", "junk")).toDF("URL", "TEXT", "sha256hash", "extra")
@@ -143,6 +193,9 @@ class UrlReaderSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       DownloadConfig(encodeFormat = "gif").validate()
+    }
+    intercept[IllegalArgumentException] {
+      DownloadConfig(inputFormat = "feather").validate() // clean error, not MatchError
     }
     DownloadConfig(encodeFormat = "webp").validate() // VP8L encoder exists
     // webp is lossless VP8L — a non-default quality would be silently
