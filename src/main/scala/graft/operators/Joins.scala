@@ -30,6 +30,13 @@ object Joins {
                partitionCols: Seq[String], tsCol: String,
                rightCols: Seq[(String, String)]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // an output name that exists on the LEFT would poison the carried
+    // window: the left row's own non-null value sits at currentRow and
+    // always wins last(ignoreNulls) — silently returning left values
+    val clash = rightCols.map(_._2).toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty,
+      s"asOfJoin output columns collide with left columns: ${clash.mkString(", ")} — " +
+      "rename the right-side outputs")
     val l = left.withColumn("_side", lit(1))
     var r = right.select(
       (partitionCols :+ tsCol).map(col) ++ rightCols.map { case (c, out) => col(c).as(out) }: _*)

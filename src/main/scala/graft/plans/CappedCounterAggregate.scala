@@ -35,6 +35,10 @@ case class CappedCounter(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
+  // cap < 2 would make trim() keep take(maxKeys/2) = 0 keys and
+  // silently empty the aggregate on every overflow
+  require(maxKeys >= 2, s"capped_counter cap must be >= 2, got $maxKeys")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)

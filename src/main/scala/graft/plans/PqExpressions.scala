@@ -37,6 +37,10 @@ case class PqEncode(child: Expression, codebook: Seq[Seq[Double]], m: Int)
     val v = input.asInstanceOf[ArrayData]
     val dim = v.numElements()
     val dsub = dim / m
+    if (dsub == 0 || dsub * m != dim)
+      throw new IllegalArgumentException(
+        s"pq_encode: m=$m must divide the vector dim $dim (silent truncation " +
+        "would drop trailing dimensions)")
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -83,11 +87,20 @@ case class PqAdcScore(left: Expression, right: Expression,
   override def nullSafeEval(q0: Any, codes0: Any): Any = {
     val q = q0.asInstanceOf[ArrayData]
     val codes = codes0.asInstanceOf[ArrayData]
-    val dsub = q.numElements() / m
+    val dim = q.numElements()
+    val dsub = dim / m
+    if (dsub == 0 || dsub * m != dim)
+      throw new IllegalArgumentException(
+        s"pq_adc_score: m=$m must divide the query dim $dim")
     var total = 0.0
     var j = 0
     while (j < m) {
-      val cen = cb(codes.getInt(j))
+      val code = codes.getInt(j)
+      if (code < 0 || code >= cb.length)
+        throw new IllegalArgumentException(
+          s"pq_adc_score: code $code outside the ${cb.length}-entry codebook " +
+          "(codes must come from pq_encode with the SAME codebook)")
+      val cen = cb(code)
       val off = j * dsub
       var acc = 0.0
       var i = 0

@@ -31,7 +31,7 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+  extends TypedImperativeAggregate[TopKByScore.Buf] {
 
   require(k > 0)
 
@@ -42,60 +42,83 @@ case class TopKByScore(
     StructType(Seq(StructField("score", DoubleType, nullable = false),
                    StructField("id", LongType, nullable = false))), containsNull = false)
 
-  // TreeSet ordered worst-first so .first() is the eviction candidate.
-  private val ord: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (s, -i) }
+  import TopKByScore.{Buf, ord}
 
-  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
-    new java.util.TreeSet[(Double, Long)](ord)
+  override def createAggregationBuffer(): Buf =
+    new Buf(new java.util.TreeMap[(Double, Long), Int](ord), 0)
 
-  private def add(buf: java.util.TreeSet[(Double, Long)], s: Double, i: Long): Unit = {
-    if (buf.size < k) buf.add((s, i))
-    else if (ord.compare((s, i), buf.first()) > 0) { buf.pollFirst(); buf.add((s, i)) }
+  // Multiplicity-aware: a duplicated (score, id) input row occupies
+  // TWO of the k slots, exactly like row_number() over the window
+  // formulation would rank both copies — a plain TreeSet silently
+  // collapsed duplicates and could return < k rows.
+  private def add(buf: Buf, s: Double, i: Long, times: Int): Unit = {
+    var t = times
+    while (t > 0) {
+      if (buf.total < k) {
+        buf.map.merge((s, i), 1, (a, b) => a + b); buf.total += 1
+      } else if (ord.compare((s, i), buf.map.firstKey()) > 0) {
+        val worst = buf.map.firstKey()
+        val n = buf.map.get(worst)
+        if (n == 1) buf.map.remove(worst) else buf.map.put(worst, n - 1)
+        buf.map.merge((s, i), 1, (a, b) => a + b)
+      } else return // this and remaining copies can't displace anything
+      t -= 1
+    }
   }
 
-  override def update(buf: java.util.TreeSet[(Double, Long)], input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+  override def update(buf: Buf, input: InternalRow): Buf = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
     if (s != null && i != null)
-      add(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
+      add(buf, s.asInstanceOf[Double], i.asInstanceOf[Long], 1)
     buf
   }
 
-  override def merge(buf: java.util.TreeSet[(Double, Long)], other: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
-    val it = other.iterator()
-    while (it.hasNext) { val (s, i) = it.next(); add(buf, s, i) }
+  override def merge(buf: Buf, other: Buf): Buf = {
+    val it = other.map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      add(buf, e.getKey._1, e.getKey._2, e.getValue)
+    }
     buf
   }
 
-  override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
-    // descending (best first): TreeSet iterates worst→best, reverse it.
-    val arr = new Array[Any](buf.size)
-    val it = buf.descendingIterator()
+  override def eval(buf: Buf): Any = {
+    // descending (best first): the map iterates worst→best, reverse.
+    val arr = new Array[Any](buf.total)
+    val it = buf.map.descendingMap().entrySet().iterator()
     var j = 0
     while (it.hasNext) {
-      val (s, i) = it.next()
-      arr(j) = InternalRow(s, i)
-      j += 1
+      val e = it.next()
+      var n = e.getValue
+      while (n > 0) { arr(j) = InternalRow(e.getKey._1, e.getKey._2); j += 1; n -= 1 }
     }
     new GenericArrayData(arr)
   }
 
-  override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+  override def serialize(buf: Buf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) { val (s, i) = it.next(); out.writeDouble(s); out.writeLong(i) }
+    out.writeInt(buf.map.size())
+    val it = buf.map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeDouble(e.getKey._1); out.writeLong(e.getKey._2); out.writeInt(e.getValue)
+    }
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): Buf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var j = 0
-    while (j < n) { buf.add((in.readDouble(), in.readLong())); j += 1 }
+    while (j < n) {
+      val key = (in.readDouble(), in.readLong())
+      val c = in.readInt()
+      buf.map.put(key, c); buf.total += c
+      j += 1
+    }
     buf
   }
 
@@ -108,6 +131,15 @@ case class TopKByScore(
 }
 
 object TopKByScore {
+  /** Aggregation buffer: (score, id) → multiplicity, ordered
+    * worst-first so `firstKey` is the eviction candidate; `total` is
+    * the occupied slot count (Σ multiplicities), capped at k.
+    */
+  final class Buf(val map: java.util.TreeMap[(Double, Long), Int], var total: Int)
+
+  private[plans] val ord: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (s, -i) }
+
   /** `topKByScore(score, id, k)` aggregate Column. */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(

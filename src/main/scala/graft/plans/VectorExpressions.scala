@@ -120,6 +120,16 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
 case class SquaredNorm(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vec_sqnorm"
   override def dataType: DataType = DoubleType
+  // same analysis-time type gate as the binary expressions: getDouble
+  // over a non-double ArrayData would return garbage or crash mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got ${t.simpleString}")
+    }
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -39,8 +39,15 @@ class WebdatasetSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
-    val ext = Option(properties.get(WebdatasetSource.PayloadExtOption)).getOrElse("jpg")
-    new WdsTable(properties.get("path"), ext)
+    // properties is the case-preserving map — read the option the same
+    // case-insensitive way inferSchema does (.option("PAYLOAD_EXT",…)
+    // must not silently fall back to jpg), and honor the schema Spark
+    // hands us (inferSchema's result or a user-provided .schema(...)).
+    val ext = WebdatasetSource.payloadExt(new CaseInsensitiveStringMap(properties))
+    val tableSchema =
+      if (schema != null && schema.nonEmpty) schema
+      else WebdatasetSource.schemaFor(ext)
+    new WdsTable(properties.get("path"), ext, tableSchema)
   }
 }
 
@@ -56,20 +63,43 @@ object WebdatasetSource {
     StructField("shard", StringType), StructField("key", StringType),
     StructField(payloadExt, BinaryType), StructField("txt", StringType),
     StructField("json", StringType)))
+
+  /** The session's Hadoop conf (spark.hadoop.* included) captured on
+    * the driver — a bare `new Configuration()` would drop object-store
+    * credentials/endpoints configured through Spark.
+    */
+  private[wds] def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 }
 
-class WdsTable(path: String, payloadExt: String) extends Table with SupportsRead {
+/** Java-serializable Hadoop Configuration carrier (executors receive
+  * reader factories by serialization; Configuration itself is not
+  * Serializable).
+  */
+class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+class WdsTable(path: String, payloadExt: String, tableSchema: StructType)
+    extends Table with SupportsRead {
   override def name(): String = s"webdataset($path)"
-  override def schema(): StructType = WebdatasetSource.schemaFor(payloadExt)
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WdsScanBuilder(Option(path).getOrElse(options.get("path")), payloadExt)
+    new WdsScanBuilder(Option(path).getOrElse(options.get("path")), payloadExt, tableSchema)
 }
 
-class WdsScanBuilder(path: String, payloadExt: String)
+class WdsScanBuilder(path: String, payloadExt: String, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = WebdatasetSource.schemaFor(payloadExt)
+  private var required: StructType = tableSchema
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
   override def build(): Scan = new WdsScan(path, required, payloadExt)
 }
@@ -78,9 +108,11 @@ class WdsScan(path: String, required: StructType, payloadExt: String) extends Sc
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  private val conf = new SerializableHadoopConf(WebdatasetSource.sessionConf())
+
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf.value)
     val stats =
       if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).filter(_.getPath.getName.endsWith(".tar"))
       else fs.globStatus(p)
@@ -89,24 +121,26 @@ class WdsScan(path: String, required: StructType, payloadExt: String) extends Sc
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    WdsReaderFactory(required, payloadExt)
+    WdsReaderFactory(required, payloadExt, conf)
 }
 
 case class WdsPartition(tarPath: String) extends InputPartition
 
-case class WdsReaderFactory(required: StructType, payloadExt: String)
+case class WdsReaderFactory(required: StructType, payloadExt: String,
+                            conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WdsReader(partition.asInstanceOf[WdsPartition].tarPath, required, payloadExt)
+    new WdsReader(partition.asInstanceOf[WdsPartition].tarPath, required, payloadExt, conf.value)
 }
 
 /** Streams one tar, grouping consecutive same-key entries into rows. */
-class WdsReader(tarPath: String, required: StructType, payloadExt: String)
+class WdsReader(tarPath: String, required: StructType, payloadExt: String,
+                conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(tarPath)
   private val in = new TarArchiveInputStream(
-    hPath.getFileSystem(new Configuration()).open(hPath))
+    hPath.getFileSystem(conf).open(hPath))
   private val shardName = {
     val n = hPath.getName
     n.substring(0, n.length - 4)
@@ -119,7 +153,6 @@ class WdsReader(tarPath: String, required: StructType, payloadExt: String)
   private var currentKey: String = null
   private var parts: mutable.Map[String, Array[Byte]] = mutable.Map.empty
   private var row: InternalRow = null
-  private var pendingName: String = null
   private var done = false
 
   private def emit(): InternalRow = {

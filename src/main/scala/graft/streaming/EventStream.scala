@@ -25,11 +25,19 @@ object EventStream {
 
   /** Streaming read of an events parquet directory (nanos ts read as
     * long, converted to TimestampType like the batch path).
+    *
+    * `schema`: pass it explicitly to start the stream on a
+    * NOT-YET-POPULATED ingest directory (the default infers via a
+    * batch read, which needs at least one file). Note the
+    * `nanosAsLong` conf is session-level by necessity — the streaming
+    * source reads nanos-timestamp files throughout the query's
+    * lifetime, so it cannot be set-and-restored around inference.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+                 schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
+    val s = schema.getOrElse(spark.read.parquet(dir).schema)
+    spark.readStream.schema(s).parquet(dir)
       .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -91,11 +99,23 @@ object EventStream {
           sorted.foreach { e =>
             val t = e.ts.getTime
             cur match {
-              case Some(s) if t - s.end <= gapMillis =>
-                cur = Some(s.copy(end = t, n = s.n + 1, sum = s.sum + e.value))
-              case Some(s) =>
+              // within-gap of the stored interval (EITHER side — a
+              // later micro-batch can deliver events older than the
+              // stored end): widen with min/max, never move a boundary
+              // backward-in-coverage. The old `end = t` regressed the
+              // session end on cross-batch out-of-order arrivals,
+              // wrongly splitting later events off.
+              case Some(s) if t >= s.start - gapMillis && t - s.end <= gapMillis =>
+                cur = Some(s.copy(start = math.min(s.start, t), end = math.max(s.end, t),
+                                  n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) if t > s.end + gapMillis =>
                 out += Session(userId, s.start, s.end, s.n, s.sum)
                 cur = Some(SessionState(t, t, 1, e.value))
+              case Some(_) =>
+                // older than start - gap: a stale straggler from a
+                // session that already closed — emit it as its own
+                // singleton rather than corrupting the live session
+                out += Session(userId, t, t, 1, e.value)
               case None =>
                 cur = Some(SessionState(t, t, 1, e.value))
             }

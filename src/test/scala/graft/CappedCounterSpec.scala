@@ -37,4 +37,10 @@ class CappedCounterSpec extends SparkSpec {
     assert(rows(0).getString(1) == """{"x":2,"y":1}""")
     assert(rows(1).getString(1) == """{"z":1}""")
   }
+
+  test("cap below 2 rejected at construction (trim would keep 0 keys)") {
+    intercept[IllegalArgumentException] {
+      graft.plans.CappedCounter(null, 1)
+    }
+  }
 }

@@ -62,6 +62,31 @@ class EventStreamSpec extends SparkSpec {
     assert(s.start_ms == 1000 && s.end_ms == 3000)
   }
 
+  test("sessionize: cross-batch out-of-order event does not regress the session end") {
+    def ev(id: Long, user: Long, ms: Long, v: Double) =
+      Event(id, new Timestamp(ms), user, "click", v)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val q = EventStream.sessionize(stream.toDS(), gapMillis = 3000)
+      .writeStream.outputMode("append").format("memory").queryName("oo_sessions")
+      .start()
+    stream.addData(Seq(ev(1, 1, 1000, 1.0), ev(2, 1, 2000, 1.0)))
+    q.processAllAvailable()
+    // batch 2: a LATE event (1500 < stored end 2000), then 4800 —
+    // within gap of the TRUE end (2000) but beyond gap of the late
+    // event; the old end=t regression would wrongly split here
+    stream.addData(Seq(ev(3, 1, 1500, 1.0)))
+    q.processAllAvailable()
+    stream.addData(Seq(ev(4, 1, 4800, 1.0)))
+    q.processAllAvailable()
+    stream.addData(Seq(ev(5, 1, 99999, 1.0))) // closes the session
+    q.processAllAvailable(); q.stop()
+    val closed = spark.sql("SELECT * FROM oo_sessions").as[Session].collect()
+    assert(closed.length == 1, s"one merged session, got ${closed.toSeq}")
+    val s = closed(0)
+    assert(s.start_ms == 1000 && s.end_ms == 4800 && s.n_events == 4,
+      s"late event widened, 4800 merged against the true end: $s")
+  }
+
   test("stream-static enrichment: broadcast dimension join, unmatched rows kept") {
     def ev(id: Long, user: Long, ms: Long, v: Double) =
       Event(id, new Timestamp(ms), user, "click", v)

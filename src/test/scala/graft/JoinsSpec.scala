@@ -27,6 +27,25 @@ class JoinsSpec extends SparkSpec {
       (2L, 100L, "l3", null)))    // key with no right rows
   }
 
+  test("asOfJoin rejects output names that collide with left columns") {
+    // a colliding name would make last(ignoreNulls) return the left
+    // row's OWN value (it sits at currentRow) — must fail loudly
+    intercept[IllegalArgumentException] {
+      Joins.asOfJoin(left, right, Seq("k"), "ts", Seq("rv" -> "lv"))
+    }
+  }
+
+  test("topKByScore keeps duplicate (score,id) pairs like row_number would") {
+    val df = Seq((1L, 0.9, 10L), (1L, 0.9, 10L), (1L, 0.8, 11L), (1L, 0.7, 12L))
+      .toDF("q", "score", "id")
+    val top = df.groupBy("q")
+      .agg(graft.plans.TopKByScore.topKByScore(col("score"), col("id"), 3).as("t"))
+      .select(explode(col("t")).as("e")).select("e.score", "e.id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(top == Seq((0.9, 10L), (0.9, 10L), (0.8, 11L)),
+      s"duplicated pair occupies two of the k=3 slots: $top")
+  }
+
   test("rangeJoin matches exactly the rows a naive cross filter would") {
     val naive = left.as("l").join(right.as("r"),
         col("l.k") === col("r.k") &&
