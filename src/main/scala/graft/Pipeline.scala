@@ -94,12 +94,17 @@ object Pipeline {
     val fetched = Downloader.download(pending, cfg,
       progress.map(p => (p.attempted, p.succeeded)))
 
-    // F2: hash verify over RAW bytes (downloader.py:274-292)
+    // F2: hash verify over RAW bytes (downloader.py:274-292). A NULL
+    // provided hash is a MISMATCH (the reference compares the computed
+    // digest against None and fails the row) — `computed =!= NULL`
+    // alone would be NULL, which when() treats as false, silently
+    // admitting unverified bytes.
     val verified = cfg.verifyHash match {
       case Some((_, tpe)) =>
         val computed = hashCol(col(Downloader.PayloadCol), tpe)
         fetched.withColumn("_hash_mismatch",
-          col(Downloader.FetchErrorCol).isNull && computed =!= col(tpe))
+          col(Downloader.FetchErrorCol).isNull &&
+            (col(tpe).isNull || computed =!= col(tpe)))
       case None => fetched.withColumn("_hash_mismatch", lit(false))
     }
 
@@ -145,7 +150,10 @@ object Pipeline {
       .withColumn("_final_payload",
         when(col("status") === "success", col("_resized_payload")))
       .withColumn("_caption_out",
-        if (pending.columns.contains("caption")) col("caption") else lit(null).cast("string"))
+        // cast: sinks getString() this column; the reference
+        // stringifies non-string captions (str(caption))
+        if (pending.columns.contains("caption")) col("caption").cast("string")
+        else lit(null).cast("string"))
       .withColumn("_meta_json", to_json(struct(metaCols.map(col): _*)))
       .observe(observation,
         count(lit(1)).as("n_rows"),
@@ -196,7 +204,16 @@ object Pipeline {
         }
       case fmt =>
         val ckpt = s"$outDir/_work_tmp"
-        prepared.write.mode("overwrite").parquet(ckpt)
+        // Checkpoint ONLY the columns downstream consumers read (sinks:
+        // key/payload/caption/meta-json/status; sidecar: metaCols;
+        // stats: shard_id/status/error_message). `prepared` still
+        // carries the raw `_payload` and `_resized_payload` — writing
+        // those too would roughly TRIPLE the image bytes through the
+        // checkpoint for nothing (hundreds of wasted TB at 100 TB).
+        val keepCols = (metaCols ++
+          Seq("shard_id", "_final_payload", "_caption_out", "_meta_json",
+              "status", "error_message")).distinct
+        prepared.select(keepCols.map(col): _*).write.mode("overwrite").parquet(ckpt)
         val work = spark.read.parquet(ckpt)
         fmt match {
           case "files" => Sinks.writeFiles(work, outDir, cfg)
@@ -225,15 +242,14 @@ object Pipeline {
       fs.delete(new Path(s"$outDir/_work_tmp"), true)
     // metaFrame reads the durable sidecars — acting on it later must
     // never re-trigger downloads. Empty input → empty frame.
-    // observation.get blocks until metrics arrive; an all-shards-done
+    // getOrEmpty (bounded wait) instead of get: an all-shards-done
     // incremental run may produce a zero-task write that never emits
-    // them, so bound the wait.
-    val observed: Map[String, Any] = try {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future(observation.get), 10.seconds)
-    } catch { case _: Throwable => Map.empty }
+    // metrics, and a blocking get would park a thread forever — the
+    // old Future+Await workaround leaked exactly that thread per
+    // timed-out run.
+    val observed: Map[String, Any] =
+      try org.apache.spark.sql.graftbridge.ObservationBridge.getOrEmpty(observation)
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
     val metaFrame =
       if (sidecarsExist) spark.read.parquet(s"$outDir/*.parquet")
       else spark.emptyDataFrame

@@ -87,39 +87,43 @@ object Blurrer {
     */
   def blurImage(img: BufferedImage, bboxes: Seq[Seq[Double]]): BufferedImage = {
     if (img == null || bboxes == null || bboxes.isEmpty) return img
-    try {
-      val w = img.getWidth; val h = img.getHeight
-      // Dilate each box by 10% of its diagonal (blurrer.py:34-44).
-      val dilated = bboxes.map { b =>
-        val (x0, y0, x1, y1) = (b(0) * w, b(1) * h, b(2) * w, b(3) * h)
-        val diag = math.hypot(x1 - x0, y1 - y0)
-        val d = 0.1 * diag
-        (math.max(0, (x0 - d).toInt), math.max(0, (y0 - d).toInt),
-         math.min(w - 1, (x1 + d).toInt), math.min(h - 1, (y1 + d).toInt), diag + 2 * d)
+    // NO catch-and-return-original here: blur is a REDACTION step —
+    // swallowing a failure (malformed bbox, allocation error) would
+    // silently ship the UNREDACTED image as a success row. A thrown
+    // error propagates to resizeBytes' NonFatal handler, which tags
+    // the row failed and withholds the payload.
+    val w = img.getWidth; val h = img.getHeight
+    // Dilate each box by 10% of its diagonal (blurrer.py:34-44).
+    val dilated = bboxes.map { b =>
+      val (x0, y0, x1, y1) = (b(0) * w, b(1) * h, b(2) * w, b(3) * h)
+      val diag = math.hypot(x1 - x0, y1 - y0)
+      val d = 0.1 * diag
+      (math.max(0, (x0 - d).toInt), math.max(0, (y0 - d).toInt),
+       math.min(w - 1, (x1 + d).toInt), math.min(h - 1, (y1 + d).toInt), diag + 2 * d)
+    }
+    val sigma = math.max(1.0, 0.1 * dilated.map(_._5).max)
+    val blurred = gaussianBlur(img, sigma)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val g = out.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
+    dilated.foreach { case (x0, y0, x1, y1, _) =>
+      var y = y0
+      while (y <= y1) {
+        var x = x0
+        while (x <= x1) { out.setRGB(x, y, blurred.getRGB(x, y)); x += 1 }
+        y += 1
       }
-      val sigma = math.max(1.0, 0.1 * dilated.map(_._5).max)
-      val blurred = gaussianBlur(img, sigma)
-      val out = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
-      val g = out.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
-      dilated.foreach { case (x0, y0, x1, y1, _) =>
-        var y = y0
-        while (y <= y1) {
-          var x = x0
-          while (x <= x1) { out.setRGB(x, y, blurred.getRGB(x, y)); x += 1 }
-          y += 1
-        }
-      }
-      out
-    } catch { case _: Throwable => img }
+    }
+    out
   }
 
-  /** Byte-level convenience (decode → blur → encode) for direct use. */
+  /** Byte-level convenience (decode → blur → encode) for direct use.
+    * Undecodable payloads pass through unchanged; a blur FAILURE on a
+    * decoded image propagates (same redaction rationale as above).
+    */
   def blurBytes(bytes: Array[Byte], bboxes: Seq[Seq[Double]], cfg: DownloadConfig): Array[Byte] = {
     if (bytes == null || bboxes == null || bboxes.isEmpty) return bytes
-    try {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null) bytes
-      else Resizer.encode(blurImage(img, bboxes), cfg.encodeFormat, cfg.encodeQuality)
-    } catch { case _: Throwable => bytes }
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) bytes
+    else Resizer.encode(blurImage(img, bboxes), cfg.encodeFormat, cfg.encodeQuality)
   }
 }

@@ -125,13 +125,7 @@ object ExifExtractor {
         }.mkString("{", ", ", "}")
     }
 
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+  private def esc(s: String): String = graft.util.JsonEscape.esc(s)
 
   val exifJsonUdf: Column => Column = {
     val f = udf((bytes: Array[Byte]) => if (bytes == null) null else parseToJson(bytes))

@@ -65,19 +65,18 @@ object Stats {
     stats.select("shard_id", "count", "successes",
         "failed_to_download", "failed_to_resize", "status_dict")
       .foreachPartition { (rows: Iterator[Row]) =>
-        val fs = new Path(dir).getFileSystem(new Configuration())
+        // non-cached instance: the checksum setters MUTATE the
+        // FileSystem object and the cached one is shared JVM-wide
+        // (same hazard Sinks.fs documents) — closed below
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+          new Path(dir).toUri, new Configuration())
         fs.setWriteChecksum(false); fs.setVerifyChecksum(false)
-        rows.foreach { r =>
+        try rows.foreach { r =>
           val shard = r.getLong(0)
           val dict = Option(r.getAs[Map[String, Long]](5)).getOrElse(Map.empty)
           // Full JSON escape — error messages are arbitrary exception text;
           // a raw tab/CR would make the stats file unparseable.
-          def esc(s: String): String = s.flatMap {
-            case '"' => "\\\""
-            case '\\' => "\\\\"
-            case c if c < ' ' => f"\\u${c.toInt}%04x"
-            case c => c.toString
-          }
+          import graft.util.JsonEscape.esc
           val dictJson = dict.toSeq.sortBy { case (k, n) => (-n, k) }
             .map { case (k, n) => "\"" + esc(k) + s"\": $n" }
             .mkString("{", ", ", "}")
@@ -89,7 +88,7 @@ object Stats {
           val name = ("%0" + oom + "d").format(shard) + "_stats.json"
           val o = fs.create(new Path(dir, name), true)
           o.write(json.getBytes("UTF-8")); o.close()
-        }
+        } finally fs.close()
       }
   }
 

@@ -129,6 +129,11 @@ object Sinks {
     val si = d.schema.fieldIndex("shard_id"); val ki = d.schema.fieldIndex("key")
     val pi = d.schema.fieldIndex("_final_payload"); val ci = d.schema.fieldIndex("_caption_out")
     val mi = d.schema.fieldIndex("_meta_json"); val sti = d.schema.fieldIndex("status")
+    // reference save_caption semantics (writer.py:118-127): a caption
+    // COLUMN present means every sample gets a .txt entry — a NULL
+    // caption writes "" rather than dropping the member, keeping the
+    // per-sample field set uniform for webdataset loaders
+    val saveCaption = d.columns.contains("caption")
     val (ext, oom, dir) = (cfg.encodeFormat, cfg.oomShardCount, outDir)
     d.foreachPartition { (rows: Iterator[Row]) =>
       val (hfs, _) = fs(dir)
@@ -148,7 +153,9 @@ object Sinks {
           r => if (r.getString(sti) == "success" && !r.isNullAt(pi)) {
             val key = r.getString(ki)
             entry(s"$key.$ext", r.getAs[Array[Byte]](pi))
-            if (!r.isNullAt(ci)) entry(s"$key.txt", r.getString(ci).getBytes("UTF-8"))
+            if (saveCaption)
+              entry(s"$key.txt",
+                (if (r.isNullAt(ci)) "" else r.getString(ci)).getBytes("UTF-8"))
             entry(s"$key.json", r.getString(mi).getBytes("UTF-8"))
           },
           () => out.close())
@@ -164,6 +171,7 @@ object Sinks {
     val si = d.schema.fieldIndex("shard_id"); val ki = d.schema.fieldIndex("key")
     val pi = d.schema.fieldIndex("_final_payload"); val ci = d.schema.fieldIndex("_caption_out")
     val mi = d.schema.fieldIndex("_meta_json"); val sti = d.schema.fieldIndex("status")
+    val saveCaption = d.columns.contains("caption") // see writeWebdataset
     val (ext, oom, dir) = (cfg.encodeFormat, cfg.oomShardCount, outDir)
     d.foreachPartition { (rows: Iterator[Row]) =>
       val (hfs, _) = fs(dir)
@@ -178,7 +186,9 @@ object Sinks {
           r => if (r.getString(sti) == "success" && !r.isNullAt(pi)) {
             val key = r.getString(ki)
             put(s"$key.$ext", r.getAs[Array[Byte]](pi))
-            if (!r.isNullAt(ci)) put(s"$key.txt", r.getString(ci).getBytes("UTF-8"))
+            if (saveCaption)
+              put(s"$key.txt",
+                (if (r.isNullAt(ci)) "" else r.getString(ci)).getBytes("UTF-8"))
             put(s"$key.json", r.getString(mi).getBytes("UTF-8"))
           },
           () => ())
@@ -235,9 +245,12 @@ object Sinks {
     }
   }
 
-  /** K6: discard (benchmark mode) — writer.py:296-306. */
-  def writeDummy(df: DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
+  // K6 (dummy/benchmark mode) is routed by Pipeline through
+  // writeMetaParquet rather than a pure no-op: the metadata sidecars
+  // are the stats source AND the incremental-resume marker, so even
+  // benchmark runs keep them (DEVIATIONS #10). There is deliberately
+  // no discard writer here — a dead `noop` method would only suggest
+  // a path that never executes.
 }
 
 /** Hand-rolled TF `Example` protobuf + TFRecord framing (T15/K5).

@@ -156,7 +156,8 @@ class PipelineSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     val rows = Seq(
       (server.url("/allowed/123_456.jpg"), md5hex),            // correct
-      (server.url("/allowed/208_495.jpg"), "0" * 32))          // wrong
+      (server.url("/allowed/208_495.jpg"), "0" * 32),          // wrong
+      (server.url("/allowed/321_421.jpg"), null))              // MISSING hash
     val dir = tmpDir("verify")
     val in = s"$dir/in.parquet"
     rows.toDF("url", "myhash").write.parquet(in)
@@ -164,10 +165,34 @@ class PipelineSpec extends SparkSpec {
     val res = Pipeline.download(spark, in, out,
       baseCfg.copy(outputFormat = "dummy", inputFormat = "parquet",
         verifyHash = Some(("myhash", "md5")), computeHashCol = Some("md5")))
-    assert(res.successes == 1 && res.failedToDownload == 1)
+    // a NULL provided hash must FAIL verification (reference compares
+    // the computed digest against None), not silently pass
+    assert(res.successes == 1 && res.failedToDownload == 2)
     val meta = spark.read.parquet(s"$out/*.parquet")
-    assert(meta.filter(col("md5").isNull).count() == 1)
-    assert(meta.filter(col("error_message") === "hash mismatch").count() == 1)
+    assert(meta.filter(col("md5").isNull).count() == 2)
+    assert(meta.filter(col("error_message") === "hash mismatch").count() == 2)
+  }
+
+  test("webdataset with caption: NULL caption writes an EMPTY txt member, not a missing one") {
+    import spark.implicits._
+    val dir = tmpDir("wds_cap")
+    val in = s"$dir/in.parquet"
+    Seq((server.url("/allowed/123_456.jpg"), "hello"),
+        (server.url("/allowed/208_495.jpg"), null))
+      .toDF("url", "mycap").write.parquet(in)
+    val out = tmpDir("wds_cap_out")
+    Pipeline.download(spark, in, out,
+      baseCfg.copy(outputFormat = "webdataset", inputFormat = "parquet",
+        captionCol = Some("mycap")))
+    val tar = new java.io.File(out).listFiles.filter(_.getName.endsWith(".tar")).head
+    val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      new java.io.FileInputStream(tar))
+    val entries = Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
+      .map(e => e.getName -> e.getSize).toMap
+    tin.close()
+    val txts = entries.filter(_._1.endsWith(".txt"))
+    assert(txts.size == 2, s"every sample has a txt member: $entries")
+    assert(txts.values.toSeq.sorted == Seq(0L, 5L), "null caption -> empty txt, like the reference")
   }
 
   test("incremental mode: done shards skipped on re-run") {
