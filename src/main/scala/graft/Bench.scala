@@ -45,6 +45,8 @@ object Bench {
     // removes the WAN bottleneck, so this measures ENGINE overhead
     // (images/sec ceiling), comparable in spirit to the reference's
     // CI gate of 1000 urls < 100 s (tests/test_main.py:405-433).
+    def f3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def f1(d: Double): String = BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val pipelineStats =
       try {
         val server = new graft.util.HttpImageServer
@@ -67,7 +69,7 @@ object Bench {
                 threadCount = 64, resizeMode = "border", imageSize = 256,
                 computeHashCol = Some("sha256"), incrementalMode = "overwrite"))
             val secs = (System.nanoTime() - t0) / 1e9
-            s"""{"images":${res.count},"successes":${res.successes},"sec":$secs,"img_per_sec":${res.count / secs}}"""
+            s"""{"images":${res.count},"successes":${res.successes},"sec":${f3(secs)},"img_per_sec":${f1(res.count / secs)}}"""
           }
           // untimed FULL-SIZE pipeline warm-up: the first pipeline run
           // after the query phase absorbs HTTP-client/JIT/ImageIO/
@@ -88,12 +90,42 @@ object Bench {
           s""","pipeline":$dummy,"pipeline_webdataset":$wds"""
         } finally server.stop()
       } catch { case e: Throwable => s""","pipeline":{"error":"${e.getClass.getSimpleName}"}""" }
-    val qs = results.map { case (k, (secs, _)) => s"\"" + k + "\":" + secs }
-      .mkString("{", ",", "}")
-    val sh = results.map { case (k, (_, b)) => s"\"" + k + "\":" + b }
-      .mkString("{", ",", "}")
+    // ---- output contract -------------------------------------------------
+    // The driver stores only a 2000-char stdout TAIL and the last line is
+    // sbt's own "[success] Total time..." — rounds 1-3 printed one ~2600-char
+    // JSON line with every query at full double precision, which was
+    // truncated mid-line in the tail and never parsed (BENCH_r0*.json
+    // "parsed": null). So: (a) the machine-readable line is COMPACT
+    // (headline queries only, 3-decimal seconds, < ~1200 chars — fits the
+    // tail even alongside the [success] line), (b) the full per-query
+    // detail incl. shuffle bytes goes to BENCH_FULL.json in the repo, and
+    // (c) a JVM shutdown hook re-prints the compact line so it is ALSO the
+    // literal last stdout line (sbt runs non-forked; hooks fire after sbt
+    // prints [success]), covering last-line, tail-scan, and grep parsers.
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"sf":"$sfDir"$pipelineStats}""")
+    val headline = results.filter { case (k, _) =>
+      k.startsWith("dedup_") || k.startsWith("ann_") || k.startsWith("txt_") ||
+      k.startsWith("mm_") || Set("q1_agg", "q4_join_multi", "q7_window_rank").contains(k)
+    }
+    val qsHead = headline.map { case (k, (secs, _)) => "\"" + k + "\":" + f3(secs) }
+      .mkString("{", ",", "}")
+    val sfName = new java.io.File(sfDir).getName
+    val compact =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qsHead,"sf":"$sfName","detail":"BENCH_FULL.json"$pipelineStats}"""
+    try {
+      val qsAll = results.map { case (k, (secs, _)) => "\"" + k + "\":" + f3(secs) }
+        .mkString("{", ",", "}")
+      val sh = results.map { case (k, (_, b)) => "\"" + k + "\":" + b }
+        .mkString("{", ",", "}")
+      val full =
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qsAll,"shuffle_bytes":$sh,"sf":"$sfDir"$pipelineStats}"""
+      val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => } // detail file is best-effort; the line below is the contract
+    println(compact)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(compact); System.out.flush()
+    }))
     spark.stop()
   }
 }
