@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
@@ -19,6 +19,14 @@ object Maintenance {
 
   /** Compact a parquet directory into ~`targetBytes` files.
     *
+    *  - Hive-partitioned layouts (`date=.../part-*.parquet`) are
+    *    compacted PER LEAF PARTITION DIRECTORY: each leaf is rewritten
+    *    in place, so directory names, partition-value spellings, and
+    *    the physical column layout of the data files are preserved
+    *    exactly (no partition-column inference round-trip, which could
+    *    retype `date=01` dirs or re-emit partition values as physical
+    *    columns in flat files). This is also the scale-correct form:
+    *    one partition's rewrite never shuffles another's data.
     *  - Output file count = ceil(current bytes / targetBytes) —
     *    derived from a directory listing, not a data scan.
     *  - `sortCols` non-empty: rows are globally range-partitioned and
@@ -44,9 +52,23 @@ object Maintenance {
     // session conf so spark.hadoop.* (fs.defaultFS, credentials)
     // resolves the same filesystem the read/write below use
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    // recursive listing: partitioned layouts (date=.../part-*.parquet)
-    // keep every file in subdirectories — a top-level listStatus would
-    // silently report "nothing to compact"
+
+    // Hive-partitioned layout: recurse into each leaf partition dir and
+    // compact it independently (flat path below). A mix of data files
+    // and partition dirs at the same level is ambiguous — refuse it
+    // rather than silently produce a layout Spark cannot read back.
+    val top = fs.listStatus(path)
+    val partDirs = top.filter(s => s.isDirectory && isPartitionDir(s.getPath.getName))
+    if (partDirs.nonEmpty) {
+      val flatData = top.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      require(!flatData,
+        s"$dir mixes partition directories (${partDirs.head.getPath.getName}) " +
+          "with flat parquet files; compact the two layouts separately")
+      return partDirs.flatMap(d => partitionLeaves(fs, d.getPath))
+        .map(leaf => compactParquet(spark, leaf.toString, targetBytes, sortCols))
+        .sum
+    }
+
     val it = fs.listFiles(path, true)
     var totalBytes = 0L
     var nFiles = 0
@@ -65,8 +87,12 @@ object Maintenance {
       else df.repartitionByRange(nOut, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
 
-    val tmp = new Path(path.getParent, path.getName + "_compact_tmp")
-    val old = new Path(path.getParent, path.getName + "_compact_old")
+    // leading "_" so staging siblings that land INSIDE a partitioned
+    // table (per-leaf compaction) are ignored by Spark's file listing
+    // — a reader concurrent with the swap never mistakes
+    // `date=x_compact_old` for a partition value
+    val tmp = new Path(path.getParent, "_" + path.getName + "_compact_tmp")
+    val old = new Path(path.getParent, "_" + path.getName + "_compact_old")
     shaped.write.mode("overwrite").parquet(tmp.toString)
     // swap via renames: the original is never deleted before the
     // replacement is in place
@@ -79,5 +105,22 @@ object Maintenance {
     }
     fs.delete(old, true)
     nOut
+  }
+
+  /** `name=value` Hive partition directory — staging/hidden dirs
+    * (leading `_` or `.`) are never partition dirs.
+    */
+  private def isPartitionDir(name: String): Boolean =
+    name.contains("=") && !name.startsWith("_") && !name.startsWith(".")
+
+  /** Leaf partition directories under `dir` (dirs whose children are
+    * data files, not further `k=v` dirs). Multi-level layouts
+    * (`date=…/hour=…`) recurse to the deepest `k=v` level.
+    */
+  private def partitionLeaves(fs: FileSystem, dir: Path): Seq[Path] = {
+    val children = fs.listStatus(dir)
+      .filter(s => s.isDirectory && isPartitionDir(s.getPath.getName))
+    if (children.isEmpty) Seq(dir)
+    else children.flatMap(c => partitionLeaves(fs, c.getPath)).toSeq
   }
 }

@@ -52,4 +52,45 @@ class MaintenanceSpec extends SparkSpec {
     assert(ranges.sliding(2).forall { case Array(a, b) => a._2 < b._1 },
       s"non-overlapping file ranges: ${ranges.toSeq}")
   }
+
+  test("partitioned layout is compacted per leaf, preserving directory structure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact3").toString + "/t"
+    // two date partitions, each with many small appends (the daily-
+    // ingest pattern), one a two-level date/hour layout
+    for (b <- 0 until 8)
+      (0 until 25).map(i => (b * 25L + i, s"a $b $i")).toDF("id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$dir/date=2026-01-01/hour=00")
+    for (b <- 0 until 8)
+      (0 until 25).map(i => (1000 + b * 25L + i, s"b $b $i")).toDF("id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$dir/date=2026-01-02/hour=03")
+
+    val nOut = Maintenance.compactParquet(spark, dir, targetBytes = Long.MaxValue)
+    assert(nOut == 2, s"one output file per leaf partition, got $nOut")
+    // directory structure preserved exactly: same leaf dirs, 1 file each
+    for (leaf <- Seq(s"$dir/date=2026-01-01/hour=00", s"$dir/date=2026-01-02/hour=03")) {
+      val files = new java.io.File(leaf).listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$leaf compacted to one file")
+    }
+    // the whole table still reads as a partitioned table with the
+    // partition columns inferred from the (unchanged) directory names
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 400)
+    assert(back.columns.toSet == Set("id", "text", "date", "hour"))
+    assert(back.groupBy("date").count().collect().map(_.getLong(1)).toSeq == Seq(200L, 200L))
+    // and a later partitionBy append composes with the compacted layout
+    Seq((5000L, "c", java.sql.Date.valueOf("2026-01-03"), 7))
+      .toDF("id", "text", "date", "hour")
+      .write.partitionBy("date", "hour").mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 401)
+  }
+
+  test("mixed flat + partitioned layout is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact4").toString + "/t"
+    Seq((1L, "x")).toDF("id", "text").write.parquet(dir)
+    Seq((2L, "y")).toDF("id", "text").write.parquet(s"$dir/date=2026-01-01")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compactParquet(spark, dir)
+    }
+    assert(e.getMessage.contains("mixes partition directories"))
+  }
 }
