@@ -324,9 +324,22 @@ object Dedup {
     * Within-batch duplicates collapse first via the same one-shuffle
     * group-by that [[exact]] uses. For the unbounded-stream form of
     * this, see [[graft.streaming.EventStream.dedupStream]].
+    *
+    * Durability: by default the result is pinned with
+    * `localCheckpoint` — blocks live in EXECUTOR storage only, so
+    * losing an executor between this call and the caller's durable
+    * downstream write fails the whole batch unrecoverably (the
+    * truncated lineage cannot recompute lost blocks). That is the
+    * right trade on a healthy cluster (no extra I/O round-trip);
+    * for very large batches or preemptible executors pass
+    * `stagingPath = Some(dir)` to stage the survivors through a
+    * durable parquet write instead — the returned frame then re-reads
+    * from storage and ANY task loss replays from disk. The staging
+    * dir is the caller's to clean after its downstream commit.
     */
   def incrementalExact(newDocs: DataFrame, textCol: String, idCol: String,
-                       indexPath: String): DataFrame = {
+                       indexPath: String,
+                       stagingPath: Option[String] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val fp = newDocs.withColumn("__fp", fingerprint(col(textCol)))
     // collapse within-batch dups: keep the min-id representative
@@ -348,7 +361,16 @@ object Dedup {
       }
     // Materialized so the caller's later actions (including the
     // commit) never re-run the anti-join against a changed index.
-    fresh.localCheckpoint(eager = true).drop("__fp")
+    // localCheckpoint = executor-local (fast, volatile); stagingPath =
+    // durable parquet round-trip (survives executor loss) — see
+    // the Durability note above.
+    stagingPath match {
+      case Some(dir) =>
+        fresh.drop("__fp").write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      case None =>
+        fresh.localCheckpoint(eager = true).drop("__fp")
+    }
   }
 
   /** Record a durably-written batch's fingerprints in the index —

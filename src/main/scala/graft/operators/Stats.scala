@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
@@ -62,6 +61,12 @@ object Stats {
                       startTime: Double, endTime: Double): Unit = {
     val dir = outDir; val oom = oomShardCount
     val (t0, t1) = (startTime, endTime)
+    // driver-captured session conf (spark.hadoop.* — object-store
+    // credentials, fs.defaultFS) shipped into the task closure: a bare
+    // executor-side `new Configuration()` would resolve the wrong
+    // filesystem on s3a/gcs
+    val sconf = new graft.util.SerializableHadoopConf(
+      stats.sparkSession.sessionState.newHadoopConf())
     stats.select("shard_id", "count", "successes",
         "failed_to_download", "failed_to_resize", "status_dict")
       .foreachPartition { (rows: Iterator[Row]) =>
@@ -69,7 +74,7 @@ object Stats {
         // FileSystem object and the cached one is shared JVM-wide
         // (same hazard Sinks.fs documents) — closed below
         val fs = org.apache.hadoop.fs.FileSystem.newInstance(
-          new Path(dir).toUri, new Configuration())
+          new Path(dir).toUri, sconf.value)
         fs.setWriteChecksum(false); fs.setVerifyChecksum(false)
         try rows.foreach { r =>
           val shard = r.getLong(0)

@@ -112,4 +112,95 @@ object TextAnalysis {
     runningSum(withTok, Seq(idCol), "n_tokens", "cum")
       .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / budget).cast("long"))
   }
+
+  /** Exact chunk-level (sub-document) dedup stats, the "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al. 2022)
+    * family: split each document into consecutive non-overlapping
+    * `chunkSize`-token chunks and mark every chunk occurrence that is
+    * not the GLOBALLY FIRST occurrence of its chunk text (first =
+    * lowest doc id, then lowest position within it) as a duplicate.
+    * Returns per-doc `(n_chunks, n_dup_chunks, dup_frac)` — the
+    * signal a curation pipeline thresholds to drop boilerplate-heavy
+    * documents that document-level dedup can't see.
+    *
+    * Scale shape: deliberately NO window over the chunk key (a hot
+    * boilerplate chunk would pile its ~10⁹ occurrences into one
+    * window partition). Instead: two keyed aggregations (min doc,
+    * then min position within that doc — both map-side combinable,
+    * so a hot chunk costs one combiner cell per task) and two
+    * equi-joins on the chunk hash, then a per-doc count aggregate.
+    * Chunks travel as 60-bit portable hashes, not strings — the
+    * shuffle carries 8 bytes per occurrence regardless of chunk text
+    * size, and the md5-based hash keeps the whole construction
+    * engine-replicable (oracle-checkable) end to end.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkSize: Int = 3): DataFrame = {
+    require(chunkSize >= 1)
+    val toks = split(normalizeText(col(textCol)), " ")
+    val nChunks = floor(size(toks) / chunkSize).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => struct(i.as("pos"),
+        graft.operators.Dedup.portableHash60(
+          concat_ws(" ", slice(toks, i * chunkSize + 1, chunkSize))).as("h")))
+    val occ = df
+      .select(col(idCol).as("__id"), explode(chunks).as("__c"))
+      .select(col("__id"), col("__c.pos").as("__pos"), col("__c.h").as("__h"))
+    val firstDoc = occ.groupBy("__h").agg(min("__id").as("__fd"))
+    val firstPos = occ.join(firstDoc, "__h").filter(col("__id") === col("__fd"))
+      .groupBy("__h", "__fd").agg(min("__pos").as("__fp"))
+    val flagged = occ.join(firstPos, "__h")
+      .withColumn("__dup",
+        when(col("__id") === col("__fd") && col("__pos") === col("__fp"), 0L).otherwise(1L))
+    val perDoc = flagged.groupBy(col("__id").as(idCol)).agg(
+      count("*").as("n_chunks"),
+      sum("__dup").as("n_dup_chunks"))
+    // docs shorter than one chunk have zero occurrences — restore them
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        when(col("n_chunks") === 0, lit(0.0)).otherwise(
+          graft.functions.MathFunctions.roundTo(
+            col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 6)))
+  }
+
+  /** C4/Gopher-style document filter flags (Raffel et al. 2020 §2.2;
+    * Rae et al. 2021 §A1.1): each heuristic as its own boolean column
+    * plus the composite `keep`. Tag-don't-drop, like the pipeline's
+    * image filters — downstream picks the policy; the flags are the
+    * audit trail.
+    *
+    * All flags are codegen'd scalar expressions (scan speed, no
+    * shuffle): token-count bounds, mean-word-length bounds [3,10],
+    * stopword presence, brace/lorem-ipsum content filters, and a
+    * symbol-ratio cap.
+    */
+  def c4Filters(df: DataFrame, idCol: String, textCol: String,
+                minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+    import graft.functions.MathFunctions.roundTo
+    val t = col(textCol)
+    val toks = tokens(t)
+    val n = size(toks)
+    // mean word length over the normalized text: letters-only length /
+    // token count (portable: one regexp + arithmetic)
+    val meanLen = when(n === 0, lit(0.0)).otherwise(
+      length(regexp_replace(normalizeText(t), " ", "")).cast("double") / n.cast("double"))
+    val lower_t = lower(t)
+    df.select(
+      col(idCol),
+      (n < minTokens).as("flag_too_short"),
+      (n > maxTokens).as("flag_too_long"),
+      (meanLen < 3.0 || meanLen > 10.0).as("flag_word_length"),
+      (stopwordHits(t) === 0).as("flag_no_stopwords"),
+      lower_t.contains("{").as("flag_brace"),
+      lower_t.contains("lorem ipsum").as("flag_lorem"),
+      (punctRatio(t) > 0.3).as("flag_symbol_ratio"),
+      roundTo(meanLen, 6).as("mean_word_len"))
+      .withColumn("keep",
+        !col("flag_too_short") && !col("flag_too_long") && !col("flag_word_length") &&
+        !col("flag_no_stopwords") && !col("flag_brace") && !col("flag_lorem") &&
+        !col("flag_symbol_ratio"))
+  }
 }

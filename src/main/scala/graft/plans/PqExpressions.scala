@@ -92,6 +92,10 @@ case class PqAdcScore(left: Expression, right: Expression,
     if (dsub == 0 || dsub * m != dim)
       throw new IllegalArgumentException(
         s"pq_adc_score: m=$m must divide the query dim $dim")
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc_score: codes has ${codes.numElements()} elements, expected m=$m " +
+        "(codes must come from pq_encode with the SAME m)")
     var total = 0.0
     var j = 0
     while (j < m) {

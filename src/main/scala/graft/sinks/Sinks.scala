@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
 
 import graft.config.DownloadConfig
 import graft.functions.PipelineFunctions
+import graft.util.SerializableHadoopConf
 
 /** Output sinks (SURVEY §2.7) with exact per-shard file naming.
   *
@@ -45,14 +46,25 @@ object Sinks {
     * cached instance is shared with every other write in the process
     * (parquet sidecars, checkpoints), which would silently lose their
     * .crc generation. Callers must `close()` the returned instance.
+    *
+    * `conf` is the driver's session Hadoop conf (spark.hadoop.* —
+    * object-store credentials, fs.defaultFS), shipped to executors
+    * via [[SerializableHadoopConf]]: a bare `new Configuration()`
+    * here would resolve the WRONG filesystem on s3a/gcs.
     */
-  private def fs(dir: String): (FileSystem, Path) = {
+  private def fs(dir: String, conf: Configuration): (FileSystem, Path) = {
     val p = new Path(dir)
-    val f = FileSystem.newInstance(p.toUri, new Configuration())
+    val f = FileSystem.newInstance(p.toUri, conf)
     f.setWriteChecksum(false)
     f.setVerifyChecksum(false)
     (f, p)
   }
+
+  /** Session conf captured on the driver, serializable into task
+    * closures. Call on the DRIVER (uses `df.sparkSession`).
+    */
+  private def sessionConf(df: DataFrame): SerializableHadoopConf =
+    new SerializableHadoopConf(df.sparkSession.sessionState.newHadoopConf())
 
   /** Stream a partition's rows (sorted by shard_id) through a
     * per-shard writer lifecycle: `onShardStart(shard)` →
@@ -93,7 +105,8 @@ object Sinks {
     val tmp = outDir + "/_meta_tmp"
     df.repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(tmp)
-    val (hfs, _) = fs(outDir)
+    val sconf = sessionConf(df)
+    val (hfs, _) = fs(outDir, sconf.value)
     try {
     val shardDirs = hfs.listStatus(new Path(tmp)).filter(_.isDirectory).map { st =>
       val name = st.getPath.getName // shard_id=N
@@ -103,7 +116,7 @@ object Sinks {
     val sc = df.sparkSession.sparkContext
     val slices = math.max(1, math.min(shardDirs.length, sc.defaultParallelism * 4))
     sc.parallelize(shardDirs, slices).foreachPartition { it =>
-      val efs = new Path(dir).getFileSystem(new Configuration())
+      val efs = new Path(dir).getFileSystem(sconf.value)
       it.foreach { case (src, shard) =>
         val part = efs.listStatus(new Path(src)).map(_.getPath)
           .find(_.getName.endsWith(".parquet"))
@@ -135,8 +148,9 @@ object Sinks {
     // per-sample field set uniform for webdataset loaders
     val saveCaption = d.columns.contains("caption")
     val (ext, oom, dir) = (cfg.encodeFormat, cfg.oomShardCount, outDir)
+    val sconf = sessionConf(d)
     d.foreachPartition { (rows: Iterator[Row]) =>
-      val (hfs, _) = fs(dir)
+      val (hfs, _) = fs(dir, sconf.value)
       try {
         var out: TarArchiveOutputStream = null
         def entry(name: String, bytes: Array[Byte]): Unit = {
@@ -173,8 +187,9 @@ object Sinks {
     val mi = d.schema.fieldIndex("_meta_json"); val sti = d.schema.fieldIndex("status")
     val saveCaption = d.columns.contains("caption") // see writeWebdataset
     val (ext, oom, dir) = (cfg.encodeFormat, cfg.oomShardCount, outDir)
+    val sconf = sessionConf(d)
     d.foreachPartition { (rows: Iterator[Row]) =>
-      val (hfs, _) = fs(dir)
+      val (hfs, _) = fs(dir, sconf.value)
       try {
         var shardDir: Path = null
         def put(name: String, bytes: Array[Byte]): Unit = {
@@ -222,8 +237,9 @@ object Sinks {
     val metaFields: Seq[(String, Int, DataType)] =
       metaCols.filterNot(_ == "key").map(c => (c, d.schema.fieldIndex(c), d.schema(c).dataType))
     val (ext, oom, dir) = (cfg.encodeFormat, cfg.oomShardCount, outDir)
+    val sconf = sessionConf(d)
     d.foreachPartition { (rows: Iterator[Row]) =>
-      val (hfs, _) = fs(dir)
+      val (hfs, _) = fs(dir, sconf.value)
       try {
         var out: BufferedOutputStream = null
         groupedByShard(rows, si)(

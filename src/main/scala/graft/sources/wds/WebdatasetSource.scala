@@ -16,6 +16,8 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
+import graft.util.SerializableHadoopConf
+
 /** Webdataset (tar-of-samples) as a READABLE Spark source — the
   * DataSourceV2 counterpart of [[graft.sinks.Sinks.writeWebdataset]]
   * (layout per webdataset.github.io: consecutive `{key}.jpg`,
@@ -70,21 +72,6 @@ object WebdatasetSource {
     */
   private[wds] def sessionConf(): Configuration =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
-}
-
-/** Java-serializable Hadoop Configuration carrier (executors receive
-  * reader factories by serialization; Configuration itself is not
-  * Serializable).
-  */
-class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject(); value.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    value = new Configuration(false)
-    value.readFields(in)
-  }
 }
 
 class WdsTable(path: String, payloadExt: String, tableSchema: StructType)

@@ -164,6 +164,18 @@ class DedupSpec extends SparkSpec {
       "batch-2 survivor's committed fingerprint blocks batch 3")
   }
 
+  test("incremental exact dedup: durable staging variant survives re-reads") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dedup_stg").toString
+    val dir = base + "/index"; val stage = base + "/staging"
+    val batch = Seq((1L, "alpha"), (2L, "beta"), (3L, "ALPHA")).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, "text", "doc_id", dir, Some(stage))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // the survivors are durably on disk (not executor-local blocks):
+    // an independent read of the staging dir sees the same rows
+    assert(spark.read.parquet(stage).count() == 2)
+    assert(out.columns.toSet == Set("doc_id", "text"), "__fp not leaked")
+  }
+
   test("connected components: 100-deep chain converges via pointer doubling") {
     // plain O(diameter) propagation would need 100 rounds and silently
     // truncate at maxIter=20; pointer doubling needs ~log2(100) ≈ 7

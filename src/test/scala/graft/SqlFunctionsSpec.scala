@@ -46,6 +46,22 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) == (1.0 + 4.0) + (1.0 + 1.0), "ADC = sum of subspace sqdists")
   }
 
+  test("pq_adc_score rejects a codes array shorter than m") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT pq_adc_score(array(1.0d, 2.0d, 10.0d, 20.0d),
+                          array(0),
+                          array(array(0.0d, 0.0d, 0.0d, 0.0d),
+                                array(5.0d, 5.0d, 9.0d, 19.0d)), 2) AS d
+        """).collect()
+    }
+    // descriptive error, not a raw ArrayIndexOutOfBounds mid-job
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("expected m=2")), s"got: $e")
+  }
+
   test("PII scrub: planted emails/URLs/IPs replaced with typed tokens") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
