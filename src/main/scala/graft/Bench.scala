@@ -105,7 +105,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val headline = results.filter { case (k, _) =>
       k.startsWith("dedup_") || k.startsWith("ann_") || k.startsWith("txt_") ||
-      k.startsWith("mm_") || Set("q1_agg", "q4_join_multi", "q7_window_rank").contains(k)
+      k.startsWith("mm_") || k.startsWith("sketch_") ||
+      Set("q1_agg", "q4_join_multi", "q7_window_rank").contains(k)
     }
     val qsHead = headline.map { case (k, (secs, _)) => "\"" + k + "\":" + f3(secs) }
       .mkString("{", ",", "}")

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.MathFunctions.{roundTo, roundToSql}
+import graft.functions.UrlFunctions
 import graft.functions.VectorFunctions._
 import graft.functions.PipelineFunctions
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — the oracle-checked operator surface.
   *
@@ -244,6 +245,30 @@ object SparkEntry {
          FROM cand JOIN v va ON va.vec_id = cand.id_a JOIN v vb ON vb.vec_id = cand.id_b)
        SELECT id_a, id_b, ${roundToSql("c", 6)} AS cosine FROM sc
        WHERE c >= 0.4 ORDER BY id_a, id_b"""
+  }
+
+  /** DuckDB replication of [[Similarity.hammingTopK]]: the same 48
+    * seeded plane literals, the same MSB-first sign-bit packing, then
+    * `bit_count(xor)` ranking — bit-exact, like embedLshOracleSql.
+    */
+  private def annHammingOracleSql: String = {
+    val planes = Dedup.randomPlanes(48, 64, 42L)
+    val bits = planes.zipWithIndex.map { case (p, pi) =>
+      val lits = p.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * ($lits)[i]), (x, y) -> x + y) >= 0.0 " +
+      s"THEN ${1L << (47 - pi)} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       sig AS (SELECT vec_id, ($bits) AS s FROM v),
+       q AS (SELECT vec_id AS query_id, s AS qs FROM sig WHERE vec_id < 5),
+       c AS (SELECT vec_id AS corpus_id, s AS cs FROM sig WHERE vec_id >= 5),
+       sc AS (SELECT query_id, corpus_id, CAST(bit_count(xor(qs, cs)) AS INTEGER) AS hamming
+         FROM c CROSS JOIN q),
+       rk AS (SELECT query_id, corpus_id, hamming,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, corpus_id) AS INTEGER) AS rank
+         FROM sc)
+       SELECT query_id, corpus_id, hamming, rank FROM rk WHERE rank <= 10
+       ORDER BY query_id, rank"""
   }
 
   private val enList = TextFunctions.enStopwords.mkString("['", "', '", "']")
@@ -884,6 +909,76 @@ object SparkEntry {
         .withColumn("quartile", ntile(4).over(w))
         .select("o_custkey", "o_orderkey", "dr", "next_key", "quartile")
         .orderBy("o_custkey", "o_orderkey")
+    }),
+    "txt_chunk_dedup" -> ((s, dir) => {
+      // Sub-document exact dedup (Lee et al. 2022): flag every
+      // 3-token chunk occurrence that repeats an earlier one
+      // (globally, by (doc, position) order). Agg+join formulation —
+      // no window over the chunk key, so a hot boilerplate chunk
+      // cannot pile into one task at scale.
+      TextAnalysis.chunkDedup(t(s, dir, "documents"), "doc_id", "text", chunkSize = 3)
+        .orderBy("doc_id")
+    }),
+    "txt_c4_filters" -> ((s, dir) => {
+      // C4/Gopher document-filter flags: each heuristic its own
+      // boolean column + composite keep. Pure codegen'd scan.
+      TextAnalysis.c4Filters(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "dedup_url" -> ((s, dir) => {
+      // URL canonicalization dedup: four crawl-spelling variants of
+      // the same logical page (host case, default port, utm params,
+      // fragment) are derived per doc_id, then grouped by canonical
+      // form — variants 0/1 and 2/3 must collapse pairwise.
+      val base = expr("CAST(doc_id div 4 AS STRING)")
+      val variant = pmod(col("doc_id"), lit(4))
+      val url = when(variant === 0,
+          concat(lit("HTTP://Example.COM:80/p/"), base, lit("?utm_source=feed&id=7")))
+        .when(variant === 1, concat(lit("http://example.com/p/"), base, lit("?id=7")))
+        .when(variant === 2, concat(lit("https://CDN.Site.org:443/img/"), base, lit("#frag")))
+        .otherwise(concat(lit("https://cdn.site.org/img/"), base))
+      t(s, dir, "documents")
+        .select(col("doc_id"), UrlFunctions.normalizeUrl(url).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count("*").as("n_urls"), min("doc_id").as("first_doc"))
+        .orderBy("canonical_url")
+    }),
+    "sketch_hll_distinct" -> ((s, dir) => {
+      // Portable HyperLogLog over the highest-cardinality key in the
+      // test set (lineitem composite line id: n ≥ 2.5·m at every SF,
+      // the raw-HLL validity regime). Integer-arithmetic harmonic sum
+      // → bit-exact oracle.
+      Sketches.hllDistinct(
+          t(s, dir, "lineitem")
+            .select(concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("line_key")),
+          "line_key", Seq.empty, p = 11)
+    }),
+    "sketch_cms_topk" -> ((s, dir) => {
+      // Portable Count-Min-Sketch heavy hitters over the token stream
+      // (estimate = min over 4 hash rows of 1024 buckets each).
+      Sketches.cmsTopK(
+          t(s, dir, "documents").select(explode(TextFunctions.tokens(col("text"))).as("token")),
+          "token", d = 4, w = 1024, k = 20)
+        .orderBy(col("cms_estimate").desc, col("item").asc)
+    }),
+    "sketch_bloom_decontaminate" -> ((s, dir) => {
+      // Decontamination against a BROADCAST bloom of the eval set
+      // (doc_id < 20, same benchmark as txt_decontaminate): the probe
+      // is a literal-array bit test in the scan — no corpus-vs-
+      // benchmark shuffle. exact_contaminated rides along to audit
+      // the (one-sided) false-positive rate.
+      val docs = t(s, dir, "documents")
+      Sketches.bloomDecontaminate(docs, docs.filter(col("doc_id") < 20),
+          "text", "doc_id", shingleSize = 5, mBits = 1 << 16, kHashes = 3)
+        .orderBy("doc_id")
+    }),
+    "ann_hamming_topk" -> ((s, dir) => {
+      // Binary-signature ANN: 48 packed sign bits per embedding,
+      // per-query top-10 by Hamming distance via the bounded heap.
+      val e = t(s, dir, "embeddings")
+      Similarity.hammingTopK(e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+          "embedding", "vec_id", dim = 64, k = 10, nBits = 48)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -1399,6 +1494,140 @@ object SparkEntry {
          CAST(ntile(4) OVER w AS INTEGER) AS quartile
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
-         ORDER BY o_custkey, o_orderkey"""
+         ORDER BY o_custkey, o_orderkey""",
+    "txt_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+           regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+         e AS (SELECT doc_id, toks, unnest(range(0, len(toks) // 3)) AS pos FROM t),
+         occ AS (SELECT doc_id, pos,
+           ${duckHex60("array_to_string(toks[(pos*3+1):(pos*3+3)], ' ')")} AS h FROM e),
+         fd AS (SELECT h, min(doc_id) AS fdoc FROM occ GROUP BY h),
+         fp AS (SELECT o.h AS h, fdoc, min(o.pos) AS fpos
+           FROM occ o JOIN fd ON o.h = fd.h AND o.doc_id = fd.fdoc GROUP BY o.h, fdoc),
+         fl AS (SELECT o.doc_id AS doc_id,
+             CASE WHEN o.doc_id = fp.fdoc AND o.pos = fp.fpos THEN 0 ELSE 1 END AS dup
+           FROM occ o JOIN fp ON o.h = fp.h),
+         pd AS (SELECT doc_id, count(*) AS n_chunks, CAST(sum(dup) AS BIGINT) AS n_dup
+           FROM fl GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(pd.n_chunks, 0) AS n_chunks,
+           coalesce(pd.n_dup, 0) AS n_dup_chunks,
+           CASE WHEN coalesce(pd.n_chunks, 0) = 0 THEN 0.0
+                ELSE ${roundToSql("CAST(pd.n_dup AS DOUBLE) / pd.n_chunks", 6)} END AS dup_frac
+         FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
+    "txt_c4_filters" ->
+      s"""WITH t AS (SELECT doc_id, text,
+           regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks,
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+         FROM documents),
+         m AS (SELECT doc_id, text, toks,
+           len(toks) AS n,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) END AS ml,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text, '[^.,!?;:''"()\\-]', '', 'g')) AS DOUBLE) / length(text) END AS pr
+         FROM t)
+         SELECT doc_id,
+           n < 50 AS flag_too_short,
+           n > 100000 AS flag_too_long,
+           (ml < 3.0 OR ml > 10.0) AS flag_word_length,
+           len(list_filter(toks, x -> list_contains($enList, x))) = 0 AS flag_no_stopwords,
+           strpos(lower(text), '{') > 0 AS flag_brace,
+           strpos(lower(text), 'lorem ipsum') > 0 AS flag_lorem,
+           pr > 0.3 AS flag_symbol_ratio,
+           ${roundToSql("ml", 6)} AS mean_word_len,
+           (n >= 50 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0
+            AND len(list_filter(toks, x -> list_contains($enList, x))) > 0
+            AND strpos(lower(text), '{') = 0 AND strpos(lower(text), 'lorem ipsum') = 0
+            AND pr <= 0.3) AS keep
+         FROM m ORDER BY doc_id""",
+    "dedup_url" ->
+      s"""WITH u AS (SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'HTTP://Example.COM:80/p/' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&id=7'
+             WHEN 1 THEN 'http://example.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '?id=7'
+             WHEN 2 THEN 'https://CDN.Site.org:443/img/' || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+             ELSE 'https://cdn.site.org/img/' || CAST(doc_id // 4 AS VARCHAR) END AS url
+         FROM documents),
+         n AS (SELECT doc_id,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1) AS rest
+         FROM u),
+         c1 AS (SELECT doc_id, scheme, hostport,
+           regexp_replace(regexp_replace(rest, '#.*$$', ''),
+             '([?&])(utm_[^=&]*|fbclid|gclid)=[^&]*', '\\1', 'g') AS r1 FROM n),
+         c2 AS (SELECT doc_id, scheme, hostport,
+           regexp_replace(regexp_replace(regexp_replace(r1, '\\?&+', '?', 'g'), '&&+', '&', 'g'),
+             '[?&]+$$', '') AS r2 FROM c1),
+         c3 AS (SELECT doc_id,
+           scheme || '://' ||
+           (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+                 ELSE hostport END) ||
+           (CASE WHEN r2 = '/' THEN '' ELSE r2 END) AS canonical_url
+         FROM c2)
+         SELECT canonical_url, count(*) AS n_urls, min(doc_id) AS first_doc
+         FROM c3 GROUP BY canonical_url ORDER BY canonical_url""",
+    "sketch_hll_distinct" -> {
+      val p = 11; val m = 1 << p; val w = 60 - p
+      val key = "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+      s"""WITH h AS (SELECT ${duckHex60(key)} AS h FROM lineitem),
+         r AS (SELECT h % $m AS b,
+             CASE WHEN (h >> $p) = 0 THEN ${w + 1} ELSE $w - length(bin(h >> $p)) + 1 END AS rho
+           FROM h),
+         mx AS (SELECT b, max(rho) AS mr FROM r GROUP BY b),
+         z AS (SELECT CAST(sum(1::BIGINT << CAST(${Sketches.HllShift} - mr AS INTEGER)) AS BIGINT) AS zs,
+             count(*) AS nb
+           FROM mx),
+         est AS (SELECT ${Sketches.hllConstant(p)} /
+             CAST(zs + ($m - nb) * (1::BIGINT << ${Sketches.HllShift}) AS DOUBLE) AS e FROM z),
+         ex AS (SELECT count(DISTINCT $key) AS n_exact FROM lineitem)
+         SELECT ex.n_exact, ${roundToSql("e", 3)} AS hll_estimate
+         FROM ex CROSS JOIN est"""
+    },
+    "sketch_cms_topk" ->
+      s"""WITH st AS (SELECT unnest(
+             regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS item
+         FROM documents),
+         rs AS (SELECT unnest(range(0, 4)) AS r),
+         cells AS (SELECT r, b, count(*) AS cn FROM (
+             SELECT r, ${duckHex60("'cms' || CAST(r AS VARCHAR) || ':' || item")} % 1024 AS b
+             FROM st CROSS JOIN rs) GROUP BY r, b),
+         ex AS (SELECT item, count(*) AS exact_count FROM st WHERE item IS NOT NULL GROUP BY item),
+         pr AS (SELECT item, exact_count, r,
+             ${duckHex60("'cms' || CAST(r AS VARCHAR) || ':' || item")} % 1024 AS b
+           FROM ex CROSS JOIN rs),
+         est AS (SELECT item, exact_count, min(cn) AS cms_estimate
+           FROM pr JOIN cells USING (r, b) GROUP BY item, exact_count)
+         SELECT item, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(exact_count AS BIGINT) AS exact_count
+         FROM est ORDER BY cms_estimate DESC, item ASC LIMIT 20""",
+    "sketch_bloom_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id,
+           regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+             i -> array_to_string(toks[i:i+4], ' '))) AS shingles FROM t),
+         bsh AS (SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id < 20),
+         rs AS (SELECT unnest(range(0, 3)) AS j),
+         bpos AS (SELECT DISTINCT
+             ${duckHex60("'bloom' || CAST(j AS VARCHAR) || ':' || g")} % 65536 AS pos
+           FROM bsh CROSS JOIN rs),
+         dsh AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+         probe AS (SELECT doc_id, g, j,
+             ${duckHex60("'bloom' || CAST(j AS VARCHAR) || ':' || g")} % 65536 AS pos
+           FROM dsh CROSS JOIN rs),
+         hits AS (SELECT doc_id, g, count(*) AS nh FROM probe JOIN bpos USING (pos)
+           GROUP BY doc_id, g),
+         bf AS (SELECT doc_id, max(nh = 3) AS bloom_flagged FROM hits GROUP BY doc_id),
+         ex AS (SELECT DISTINCT d.doc_id AS doc_id FROM dsh d JOIN bsh ON d.g = bsh.g)
+         SELECT doc.doc_id,
+           coalesce(bf.bloom_flagged, false) AS bloom_flagged,
+           (doc.doc_id IN (SELECT doc_id FROM ex)) AS exact_contaminated
+         FROM documents doc LEFT JOIN bf USING (doc_id) ORDER BY doc.doc_id""",
+    "ann_hamming_topk" -> annHammingOracleSql
   )
 }

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for crawl-scale dedup: the same page is
+  * typically crawled under many spellings (host case, default ports,
+  * fragments, tracking params), and exact-url dedup without
+  * canonicalization silently keeps them all. One codegen'd
+  * regexp-chain expression — scan speed, no UDF — with explicit ASCII
+  * classes so Java regex (Spark) and RE2-family engines agree
+  * byte-for-byte (the DuckDB oracle replicates the same chain).
+  *
+  * Canonical form:
+  *  - scheme and host lower-cased (path/query case is preserved —
+  *    paths are case-sensitive on most origins)
+  *  - default ports stripped (`:80` for http, `:443` for https)
+  *  - fragment dropped
+  *  - tracking params removed (`utm_*`, `fbclid`, `gclid`), with
+  *    separator repair and trailing `?`/`&` cleanup; remaining param
+  *    ORDER is preserved (re-ordering changes semantics on some apps)
+  *  - a bare `/` path collapses to the empty path
+  *  - non-URL strings (no `scheme://`) fall back to lower(trim())
+  */
+object UrlFunctions {
+
+  def normalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, "([?&])(utm_[^=&]*|fbclid|gclid)=[^&]*", "$1")
+    val fixSep = regexp_replace(regexp_replace(noTrack, "\\?&+", "?"), "&&+", "&")
+    val clean = regexp_replace(fixSep, "[?&]+$", "")
+    val path = when(clean === "/", lit("")).otherwise(clean)
+    when(scheme === "", lower(u))
+      .otherwise(concat(scheme, lit("://"), host, path))
+  }
+}

@@ -257,4 +257,40 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
     topKPerQuery(scored, k)
   }
+
+  /** Binary-signature ANN: compress each embedding to `nBits` packed
+    * sign bits of seeded random hyperplanes (the SimHash-for-vectors
+    * trick), then rank corpus rows per query by Hamming distance —
+    * `bit_count(xor)` over two longs, so the scoring pass touches 8
+    * bytes per corpus row instead of `dim × 8`. The standard
+    * memory-bound re-ranking primitive when even PQ codes are too
+    * wide; recall comes from the sign-bit LSH property (P[bit match]
+    * = 1 − angle/π).
+    *
+    * Scale shape mirrors [[bruteForceTopK]]: signatures are a narrow
+    * map (planes are plan literals), queries broadcast, and per-query
+    * top-k uses the bounded-heap aggregate — the corpus never
+    * shuffles. Ordering (hamming asc, corpus_id asc) is exactly the
+    * window formulation, bit-for-bit, via score = nBits − hamming.
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame,
+                  vecCol: String, idCol: String, dim: Int, k: Int,
+                  nBits: Int = 48, seed: Long = 42L): DataFrame = {
+    require(nBits >= 1 && nBits <= 62, s"nBits=$nBits must fit a positive long")
+    val planes = Seq(Dedup.randomPlanes(nBits, dim, seed))
+    def sig(df: DataFrame, outId: String, outSig: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        element_at(column(graft.plans.HyperplaneBuckets(
+          expression(col(vecCol).cast("array<double>")), planes)), 1).as(outSig))
+    val c = sig(corpus, "corpus_id", "cs")
+    val q = sig(queries, "query_id", "qs")
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        (lit(nBits.toDouble) - expr("CAST(bit_count(qs ^ cs) AS DOUBLE)")).as("score"))
+    scored.groupBy("query_id")
+      .agg(graft.plans.TopKByScore.topKByScore(col("score"), col("corpus_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("query_id"), col("t.id").as("corpus_id"),
+        (lit(nBits) - col("t.score")).cast("int").as("hamming"), (col("r") + 1).as("rank"))
+  }
 }

@@ -23,6 +23,19 @@ import graft.functions.MathFunctions.roundTo
   */
 object Sketches {
 
+  /** Integer-scaling shift for the HLL harmonic sum: max rank at
+    * p ≥ 12 is 49, so `2^(50-rank)` is always an exact BIGINT ≥ 2.
+    */
+  val HllShift = 50
+
+  /** `α_m · m² · 2^S` as ONE double literal — public so the oracle
+    * SQL generator bakes the IDENTICAL constant.
+    */
+  def hllConstant(p: Int): Double = {
+    val m = 1 << p
+    (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, HllShift)
+  }
+
   /** Number of leading-zero-adjusted rank bits: position of the first
     * set bit (from the MSB of a `width`-bit value) + 1; `width + 1`
     * for value 0. Computed as `width - bitlength(v) + 1` with
@@ -47,21 +60,24 @@ object Sketches {
     *    division `α·m²·2^S / z_int` is IEEE-deterministic everywhere.
     *  - raw HLL estimate only (no small/large-range corrections: they
     *    need `ln`, whose last-ulp behavior is libm-specific — the raw
-    *    estimate keeps the oracle bit-exact; callers needing the
-    *    corrected estimate at tiny cardinalities should use exact
-    *    count_distinct, which is cheap exactly there).
+    *    estimate keeps the oracle bit-exact). The raw estimate is the
+    *    right tool for n ≳ 2.5·m (where HLL's 1.04/√m error bound
+    *    holds); BELOW that it overestimates — which is exactly the
+    *    regime where exact `count_distinct` is cheap, so callers
+    *    should pick by expected scale. This is the standard
+    *    HLL-without-LinearCounting trade, made deliberately for
+    *    cross-engine determinism.
     *
     * Returns `groupCols :+ (n_exact, hll_estimate)` — the exact count
     * rides along for error accounting (drop it at true scale).
     */
   def hllDistinct(df: DataFrame, valueCol: String, groupCols: Seq[String],
                   p: Int = 12): DataFrame = {
-    require(p >= 4 && p <= 16, s"p=$p outside [4,16]")
+    require(p >= 11 && p <= 16, s"p=$p outside [11,16] (integer scaling + α_m validity)")
     val m = 1 << p
     val width = 60 - p
-    val S = 50
+    val S = HllShift
     require(width + 1 <= S, "rank must fit the integer scaling")
-    val alpha = 0.7213 / (1.0 + 1.079 / m) // the standard α_m for m ≥ 128
     val h = Dedup.portableHash60(col(valueCol).cast("string"))
     val bucket = pmod(h, lit(m.toLong))
     // high bits via INTEGER shift — h/m through `/` would round-trip a
@@ -73,18 +89,91 @@ object Sketches {
     val regs = df.select((gs :+ bucket.as("__b") :+ rank.as("__r")): _*)
       .groupBy((gs :+ col("__b")): _*).agg(max("__r").as("__m"))
     // pass 2: integer harmonic fold; empty registers contribute 2^S each
-    val zNonEmpty = sum(shiftleft(lit(1L), (lit(S) - col("__m")).cast("int")))
+    val zNonEmpty = sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($S - __m AS INT))"))
     val grouped =
       if (groupCols.isEmpty) regs.agg(zNonEmpty.as("__z"), count("*").as("__n"))
       else regs.groupBy(gs: _*).agg(zNonEmpty.as("__z"), count("*").as("__n"))
     val zInt = col("__z") + (lit(m.toLong) - col("__n")) * lit(1L << S)
-    val est = lit(alpha * m * m) * lit(math.pow(2.0, S)) / zInt.cast("double")
+    // ONE pre-computed double literal (also baked verbatim into the
+    // oracle SQL via hllConstant) so both engines perform exactly one
+    // IEEE division — no cross-engine accumulation-order drift
+    val est = lit(hllConstant(p)) / zInt.cast("double")
     val exact =
       if (groupCols.isEmpty) df.agg(countDistinct(col(valueCol)).as("n_exact"))
       else df.groupBy(gs: _*).agg(countDistinct(col(valueCol)).as("n_exact"))
     val estDf = grouped.select((gs :+ roundTo(est, 3).as("hll_estimate")): _*)
     if (groupCols.isEmpty) exact.crossJoin(estDf)
     else exact.join(estDf, groupCols)
+  }
+
+  /** Bloom-filter bit array of a benchmark's shingle set, as packed
+    * long words. The whole benchmark compresses to `mBits` bits
+    * REGARDLESS of its size — that is the scale story: probing docs
+    * against it is a broadcast-literal narrow map, no shuffle of the
+    * corpus against the benchmark. The driver-side collect is bounded
+    * by `mBits` DISTINCT positions (≤ 8·mBits bytes), never by
+    * benchmark row count.
+    */
+  def bloomWords(benchmark: DataFrame, textCol: String,
+                 shingleSize: Int, mBits: Int, kHashes: Int): Array[Long] = {
+    require(mBits >= 64 && Integer.bitCount(mBits) == 1, s"mBits=$mBits must be a power of 2")
+    require(kHashes >= 1 && kHashes <= 8)
+    val sh = benchmark.select(
+      explode(graft.functions.TextFunctions.wordShingles(col(textCol), shingleSize)).as("__sh"))
+    val posCols = (0 until kHashes).map { j =>
+      pmod(Dedup.portableHash60(concat(lit(s"bloom$j:"), col("__sh"))), lit(mBits.toLong))
+    }
+    val pos = sh.select(explode(array(posCols: _*)).as("__p")).distinct()
+      .collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    pos.foreach(p => words((p >> 6).toInt) |= (1L << (p & 63).toInt))
+    words
+  }
+
+  /** Benchmark decontamination via a broadcast Bloom filter: a doc is
+    * flagged iff ANY of its `shingleSize`-gram shingles has all
+    * `kHashes` bloom bits set. One-sided error by construction — no
+    * false NEGATIVES (everything [[Dedup.decontaminate]] would drop
+    * is flagged), a tunable false-POSITIVE rate (~(1-e^(-kn/m))^k)
+    * from bit collisions. The trade a 100 TB pipeline wants: the
+    * probe is a literal-array bit test inside a scan (the exact path
+    * shuffles doc shingles against benchmark shingles).
+    *
+    * Returns per-doc `(bloom_flagged, exact_contaminated)` — the
+    * exact column rides along to audit the FP rate (drop it at true
+    * scale; it re-introduces the join the bloom avoids).
+    */
+  def bloomDecontaminate(docs: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String,
+                         shingleSize: Int = 5, mBits: Int = 1 << 16,
+                         kHashes: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions.wordShingles
+    val words = bloomWords(benchmark, textCol, shingleSize, mBits, kHashes)
+    val d = docs.select(col(idCol),
+      explode(wordShingles(col(textCol), shingleSize)).as("__sh"))
+    val withPos = (0 until kHashes).foldLeft(d.withColumn("__bw", typedLit(words.toSeq))) {
+      (df, j) => df.withColumn(s"__p$j",
+        pmod(Dedup.portableHash60(concat(lit(s"bloom$j:"), col("__sh"))), lit(mBits.toLong)))
+    }
+    // all-k-bits-set test against the literal word array; SQL-form
+    // shiftleft accepts a column shift amount (the DSL overload
+    // doesn't), and ConstantFolding keeps __bw a single plan literal
+    val bitTests = (0 until kHashes).map { j =>
+      s"(element_at(__bw, CAST(__p$j div 64 AS INT) + 1) & " +
+      s"shiftleft(CAST(1 AS BIGINT), CAST(__p$j % 64 AS INT))) != 0"
+    }
+    val flagged = withPos.withColumn("__hit", expr(bitTests.mkString(" AND ")))
+      .groupBy(col(idCol)).agg(max(col("__hit")).as("bloom_flagged"))
+    val benchSh = benchmark
+      .select(explode(wordShingles(col(textCol), shingleSize)).as("__sh")).distinct()
+    val exact = d.join(benchSh, Seq("__sh")).select(col(idCol)).distinct()
+      .withColumn("exact_contaminated", lit(true))
+    docs.select(col(idCol))
+      .join(flagged, Seq(idCol), "left")
+      .join(exact, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("bloom_flagged"), lit(false)).as("bloom_flagged"),
+        coalesce(col("exact_contaminated"), lit(false)).as("exact_contaminated"))
   }
 
   /** Count-Min-Sketch heavy hitters over exploded `itemCol` values:

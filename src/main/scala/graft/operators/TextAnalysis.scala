@@ -139,10 +139,14 @@ object TextAnalysis {
     require(chunkSize >= 1)
     val toks = split(normalizeText(col(textCol)), " ")
     val nChunks = floor(size(toks) / chunkSize).cast("int")
-    val chunks = transform(sequence(lit(0), nChunks - 1),
+    // guard: sequence(0, -1) would produce a DESCENDING [0, -1] in
+    // Spark, not an empty array — short docs must yield zero chunks
+    val idxs = when(nChunks > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(lit(Array.emptyIntArray))
+    val chunks = transform(idxs,
       i => struct(i.as("pos"),
         graft.operators.Dedup.portableHash60(
-          concat_ws(" ", slice(toks, i * chunkSize + 1, chunkSize))).as("h")))
+          concat_ws(" ", slice(toks, i * chunkSize + lit(1), lit(chunkSize)))).as("h")))
     val occ = df
       .select(col(idCol).as("__id"), explode(chunks).as("__c"))
       .select(col("__id"), col("__c.pos").as("__pos"), col("__c.h").as("__h"))

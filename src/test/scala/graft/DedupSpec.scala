@@ -217,4 +217,24 @@ class DedupSpec extends SparkSpec {
       hofDot.as("hof")).collect()
     assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)), "bit-identical dot products")
   }
+
+  test("hammingTopK: exact copy ranks first at hamming 0, negation ranks far") {
+    import spark.implicits._
+    val q = Seq((0L, Seq(1.0, -2.0, 0.5, 3.0, -1.5, 0.25, 2.0, -0.75)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, Seq(1.0, -2.0, 0.5, 3.0, -1.5, 0.25, 2.0, -0.75)),  // identical
+      (101L, Seq(-1.0, 2.0, -0.5, -3.0, 1.5, -0.25, -2.0, 0.75)), // negated
+      (102L, Seq(1.1, -1.9, 0.4, 2.9, -1.4, 0.2, 2.1, -0.8))      // near-identical
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .hammingTopK(corpus, q, "embedding", "vec_id", dim = 8, k = 3, nBits = 16)
+      .orderBy("rank").collect()
+    assert(out(0).getAs[Long]("corpus_id") == 100L && out(0).getAs[Int]("hamming") == 0,
+      "identical vector at hamming 0, rank 1")
+    assert(out(1).getAs[Long]("corpus_id") == 102L, "near-identical second")
+    val negH = out(2).getAs[Int]("hamming")
+    assert(out(2).getAs[Long]("corpus_id") == 101L && negH > 8,
+      s"negated vector flips (nearly) all sign bits, got hamming $negH")
+  }
 }

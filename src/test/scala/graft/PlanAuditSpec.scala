@@ -142,4 +142,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "exact dedup must not join")
     assert(p.contains("partial_"), "map-side partial aggregation")
   }
+
+  test("sketch_hll: register aggregation is partial; only post-reduction rows funnel") {
+    val p = plan("sketch_hll_distinct")
+    // the data-sized pass MUST be map-side combined: each task reduces
+    // its rows to ≤ m register cells before any exchange
+    assert(p.contains("partial_"), "register max is map-side combined")
+    // a GLOBAL (ungrouped) sketch necessarily folds through a single
+    // partition at the end — benign, because only the ≤ m register
+    // rows (and the global count_distinct partials) cross it, never
+    // data-sized input. Assert that every single-partition exchange
+    // sits directly above an aggregate, not above a scan/raw frame.
+    val lines = p.linesIterator.toArray
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach { case (_, i) =>
+      val below = lines.drop(i + 1).take(2).mkString("\n")
+      assert(below.contains("HashAggregate") || below.contains("Aggregate"),
+        s"single-partition exchange over non-aggregated input:\n$p")
+    }
+  }
+
+  test("sketch_cms: constant-size cell table broadcast to the item probes") {
+    val p = plan("sketch_cms_topk")
+    assert(p.contains("BroadcastHashJoin"), s"cells joined by broadcast:\n$p")
+  }
+
+  test("ann_hamming: queries broadcast, corpus never shuffles, bounded top-k") {
+    val p = plan("ann_hamming_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query signatures broadcast:\n$p")
+    assert(p.contains("topk_by_score"), "bounded-heap top-k, not a global window")
+    assert(!p.contains("Exchange SinglePartition"), s"funnel in hamming plan:\n$p")
+  }
+
+  test("txt_chunk_dedup: agg+join formulation — no window over the chunk key") {
+    val p = plan("txt_chunk_dedup")
+    assert(!p.contains("Window"), s"hot-chunk-skew-prone window absent:\n$p")
+    assert(p.contains("partial_"), "first-occurrence aggregates map-side combined")
+  }
 }

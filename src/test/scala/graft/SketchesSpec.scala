@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HLL estimate lands within sketch error bounds of the exact count") {
+    // 10k distinct ids, each seen 1-3 times; rse at p=12 is
+    // 1.04/sqrt(4096) ~ 1.6%, so 10% is a >6-sigma safety margin
+    val rows = (0 until 10000).flatMap(i => Seq.fill(1 + i % 3)(i.toLong))
+    val df = rows.toDF("id")
+    val out = Sketches.hllDistinct(df, "id", Seq.empty, p = 12).collect()
+    assert(out.length == 1)
+    val exact = out(0).getAs[Long]("n_exact")
+    val est = out(0).getAs[Double]("hll_estimate")
+    assert(exact == 10000L)
+    assert(math.abs(est / exact - 1.0) < 0.10, s"estimate $est vs exact $exact")
+  }
+
+  test("HLL grouped variant: one row per group, estimates track group cardinality") {
+    // cardinalities ≥ 2.5·m per group (the raw-HLL validity regime —
+    // below it the skipped LinearCounting correction would be needed)
+    val df = (0 until 45000).map(i => (if (i % 3 == 0) "a" else "b", i.toLong)).toDF("g", "id")
+    val out = Sketches.hllDistinct(df, "id", Seq("g"), p = 12)
+      .orderBy("g").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    for (r <- out) {
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Double]("hll_estimate")
+      assert(math.abs(est / exact - 1.0) < 0.10, s"group ${r.getString(0)}: $est vs $exact")
+    }
+  }
+
+  test("HLL is deterministic: identical input, identical estimate") {
+    val df = (0 until 5000).map(_.toLong).toDF("id")
+    val a = Sketches.hllDistinct(df, "id", Seq.empty).collect()(0).getAs[Double]("hll_estimate")
+    val b = Sketches.hllDistinct(df, "id", Seq.empty).collect()(0).getAs[Double]("hll_estimate")
+    assert(a == b)
+  }
+
+  test("bloom decontamination: no false negatives vs the exact shingle join") {
+    val bench = Seq((900L, "the secret eval question about spark windows today ok"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the secret eval question about spark windows today ok extra words"), // contaminated
+      (2L, "a completely different document with no overlap at all whatsoever"),
+      (3L, "question about spark windows today ok trailing context here")        // shares 5-grams
+    ).toDF("doc_id", "text")
+    val out = Sketches.bloomDecontaminate(docs, bench, "text", "doc_id",
+        shingleSize = 5, mBits = 1 << 12, kHashes = 3)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Boolean]("bloom_flagged"), r.getAs[Boolean]("exact_contaminated"))).toMap
+    assert(byId(1L)._2 && byId(3L)._2 && !byId(2L)._2, "exact ground truth as planted")
+    // the bloom's one-sided-error guarantee: exact => flagged
+    for ((id, (bloom, exact)) <- byId if exact)
+      assert(bloom, s"false negative on doc $id — bloom must flag every exact hit")
+  }
+
+  test("CMS never underestimates and ranks the planted heavy hitter first") {
+    // zipf-ish: "hot" 500 times, "warm" 60, 200 singletons
+    val rows = Seq.fill(500)("hot") ++ Seq.fill(60)("warm") ++
+      (0 until 200).map(i => s"cold$i")
+    val df = rows.toDF("token")
+    val out = Sketches.cmsTopK(df, "token", d = 4, w = 256, k = 5).collect()
+    assert(out.nonEmpty)
+    // CMS guarantee: collisions only ADD, estimate >= exact, always
+    for (r <- out)
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_count"),
+        s"underestimate for ${r.getString(0)}")
+    assert(out(0).getString(0) == "hot" && out(0).getAs[Long]("exact_count") == 500L)
+    assert(out(1).getString(0) == "warm")
+  }
+}

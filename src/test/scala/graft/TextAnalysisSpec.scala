@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkDedup flags repeats of earlier (doc, position) chunks, globally") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // "a b c", "d e f" — both first
+      (2L, "a b c x y z"),       // "a b c" repeats doc 1; "x y z" first
+      (3L, "a b c a b c"),       // both positions repeat doc 1's first chunk
+      (4L, "sh ort")             // < 3 tokens: zero chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDedup(docs, "doc_id", "text", chunkSize = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0L, 0.0),
+      (2L, 2L, 1L, 0.5),
+      (3L, 2L, 2L, 1.0),
+      (4L, 0L, 0L, 0.0)))
+  }
+
+  test("chunkDedup: within-doc first occurrence wins over later docs") {
+    // the SAME chunk twice in doc 10: position 0 is the global first,
+    // position 1 is a dup; doc 11's copy is also a dup
+    val docs = Seq(
+      (10L, "p q r p q r"),
+      (11L, "p q r z z z")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDedup(docs, "doc_id", "text", chunkSize = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, 2L, 1L), (11L, 2L, 1L)))
+  }
+
+  test("c4Filters: each heuristic fires on its planted document") {
+    val good = ("the quick brown fox jumps over a lazy dog " * 10).trim // 90 toks, stopwords, clean
+    val docs = Seq(
+      (1L, good),
+      (2L, "tiny doc"),                                  // too_short (+no stopwords)
+      (3L, good + " {code}"),                            // brace
+      (4L, good + " lorem ipsum dolor"),                 // lorem
+      (5L, ("zz " * 60).trim)                            // no stopwords + short mean len
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filters(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = {
+      val r = out(i)
+      (r.getAs[Boolean]("flag_too_short"), r.getAs[Boolean]("flag_no_stopwords"),
+       r.getAs[Boolean]("flag_brace"), r.getAs[Boolean]("flag_lorem"),
+       r.getAs[Boolean]("keep"))
+    }
+    assert(flags(0) == ((false, false, false, false, true)), "clean doc keeps")
+    assert(flags(1)._1 && !flags(1)._5, "short doc flagged, dropped")
+    assert(flags(2)._3 && !flags(2)._5, "brace flagged")
+    assert(flags(3)._4 && !flags(3)._5, "lorem ipsum flagged")
+    assert(flags(4)._2 && !flags(4)._5, "stopword-free doc flagged")
+    // mean word length sanity: "zz" repeated -> exactly 2.0
+    assert(out(4).getAs[Boolean]("flag_word_length"))
+    assert(out(4).getAs[Double]("mean_word_len") == 2.0)
+  }
+}

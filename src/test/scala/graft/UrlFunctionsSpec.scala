@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.functions.UrlFunctions
+
+class UrlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlFunctions.normalizeUrl(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("scheme/host lower-cased, default port stripped, tracking params removed") {
+    assert(norm("HTTP://Example.COM:80/p/3?utm_source=feed&id=7")
+      == Seq("http://example.com/p/3?id=7"))
+    assert(norm("https://CDN.Site.org:443/img/9#frag")
+      == Seq("https://cdn.site.org/img/9"))
+  }
+
+  test("non-default ports and path case are preserved") {
+    assert(norm("http://a.b:8080/Path/File") == Seq("http://a.b:8080/Path/File"))
+    // :443 is only default for https — preserved on http
+    assert(norm("http://a.b:443/x") == Seq("http://a.b:443/x"))
+  }
+
+  test("tracking params removed mid-query with separator repair") {
+    assert(norm("https://a.b/p?id=1&utm_b=2&q=3") == Seq("https://a.b/p?id=1&q=3"))
+    assert(norm("https://a.b/p?utm_a=1&utm_b=2") == Seq("https://a.b/p"))
+    assert(norm("https://a.b/p?fbclid=xyz&id=1") == Seq("https://a.b/p?id=1"))
+  }
+
+  test("bare slash path collapses; other trailing slashes kept") {
+    assert(norm("https://A.B/") == Seq("https://a.b"))
+    assert(norm("https://a.b/x/?utm_a=1") == Seq("https://a.b/x/"))
+  }
+
+  test("non-URL strings fall back to lower(trim)") {
+    assert(norm("  Not A Url  ") == Seq("not a url"))
+  }
+
+  test("other schemes pass through with case normalization only") {
+    assert(norm("FTP://Files.NET:80/a") == Seq("ftp://files.net:80/a"))
+  }
+}
