@@ -124,9 +124,17 @@ object Bench {
       try w.println(full) finally w.close()
     } catch { case _: Throwable => } // detail file is best-effort; the line below is the contract
     println(compact)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      System.out.println(compact); System.out.flush()
-    }))
+    // one hook per JVM, printing the LATEST run's line — repeated
+    // Bench invocations in one (interactive) sbt session must not
+    // stack hooks that replay stale results at exit
+    Bench.lastCompact = compact
+    Bench.hookOnce
     spark.stop()
   }
+
+  @volatile private var lastCompact: String = ""
+  private lazy val hookOnce: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(lastCompact); System.out.flush()
+    }))
 }

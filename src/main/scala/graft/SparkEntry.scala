@@ -1555,12 +1555,15 @@ object SparkEntry {
            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1) AS rest
          FROM u),
+         c0 AS (SELECT doc_id, scheme, hostport,
+           regexp_replace(rest, '#.*$$', '') AS r0 FROM n),
          c1 AS (SELECT doc_id, scheme, hostport,
-           regexp_replace(regexp_replace(rest, '#.*$$', ''),
-             '([?&])(utm_[^=&]*|fbclid|gclid)=[^&]*', '\\1', 'g') AS r1 FROM n),
+           regexp_extract(r0, '^([^?]*)', 1) AS pathp,
+           regexp_replace(regexp_extract(r0, '(\\?.*)$$', 1),
+             '([?&])(utm_[^=&]*|fbclid|gclid)=[^&]*', '\\1', 'g') AS q1 FROM c0),
          c2 AS (SELECT doc_id, scheme, hostport,
-           regexp_replace(regexp_replace(regexp_replace(r1, '\\?&+', '?', 'g'), '&&+', '&', 'g'),
-             '[?&]+$$', '') AS r2 FROM c1),
+           pathp || regexp_replace(regexp_replace(regexp_replace(q1, '\\?&+', '?', 'g'),
+             '&&+', '&', 'g'), '[?&]+$$', '') AS r2 FROM c1),
          c3 AS (SELECT doc_id,
            scheme || '://' ||
            (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')

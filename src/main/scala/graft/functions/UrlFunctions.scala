@@ -33,9 +33,15 @@ object UrlFunctions {
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
     val noFrag = regexp_replace(rest, "#.*$", "")
-    val noTrack = regexp_replace(noFrag, "([?&])(utm_[^=&]*|fbclid|gclid)=[^&]*", "$1")
+    // tracking-param strip + separator repair operate on the QUERY
+    // STRING only: '&' is a legal raw path character, and a path like
+    // /x&utm_campaign=raw/y must survive untouched
+    val pathPart = regexp_extract(noFrag, "^([^?]*)", 1)
+    val queryPart = regexp_extract(noFrag, "(\\?.*)$", 1)
+    val noTrack = regexp_replace(queryPart, "([?&])(utm_[^=&]*|fbclid|gclid)=[^&]*", "$1")
     val fixSep = regexp_replace(regexp_replace(noTrack, "\\?&+", "?"), "&&+", "&")
-    val clean = regexp_replace(fixSep, "[?&]+$", "")
+    val cleanQ = regexp_replace(fixSep, "[?&]+$", "")
+    val clean = concat(pathPart, cleanQ)
     val path = when(clean === "/", lit("")).otherwise(clean)
     when(scheme === "", lower(u))
       .otherwise(concat(scheme, lit("://"), host, path))

@@ -65,7 +65,17 @@ object Maintenance {
         s"$dir mixes partition directories (${partDirs.head.getPath.getName}) " +
           "with flat parquet files; compact the two layouts separately")
       return partDirs.flatMap(d => partitionLeaves(fs, d.getPath))
-        .map(leaf => compactParquet(spark, leaf.toString, targetBytes, sortCols))
+        .map { leaf =>
+          // partition columns are CONSTANT within a leaf: a sortCol
+          // naming one is a no-op there (and absent from the leaf's
+          // schema) — drop it so range clustering on (date, id) means
+          // "cluster by id within each date dir", which is the same
+          // global layout the caller asked for
+          val partKeys = leaf.toString.stripPrefix(path.toString)
+            .split("/").filter(_.contains("=")).map(_.takeWhile(_ != '=')).toSet
+          compactParquet(spark, leaf.toString, targetBytes,
+            sortCols.filterNot(partKeys.contains))
+        }
         .sum
     }
 
@@ -118,9 +128,18 @@ object Maintenance {
     * (`date=…/hour=…`) recurse to the deepest `k=v` level.
     */
   private def partitionLeaves(fs: FileSystem, dir: Path): Seq[Path] = {
-    val children = fs.listStatus(dir)
-      .filter(s => s.isDirectory && isPartitionDir(s.getPath.getName))
+    val st = fs.listStatus(dir)
+    val children = st.filter(s => s.isDirectory && isPartitionDir(s.getPath.getName))
     if (children.isEmpty) Seq(dir)
-    else children.flatMap(c => partitionLeaves(fs, c.getPath)).toSeq
+    else {
+      // same refusal as the top level, at EVERY level: data files next
+      // to deeper k=v dirs would be silently skipped by a leaf-only
+      // sweep (and Spark itself rejects such conflicting layouts)
+      val dataHere = st.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      require(!dataHere,
+        s"$dir mixes partition directories (${children.head.getPath.getName}) " +
+          "with data files at the same level; fix the layout before compacting")
+      children.flatMap(c => partitionLeaves(fs, c.getPath)).toSeq
+    }
   }
 }

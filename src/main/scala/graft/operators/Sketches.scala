@@ -73,7 +73,10 @@ object Sketches {
     */
   def hllDistinct(df: DataFrame, valueCol: String, groupCols: Seq[String],
                   p: Int = 12): DataFrame = {
-    require(p >= 11 && p <= 16, s"p=$p outside [11,16] (integer scaling + α_m validity)")
+    // p ≤ 12: the empty-register contribution (m-n)·2^50 must stay
+    // below 2^63 even for an all-empty sketch (m·2^50 = 2^62 at p=12;
+    // p=13 would hit exactly 2^63 on empty input and THROW under ANSI)
+    require(p >= 11 && p <= 12, s"p=$p outside [11,12] (BIGINT harmonic-sum headroom)")
     val m = 1 << p
     val width = 60 - p
     val S = HllShift

@@ -93,4 +93,32 @@ class MaintenanceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("mixes partition directories"))
   }
+
+  test("data files at an INTERMEDIATE partition level are refused, not skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact5").toString + "/t"
+    Seq((1L, "deep")).toDF("id", "text").write.parquet(s"$dir/date=d1/hour=00")
+    // stray data file next to the hour= dir — Spark itself cannot read
+    // this layout; a silent leaf-only sweep would leave it uncompacted
+    Seq((2L, "shallow")).toDF("id", "text")
+      .write.mode("append").parquet(s"$dir/date=d1")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compactParquet(spark, dir)
+    }
+    assert(e.getMessage.contains("mixes partition directories"), e.getMessage)
+  }
+
+  test("sortCols naming a partition column cluster by the remaining cols per leaf") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact6").toString + "/t"
+    for (b <- 0 until 4)
+      (0 until 25).map(i => (100 - (b * 25 + i.toLong), s"r$b$i")).toDF("id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$dir/date=2026-02-01")
+    // "date" is a partition column — constant per leaf, so clustering
+    // on (date, id) must degrade gracefully to (id) within the leaf
+    val nOut = Maintenance.compactParquet(spark, dir, targetBytes = Long.MaxValue,
+      sortCols = Seq("date", "id"))
+    assert(nOut == 1)
+    val back = spark.read.parquet(s"$dir/date=2026-02-01")
+    val ids = back.collect().map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted, "rows range-clustered by id within the leaf")
+  }
 }

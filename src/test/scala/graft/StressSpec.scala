@@ -52,6 +52,25 @@ class StressSpec extends SparkSpec {
       f"capped LSH dedup must scale near-linearly: 10x data took $ratio%.1fx the time")
   }
 
+  test("chunk dedup stays near-linear at 10x (agg+join, no chunk-key window)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    // token-suffixed copies share ZERO chunks across groups → true dup
+    // structure scales exactly 10x; a hot-chunk window would not
+    val (one, ten) = tenX
+    import graft.operators.TextAnalysis
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      TextAnalysis.chunkDedup(df, "doc_id", "text", chunkSize = 3)
+        .agg(sum("n_dup_chunks")).collect()
+    run(one) // warm-up
+    val t1 = timeOf(run(one))
+    val t10 = timeOf(run(ten))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"chunk dedup must scale near-linearly: 10x data took $ratio%.1fx the time")
+  }
+
   test("embedding LSH with cap survives 10x duplicated vectors sub-quadratically") {
     assume(sys.env.contains("GRAFT_STRESS"),
       "10x stress point: set GRAFT_STRESS=1 (takes minutes)")

@@ -39,6 +39,13 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(norm("  Not A Url  ") == Seq("not a url"))
   }
 
+  test("'&' in the PATH is raw data — tracking strip touches only the query string") {
+    // '&utm_campaign=raw/y' here is part of the path, not a parameter
+    assert(norm("https://a.b/x&utm_campaign=raw/y")
+      == Seq("https://a.b/x&utm_campaign=raw/y"))
+    assert(norm("https://a.b/x&&y/z?utm_a=1") == Seq("https://a.b/x&&y/z"))
+  }
+
   test("other schemes pass through with case normalization only") {
     assert(norm("FTP://Files.NET:80/a") == Seq("ftp://files.net:80/a"))
   }
