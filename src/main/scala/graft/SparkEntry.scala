@@ -961,6 +961,24 @@ object SparkEntry {
           "token", d = 4, w = 1024, k = 20)
         .orderBy(col("cms_estimate").desc, col("item").asc)
     }),
+    "samp_stratified" -> ((s, dir) => {
+      // Deterministic stratified sampling — the corpus-mixing
+      // primitive: downsample English hard, keep half of German,
+      // a quarter of everything else. Membership is a pure function
+      // of (salt, doc_id): reproducible across runs, retries, and
+      // engines; the filter is a narrow scan-side expression.
+      graft.operators.Sampling.stratifiedSample(
+          t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.10, "de" -> 0.50), defaultFrac = 0.25)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    "samp_hash_topk" -> ((s, dir) => {
+      // Exactly-k uniform sample with no population-size knowledge:
+      // smallest-hash k rows via bounded per-partition heaps
+      // (TakeOrderedAndProject), never a global sort.
+      graft.operators.Sampling.hashTopK(t(s, dir, "documents"), "doc_id", 100)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "sketch_bloom_decontaminate" -> ((s, dir) => {
       // Decontamination against a BROADCAST bloom of the eval set
       // (doc_id < 20, same benchmark as txt_decontaminate): the probe
@@ -1607,6 +1625,18 @@ object SparkEntry {
          SELECT item, CAST(cms_estimate AS BIGINT) AS cms_estimate,
            CAST(exact_count AS BIGINT) AS exact_count
          FROM est ORDER BY cms_estimate DESC, item ASC LIMIT 20""",
+    "samp_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         WHERE ${duckHex60("'samp:' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+           CASE WHEN lang = 'en' THEN 100000
+                WHEN lang = 'de' THEN 500000
+                ELSE 250000 END
+         ORDER BY doc_id""",
+    "samp_hash_topk" ->
+      s"""WITH h AS (SELECT doc_id,
+           ${duckHex60("'samp:' || CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
+         k AS (SELECT doc_id FROM h ORDER BY hh, doc_id LIMIT 100)
+         SELECT doc_id FROM k ORDER BY doc_id""",
     "sketch_bloom_decontaminate" ->
       s"""WITH t AS (SELECT doc_id,
            regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks

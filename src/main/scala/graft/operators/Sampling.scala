@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-reproducible sampling — the 100 TB
+  * replacement for `rand()`-based sampling, whose membership changes
+  * with partitioning, retries, and engine. Membership here is a pure
+  * function of the row KEY (portable md5 hash), so:
+  *
+  *  - re-running the job (or re-running after task retries / AQE
+  *    re-planning) selects the SAME rows;
+  *  - any other engine reproduces the sample exactly (the DuckDB
+  *    oracle does) — the property that lets a downstream team audit
+  *    a 0.1% sample of a petabyte corpus without re-shipping it;
+  *  - samples compose: a 10% sample of a 50% sample is the same set
+  *    as sampling 5% directly with the two salts chained.
+  *
+  * Every operator is a narrow map (filter on a scan-side expression,
+  * no shuffle) except [[hashTopK]], which is the classic distributed
+  * bounded top-k (per-partition heaps, driver merge — never a full
+  * sort).
+  */
+object Sampling {
+
+  private val Denom = 1000000L
+
+  /** Membership threshold in parts-per-million, exact integer compare
+    * — no float thresholding on hashed values.
+    */
+  private def ppm(frac: Double): Long = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac=$frac outside [0,1]")
+    math.round(frac * Denom)
+  }
+
+  private def bucketOf(key: Column, salt: String): Column =
+    pmod(Dedup.portableHash60(concat(lit(salt + ":"), key.cast("string"))), lit(Denom))
+
+  /** Uniform `frac` sample keyed by `keyCol`: keep iff
+    * `hash(salt:key) mod 10^6 < frac·10^6`. Different `salt`s give
+    * independent samples over the same keys.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, frac: Double,
+                          salt: String = "samp"): DataFrame =
+    df.filter(bucketOf(col(keyCol), salt) < ppm(frac))
+
+  /** Per-stratum sampling rates (e.g. downsample English, keep all of
+    * a rare language) — the data-mixing primitive of corpus curation.
+    * Rates are baked as a literal CASE chain: the filter stays a
+    * narrow scan-side expression, no join, no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       fracs: Map[String, Double], defaultFrac: Double = 0.0,
+                       salt: String = "samp"): DataFrame = {
+    val thr = fracs.foldLeft(null.asInstanceOf[Column]) { case (acc, (stratum, f)) =>
+      if (acc == null) when(col(stratumCol) === stratum, lit(ppm(f)))
+      else acc.when(col(stratumCol) === stratum, lit(ppm(f)))
+    }
+    val thrCol = if (thr == null) lit(ppm(defaultFrac)) else thr.otherwise(lit(ppm(defaultFrac)))
+    df.filter(bucketOf(col(keyCol), salt) < thrCol)
+  }
+
+  /** Exactly-k uniform sample without knowing the population size: the
+    * `k` rows with the smallest key hash. Plans as
+    * TakeOrderedAndProject (bounded per-partition heaps + driver
+    * merge) — never a global sort. Ties (hash collisions) break by
+    * key for full determinism.
+    */
+  def hashTopK(df: DataFrame, keyCol: String, k: Int,
+               salt: String = "samp"): DataFrame =
+    // full 60-bit hash, not the ppm bucket: fewer collisions keeps the
+    // key tie-break from biasing the sample toward small keys
+    df.withColumn("__samp_h",
+        Dedup.portableHash60(concat(lit(salt + ":"), col(keyCol).cast("string"))))
+      .orderBy(col("__samp_h").asc, col(keyCol).asc)
+      .limit(k)
+      .drop("__samp_h")
+}
