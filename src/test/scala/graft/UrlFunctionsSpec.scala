@@ -49,4 +49,20 @@ class UrlFunctionsSpec extends SparkSpec {
   test("other schemes pass through with case normalization only") {
     assert(norm("FTP://Files.NET:80/a") == Seq("ftp://files.net:80/a"))
   }
+
+  test("normalization is idempotent over a generated URL corpus") {
+    // canonical forms must be fixed points — a second pass that
+    // changes anything means dedup keys drift between pipeline stages
+    val schemes = Seq("http", "HTTPS", "ftp")
+    val hosts = Seq("A.b", "x.Y.z:443", "h.io:80", "plain")
+    val paths = Seq("", "/", "/P/q", "/x&utm_a=1/y")
+    val queries = Seq("", "?id=1", "?utm_a=1", "?utm_a=1&id=2&fbclid=z", "?a=1&&b=2&")
+    val frags = Seq("", "#f")
+    val urls = for (s <- schemes; h <- hosts; p <- paths; q <- queries; f <- frags)
+      yield s"$s://$h$p$q$f"
+    val once = norm(urls: _*)
+    val twice = once.flatMap(u => norm(u))
+    for (((u, a), b) <- urls.zip(once).zip(twice))
+      assert(a == b, s"not idempotent for '$u': '$a' -> '$b'")
+  }
 }
