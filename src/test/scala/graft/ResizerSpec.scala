@@ -202,6 +202,44 @@ class ResizerSpec extends SparkSpec {
   // captured once from the current encoder; see the golden test above
   private val goldenB64: String = sys.env.getOrElse("GRAFT_WEBP_GOLDEN", GoldenWebp.b64)
 
+  test("webp: transforms + LZ77 + cache deliver real compression (round-trip exact)") {
+    def mk(f: (Int, Int) => Int): BufferedImage = {
+      val im = new BufferedImage(128, 128, BufferedImage.TYPE_INT_ARGB)
+      for (y <- 0 until 128; x <- 0 until 128) im.setRGB(x, y, f(x, y))
+      im
+    }
+    val rng = new scala.util.Random(42)
+    // (image, size bound, label): bounds are ~2x the measured sizes so
+    // only a real regression (e.g. losing a transform) trips them
+    val cases = Seq(
+      (mk((x, y) => 0xFF000000 | ((x * 2) << 16) | ((x + y) << 8) | (y * 2)),
+        1500, "smooth gradient — predictor transform"),
+      (mk((_, _) => 0xFF3070B0), 300, "flat color — LZ77"),
+      (mk((x, y) => if ((x / 4 + y / 4) % 2 == 0) 0xFF204060 else 0xFF80A0C0),
+        500, "repeating checker — LZ77 + cache"))
+    for ((im, bound, label) <- cases) {
+      val enc = graft.operators.WebpCodec.encodeLossless(im)
+      assert(enc.length < bound, s"$label: ${enc.length} >= $bound bytes")
+      val back = graft.operators.WebpCodec.decodeLossless(enc)
+      for (y <- 0 until 128; x <- 0 until 128)
+        assert(back.getRGB(x, y) == im.getRGB(x, y), s"$label pixel ($x,$y)")
+    }
+    // photo-like content (gradient + noise): smaller than ImageIO PNG
+    // of the same pixels, the honest apples-to-apples lossless baseline
+    val photo = mk { (x, y) =>
+      def ch(base: Int) = math.max(0, math.min(255, base + rng.nextInt(9) - 4))
+      0xFF000000 | (ch(x * 2) << 16) | (ch(x + y) << 8) | ch(y * 2)
+    }
+    val encP = graft.operators.WebpCodec.encodeLossless(photo)
+    val png = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(photo, "png", png)
+    assert(encP.length < png.size(),
+      s"photo-like webp ${encP.length} should beat PNG ${png.size()}")
+    val backP = graft.operators.WebpCodec.decodeLossless(encP)
+    for (y <- 0 until 128; x <- 0 until 128)
+      assert(backP.getRGB(x, y) == photo.getRGB(x, y))
+  }
+
   test("webp: truncated VP8L stream fails with a descriptive error, not AIOOBE") {
     val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_ARGB)
     val rng = new scala.util.Random(3)
