@@ -175,7 +175,7 @@ object Pipeline {
     def sidecarOf(df: DataFrame) = df.select(
       (metaCols.map(col) :+ col("shard_id")) ++
         (if (cfg.outputFormat == "parquet")
-           Seq(col("_final_payload").as(cfg.encodeFormat)) else Nil): _*)
+           Seq(col("_final_payload").as(cfg.payloadExt)) else Nil): _*)
     val shardFromKey =
       floor(col("key").cast("long") / math.pow(10, cfg.oomSamplesPerShard).toLong).cast("long")
     def sidecarsExist: Boolean =

@@ -15,7 +15,10 @@ case class DownloadConfig(
     inputFormat: String = "auto",
     /** files|webdataset|parquet|tfrecord|dummy (writer.py:55-306). */
     outputFormat: String = "files",
-    /** jpg|png|webp (webp = from-scratch lossless VP8L encoder). */
+    /** jpg|png|webp|webp-lossless (webp = from-scratch lossy VP8 at
+      * `encodeQuality`, reference parity with Pillow's default;
+      * webp-lossless = the VP8L encoder).
+      */
     encodeFormat: String = "jpg",
     encodeQuality: Int = 95,
     samplesPerShard: Int = 10000,     // number_sample_per_shard, main.py:91
@@ -76,11 +79,12 @@ case class DownloadConfig(
       s"encodeFormat must be one of $ValidEncodeFormats")
     require(encodeQuality >= 0 && encodeQuality <= 100,
       s"encodeQuality must be in [0, 100], got $encodeQuality")
-    // The webp encoder is lossless VP8L (DEVIATIONS.md #2): rejecting
-    // a non-default quality beats silently ignoring the knob.
-    require(encodeFormat != "webp" || encodeQuality == 95,
-      "webp encoding here is lossless VP8L — encode_quality has no effect; " +
-      "leave it at the default (95) or use jpg/png for lossy quality control")
+    // "webp" is the lossy VP8 encoder and honors encodeQuality
+    // (reference parity, resizer.py:224-227); only the explicit
+    // lossless variant rejects the knob, since it has no effect there.
+    require(encodeFormat != "webp-lossless" || encodeQuality == 95,
+      "webp-lossless is VP8L — encode_quality has no effect; " +
+      "leave it at the default (95) or use webp/jpg for lossy quality control")
     require(ValidIncrementalModes.contains(incrementalMode),
       s"incrementalMode must be one of $ValidIncrementalModes")
     val reserved = ReservedColumns ++ ValidEncodeFormats
@@ -90,6 +94,13 @@ case class DownloadConfig(
     require(samplesPerShard > 0 && oomShardCount > 0 && threadCount > 0, "sizes must be positive")
     this
   }
+
+  /** File extension / payload column for the encoded image: both webp
+    * flavors write `.webp` files and a `webp` parquet column, matching
+    * what any webp consumer expects.
+    */
+  def payloadExt: String =
+    if (encodeFormat == "webp-lossless") "webp" else encodeFormat
 
   /** Digits needed for the in-shard index — `downloader.py:223`. */
   def oomSamplesPerShard: Int =
@@ -104,7 +115,7 @@ object DownloadConfig {
     Set("no", "border", "keep_ratio", "keep_ratio_largest", "center_crop")
   val ValidOutputFormats: Set[String] =
     Set("files", "webdataset", "parquet", "tfrecord", "dummy")
-  val ValidEncodeFormats: Set[String] = Set("jpg", "png", "webp")
+  val ValidEncodeFormats: Set[String] = Set("jpg", "png", "webp", "webp-lossless")
   val ValidIncrementalModes: Set[String] = Set("incremental", "overwrite", "extend")
   /** Reserved output schema appendix — `main.py:45-70` + writer payload. */
   val ReservedColumns: Set[String] = Set(

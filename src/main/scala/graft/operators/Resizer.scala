@@ -50,7 +50,14 @@ object Resizer {
     else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) Some("jpg")
     else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') Some("png")
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
-             bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P') Some("webp")
+             bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P') {
+      // flavor-precise so skip_reencode passthrough only fires when
+      // the payload already matches the REQUESTED webp flavor (the
+      // reference's imghdr cannot distinguish them; ours can)
+      if (bytes.length > 15 && bytes(12) == 'V' && bytes(13) == 'P' &&
+          bytes(14) == '8' && bytes(15) == 'L') Some("webp-lossless")
+      else Some("webp")
+    }
     else None
   }
 
@@ -97,8 +104,12 @@ object Resizer {
       case "png" =>
         ImageIO.write(img, "png", out)
       case "webp" =>
-        // lossless VP8L, written from the public spec (no JVM webp
-        // codec exists offline) — see WebpCodec; quality is ignored
+        // lossy VP8 at encode_quality (reference parity with Pillow's
+        // default webp behavior, resizer.py:224-227) — see Vp8Codec;
+        // written from the public spec, no JVM webp codec exists offline
+        out.write(Vp8Codec.encodeLossy(img, quality))
+      case "webp-lossless" =>
+        // lossless VP8L — see WebpCodec; quality has no effect here
         out.write(WebpCodec.encodeLossless(img))
     }
     out.toByteArray
@@ -128,6 +139,9 @@ object Resizer {
           // NonFatal only: an OOM/interrupt must fail the task, not be
           // miscategorized as a decode failure
           try WebpCodec.decodeLossless(bytes)
+          catch { case scala.util.control.NonFatal(_) => null }
+        else if (Vp8Codec.isLossyWebp(bytes))
+          try Vp8Codec.decodeLossy(bytes)
           catch { case scala.util.control.NonFatal(_) => null }
         else null
       if (raw == null) return err("image decode failed")

@@ -147,7 +147,7 @@ object Sinks {
     // caption writes "" rather than dropping the member, keeping the
     // per-sample field set uniform for webdataset loaders
     val saveCaption = d.columns.contains("caption")
-    val (ext, oom, dir) = (cfg.encodeFormat, cfg.oomShardCount, outDir)
+    val (ext, oom, dir) = (cfg.payloadExt, cfg.oomShardCount, outDir)
     val sconf = sessionConf(d)
     d.foreachPartition { (rows: Iterator[Row]) =>
       val (hfs, _) = fs(dir, sconf.value)
@@ -186,7 +186,7 @@ object Sinks {
     val pi = d.schema.fieldIndex("_final_payload"); val ci = d.schema.fieldIndex("_caption_out")
     val mi = d.schema.fieldIndex("_meta_json"); val sti = d.schema.fieldIndex("status")
     val saveCaption = d.columns.contains("caption") // see writeWebdataset
-    val (ext, oom, dir) = (cfg.encodeFormat, cfg.oomShardCount, outDir)
+    val (ext, oom, dir) = (cfg.payloadExt, cfg.oomShardCount, outDir)
     val sconf = sessionConf(d)
     d.foreachPartition { (rows: Iterator[Row]) =>
       val (hfs, _) = fs(dir, sconf.value)
@@ -236,7 +236,7 @@ object Sinks {
     val saveCaption = d.columns.contains("caption")
     val metaFields: Seq[(String, Int, DataType)] =
       metaCols.filterNot(_ == "key").map(c => (c, d.schema.fieldIndex(c), d.schema(c).dataType))
-    val (ext, oom, dir) = (cfg.encodeFormat, cfg.oomShardCount, outDir)
+    val (ext, oom, dir) = (cfg.payloadExt, cfg.oomShardCount, outDir)
     val sconf = sessionConf(d)
     d.foreachPartition { (rows: Iterator[Row]) =>
       val (hfs, _) = fs(dir, sconf.value)

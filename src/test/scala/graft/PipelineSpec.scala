@@ -292,7 +292,7 @@ class PipelineSpec extends SparkSpec {
     assert(bi.getWidth == 321 && bi.getHeight == 421)
   }
 
-  test("webp encode end-to-end: files sink writes decodable VP8L .webp") {
+  test("webp encode end-to-end: files sink writes decodable lossy VP8 .webp") {
     val urls = server.allowedUrls
     val out = tmpDir("webp")
     val res = Pipeline.download(spark, writeUrlList("webp", urls), out,
@@ -303,8 +303,8 @@ class PipelineSpec extends SparkSpec {
     assert(webps.nonEmpty, "per-sample .webp files written")
     webps.foreach { f =>
       val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-      assert(graft.operators.WebpCodec.isLosslessWebp(bytes), s"${f.getName} container")
-      val img = graft.operators.WebpCodec.decodeLossless(bytes)
+      assert(graft.operators.Vp8Codec.isLossyWebp(bytes), s"${f.getName} container")
+      val img = graft.operators.Vp8Codec.decodeLossy(bytes)
       assert(img.getWidth == 256 && img.getHeight == 256, s"${f.getName} dims")
     }
     val meta = spark.read.parquet(s"$out/*.parquet")

@@ -121,7 +121,7 @@ class ResizerSpec extends SparkSpec {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
       for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
       val bytes = graft.operators.WebpCodec.encodeLossless(img)
-      assert(Resizer.sniffFormat(bytes).contains("webp"), s"case $ci container magic")
+      assert(Resizer.sniffFormat(bytes).contains("webp-lossless"), s"case $ci container magic")
       val back = graft.operators.WebpCodec.decodeLossless(bytes)
       assert(back.getWidth == w && back.getHeight == h, s"case $ci dims")
       for (y <- 0 until h; x <- 0 until w)
@@ -129,20 +129,46 @@ class ResizerSpec extends SparkSpec {
     }
   }
 
-  test("webp: resizeBytes with encode_format=webp matches the png pipeline pixel-for-pixel") {
-    val cfgW = DownloadConfig(resizeMode = "border", imageSize = 64, encodeFormat = "webp")
+  test("webp-lossless: resizeBytes matches the png pipeline pixel-for-pixel") {
+    val cfgW = DownloadConfig(resizeMode = "border", imageSize = 64, encodeFormat = "webp-lossless")
     val cfgP = DownloadConfig(resizeMode = "border", imageSize = 64, encodeFormat = "png")
     val in = makeJpg(123, 45)
     val rw = Resizer.resizeBytes(in, cfgW)
     val rp = Resizer.resizeBytes(in, cfgP)
     assert(rw.error.isEmpty, rw.error.toString)
     assert(rw.width.contains(64) && rw.height.contains(64))
-    assert(Resizer.sniffFormat(rw.payload).contains("webp"))
+    assert(Resizer.sniffFormat(rw.payload).contains("webp-lossless"))
     val wImg = graft.operators.WebpCodec.decodeLossless(rw.payload)
     val pImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rp.payload))
     for (y <- 0 until 64; x <- 0 until 64)
       assert((wImg.getRGB(x, y) & 0xFFFFFF) == (pImg.getRGB(x, y) & 0xFFFFFF), s"pixel ($x,$y)")
     // webp payloads decode back through resizeBytes (VP8L fallback path)
+    val again = Resizer.resizeBytes(rw.payload, cfgP)
+    assert(again.error.isEmpty && again.originalWidth.contains(64))
+  }
+
+  test("webp (lossy): resizeBytes encodes VP8 that round-trips closely to the png pipeline") {
+    val cfgW = DownloadConfig(resizeMode = "border", imageSize = 64, encodeFormat = "webp")
+    val cfgP = DownloadConfig(resizeMode = "border", imageSize = 64, encodeFormat = "png")
+    val in = makeJpg(123, 45)
+    val rw = Resizer.resizeBytes(in, cfgW)
+    val rp = Resizer.resizeBytes(in, cfgP)
+    assert(rw.error.isEmpty, rw.error.toString)
+    assert(Resizer.sniffFormat(rw.payload).contains("webp"))
+    val wImg = graft.operators.Vp8Codec.decodeLossy(rw.payload)
+    val pImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rp.payload))
+    var se = 0.0
+    for (y <- 0 until 64; x <- 0 until 64; s <- Seq(16, 8, 0)) {
+      val d = ((wImg.getRGB(x, y) >> s) & 0xFF) - ((pImg.getRGB(x, y) >> s) & 0xFF)
+      se += d * d
+    }
+    val psnr = 10 * math.log10(255.0 * 255.0 * 64 * 64 * 3 / se)
+    // the orange/white border edge lands on an odd row, so one chroma
+    // row averages the two colors — a ~±45 U error on those two pixel
+    // rows is inherent 4:2:0 subsampling (any webp encoder does this),
+    // which caps this particular image near 28 dB
+    assert(psnr > 26, s"lossy webp at q95 should track the png pipeline closely, PSNR $psnr")
+    // lossy webp payloads decode back through resizeBytes (VP8 fallback)
     val again = Resizer.resizeBytes(rw.payload, cfgP)
     assert(again.error.isEmpty && again.originalWidth.contains(64))
   }
