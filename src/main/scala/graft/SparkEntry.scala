@@ -247,6 +247,35 @@ object SparkEntry {
        WHERE c >= 0.4 ORDER BY id_a, id_b"""
   }
 
+  /** DuckDB replication of [[Dedup.semanticDedup]] (SemDeDup): the
+    * same portable-hash seed cells as the IVF oracle, nearest-centroid
+    * assignment with the same (distance asc, cell asc) tie-break,
+    * within-cell pairwise cosine via the bit-identical sequential
+    * fold, keep-lowest-id survivors.
+    */
+  private def dedupSemanticOracleSql: String = {
+    def sqd(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       seed AS (SELECT id, v FROM base
+         ORDER BY ((id % 1000003) * 2654435761) % 2147483647 DESC, id LIMIT 8),
+       cents AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell_id,
+           v AS centroid FROM seed),
+       ad AS (SELECT base.id, base.v, cents.cell_id,
+           ${sqd("base.v", "cents.centroid")} AS d FROM base CROSS JOIN cents),
+       assigned AS (SELECT id, v, cell_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY id ORDER BY d ASC, cell_id ASC) AS rn
+           FROM ad) WHERE rn = 1),
+       ok AS (SELECT a.id, a.v, a.cell_id FROM assigned a
+         JOIN (SELECT cell_id, count(*) AS n FROM assigned GROUP BY cell_id) c
+         USING (cell_id) WHERE c.n <= 10000),
+       pairs AS (SELECT x.id AS id_a, y.id AS id_b, ${duckCos("x.v", "y.v")} AS c
+         FROM ok x JOIN ok y ON x.cell_id = y.cell_id AND x.id < y.id),
+       drops AS (SELECT DISTINCT id_b AS id FROM pairs WHERE c >= 0.4)
+       SELECT a.id, a.cell_id FROM assigned a
+       LEFT JOIN drops d ON a.id = d.id WHERE d.id IS NULL ORDER BY a.id"""
+  }
+
   /** DuckDB replication of [[Similarity.hammingTopK]]: the same 48
     * seeded plane literals, the same MSB-first sign-bit packing, then
     * `bit_count(xor)` ranking — bit-exact, like embedLshOracleSql.
@@ -482,6 +511,19 @@ object SparkEntry {
         .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
           col("c_name"), col("n_big"), col("sum_big"))
         .orderBy("custkey")
+    }),
+    "q40_salted_join" -> ((s, dir) => {
+      // Result-equivalence of the explicit skew-salting path: salting
+      // must never change WHAT a join produces, only how its rows
+      // spread across reducers — so the oracle is the PLAIN join.
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.Skew.saltedJoin(li, ord, "l_orderkey",
+          saltBy = "l_partkey", saltFactor = 8)
+        .groupBy("o_orderstatus")
+        .agg(count("*").as("n"), rd(sum("l_quantity"), 2).as("qty"))
+        .orderBy("o_orderstatus")
     }),
     "txt_decontaminate" -> ((s, dir) => {
       // Benchmark decontamination: docs sharing any 5-gram with the
@@ -731,6 +773,14 @@ object SparkEntry {
           dim = 64, threshold = 0.4, nPlanes = 8, nTables = 8)
         .select(col("id_a"), col("id_b"), rd(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup: k-means cells + within-cell cosine pruning, keep the
+      // lowest-id representative. Deterministic portable-seed variant
+      // (lloydIters = 0) so the oracle replays the full pipeline; the
+      // k-means path keeps its behavior tests in DedupSpec.
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
+          nCells = 8, threshold = 0.4, lloydIters = 0, portableSeed = true)
+        .orderBy("id")),
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -952,6 +1002,19 @@ object SparkEntry {
           t(s, dir, "lineitem")
             .select(concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("line_key")),
           "line_key", Seq.empty, p = 11)
+    }),
+    "sketch_hll_union" -> ((s, dir) => {
+      // Mergeability: per-priority register tables (overlapping
+      // custkey sets — a customer orders at many priorities) roll up
+      // by pointwise max to the GLOBAL distinct estimate without
+      // re-reading raw data. The oracle replays both levels and
+      // asserts the merged result equals direct global sketching.
+      val orders = t(s, dir, "orders")
+      val regs = Sketches.hllRegisters(
+        orders.select(col("o_custkey"), col("o_orderpriority")),
+        "o_custkey", Seq("o_orderpriority"), p = 11)
+      val est = Sketches.hllFromRegisters(regs, Seq.empty, p = 11)
+      orders.agg(countDistinct(col("o_custkey")).as("n_exact")).crossJoin(est)
     }),
     "sketch_cms_topk" -> ((s, dir) => {
       // Portable Count-Min-Sketch heavy hitters over the token stream
@@ -1321,6 +1384,11 @@ object SparkEntry {
          SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_big, sum_big
          FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey
          ORDER BY custkey""",
+    "q40_salted_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+           ${roundToSql("sum(l_quantity)", 2)} AS qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "txt_decontaminate" ->
       """WITH t AS (SELECT doc_id,
            regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
@@ -1411,6 +1479,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashLshOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_embed_lsh" -> embedLshOracleSql,
+    "dedup_semantic" -> dedupSemanticOracleSql,
     "ann_ivf_topk" -> annIvfOracleSql,
     "ann_pq_topk" -> annPqOracleSql,
     "ann_bruteforce_topk" ->
@@ -1605,6 +1674,24 @@ object SparkEntry {
          est AS (SELECT ${Sketches.hllConstant(p)} /
              CAST(zs + ($m - nb) * (1::BIGINT << ${Sketches.HllShift}) AS DOUBLE) AS e FROM z),
          ex AS (SELECT count(DISTINCT $key) AS n_exact FROM lineitem)
+         SELECT ex.n_exact, ${roundToSql("e", 3)} AS hll_estimate
+         FROM ex CROSS JOIN est"""
+    },
+    "sketch_hll_union" -> {
+      val p = 11; val m = 1 << p; val w = 60 - p
+      s"""WITH h AS (SELECT o_orderpriority, ${duckHex60("CAST(o_custkey AS VARCHAR)")} AS h
+           FROM orders),
+         r AS (SELECT o_orderpriority, h % $m AS b,
+             CASE WHEN (h >> $p) = 0 THEN ${w + 1} ELSE $w - length(bin(h >> $p)) + 1 END AS rho
+           FROM h),
+         fine AS (SELECT o_orderpriority, b, max(rho) AS mr FROM r GROUP BY o_orderpriority, b),
+         mx AS (SELECT b, max(mr) AS mr FROM fine GROUP BY b),
+         z AS (SELECT CAST(sum(1::BIGINT << CAST(${Sketches.HllShift} - mr AS INTEGER)) AS BIGINT) AS zs,
+             count(*) AS nb
+           FROM mx),
+         est AS (SELECT ${Sketches.hllConstant(p)} /
+             CAST(zs + ($m - nb) * (1::BIGINT << ${Sketches.HllShift}) AS DOUBLE) AS e FROM z),
+         ex AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
          SELECT ex.n_exact, ${roundToSql("e", 3)} AS hll_estimate
          FROM ex CROSS JOIN est"""
     },

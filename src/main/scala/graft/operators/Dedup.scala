@@ -423,4 +423,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings into k-means cells, compute
+    * pairwise cosine ONLY within a cell, and keep one representative
+    * (the lowest id) of every semantic-duplicate pair. Returns the
+    * SURVIVORS as (id, cell_id).
+    *
+    * This is the data-adaptive complement to [[embeddingNearDups]]:
+    * hyperplane buckets are oblivious to the data distribution, while
+    * k-means cells follow it — the published algorithm for trimming
+    * web-scale image/text corpora (LAION) by semantic similarity.
+    *
+    * Scale shape: centroids come from [[Similarity.kmeansCentroids]]
+    * (bounded-heap seeded, no corpus shuffle); assignment is a NARROW
+    * map with the centroid matrix as a plan literal; the within-cell
+    * self-join shuffles only (id, cell_id) and is capped by
+    * `maxCellSize` — the same skew-bomb guard as every LSH path here
+    * (an over-full cell at 100 TB means nCells is too small; the cap
+    * degrades recall, never blows up a task). Vectors rejoin once per
+    * candidate pair, not per cell row. With `portableSeed = true` and
+    * `lloydIters = 0` the whole pipeline is bit-replicable by the
+    * DuckDB oracle (same contract as `ann_ivf_topk`).
+    */
+  def semanticDedup(
+      df: DataFrame, vecCol: String, idCol: String,
+      nCells: Int = 16, threshold: Double = 0.95,
+      lloydIters: Int = 2, portableSeed: Boolean = false,
+      maxCellSize: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val cents = Similarity.kmeansCentroids(
+      base.select(col("id").as("corpus_id"), col("v").as("cv")),
+      nCells, lloydIters, portableSeed)
+    val assigned = base.withColumn("cell_id",
+      column(graft.plans.NearestCentroid(expression(col("v")), cents.toSeq.map(_.toSeq))))
+    val slim = assigned.select("id", "cell_id")
+    val counts = slim.groupBy("cell_id").agg(count("*").as("cell_n"))
+      .filter(col("cell_n") <= maxCellSize)
+    val sized = slim.join(counts, Seq("cell_id"))
+    val a = sized.select(col("cell_id"), col("id").as("id_a"))
+    val b = sized.select(col("cell_id"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("cell_id")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val vA = base.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vB = base.select(col("id").as("id_b"), col("v").as("v_b"))
+    val dupPairs = cand.join(vA, "id_a").join(vB, "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    // keep-lowest-id: any id that appears as the larger side of a
+    // duplicate pair is dropped; its lower partner survives (or is
+    // itself dropped by a yet-lower partner — either way one
+    // representative of every duplicate chain remains)
+    val drops = dupPairs.select(col("id_b").as("id")).distinct()
+    assigned.join(drops, Seq("id"), "left_anti").select("id", "cell_id")
+  }
 }

@@ -109,6 +109,51 @@ object Sketches {
     else exact.join(estDf, groupCols)
   }
 
+  /** Per-group HLL register table — the MERGEABLE partial-sketch form
+    * of [[hllDistinct]]. Registers from arbitrary partitions/shards
+    * merge by pointwise MAX, so per-shard sketch sidecars roll up to
+    * any coarser grouping (or the global union) without re-reading raw
+    * data — the property that makes sketches the 100 TB answer to
+    * distinct-counting overlapping sets (sums would double-count;
+    * register max never does). Columns: groupCols :+ (hll_bucket,
+    * hll_rank). Same portable integer hash/rank as [[hllDistinct]].
+    */
+  def hllRegisters(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                   p: Int = 12): DataFrame = {
+    require(p >= 11 && p <= 12, s"p=$p outside [11,12] (BIGINT harmonic-sum headroom)")
+    val m = 1 << p
+    val width = 60 - p
+    val h = Dedup.portableHash60(col(valueCol).cast("string"))
+    val bucket = pmod(h, lit(m.toLong))
+    val rank = rho(shiftright(h, p), width)
+    val gs = groupCols.map(col)
+    df.select((gs :+ bucket.as("hll_bucket") :+ rank.as("hll_rank")): _*)
+      .groupBy((gs :+ col("hll_bucket")): _*).agg(max("hll_rank").as("hll_rank"))
+  }
+
+  /** Distinct-count estimate from (possibly finer-grained) register
+    * tables produced by [[hllRegisters]]: merge registers down to
+    * `groupCols` by max, then the same integer harmonic fold as
+    * [[hllDistinct]] — bit-identical to sketching the union directly
+    * (max is associative), which is exactly what the oracle asserts.
+    */
+  def hllFromRegisters(regs: DataFrame, groupCols: Seq[String],
+                       p: Int = 12): DataFrame = {
+    require(p >= 11 && p <= 12, s"p=$p outside [11,12] (BIGINT harmonic-sum headroom)")
+    val m = 1 << p
+    val S = HllShift
+    val gs = groupCols.map(col)
+    val merged = regs.groupBy((gs :+ col("hll_bucket")): _*)
+      .agg(max("hll_rank").as("__m"))
+    val zNonEmpty = sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($S - __m AS INT))"))
+    val grouped =
+      if (groupCols.isEmpty) merged.agg(zNonEmpty.as("__z"), count("*").as("__n"))
+      else merged.groupBy(gs: _*).agg(zNonEmpty.as("__z"), count("*").as("__n"))
+    val zInt = col("__z") + (lit(m.toLong) - col("__n")) * lit(1L << S)
+    val est = lit(hllConstant(p)) / zInt.cast("double")
+    grouped.select((gs :+ roundTo(est, 3).as("hll_estimate")): _*)
+  }
+
   /** Bloom-filter bit array of a benchmark's shingle set, as packed
     * long words. The whole benchmark compresses to `mBits` bits
     * REGARDLESS of its size — that is the scale story: probing docs

@@ -86,6 +86,35 @@ class DedupSpec extends SparkSpec {
     assert(loose.count() == 20L * 19 / 2, "under the cap all identical pairs verify at cosine 1")
   }
 
+  test("semantic dedup: one representative survives per duplicate group, k-means path") {
+    // two exact-duplicate groups + two singletons; whatever cells the
+    // vectors land in, each duplicate group must collapse to its
+    // lowest id and the singletons must survive
+    val vecs = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)), (2L, Array(1.0f, 0f, 0f, 0f)),
+      (7L, Array(1.0f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1.0f, 0f, 0f)), (4L, Array(0f, 1.0f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1.0f, 0f)), (6L, Array(0f, 0f, 0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val survivors = Dedup.semanticDedup(vecs, "embedding", "vec_id",
+      nCells = 4, threshold = 0.99, lloydIters = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 3L, 5L, 6L), s"got $survivors")
+  }
+
+  test("semantic dedup: over-full cells are capped (no quadratic pair blowup), nothing dropped") {
+    // 500 identical vectors in one cell: with maxCellSize below 500
+    // the cell is skipped — no pairs form, every row survives (the
+    // documented recall-for-safety trade, same as the LSH bucket cap)
+    val ident = (0L until 500L).map(i => (i, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val capped = Dedup.semanticDedup(ident, "embedding", "vec_id",
+      nCells = 2, threshold = 0.9, lloydIters = 0, portableSeed = true, maxCellSize = 100)
+    assert(capped.count() == 500, "capped cell forms no pairs; all rows survive")
+    val uncapped = Dedup.semanticDedup(ident.limit(20), "embedding", "vec_id",
+      nCells = 2, threshold = 0.9, lloydIters = 0, portableSeed = true)
+    assert(uncapped.count() == 1, "under the cap the duplicate group collapses to one")
+  }
+
   test("IVF top-k recall vs brute force") {
     val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
     val corpus = emb.filter(col("vec_id") >= 5)

@@ -41,6 +41,28 @@ class SketchesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("HLL register merge: partial sketches roll up to the direct global estimate") {
+    // heavily OVERLAPPING groups: every id appears in 2-3 groups, so
+    // summing per-group distincts would give ~2.5x the truth; merged
+    // registers must instead equal sketching the union directly
+    val df = (0 until 30000).flatMap { i =>
+      val id = (i % 12000).toLong
+      Seq(("g" + (i % 3), id), ("g" + ((i + 1) % 3), id))
+    }.toDF("g", "id")
+    val direct = Sketches.hllDistinct(df, "id", Seq.empty, p = 12)
+      .collect()(0).getAs[Double]("hll_estimate")
+    val regs = Sketches.hllRegisters(df, "id", Seq("g"), p = 12)
+    assert(regs.select("g").distinct().count() == 3)
+    val merged = Sketches.hllFromRegisters(regs, Seq.empty, p = 12)
+      .collect()(0).getAs[Double]("hll_estimate")
+    assert(merged == direct,
+      s"register-max merge ($merged) must be bit-identical to direct sketching ($direct)")
+    val summedPerGroup = Sketches.hllFromRegisters(regs, Seq("g"), p = 12)
+      .agg(sum("hll_estimate")).collect()(0).getDouble(0)
+    assert(summedPerGroup > 1.8 * merged,
+      "overlap sanity: naive per-group summing would badly double-count")
+  }
+
   test("bloom decontamination: no false negatives vs the exact shingle join") {
     val bench = Seq((900L, "the secret eval question about spark windows today ok"))
       .toDF("doc_id", "text")
