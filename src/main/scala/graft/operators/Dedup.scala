@@ -451,6 +451,11 @@ object Dedup {
       nCells: Int = 16, threshold: Double = 0.95,
       lloydIters: Int = 2, portableSeed: Boolean = false,
       maxCellSize: Int = 10000): DataFrame = {
+    // parameter errors fail BEFORE any Spark job runs (nCells = 0
+    // would silently lump the corpus into one phantom cell)
+    require(nCells > 0, s"nCells=$nCells must be positive")
+    require(maxCellSize > 0, s"maxCellSize=$maxCellSize must be positive")
+    require(lloydIters >= 0, s"lloydIters=$lloydIters must be >= 0")
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val cents = Similarity.kmeansCentroids(
@@ -464,8 +469,12 @@ object Dedup {
     val sized = slim.join(counts, Seq("cell_id"))
     val a = sized.select(col("cell_id"), col("id").as("id_a"))
     val b = sized.select(col("cell_id"), col("id").as("id_b"))
+    // no dropDuplicates here, unlike the multi-table LSH paths: each
+    // id lives in exactly ONE cell, so the single-key self-join cannot
+    // emit a pair twice — deduping would only add a shuffle over the
+    // largest intermediate in the pipeline
     val cand = a.join(b, Seq("cell_id")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
     val vA = base.select(col("id").as("id_a"), col("v").as("v_a"))
     val vB = base.select(col("id").as("id_b"), col("v").as("v_b"))
     val dupPairs = cand.join(vA, "id_a").join(vB, "id_b")

@@ -76,35 +76,14 @@ object Sketches {
     // p ≤ 12: the empty-register contribution (m-n)·2^50 must stay
     // below 2^63 even for an all-empty sketch (m·2^50 = 2^62 at p=12;
     // p=13 would hit exactly 2^63 on empty input and THROW under ANSI)
-    require(p >= 11 && p <= 12, s"p=$p outside [11,12] (BIGINT harmonic-sum headroom)")
-    val m = 1 << p
-    val width = 60 - p
-    val S = HllShift
-    require(width + 1 <= S, "rank must fit the integer scaling")
-    val h = Dedup.portableHash60(col(valueCol).cast("string"))
-    val bucket = pmod(h, lit(m.toLong))
-    // high bits via INTEGER shift — h/m through `/` would round-trip a
-    // 60-bit value through double and lose everything below 2^52
-    val rank = rho(shiftright(h, p), width)
+    // the sketch core lives ONCE in hllRegisters/hllFromRegisters —
+    // this is the single-table composition of the two (plus the exact
+    // count riding along for error accounting)
+    val estDf = hllFromRegisters(hllRegisters(df, valueCol, groupCols, p), groupCols, p)
     val gs = groupCols.map(col)
-    // pass 1: max rank per (group, register) — map-side combinable,
-    // ≤ m rows per group survive the shuffle no matter the input size
-    val regs = df.select((gs :+ bucket.as("__b") :+ rank.as("__r")): _*)
-      .groupBy((gs :+ col("__b")): _*).agg(max("__r").as("__m"))
-    // pass 2: integer harmonic fold; empty registers contribute 2^S each
-    val zNonEmpty = sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($S - __m AS INT))"))
-    val grouped =
-      if (groupCols.isEmpty) regs.agg(zNonEmpty.as("__z"), count("*").as("__n"))
-      else regs.groupBy(gs: _*).agg(zNonEmpty.as("__z"), count("*").as("__n"))
-    val zInt = col("__z") + (lit(m.toLong) - col("__n")) * lit(1L << S)
-    // ONE pre-computed double literal (also baked verbatim into the
-    // oracle SQL via hllConstant) so both engines perform exactly one
-    // IEEE division — no cross-engine accumulation-order drift
-    val est = lit(hllConstant(p)) / zInt.cast("double")
     val exact =
       if (groupCols.isEmpty) df.agg(countDistinct(col(valueCol)).as("n_exact"))
       else df.groupBy(gs: _*).agg(countDistinct(col(valueCol)).as("n_exact"))
-    val estDf = grouped.select((gs :+ roundTo(est, 3).as("hll_estimate")): _*)
     if (groupCols.isEmpty) exact.crossJoin(estDf)
     else exact.join(estDf, groupCols)
   }
@@ -123,10 +102,15 @@ object Sketches {
     require(p >= 11 && p <= 12, s"p=$p outside [11,12] (BIGINT harmonic-sum headroom)")
     val m = 1 << p
     val width = 60 - p
+    require(width + 1 <= HllShift, "rank must fit the integer scaling")
     val h = Dedup.portableHash60(col(valueCol).cast("string"))
     val bucket = pmod(h, lit(m.toLong))
+    // high bits via INTEGER shift — h/m through `/` would round-trip a
+    // 60-bit value through double and lose everything below 2^52
     val rank = rho(shiftright(h, p), width)
     val gs = groupCols.map(col)
+    // max rank per (group, register) — map-side combinable, ≤ m rows
+    // per group survive the shuffle no matter the input size
     df.select((gs :+ bucket.as("hll_bucket") :+ rank.as("hll_rank")): _*)
       .groupBy((gs :+ col("hll_bucket")): _*).agg(max("hll_rank").as("hll_rank"))
   }
@@ -145,11 +129,15 @@ object Sketches {
     val gs = groupCols.map(col)
     val merged = regs.groupBy((gs :+ col("hll_bucket")): _*)
       .agg(max("hll_rank").as("__m"))
+    // integer harmonic fold; empty registers contribute 2^S each
     val zNonEmpty = sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($S - __m AS INT))"))
     val grouped =
       if (groupCols.isEmpty) merged.agg(zNonEmpty.as("__z"), count("*").as("__n"))
       else merged.groupBy(gs: _*).agg(zNonEmpty.as("__z"), count("*").as("__n"))
     val zInt = col("__z") + (lit(m.toLong) - col("__n")) * lit(1L << S)
+    // ONE pre-computed double literal (also baked verbatim into the
+    // oracle SQL via hllConstant) so both engines perform exactly one
+    // IEEE division — no cross-engine accumulation-order drift
     val est = lit(hllConstant(p)) / zInt.cast("double")
     grouped.select((gs :+ roundTo(est, 3).as("hll_estimate")): _*)
   }

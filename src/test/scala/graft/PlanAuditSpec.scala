@@ -174,6 +174,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"funnel in hamming plan:\n$p")
   }
 
+  test("dedup_semantic: narrow centroid assignment, no single-partition funnel") {
+    val p = plan("dedup_semantic")
+    assert(p.contains("nearest_centroid"), "literal-matrix cell assignment present")
+    assert(!p.contains("Exchange SinglePartition"), s"funnel in semantic-dedup plan:\n$p")
+    assert(!p.contains("Window"), "no window operator in the pair generation")
+    // the within-cell self-join must move only the slim (id, cell)
+    // projection through the cell_id shuffle, never the 64-double
+    // vectors: check the operator directly UNDER each cell_id exchange
+    val lines = p.linesIterator.toVector
+    val cellExchanges = lines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning(cell_id"))
+    assert(cellExchanges.nonEmpty, s"expected a cell_id-keyed exchange:\n$p")
+    cellExchanges.foreach { case (_, i) =>
+      val child = lines.lift(i + 1).getOrElse("")
+      assert(!child.contains(", v#") && !child.contains("[v#"),
+        s"vector column shuffled through the cell exchange:\n$child")
+    }
+  }
+
+  test("sketch_hll_union: both aggregation levels partial (map-side combine)") {
+    val p = plan("sketch_hll_union")
+    assert(p.contains("partial_"), "register max aggregation runs partial before exchange")
+    assert(!p.contains("Window"), s"no window in the merge path:\n$p")
+  }
+
+  test("q40_salted_join: salt spreads the join — shuffle keys include the salt column") {
+    val p = plan("q40_salted_join")
+    assert(p.contains("_salt"), s"salted key present in the executed plan:\n$p")
+    assert(p.contains("partial_"), "post-join aggregation partial before final exchange")
+  }
+
   test("txt_chunk_dedup: agg+join formulation — no window over the chunk key") {
     val p = plan("txt_chunk_dedup")
     assert(!p.contains("Window"), s"hot-chunk-skew-prone window absent:\n$p")

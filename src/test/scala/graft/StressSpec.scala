@@ -79,15 +79,36 @@ class StressSpec extends SparkSpec {
     // bucket sizes grow 10x. The cap must keep candidate generation
     // bounded; without it this goes quadratic in the duplication
     // factor times corpus.
-    val base = spark.read.parquet(sf("sf0.1") + "/embeddings.parquet")
-    val ten = (0 until 10).map { k =>
-      base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"), col("embedding"))
-    }.reduce(_ union _)
     val t = timeOf {
-      Dedup.embeddingNearDups(ten, "embedding", "vec_id", dim = 64,
+      Dedup.embeddingNearDups(tenXEmbeddings, "embedding", "vec_id", dim = 64,
         threshold = 0.95, nPlanes = 8, nTables = 8, maxBucketSize = 100).count()
     }
     info(f"10x duplicated embeddings with cap: $t%.1fs")
     assert(t < 120.0, f"capped embedding LSH took $t%.1fs — cap not engaging?")
+  }
+
+  /** 10 identical copies of every sf0.1 vector under disjoint ids —
+    * the worst case for any bucketing scheme (every copy group lands
+    * in one bucket/cell).
+    */
+  private def tenXEmbeddings = {
+    val base = spark.read.parquet(sf("sf0.1") + "/embeddings.parquet")
+    (0 until 10).map { k =>
+      base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"), col("embedding"))
+    }.reduce(_ union _)
+  }
+
+  test("semantic dedup with cell cap survives 10x duplicated vectors sub-quadratically") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    // worst case for cell-bucketed dedup: each k-means cell's
+    // population grows 10x and the within-cell pair count would grow
+    // 100x without the cap
+    val t = timeOf {
+      Dedup.semanticDedup(tenXEmbeddings, "embedding", "vec_id",
+        nCells = 16, threshold = 0.95, lloydIters = 1, maxCellSize = 200).count()
+    }
+    info(f"10x duplicated embeddings, capped cells: $t%.1fs")
+    assert(t < 120.0, f"capped semantic dedup took $t%.1fs — cell cap not engaging?")
   }
 }

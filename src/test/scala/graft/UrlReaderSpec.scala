@@ -197,11 +197,12 @@ class UrlReaderSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DownloadConfig(inputFormat = "feather").validate() // clean error, not MatchError
     }
-    DownloadConfig(encodeFormat = "webp").validate() // VP8L encoder exists
-    // webp is lossless VP8L — a non-default quality would be silently
-    // meaningless, so it's rejected instead (DEVIATIONS #2)
+    // webp is lossy VP8 and honors the quality knob (DEVIATIONS #2);
+    // only webp-lossless (VP8L) rejects a non-default quality
+    DownloadConfig(encodeFormat = "webp", encodeQuality = 80).validate()
+    DownloadConfig(encodeFormat = "webp-lossless").validate()
     intercept[IllegalArgumentException] {
-      DownloadConfig(encodeFormat = "webp", encodeQuality = 80).validate()
+      DownloadConfig(encodeFormat = "webp-lossless", encodeQuality = 80).validate()
     }
     DownloadConfig(encodeFormat = "jpg", encodeQuality = 80).validate() // jpg quality is real
   }
