@@ -35,6 +35,23 @@ object ExifExtractor {
     0x0009 -> "GPSStatus", 0x0010 -> "GPSImgDirectionRef", 0x0011 -> "GPSImgDirection",
     0x0012 -> "GPSMapDatum", 0x001D -> "GPSDateStamp")
 
+  /** Vendor MakerNote tag names (ids from the public exiftool tag
+    * tables). Each vendor IFD has its own id namespace; entries are
+    * emitted under a `MakerNote.` prefix to avoid collisions.
+    */
+  private val CanonTagNames: Map[Int, String] = Map(
+    0x0001 -> "CanonCameraSettings", 0x0004 -> "CanonShotInfo",
+    0x0006 -> "CanonImageType", 0x0007 -> "CanonFirmwareVersion",
+    0x0008 -> "FileNumber", 0x0009 -> "OwnerName", 0x0010 -> "CanonModelID",
+    0x0013 -> "ThumbnailImageValidArea", 0x0095 -> "LensModel")
+  private val NikonTagNames: Map[Int, String] = Map(
+    0x0001 -> "MakerNoteVersion", 0x0002 -> "ISO", 0x0004 -> "Quality",
+    0x0005 -> "WhiteBalance", 0x0007 -> "FocusMode", 0x0008 -> "FlashSetting",
+    0x0084 -> "Lens", 0x009E -> "RetouchHistory")
+  private val OlympusTagNames: Map[Int, String] = Map(
+    0x0200 -> "SpecialMode", 0x0201 -> "Quality", 0x0202 -> "Macro",
+    0x0204 -> "DigitalZoom", 0x0207 -> "CameraType", 0x0209 -> "CameraID")
+
   /** Parse EXIF from JPEG bytes; None when absent/corrupt. */
   def parse(bytes: Array[Byte]): Option[Map[String, String]] = {
     try {
@@ -65,52 +82,90 @@ object ExifExtractor {
       bb.order(order)
       if (bb.getShort(2) != 42) return None
       val out = scala.collection.mutable.LinkedHashMap[String, String]()
-      def readIfd(off: Int, depth: Int, names: Map[Int, String]): Unit = {
-        if (depth > 2 || off < 0 || off + 2 > bb.limit()) return
-        val n = bb.getShort(off) & 0xFFFF
+      def readIfd(buf: ByteBuffer, off: Int, depth: Int,
+                  names: Map[Int, String], prefix: String): Unit = {
+        if (depth > 3 || off < 0 || off + 2 > buf.limit()) return
+        val n = buf.getShort(off) & 0xFFFF
         var e = 0
         while (e < n) {
           val base = off + 2 + e * 12
-          if (base + 12 <= bb.limit()) {
-            val tag = bb.getShort(base) & 0xFFFF
-            val tpe = bb.getShort(base + 2) & 0xFFFF
-            val count = bb.getInt(base + 4)
+          if (base + 12 <= buf.limit()) {
+            val tag = buf.getShort(base) & 0xFFFF
+            val tpe = buf.getShort(base + 2) & 0xFFFF
+            val count = buf.getInt(base + 4)
             val tsize = tpe match {
               case 1 | 2 | 6 | 7 => 1; case 3 => 2; case 4 | 9 => 4; case 5 | 10 => 8; case _ => 0
             }
             val total = tsize * count
-            val voff = if (total <= 4) base + 8 else bb.getInt(base + 8)
-            if (tsize > 0 && voff >= 0 && voff + total <= bb.limit()) {
+            val voff = if (total <= 4) base + 8 else buf.getInt(base + 8)
+            if (tsize > 0 && voff >= 0 && voff + total <= buf.limit()) {
               val value: String = tpe match {
                 case 2 => // ASCII
                   val arr = new Array[Byte](math.max(0, count - 1))
-                  var j = 0; while (j < arr.length) { arr(j) = bb.get(voff + j); j += 1 }
+                  var j = 0; while (j < arr.length) { arr(j) = buf.get(voff + j); j += 1 }
                   new String(arr, "ISO-8859-1").trim
-                case 1 | 7 => (0 until math.min(count, 16)).map(j => (bb.get(voff + j) & 0xFF).toString).mkString(",")
-                case 6 => (0 until math.min(count, 16)).map(j => bb.get(voff + j).toString).mkString(",")
-                case 3 => (0 until math.min(count, 16)).map(j => (bb.getShort(voff + 2 * j) & 0xFFFF).toString).mkString(",")
-                case 4 => (0 until math.min(count, 16)).map(j => (bb.getInt(voff + 4 * j) & 0xFFFFFFFFL).toString).mkString(",")
-                case 9 => (0 until math.min(count, 16)).map(j => bb.getInt(voff + 4 * j).toString).mkString(",")
+                case 1 | 7 => (0 until math.min(count, 16)).map(j => (buf.get(voff + j) & 0xFF).toString).mkString(",")
+                case 6 => (0 until math.min(count, 16)).map(j => buf.get(voff + j).toString).mkString(",")
+                case 3 => (0 until math.min(count, 16)).map(j => (buf.getShort(voff + 2 * j) & 0xFFFF).toString).mkString(",")
+                case 4 => (0 until math.min(count, 16)).map(j => (buf.getInt(voff + 4 * j) & 0xFFFFFFFFL).toString).mkString(",")
+                case 9 => (0 until math.min(count, 16)).map(j => buf.getInt(voff + 4 * j).toString).mkString(",")
                 case 5 | 10 =>
                   // rational arrays in full (GPSLatitude is rational[3],
                   // GPSTimeStamp rational[3]) — PIL prints every element
                   (0 until math.min(count, 16)).map { j =>
-                    val num = bb.getInt(voff + 8 * j); val den = bb.getInt(voff + 8 * j + 4)
+                    val num = buf.getInt(voff + 8 * j); val den = buf.getInt(voff + 8 * j + 4)
                     if (den == 0) "0" else s"$num/$den"
                   }.mkString(",")
                 case _ => s"<$tpe:$count>"
               }
               if (tag == 0x8769 && (names eq TagNames))
-                readIfd(bb.getInt(base + 8), depth + 1, TagNames)   // Exif sub-IFD
+                readIfd(buf, buf.getInt(base + 8), depth + 1, TagNames, prefix)   // Exif sub-IFD
               else if (tag == 0x8825 && (names eq TagNames))
-                readIfd(bb.getInt(base + 8), depth + 1, GpsTagNames) // GPS IFD
-              else out(names.getOrElse(tag, tag.toString)) = value
+                readIfd(buf, buf.getInt(base + 8), depth + 1, GpsTagNames, prefix) // GPS IFD
+              else if (tag == 0x927C && prefix.isEmpty)
+                readMakerNote(buf, voff, total, depth, value)
+              else out(prefix + names.getOrElse(tag, tag.toString)) = value
             }
           }
           e += 1
         }
       }
-      readIfd(bb.getInt(4), 0, TagNames)
+      // Vendor MakerNote dispatch (DEVIATIONS #4): the common vendor
+      // layouts are structurally parsed as sub-IFDs; anything else
+      // keeps the byte-dump fallback. Formats per the public exiftool
+      // MakerNote notes:
+      //  - Nikon "type 3": "Nikon\0\x02..." then a fully self-contained
+      //    embedded TIFF (own byte order, offsets relative to itself)
+      //  - Olympus: "OLYMP\0" + 2 bytes, then an IFD whose offsets are
+      //    relative to the MAIN TIFF header
+      //  - Canon: no signature — a bare IFD relative to the main TIFF,
+      //    identified by Make == "Canon" from IFD0 (parsed first)
+      def readMakerNote(buf: ByteBuffer, voff: Int, total: Int, depth: Int,
+                        fallback: String): Unit = {
+        def sig(s: Seq[Byte]): Boolean =
+          total >= s.length + 2 &&
+            s.zipWithIndex.forall { case (c, j) => buf.get(voff + j) == c }
+        val nikonSig = Seq[Byte]('N', 'i', 'k', 'o', 'n', 0)
+        val olympSig = Seq[Byte]('O', 'L', 'Y', 'M', 'P', 0)
+        if (sig(nikonSig) && total >= 18) {
+          val sub = ByteBuffer.wrap(bytes, tiffOff + voff + 10, total - 10).slice()
+          val subOrder = (sub.get(0), sub.get(1)) match {
+            case ('I', 'I') => Some(ByteOrder.LITTLE_ENDIAN)
+            case ('M', 'M') => Some(ByteOrder.BIG_ENDIAN)
+            case _ => None
+          }
+          subOrder match {
+            case Some(o) if { sub.order(o); sub.getShort(2) == 42 } =>
+              readIfd(sub, sub.getInt(4), depth + 1, NikonTagNames, "MakerNote.")
+            case _ => out("MakerNote") = fallback
+          }
+        } else if (sig(olympSig))
+          readIfd(buf, voff + 8, depth + 1, OlympusTagNames, "MakerNote.")
+        else if (out.get("Make").exists(_.startsWith("Canon")))
+          readIfd(buf, voff, depth + 1, CanonTagNames, "MakerNote.")
+        else out("MakerNote") = fallback
+      }
+      readIfd(bb, bb.getInt(4), 0, TagNames, "")
       Some(out.toMap)
     } catch { case _: Throwable => None }
   }

@@ -334,4 +334,78 @@ class ResizerSpec extends SparkSpec {
     assert(json == """{"Make": "T", "GPSLatitudeRef": "N", "GPSLatitude": "40/1,26/1,3000/100"}""",
       s"got $json")
   }
+
+  private def jpegOf(tiff: java.nio.ByteBuffer): Array[Byte] = {
+    val tiffBytes = java.util.Arrays.copyOf(tiff.array(), tiff.position())
+    val app1Body = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ tiffBytes
+    val seg = Array[Byte](0xFF.toByte, 0xE1.toByte,
+      (((app1Body.length + 2) >> 8) & 0xFF).toByte, ((app1Body.length + 2) & 0xFF).toByte) ++ app1Body
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++ seg ++ Array[Byte](0xFF.toByte, 0xDA.toByte, 0, 2)
+  }
+
+  test("EXIF: Canon MakerNote parsed as a bare sub-IFD (Make-dispatched)") {
+    // IFD0 {Make="Canon", ExifIFDPointer} -> Exif IFD {MakerNote} ->
+    // bare IFD (offsets relative to the main TIFF) {OwnerName="Alice"}
+    val tiff = java.nio.ByteBuffer.allocate(128).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    tiff.putShort(2)
+    tiff.putShort(0x010F).putShort(2).putInt(6).putInt(38)           // Make -> 38
+    tiff.putShort(0x8769.toShort).putShort(4).putInt(1).putInt(44)   // Exif IFD -> 44
+    tiff.putInt(0)
+    assert(tiff.position() == 38)
+    tiff.put("Canon".getBytes("ISO-8859-1")).put(0.toByte)           // 38..43
+    tiff.putShort(1)                                                 // Exif IFD @44
+    tiff.putShort(0x927C.toShort).putShort(7).putInt(24).putInt(62)  // MakerNote -> 62
+    tiff.putInt(0)
+    assert(tiff.position() == 62)
+    tiff.putShort(1)                                                 // maker IFD @62
+    tiff.putShort(0x0009).putShort(2).putInt(6).putInt(80)           // OwnerName -> 80
+    tiff.putInt(0)
+    assert(tiff.position() == 80)
+    tiff.put("Alice".getBytes("ISO-8859-1")).put(0.toByte)
+    val json = ExifExtractor.parseToJson(jpegOf(tiff))
+    assert(json == """{"Make": "Canon", "MakerNote.OwnerName": "Alice"}""", s"got $json")
+  }
+
+  test("EXIF: Nikon type-3 MakerNote parsed via its embedded TIFF header") {
+    // Exif IFD {MakerNote = "Nikon\0" + version + SELF-CONTAINED TIFF
+    // whose IFD offsets are relative to the embedded header}
+    val tiff = java.nio.ByteBuffer.allocate(128).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    tiff.putShort(1)
+    tiff.putShort(0x8769.toShort).putShort(4).putInt(1).putInt(26)   // Exif IFD -> 26
+    tiff.putInt(0)
+    assert(tiff.position() == 26)
+    tiff.putShort(1)
+    tiff.putShort(0x927C.toShort).putShort(7).putInt(36).putInt(44)  // MakerNote -> 44
+    tiff.putInt(0)
+    assert(tiff.position() == 44)
+    tiff.put("Nikon".getBytes("ISO-8859-1")).put(0.toByte)
+    tiff.put(2.toByte).put(16.toByte).put(0.toByte).put(0.toByte)    // version 2.10
+    assert(tiff.position() == 54)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)      // embedded TIFF
+    tiff.putShort(1)
+    tiff.putShort(0x0002).putShort(3).putInt(2).putShort(0).putShort(400) // ISO shorts inline
+    tiff.putInt(0)
+    assert(tiff.position() == 80)
+    val json = ExifExtractor.parseToJson(jpegOf(tiff))
+    assert(json == """{"MakerNote.ISO": "0,400"}""", s"got $json")
+  }
+
+  test("EXIF: unrecognized MakerNote keeps the byte-dump fallback") {
+    val tiff = java.nio.ByteBuffer.allocate(96).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    tiff.putShort(1)
+    tiff.putShort(0x8769.toShort).putShort(4).putInt(1).putInt(26)
+    tiff.putInt(0)
+    assert(tiff.position() == 26)
+    tiff.putShort(1)
+    tiff.putShort(0x927C.toShort).putShort(7).putInt(3).putInt(0)
+    // 3 bytes fit inline at the value slot: overwrite them
+    tiff.position(tiff.position() - 4)
+    tiff.put(9.toByte).put(8.toByte).put(7.toByte).put(0.toByte)
+    tiff.putInt(0)
+    val json = ExifExtractor.parseToJson(jpegOf(tiff))
+    assert(json == """{"MakerNote": "9,8,7"}""", s"got $json")
+  }
 }
