@@ -191,6 +191,25 @@ class Vp8CodecSpec extends AnyFunSuite {
     assert(sizes.head > sizes.last, "q95 should cost more bytes than q25 on textured content")
   }
 
+  test("byte-level golden: encoder output pinned (bitstream drift is loud)") {
+    // 8x8 two-tone checkerboard at q75 — captured from the encoder at
+    // the round-4 state. Any drift in the bool coder's carry handling,
+    // token tree paths, probability tables, quantizer mapping, or
+    // header layout changes these bytes and must be a DELIBERATE,
+    // documented event (existing payloads in the wild keep decoding —
+    // the decoder is syntax-driven — but golden drift means the
+    // encoder's bitstream changed).
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFFC800 else 0x2040A0)
+    val enc = Vp8Codec.encodeLossy(img, 75)
+    val want = "UklGRooAAABXRUJQVlA4IH4AAAAQAQCdASoIAAgAAABAAAa0EAD+3A/99/1h//zHfJUZH96o/" +
+      "vQn8FNwyP71R/ehP4Lu/aAf+ETH9oB/4QyCln96o/vQn8DWBkf3qj+9CfwS/9oB/4Qe/tAP/CN/65P/wjfy" +
+      "E//B2T+uT/8I38hP/whJ/9CvWX31foj+dj4lyAA="
+    assert(java.util.Base64.getEncoder.encodeToString(enc) == want,
+      "VP8 encoder bitstream drifted from the pinned golden")
+  }
+
   test("deterministic: same input and quality produce identical bytes") {
     val img = photoish(96, 64)
     val a = Vp8Codec.encodeLossy(img, 80)
