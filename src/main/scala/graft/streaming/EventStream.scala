@@ -86,6 +86,81 @@ object EventStream {
     * add a GroupStateTimeout flush if end-of-stream emission is
     * needed. `flatMapGroupsWithState` in Append mode.
     */
+  case class WindowDistinct(window_start: java.sql.Timestamp, hll_estimate: Double)
+
+  /** Streaming distinct-count per tumbling window via HyperLogLog
+    * registers held in keyed state: O(2^p) bytes per OPEN window
+    * instead of the O(distinct-values) state an exact streaming
+    * count-distinct would need — the property that makes per-window
+    * cardinality viable on an unbounded 100 TB ingest (unique users,
+    * unique URLs, unique document fingerprints per hour).
+    *
+    * Same portable hash / register / integer-harmonic arithmetic as
+    * [[graft.operators.Sketches.hllDistinct]], so a CLOSED window's
+    * estimate is bit-identical to running the batch sketch over the
+    * same rows (asserted in EventStreamSpec). Each window's final
+    * estimate is emitted once, when the watermark passes its end
+    * (`EventTimeTimeout`, Append mode), and its state is purged.
+    */
+  def hllDistinctStream(events: DataFrame, tsCol: String, valueCol: String,
+                        windowMillis: Long,
+                        watermark: String = "10 minutes",
+                        p: Int = 11): Dataset[WindowDistinct] = {
+    require(p >= 11 && p <= 12, s"p=$p outside [11,12]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    val width = 60 - p
+    val S = graft.operators.Sketches.HllShift
+    val alpha = graft.operators.Sketches.hllConstant(p)
+    // the watermarked event-time column must survive projection into
+    // the grouped Dataset UNALIASED (a cast or alias strips the
+    // watermark tag and event-time timeout then fails analysis)
+    val keyed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+              window(col(tsCol), s"$windowMillis milliseconds")
+                .getField("start").as("wstart"),
+              col(valueCol).cast("string").as("v"))
+    keyed.groupByKey((r: org.apache.spark.sql.Row) => r.getTimestamp(1))
+      .flatMapGroupsWithState[Array[Byte], WindowDistinct](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wstart, rows, state: GroupState[Array[Byte]]) =>
+          if (state.hasTimedOut) {
+            val regs = state.get
+            state.remove()
+            var zInt = 0L
+            var b = 0
+            while (b < m) {
+              zInt += (1L << (S - regs(b))) // empty register: rank 0 -> 2^S
+              b += 1
+            }
+            val est = alpha / zInt.toDouble
+            Iterator.single(WindowDistinct(wstart, math.floor(est * 1e3 + 0.5) / 1e3))
+          } else {
+            val regs = state.getOption.getOrElse(new Array[Byte](m))
+            rows.foreach { r =>
+              val h = graft.plans.TextExprs.md5Hash60(
+                org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(2)))
+              val bucket = (h % m).toInt // h is 60-bit, non-negative
+              val hi = h >>> p
+              val rank =
+                if (hi == 0L) width + 1
+                else width - (64 - java.lang.Long.numberOfLeadingZeros(hi)) + 1
+              if (rank > regs(bucket)) regs(bucket) = rank.toByte
+            }
+            state.update(regs)
+            // fire once the watermark passes the window end; clamp
+            // above the current watermark (a timeout in the past is
+            // rejected by the state store)
+            state.setTimeoutTimestamp(
+              math.max(wstart.getTime + windowMillis,
+                       state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events

@@ -120,4 +120,36 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(out == Seq(1L, 3L, 5L), s"first arrivals only, got $out")
   }
+
+  test("streaming HLL distinct: closed-window estimates equal the batch sketch bit-for-bit") {
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, String)](spark)
+    val out = EventStream.hllDistinctStream(
+      stream.toDF().toDF("ts", "v"), "ts", "v",
+      windowMillis = 60000L, watermark = "0 seconds", p = 11)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hll_win").start()
+    // window A [0, 60s): 500 rows over 137 distinct users (dup-heavy);
+    // window B [60s, 120s): 100 distinct
+    val winA = (0 until 500).map(i => (new Timestamp(i * 100L), s"user_${i % 137}"))
+    val winB = (0 until 100).map(i => (new Timestamp(60000L + i * 100L), s"user_b_$i"))
+    stream.addData(winA ++ winB)
+    q.processAllAvailable()
+    // advance the watermark in two steps so both windows time out and
+    // emit their one final row each
+    stream.addData(Seq((new Timestamp(600000L), "sentinel")))
+    q.processAllAvailable()
+    stream.addData(Seq((new Timestamp(1200000L), "sentinel2")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM hll_win")
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getDouble(1)).toMap
+    assert(got.contains(0L) && got.contains(60000L), s"both windows closed once: $got")
+    def batchEst(rows: Seq[(Timestamp, String)]): Double =
+      graft.operators.Sketches.hllDistinct(rows.map(_._2).toDF("v"), "v", Seq.empty, p = 11)
+        .collect()(0).getAs[Double]("hll_estimate")
+    // bit-identical, not merely close: same portable hash, same
+    // integer harmonic fold, same rounding as the batch sketch
+    assert(got(0L) == batchEst(winA), s"window A: stream ${got(0L)} vs batch ${batchEst(winA)}")
+    assert(got(60000L) == batchEst(winB), s"window B: stream ${got(60000L)} vs batch ${batchEst(winB)}")
+  }
 }
