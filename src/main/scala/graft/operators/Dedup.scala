@@ -381,6 +381,110 @@ object Dedup {
     docs.select(fingerprint(col(textCol)).as("fingerprint"))
       .write.mode("append").parquet(indexPath)
 
+  /** Incremental NEAR-dup dedup against a persisted MinHash-LSH index
+    * — the fuzzy counterpart to [[incrementalExact]] for the daily-
+    * ingest pattern: drop new documents that near-duplicate EITHER a
+    * same-batch document (exact-Jaccard verified, keep-lowest-id) or
+    * an already-indexed one. Returns the surviving rows of `newDocs`.
+    *
+    * Index layout (parquet under `indexPath`): `bands/` holds the slim
+    * (band, key, doc_id) LSH bucket rows; `sigs/` holds one
+    * (doc_id, sig) row per indexed document. Indexed documents' raw
+    * text is NOT retained, so the cross-batch verification uses the
+    * standard signature-agreement Jaccard estimate (matching minhash
+    * fraction; unbiased, ±1/√numHashes) rather than exact shingle
+    * Jaccard — the trade that keeps the index O(docs), not O(corpus
+    * text).
+    *
+    * Scale shape: candidate generation is an equi-join of the NEW
+    * batch's bucket rows against the index's (both slim), with the
+    * same `maxBucketSize` cap on index buckets every LSH path here
+    * uses; signatures join once per candidate id. Same
+    * commit-after-write contract as [[incrementalExact]]
+    * ([[commitMinhash]] appends survivors only AFTER the caller's
+    * durable downstream write), and the same localCheckpoint /
+    * stagingPath durability trade.
+    */
+  def incrementalMinhash(newDocs: DataFrame, textCol: String, idCol: String,
+                         indexPath: String,
+                         shingleSize: Int = 5, numHashes: Int = 128,
+                         bands: Int = 32, threshold: Double = 0.7,
+                         seed: Long = 42L, maxBucketSize: Int = 1000,
+                         stagingPath: Option[String] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    val r = numHashes / bands
+    // within-batch near-dups: exact-verified pairs, keep the lowest id
+    val batchPairs = minhashNearDups(newDocs, textCol, idCol,
+      shingleSize, numHashes, bands, threshold, seed, maxBucketSize)
+    val batchDrops = batchPairs.select(col("id_b").as(idCol)).distinct()
+    val batchSurvivors = newDocs.join(batchDrops, Seq(idCol), "left_anti")
+
+    val bandsPath = s"$indexPath/bands"
+    val indexExists = {
+      val p = new org.apache.hadoop.fs.Path(bandsPath)
+      // session conf, not a bare Configuration — see incrementalExact
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    val fresh =
+      if (!indexExists) batchSurvivors
+      else {
+        val sigs = batchSurvivors.select(
+          col(idCol).as("id"),
+          minhashSignature(wordShingles(col(textCol), shingleSize), numHashes, seed).as("sig"))
+        val newBuckets = sigs
+          .select(col("id"), explode(bandKeys(col("sig"), bands, r, portable = false)).as("bk"))
+          .select(col("id"), col("bk.band"), col("bk.key"))
+        val idxBuckets = spark.read.parquet(bandsPath)
+        // cap degenerate INDEX buckets (a boilerplate bucket that grew
+        // huge across many committed batches) — recall-for-safety,
+        // same rationale as the batch-mode cap
+        val okBuckets = idxBuckets.groupBy("band", "key")
+          .agg(count("*").as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucketSize)
+          .select("band", "key")
+        val idxSized = idxBuckets.join(okBuckets, Seq("band", "key"))
+          .select(col("band"), col("key"), col("doc_id").as("old_id"))
+        val cand = newBuckets.join(idxSized, Seq("band", "key"))
+          .select(col("id"), col("old_id")).dropDuplicates("id", "old_id")
+        val oldSigs = spark.read.parquet(s"$indexPath/sigs")
+          .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
+        val newSigs = sigs.select(col("id"), col("sig").as("new_sig"))
+        val est = cand.join(newSigs, "id").join(oldSigs, "old_id")
+          .withColumn("match_n",
+            expr("aggregate(zip_with(new_sig, old_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+          .filter(col("match_n") >= math.ceil(threshold * numHashes).toInt)
+        val indexDrops = est.select(col("id").as(idCol)).distinct()
+        batchSurvivors.join(indexDrops, Seq(idCol), "left_anti")
+      }
+    stagingPath match {
+      case Some(dir) =>
+        fresh.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      case None =>
+        fresh.localCheckpoint(eager = true)
+    }
+  }
+
+  /** Record a durably-written batch in the MinHash index — the commit
+    * half of [[incrementalMinhash]]; call exactly once per
+    * SUCCESSFULLY persisted batch (same idempotency contract as
+    * [[commitFingerprints]]). Parameters must match the query half.
+    */
+  def commitMinhash(docs: DataFrame, textCol: String, idCol: String,
+                    indexPath: String,
+                    shingleSize: Int = 5, numHashes: Int = 128,
+                    bands: Int = 32, seed: Long = 42L): Unit = {
+    val r = numHashes / bands
+    val sigs = docs.select(
+      col(idCol).as("doc_id"),
+      minhashSignature(wordShingles(col(textCol), shingleSize), numHashes, seed).as("sig"))
+      .localCheckpoint(eager = true) // one signature pass feeds both writes
+    sigs.write.mode("append").parquet(s"$indexPath/sigs")
+    sigs.select(col("doc_id"), explode(bandKeys(col("sig"), bands, r, portable = false)).as("bk"))
+      .select(col("bk.band"), col("bk.key"), col("doc_id"))
+      .write.mode("append").parquet(s"$indexPath/bands")
+  }
+
   /** Seeded random hyperplanes for cosine LSH, baked as plan literals. */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rng = new Random(seed)

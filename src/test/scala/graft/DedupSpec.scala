@@ -193,6 +193,34 @@ class DedupSpec extends SparkSpec {
       "batch-2 survivor's committed fingerprint blocks batch 3")
   }
 
+  test("incremental minhash dedup: near-dups blocked within batch and across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString + "/index"
+    val base = "the quick brown fox jumps over the lazy dog again and again until quite done"
+    val near = base.replace("lazy", "sleepy")              // 1-word edit: high jaccard
+    val near2 = base.replace("quick", "rapid")             // another near-dup of base
+    val other = "completely different text about spark catalyst optimizer rules and planning"
+    val cfg = (df: org.apache.spark.sql.DataFrame) =>
+      Dedup.incrementalMinhash(df, "text", "doc_id", dir,
+        shingleSize = 3, threshold = 0.5)
+    val batch1 = Seq((1L, base), (2L, other), (3L, near)).toDF("doc_id", "text")
+    val out1 = cfg(batch1)
+    assert(out1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "within-batch near-dup (3 ~ 1) collapsed to the lowest id")
+    // pre-commit retry: index untouched, same survivors
+    assert(cfg(batch1).select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    Dedup.commitMinhash(out1, "text", "doc_id", dir, shingleSize = 3)
+    val batch2 = Seq((10L, near2), (11L, "fresh unrelated content entirely new tokens here"))
+      .toDF("doc_id", "text")
+    val out2 = cfg(batch2)
+    assert(out2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L),
+      "near-dup of an INDEXED doc dropped cross-batch via signature-estimate verify")
+    Dedup.commitMinhash(out2, "text", "doc_id", dir, shingleSize = 3)
+    val batch3 = Seq((20L, "fresh unrelated content entirely new tokens here too"))
+      .toDF("doc_id", "text")
+    assert(cfg(batch3).isEmpty,
+      "batch-2 survivor's committed bands block its batch-3 near-dup")
+  }
+
   test("incremental exact dedup: durable staging variant survives re-reads") {
     val base = java.nio.file.Files.createTempDirectory("graft_dedup_stg").toString
     val dir = base + "/index"; val stage = base + "/staging"
