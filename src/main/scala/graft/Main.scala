@@ -43,8 +43,7 @@ object Main {
   }
 
   private val Ignored = Set(
-    "processes_count", "distributor", "subjob_size", "max_shard_retry",
-    "upscale_interpolation", "downscale_interpolation")
+    "processes_count", "distributor", "subjob_size", "max_shard_retry")
 
   /** Reference kwargs → DownloadConfig. Throws on unknown keys. */
   def configFrom(kv: Map[String, String]): DownloadConfig = {
@@ -63,6 +62,8 @@ object Main {
       case (k, "None") if k != "compute_hash" =>
       case ("image_size", v) => cfg = cfg.copy(imageSize = v.toInt)
       case ("resize_mode", v) => cfg = cfg.copy(resizeMode = v)
+      case ("upscale_interpolation", v) => cfg = cfg.copy(upscaleInterpolation = v)
+      case ("downscale_interpolation", v) => cfg = cfg.copy(downscaleInterpolation = v)
       case ("resize_only_if_bigger", v) => cfg = cfg.copy(resizeOnlyIfBigger = b(v))
       case ("encode_quality", v) => cfg = cfg.copy(encodeQuality = v.toInt)
       case ("encode_format", v) => cfg = cfg.copy(encodeFormat = v)

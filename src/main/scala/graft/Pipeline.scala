@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -38,7 +37,10 @@ object Pipeline {
     */
   def doneShardIds(spark: SparkSession, outDir: String): Seq[Long] = {
     val p = new Path(outDir)
-    val fs = p.getFileSystem(new Configuration())
+    // Session conf, not a bare new Configuration(): with s3a/gcs
+    // credentials set via spark.hadoop.*, a bare conf resolves the
+    // WRONG store and incremental mode silently re-downloads all.
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).map(_.getPath.getName)
       .filter(_.endsWith("_stats.json"))
@@ -52,7 +54,7 @@ object Pipeline {
                cfg0: DownloadConfig): Result = {
     val cfg = cfg0.validate()
     val startTime = System.currentTimeMillis() / 1000.0
-    val fs = new Path(outDir).getFileSystem(new Configuration())
+    val fs = new Path(outDir).getFileSystem(spark.sessionState.newHadoopConf())
 
     // L1 lifecycle (main.py:151-168)
     if (cfg.incrementalMode == "overwrite") fs.delete(new Path(outDir), true)

@@ -95,32 +95,38 @@ object SparkEntry {
     * reuse it. `mh_`-prefixed names avoid collisions when composed
     * into larger oracle queries.
     */
-  private def minhashLshCtes: String = {
+  private def minhashLshCtes: String = minhashChain("mh_", "")
+
+  /** The same chain with a caller-chosen CTE prefix and an optional
+    * source predicate — lets one oracle query replay the pipeline over
+    * SEVERAL document subsets (the incremental two-batch flow).
+    */
+  private def minhashChain(p: String, where: String): String = {
     val coeffs = Dedup.minhashCoeffs(128)
       .map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
-    s"""mh_t AS (SELECT doc_id,
+    s"""${p}t AS (SELECT doc_id,
          regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
-       FROM documents),
-       mh_sh AS (SELECT doc_id,
+       FROM documents $where),
+       ${p}sh AS (SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-           i -> array_to_string(toks[i:i+2], ' '))) AS shingles FROM mh_t),
-       mh_hs AS (SELECT doc_id, shingles,
-         list_transform(shingles, s -> ${duckHex60("s")}) AS hashes FROM mh_sh),
-       mh_sg AS (SELECT doc_id, shingles,
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles FROM ${p}t),
+       ${p}hs AS (SELECT doc_id, shingles,
+         list_transform(shingles, s -> ${duckHex60("s")}) AS hashes FROM ${p}sh),
+       ${p}sg AS (SELECT doc_id, shingles,
          list_transform($coeffs,
            c -> list_min(list_transform(hashes,
-             h -> (c[1] * (h % 2147483647) + c[2]) % 2147483647))) AS sig FROM mh_hs),
-       mh_bk AS (SELECT doc_id, unnest(list_transform(range(0, 32), j ->
-           {'band': j, 'key': array_to_string(sig[(j*4+1):(j*4+4)], '_')})) AS u FROM mh_sg),
-       mh_buckets AS (SELECT doc_id, u.band AS band, u.key AS key FROM mh_bk),
-       mh_ok AS (SELECT band, key FROM mh_buckets GROUP BY band, key HAVING count(*) <= 1000),
-       mh_sized AS (SELECT b.doc_id, b.band, b.key FROM mh_buckets b JOIN mh_ok USING (band, key)),
-       mh_cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM mh_sized a JOIN mh_sized b USING (band, key) WHERE a.doc_id < b.doc_id),
-       mh_ver AS (SELECT id_a, id_b,
+             h -> (c[1] * (h % 2147483647) + c[2]) % 2147483647))) AS sig FROM ${p}hs),
+       ${p}bk AS (SELECT doc_id, unnest(list_transform(range(0, 32), j ->
+           {'band': j, 'key': array_to_string(sig[(j*4+1):(j*4+4)], '_')})) AS u FROM ${p}sg),
+       ${p}buckets AS (SELECT doc_id, u.band AS band, u.key AS key FROM ${p}bk),
+       ${p}ok AS (SELECT band, key FROM ${p}buckets GROUP BY band, key HAVING count(*) <= 1000),
+       ${p}sized AS (SELECT b.doc_id, b.band, b.key FROM ${p}buckets b JOIN ${p}ok USING (band, key)),
+       ${p}cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM ${p}sized a JOIN ${p}sized b USING (band, key) WHERE a.doc_id < b.doc_id),
+       ${p}ver AS (SELECT id_a, id_b,
            CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
              / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) AS jac
-         FROM mh_cand JOIN mh_sh sa ON sa.doc_id = mh_cand.id_a JOIN mh_sh sb ON sb.doc_id = mh_cand.id_b)"""
+         FROM ${p}cand JOIN ${p}sh sa ON sa.doc_id = ${p}cand.id_a JOIN ${p}sh sb ON sb.doc_id = ${p}cand.id_b)"""
   }
 
   private def minhashLshOracleSql: String =
@@ -764,6 +770,29 @@ object SparkEntry {
           portableHash = true)
         .select(col("id_a"), col("id_b"), rd(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    "dedup_incremental" -> ((s, dir) => {
+      // The daily-ingest flow end-to-end: batch 1 (even doc_ids) dedups
+      // within itself, commits its survivors to a fresh parquet MinHash
+      // index; batch 2 (odd doc_ids) dedups within itself AND against
+      // the committed index (signature-agreement verify). The oracle
+      // replays both batches from scratch — the index is derived state.
+      val docs = t(s, dir, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("graft_incr_idx")
+        .resolve("index").toString
+      val b1 = docs.filter(col("doc_id") % 2 === 0)
+      val b2 = docs.filter(col("doc_id") % 2 === 1)
+      val s1 = Dedup.incrementalMinhash(b1, "text", "doc_id", idx,
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.3,
+        portableHash = true)
+      Dedup.commitMinhash(s1, "text", "doc_id", idx,
+        shingleSize = 3, numHashes = 128, bands = 32, portableHash = true)
+      val s2 = Dedup.incrementalMinhash(b2, "text", "doc_id", idx,
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.3,
+        portableHash = true)
+      s1.select(col("doc_id"), lit(1).as("batch"))
+        .union(s2.select(col("doc_id"), lit(2).as("batch")))
+        .orderBy("doc_id")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8,
           portableHash = true)
@@ -1477,6 +1506,43 @@ object SparkEntry {
          FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
          GROUP BY n.doc_id ORDER BY n.doc_id""",
     "dedup_minhash_lsh" -> minhashLshOracleSql,
+    "dedup_incremental" -> {
+      // Replays the two-batch incremental flow from raw documents:
+      // batch1 = even ids (within-batch LSH dedup, jac >= 0.3), its
+      // survivors become the index; batch2 = odd ids (within-batch
+      // dedup, then signature-agreement >= ceil(0.3*128) against the
+      // capped index buckets — EXACTLY incrementalMinhash's estimate
+      // path, which never re-reads batch-1 text).
+      val matchMin = math.ceil(0.3 * 128).toInt // = ceil(threshold*numHashes)
+      s"""WITH ${minhashChain("b1_", "WHERE doc_id % 2 = 0")},
+         ${minhashChain("b2_", "WHERE doc_id % 2 = 1")},
+         b1_drop AS (SELECT DISTINCT id_b AS doc_id FROM b1_ver WHERE jac >= 0.3),
+         b1_surv AS (SELECT doc_id FROM b1_t
+           WHERE doc_id NOT IN (SELECT doc_id FROM b1_drop)),
+         idx_buckets AS (SELECT b.doc_id, b.band, b.key
+           FROM b1_buckets b JOIN b1_surv USING (doc_id)),
+         idx_ok AS (SELECT band, key FROM idx_buckets
+           GROUP BY band, key HAVING count(*) <= 1000),
+         idx_sized AS (SELECT b.doc_id AS old_id, b.band, b.key
+           FROM idx_buckets b JOIN idx_ok USING (band, key)),
+         b2_dropw AS (SELECT DISTINCT id_b AS doc_id FROM b2_ver WHERE jac >= 0.3),
+         b2_sw AS (SELECT doc_id FROM b2_t
+           WHERE doc_id NOT IN (SELECT doc_id FROM b2_dropw)),
+         new_buckets AS (SELECT b.doc_id, b.band, b.key
+           FROM b2_buckets b JOIN b2_sw USING (doc_id)),
+         xcand AS (SELECT DISTINCT n.doc_id AS id, i.old_id
+           FROM new_buckets n JOIN idx_sized i USING (band, key)),
+         est AS (SELECT c.id,
+             len(list_filter(range(1, 129), i -> ns.sig[i] = os.sig[i])) AS match_n
+           FROM xcand c JOIN b2_sg ns ON ns.doc_id = c.id
+                        JOIN b1_sg os ON os.doc_id = c.old_id),
+         xdrop AS (SELECT DISTINCT id AS doc_id FROM est WHERE match_n >= $matchMin),
+         b2_surv AS (SELECT doc_id FROM b2_sw
+           WHERE doc_id NOT IN (SELECT doc_id FROM xdrop))
+         SELECT doc_id, 1 AS batch FROM b1_surv
+         UNION ALL SELECT doc_id, 2 AS batch FROM b2_surv
+         ORDER BY doc_id"""
+    },
     "dedup_simhash" -> simhashOracleSql,
     "dedup_embed_lsh" -> embedLshOracleSql,
     "dedup_semantic" -> dedupSemanticOracleSql,

@@ -25,6 +25,14 @@ case class DownloadConfig(
     oomShardCount: Int = 5,           // main.py:92
     imageSize: Int = 256,
     resizeMode: String = "border",    // resizer.py:22-27
+    /** Interpolation when UPSCALING — reference names + default
+      * (`main.py:80`, `resizer.py:10-18`), case-insensitive, mapped to
+      * the JVM's nearest equivalent in [[graft.operators.Resizer]]:
+      * nearest→NEAREST, linear/bilinear/area→BILINEAR,
+      * cubic/bicubic/lanczos/lanczos4→BICUBIC. */
+    upscaleInterpolation: String = "lanczos",
+    /** Interpolation when DOWNSCALING (`main.py:81`); same mapping. */
+    downscaleInterpolation: String = "area",
     resizeOnlyIfBigger: Boolean = false,
     skipReencode: Boolean = false,
     disableAllReencoding: Boolean = false,
@@ -74,6 +82,12 @@ case class DownloadConfig(
     require(ValidInputFormats.contains(inputFormat),
       s"inputFormat must be one of $ValidInputFormats") // else readRaw would MatchError
     require(ValidResizeModes.contains(resizeMode), s"resizeMode must be one of $ValidResizeModes")
+    // same name validation as the reference (`resizer.py:62-66` raises
+    // "Invalid option for interpolation"), case-insensitive like cv2's
+    for ((knob, v) <- Seq("upscaleInterpolation" -> upscaleInterpolation,
+                          "downscaleInterpolation" -> downscaleInterpolation))
+      require(ValidInterpolations.contains(v.toLowerCase),
+        s"Invalid option for $knob: $v (valid: ${ValidInterpolations.toSeq.sorted.mkString(", ")})")
     require(ValidOutputFormats.contains(outputFormat), s"outputFormat must be one of $ValidOutputFormats")
     require(ValidEncodeFormats.contains(encodeFormat),
       s"encodeFormat must be one of $ValidEncodeFormats")
@@ -113,6 +127,9 @@ object DownloadConfig {
     Set("auto", "txt", "csv", "tsv", "json", "jsonl", "parquet")
   val ValidResizeModes: Set[String] =
     Set("no", "border", "keep_ratio", "keep_ratio_largest", "center_crop")
+  /** Reference interpolation vocabulary (`resizer.py:10-18`). */
+  val ValidInterpolations: Set[String] =
+    Set("nearest", "linear", "bilinear", "cubic", "bicubic", "area", "lanczos", "lanczos4")
   val ValidOutputFormats: Set[String] =
     Set("files", "webdataset", "parquet", "tfrecord", "dummy")
   val ValidEncodeFormats: Set[String] = Set("jpg", "png", "webp", "webp-lossless")

@@ -112,6 +112,9 @@ object Dedup {
       threshold: Double = 0.7, seed: Long = 42L,
       maxBucketSize: Int = 1000,
       portableHash: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes must be divisible by bands=$bands " +
+        "(a remainder silently drops hashes from the band keys, degrading LSH recall)")
     val r = numHashes / bands
     val base = df.select(
       col(idCol).as("id"),
@@ -410,12 +413,16 @@ object Dedup {
                          shingleSize: Int = 5, numHashes: Int = 128,
                          bands: Int = 32, threshold: Double = 0.7,
                          seed: Long = 42L, maxBucketSize: Int = 1000,
-                         stagingPath: Option[String] = None): DataFrame = {
+                         stagingPath: Option[String] = None,
+                         portableHash: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes must be divisible by bands=$bands " +
+        "(a remainder silently drops hashes from the band keys, degrading LSH recall)")
     val spark = newDocs.sparkSession
     val r = numHashes / bands
     // within-batch near-dups: exact-verified pairs, keep the lowest id
     val batchPairs = minhashNearDups(newDocs, textCol, idCol,
-      shingleSize, numHashes, bands, threshold, seed, maxBucketSize)
+      shingleSize, numHashes, bands, threshold, seed, maxBucketSize, portableHash)
     val batchDrops = batchPairs.select(col("id_b").as(idCol)).distinct()
     val batchSurvivors = newDocs.join(batchDrops, Seq(idCol), "left_anti")
 
@@ -430,9 +437,10 @@ object Dedup {
       else {
         val sigs = batchSurvivors.select(
           col(idCol).as("id"),
-          minhashSignature(wordShingles(col(textCol), shingleSize), numHashes, seed).as("sig"))
+          minhashSignature(wordShingles(col(textCol), shingleSize), numHashes, seed,
+            portableMd5 = portableHash).as("sig"))
         val newBuckets = sigs
-          .select(col("id"), explode(bandKeys(col("sig"), bands, r, portable = false)).as("bk"))
+          .select(col("id"), explode(bandKeys(col("sig"), bands, r, portable = portableHash)).as("bk"))
           .select(col("id"), col("bk.band"), col("bk.key"))
         val idxBuckets = spark.read.parquet(bandsPath)
         // cap degenerate INDEX buckets (a boilerplate bucket that grew
@@ -473,14 +481,18 @@ object Dedup {
   def commitMinhash(docs: DataFrame, textCol: String, idCol: String,
                     indexPath: String,
                     shingleSize: Int = 5, numHashes: Int = 128,
-                    bands: Int = 32, seed: Long = 42L): Unit = {
+                    bands: Int = 32, seed: Long = 42L,
+                    portableHash: Boolean = false): Unit = {
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes must be divisible by bands=$bands (must match the query half)")
     val r = numHashes / bands
     val sigs = docs.select(
       col(idCol).as("doc_id"),
-      minhashSignature(wordShingles(col(textCol), shingleSize), numHashes, seed).as("sig"))
+      minhashSignature(wordShingles(col(textCol), shingleSize), numHashes, seed,
+        portableMd5 = portableHash).as("sig"))
       .localCheckpoint(eager = true) // one signature pass feeds both writes
     sigs.write.mode("append").parquet(s"$indexPath/sigs")
-    sigs.select(col("doc_id"), explode(bandKeys(col("sig"), bands, r, portable = false)).as("bk"))
+    sigs.select(col("doc_id"), explode(bandKeys(col("sig"), bands, r, portable = portableHash)).as("bk"))
       .select(col("bk.band"), col("bk.key"), col("doc_id"))
       .write.mode("append").parquet(s"$indexPath/bands")
   }

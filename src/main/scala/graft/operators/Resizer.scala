@@ -75,14 +75,29 @@ object Resizer {
     }
   }
 
-  private def scaleTo(img: BufferedImage, w: Int, h: Int, upscale: Boolean): BufferedImage = {
+  /** Reference interpolation names (`resizer.py:10-18`) mapped to the
+    * JVM's nearest RenderingHints equivalent. Java2D has no area or
+    * lanczos kernels: area (box-average) maps to BILINEAR — the
+    * closest smoothing filter — and lanczos/cubic map to BICUBIC (the
+    * JVM's widest kernel). Pixel parity with OpenCV is out of scope
+    * (class scaladoc); the CONFIG surface is the reference's.
+    */
+  def interpolationHint(name: String): Object = name.toLowerCase match {
+    case "nearest"                            => RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR
+    case "linear" | "bilinear" | "area"       => RenderingHints.VALUE_INTERPOLATION_BILINEAR
+    case "cubic" | "bicubic" | "lanczos" | "lanczos4" => RenderingHints.VALUE_INTERPOLATION_BICUBIC
+    case other => throw new IllegalArgumentException(s"Invalid option for interpolation: $other")
+  }
+
+  private def scaleTo(img: BufferedImage, w: Int, h: Int, upscale: Boolean,
+                      cfg: DownloadConfig): BufferedImage = {
     val out = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
     val g = out.createGraphics()
-    // Reference picks lanczos when upscaling, area when downscaling
-    // (main.py:80-81); JVM equivalent: bicubic up, bilinear down.
+    // Reference picks the up/down interpolation per direction
+    // (main.py:80-81, defaults lanczos-up / area-down); both knobs are
+    // user-settable with the reference's names.
     g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
-      if (upscale) RenderingHints.VALUE_INTERPOLATION_BICUBIC
-      else RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      interpolationHint(if (upscale) cfg.upscaleInterpolation else cfg.downscaleInterpolation))
     g.drawImage(img, 0, 0, w, h, null)
     g.dispose()
     out
@@ -164,7 +179,7 @@ object Resizer {
           else {
             val scale = ts.toDouble / small
             val (nw, nh) = (math.round(ow * scale).toInt.max(1), math.round(oh * scale).toInt.max(1))
-            val scaled = scaleTo(img0, nw, nh, scale > 1)
+            val scaled = scaleTo(img0, nw, nh, scale > 1, cfg)
             if (cfg.resizeMode == "center_crop") {
               val cropped = scaled.getSubimage((nw - ts) / 2, (nh - ts) / 2, ts.min(nw), ts.min(nh))
               // getSubimage shares the raster; copy for encoders.
@@ -177,7 +192,7 @@ object Resizer {
           else {
             val scale = ts.toDouble / big
             val (nw, nh) = (math.round(ow * scale).toInt.max(1), math.round(oh * scale).toInt.max(1))
-            val scaled = scaleTo(img0, nw, nh, scale > 1)
+            val scaled = scaleTo(img0, nw, nh, scale > 1, cfg)
             if (cfg.resizeMode == "border") {
               val padded = new BufferedImage(ts, ts, BufferedImage.TYPE_3BYTE_BGR)
               val g = padded.createGraphics()

@@ -109,9 +109,14 @@ object Sketches {
     // 60-bit value through double and lose everything below 2^52
     val rank = rho(shiftright(h, p), width)
     val gs = groupCols.map(col)
+    // NULL values are excluded (a null would otherwise produce a
+    // null-bucket register row that skews __n in the harmonic fold) —
+    // same semantics as COUNT(DISTINCT), the oracle SQL, and the
+    // streaming hllDistinctStream path
     // max rank per (group, register) — map-side combinable, ≤ m rows
     // per group survive the shuffle no matter the input size
-    df.select((gs :+ bucket.as("hll_bucket") :+ rank.as("hll_rank")): _*)
+    df.filter(col(valueCol).isNotNull)
+      .select((gs :+ bucket.as("hll_bucket") :+ rank.as("hll_rank")): _*)
       .groupBy((gs :+ col("hll_bucket")): _*).agg(max("hll_rank").as("hll_rank"))
   }
 

@@ -864,6 +864,11 @@ object Vp8Codec {
     val part2 = p2.finish()
 
     // --- assemble: uncompressed header + partitions -----------------
+    // the frame tag holds part-1's length in 19 bits; overflow would
+    // silently corrupt the header into an undecodable file
+    require(part1.length < (1 << 19),
+      s"VP8 part-1 size ${part1.length} exceeds the 19-bit frame-tag limit " +
+        s"(${(1 << 19) - 1} bytes); image too complex/large for one partition")
     val header = new Array[Byte](10)
     val tag = (part1.length << 5) | (1 << 4) | 0 // show_frame, keyframe, version 0
     header(0) = (tag & 0xff).toByte

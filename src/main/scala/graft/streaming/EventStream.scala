@@ -139,7 +139,10 @@ object EventStream {
             Iterator.single(WindowDistinct(wstart, math.floor(est * 1e3 + 0.5) / 1e3))
           } else {
             val regs = state.getOption.getOrElse(new Array[Byte](m))
-            rows.foreach { r =>
+            // skip NULL values (COUNT(DISTINCT) semantics, matching the
+            // batch hllRegisters filter) — fromString(null) would NPE
+            // inside md5Hash60 and kill the streaming query
+            rows.foreach { r => if (!r.isNullAt(2)) {
               val h = graft.plans.TextExprs.md5Hash60(
                 org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(2)))
               val bucket = (h % m).toInt // h is 60-bit, non-negative
@@ -148,7 +151,7 @@ object EventStream {
                 if (hi == 0L) width + 1
                 else width - (64 - java.lang.Long.numberOfLeadingZeros(hi)) + 1
               if (rank > regs(bucket)) regs(bucket) = rank.toByte
-            }
+            }}
             state.update(regs)
             // fire once the watermark passes the window end; clamp
             // above the current watermark (a timeout in the past is

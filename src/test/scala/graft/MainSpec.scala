@@ -35,9 +35,19 @@ class MainSpec extends AnyFunSuite {
 
   test("scheduling knobs Spark subsumes are accepted and ignored") {
     val c = cfg("processes_count", "16", "distributor", "pyspark",
-      "subjob_size", "1000", "max_shard_retry", "3",
-      "upscale_interpolation", "lanczos", "downscale_interpolation", "area")
+      "subjob_size", "1000", "max_shard_retry", "3")
     assert(c == graft.config.DownloadConfig())
+  }
+
+  test("interpolation knobs map through the CLI (main.py:80-81)") {
+    val c = cfg("upscale_interpolation", "cubic", "downscale_interpolation", "nearest")
+    assert(c.upscaleInterpolation == "cubic" && c.downscaleInterpolation == "nearest")
+    // defaults are the reference's
+    val d = graft.config.DownloadConfig()
+    assert(d.upscaleInterpolation == "lanczos" && d.downscaleInterpolation == "area")
+    intercept[IllegalArgumentException] {
+      cfg("upscale_interpolation", "hamming").validate()
+    }
   }
 
   test("unknown options and wandb are rejected") {

@@ -12,6 +12,15 @@ import graft.config.DownloadConfig
   * shard; `{shard:%05d}.tar` naming; 3 files per success in files
   * mode; robots-disallowed rows tagged not dropped; hash-verify NULLs.
   */
+/** Local FS under a scheme that exists ONLY where the session Hadoop
+  * conf registers it — the cheapest stand-in for an s3a/gcs store whose
+  * credentials live in `spark.hadoop.*` session settings.
+  */
+class MarkerFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftmarker"
+  override def getUri: java.net.URI = java.net.URI.create("graftmarker:///")
+}
+
 class PipelineSpec extends SparkSpec {
 
   private lazy val server = new graft.util.HttpImageServer
@@ -345,6 +354,40 @@ class PipelineSpec extends SparkSpec {
     val json = new String(Files.readAllBytes(f.toPath), "UTF-8")
     assert(json.contains("\"success\": 3"), json)
     assert(json.contains("HTTP 404"), json)
+  }
+
+  test("L1 FS lookups resolve through the SESSION Hadoop conf (s3a/gcs credential hazard)") {
+    // Register a filesystem scheme ONLY in the session conf (runtime
+    // SQL-conf keys are copied VERBATIM into
+    // sessionState.newHadoopConf(); the spark.hadoop. prefix-stripping
+    // is a SparkContext-construction-time mechanism). A bare
+    // `new Configuration()` (the round-4 bug at Pipeline.scala:41,55)
+    // has no fs.graftmarker.impl and throws "No FileSystem for scheme";
+    // resolution can only succeed via sessionState.newHadoopConf().
+    // disable.cache forces EVERY lookup to re-resolve, so a regression
+    // in any one call site can't hide behind a cached instance.
+    spark.conf.set("fs.graftmarker.impl", classOf[MarkerFileSystem].getName)
+    spark.conf.set("fs.graftmarker.impl.disable.cache", "true")
+    try {
+      val dir = tmpDir("marker")
+      Files.write(Paths.get(dir, "00003_stats.json"), "{}".getBytes("UTF-8"))
+      // doneShardIds (incremental/extend source of truth)
+      assert(Pipeline.doneShardIds(spark, s"graftmarker://$dir") == Seq(3L))
+      // overwrite-mode delete + the full sink path through the scheme:
+      // the preexisting shard-3 stats file must be deleted via the
+      // session-resolved FS, then shard 0 written fresh
+      val res = Pipeline.download(spark,
+        writeUrlList("marker", server.allowedUrls.take(2)),
+        s"graftmarker://$dir", baseCfg.copy(outputFormat = "dummy"))
+      assert(res.count == 2 && res.successes == 2)
+      val stats = new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith("_stats.json")).map(_.getName).sorted.toSeq
+      assert(stats == Seq("00000_stats.json"),
+        s"overwrite deleted old shards + wrote new via session FS: $stats")
+    } finally {
+      spark.conf.unset("fs.graftmarker.impl")
+      spark.conf.unset("fs.graftmarker.impl.disable.cache")
+    }
   }
 
   test("streaming stats: running totals over stats sidecars") {

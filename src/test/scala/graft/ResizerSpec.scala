@@ -63,6 +63,51 @@ class ResizerSpec extends SparkSpec {
     }
   }
 
+  test("interpolation knobs: every reference name accepted for both directions (main.py:80-81)") {
+    // a textured source so different kernels produce different pixels
+    def textured(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x / 3 + y / 3) % 2 == 0) 0xFFFFFF else 0x000000)
+      Resizer.encode(img, "png", 95)
+    }
+    val bytes = textured(100, 80)
+    for (name <- DownloadConfig.ValidInterpolations) {
+      val up = Resizer.resizeBytes(bytes, DownloadConfig(resizeMode = "keep_ratio",
+        imageSize = 160, encodeFormat = "png", upscaleInterpolation = name).validate())
+      assert(up.error.isEmpty && (up.width.get, up.height.get) == (200, 160), s"up=$name")
+      val down = Resizer.resizeBytes(bytes, DownloadConfig(resizeMode = "keep_ratio",
+        imageSize = 40, encodeFormat = "png", downscaleInterpolation = name).validate())
+      assert(down.error.isEmpty && (down.width.get, down.height.get) == (50, 40), s"down=$name")
+    }
+    // case-insensitive like cv2's lookup (resizer.py:63)
+    assert(DownloadConfig(upscaleInterpolation = "LANCZOS4").validate()
+      .upscaleInterpolation == "LANCZOS4")
+    // invalid names rejected at validate() with the reference's message
+    val e = intercept[IllegalArgumentException](
+      DownloadConfig(downscaleInterpolation = "hamming").validate())
+    assert(e.getMessage.contains("Invalid option"))
+  }
+
+  test("interpolation knobs: the hint is actually applied (nearest != cubic pixels)") {
+    def textured(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x / 3 + y / 3) % 2 == 0) 0xFFFFFF else 0x000000)
+      Resizer.encode(img, "png", 95)
+    }
+    val bytes = textured(100, 80)
+    def pngAt(up: String): Array[Byte] =
+      Resizer.resizeBytes(bytes, DownloadConfig(resizeMode = "keep_ratio",
+        imageSize = 160, encodeFormat = "png", upscaleInterpolation = up)).payload
+    // png is deterministic: different kernels must yield different bytes
+    assert(!java.util.Arrays.equals(pngAt("nearest"), pngAt("cubic")),
+      "nearest vs cubic upscale produced identical pixels — hint not applied")
+    // and the aliases map to the SAME kernel → identical bytes
+    assert(java.util.Arrays.equals(pngAt("lanczos"), pngAt("bicubic")),
+      "lanczos alias maps to the bicubic kernel")
+  }
+
   test("F3/F4/F5 filters tag with original dims") {
     val bytes = makeJpg(100, 300)
     val small = Resizer.resizeBytes(bytes, DownloadConfig(minImageSize = 150))
