@@ -97,8 +97,11 @@ object Main {
       case ("enable_wandb", v) if b(v) =>
         throw new IllegalArgumentException(
           "enable_wandb is not supported (external telemetry service); " +
-          "use the live console progress + stats sidecars")
+          "use --metrics_jsonl_path (structured JSON-lines events) or the " +
+          "live console progress + stats sidecars")
       case ("enable_wandb", _) | ("wandb_project", _) =>
+      // wandb-parity surface: same counters, no external service
+      case ("metrics_jsonl_path", v) => cfg = cfg.copy(metricsJsonlPath = Some(v))
       case (k, _) => throw new IllegalArgumentException(s"unknown option: --$k")
     }
     cfg

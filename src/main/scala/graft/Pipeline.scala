@@ -91,7 +91,8 @@ object Pipeline {
     // count/%success/img-per-sec line while the sink job runs.
     val progress =
       if (cfg.progressIntervalMs > 0)
-        Some(new DownloadProgress(spark.sparkContext, cfg.progressIntervalMs))
+        Some(new DownloadProgress(spark.sparkContext, cfg.progressIntervalMs,
+          cfg.metricsJsonlPath))
       else None
     val fetched = Downloader.download(pending, cfg,
       progress.map(p => (p.attempted, p.succeeded)))
@@ -255,6 +256,17 @@ object Pipeline {
     val metaFrame =
       if (sidecarsExist) spark.read.parquet(s"$outDir/*.parquet")
       else spark.emptyDataFrame
+    // K8 wandb-parity: the authoritative post-run counters flow to the
+    // structured metrics hook + optional JSON-lines file — the same
+    // numbers the reference ships to wandb (logger.py:119-141).
+    val elapsed = math.max(endTime - startTime, 1e-9)
+    graft.operators.MetricsSink.emit(
+      graft.operators.MetricsEvent("final",
+        g.getLong(0), g.getLong(1), Some(g.getLong(2)), Some(g.getLong(3)),
+        g.getLong(0) / elapsed,
+        if (g.getLong(0) == 0) 0.0 else g.getLong(1).toDouble / g.getLong(0),
+        elapsed),
+      cfg.metricsJsonlPath)
     Result(metaFrame,
       g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3), observed)
   }

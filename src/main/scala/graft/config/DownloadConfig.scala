@@ -58,6 +58,12 @@ case class DownloadConfig(
     threadCount: Int = 64,
     /** Live progress line period (K8, logger.py:153-159). ≤0 disables. */
     progressIntervalMs: Long = 5000,
+    /** Driver-local JSON-lines metrics file (K8 wandb-parity without
+      * the external service, logger.py:119-141): one structured event
+      * per progress emission plus one authoritative `"final"` event
+      * per run. See [[graft.operators.MetricsSink]] for the in-process
+      * hook variant. */
+    metricsJsonlPath: Option[String] = None,
     /** incremental|overwrite|extend (main.py:151-168). */
     incrementalMode: String = "incremental") {
 

@@ -14,10 +14,15 @@ import graft.operators.Resizer
   * batches), partitioning — is real and tested. The media kernels
   * split two ways:
   *  - images: REAL decode/resize via the [[Resizer]] (ImageIO);
-  *  - audio/video: the container lacks any codec library, so frame
-  *    sampling and feature extraction are deterministic STUBS
-  *    (`stubbed = true` in the output struct) — the contract is the
-  *    schema + plumbing, with the kernel swappable for javacv/ffmpeg.
+  *  - audio/video METADATA: real codec-free parses for WAV, AIFF,
+  *    FLAC (STREAMINFO), MP3 (frame-header walk), MP4/MOV (mvhd) and
+  *    Matroska/WebM (EBML) — sample rate / channels / duration /
+  *    timescale, `stubbed = false`;
+  *  - audio/video SAMPLE DECODE (frame pixels, PCM from compressed
+  *    streams): no codec library exists in this container, so those
+  *    stay deterministic STUBS (`stubbed = true` in the output
+  *    struct) — the contract is the schema + plumbing, with the
+  *    kernel swappable for javacv/ffmpeg.
   */
 object Multimodal {
 
@@ -127,13 +132,109 @@ object Multimodal {
     None
   }
 
-  /** Audio feature extraction: WAV/PCM payloads are REALLY parsed
-    * (sample rate, channels, bit depth, exact duration — a pure
-    * header read, no codec dependency, `stubbed = false`); any other
-    * format falls back to the deterministic stub estimate
-    * (`stubbed = true`) — swap that branch for a real codec (javacv)
-    * without touching the plumbing: schema, batching, and
-    * partitioning stay identical.
+  /** MP3 (MPEG-1/2/2.5 Layer III) frame-header walk: (sampleRate,
+    * channels, durationSec, avgBitrateKbps). A pure header parse — no
+    * codec: every frame's length is derivable from its 4-byte header
+    * (`samplesPerFrame/8 · bitrate / sampleRate + padding`), so
+    * duration is the sum of per-frame sample counts. Walks an ID3v2
+    * prefix (syncsafe size) first; requires ≥ 2 valid consecutive
+    * frames so random binary can't masquerade as MP3; VBR streams are
+    * handled naturally (each frame contributes its own time).
+    */
+  private[graft] def parseMp3(b: Array[Byte]): Option[(Int, Int, Double, Int)] = {
+    var off = 0L
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) | ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      off = 10L + sz
+    }
+    // public MPEG audio tables: Layer III bitrates (kbps) and the
+    // MPEG-1 sample rates (MPEG-2 halves them, MPEG-2.5 quarters them)
+    val v1Bit = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    val v2Bit = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+    val v1Rates = Array(44100, 48000, 32000)
+    var frames = 0
+    var fullFrames = 0 // frames whose WHOLE body fits the payload
+    var totalSec = 0.0
+    var kbpsSum = 0L
+    var rate0 = 0
+    var ch0 = 0
+    var cont = true
+    while (cont && off + 4 <= b.length) {
+      val o = off.toInt
+      val h1 = b(o + 1) & 0xFF
+      if ((b(o) & 0xFF) == 0xFF && (h1 & 0xE0) == 0xE0) {
+        val version = (h1 >> 3) & 3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+        val layer = (h1 >> 1) & 3   // 1 = Layer III
+        val h2 = b(o + 2) & 0xFF
+        val brIdx = (h2 >> 4) & 0xF
+        val srIdx = (h2 >> 2) & 3
+        val padding = (h2 >> 1) & 1
+        if (version != 1 && layer == 1 && brIdx != 0 && brIdx != 15 && srIdx != 3) {
+          val rate = version match {
+            case 3 => v1Rates(srIdx)
+            case 2 => v1Rates(srIdx) / 2
+            case _ => v1Rates(srIdx) / 4
+          }
+          val kbps = if (version == 3) v1Bit(brIdx) else v2Bit(brIdx)
+          val spf = if (version == 3) 1152 else 576 // samples per frame
+          val flen = spf / 8 * kbps * 1000 / rate + padding
+          if (flen <= 4) cont = false
+          else {
+            if (frames == 0) {
+              rate0 = rate
+              ch0 = if (((b(o + 3) >> 6) & 3) == 3) 1 else 2 // mode 3 = mono
+            }
+            frames += 1
+            if (off + flen <= b.length) fullFrames += 1
+            totalSec += spf.toDouble / rate
+            kbpsSum += kbps
+            off += flen
+          }
+        } else cont = false
+      } else cont = false // strict: no resync scan, trailing junk ends the walk
+    }
+    // acceptance needs ≥ 2 FULLY-contained frames (a sync word + header
+    // that happens to sit at a truncation point is not evidence); a
+    // trailing header-only frame still contributes its duration
+    if (fullFrames >= 2) Some((rate0, ch0, totalSec, (kbpsSum / frames).toInt)) else None
+  }
+
+  /** FLAC STREAMINFO block: (sampleRate, channels, bitsPerSample,
+    * durationSec) from the mandatory first metadata block — a fixed
+    * 34-byte bitfield layout (rate 20 bits, channels-1 3, bits-1 5,
+    * totalSamples 36), no codec needed. Duration is EXACT:
+    * `totalSamples / rate`.
+    */
+  private[graft] def parseFlacStreamInfo(b: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    if (b.length < 8 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return None
+    var off = 4L
+    while (off + 4 <= b.length) {
+      val o = off.toInt
+      val hdr = b(o) & 0xFF
+      val len = ((b(o + 1) & 0xFF) << 16) | ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+      if ((hdr & 0x7F) == 0) { // STREAMINFO
+        val s = o + 4
+        if (len < 34 || s + 34 > b.length) return None
+        val rate = ((b(s + 10) & 0xFF) << 12) | ((b(s + 11) & 0xFF) << 4) | ((b(s + 12) & 0xFF) >> 4)
+        val ch = ((b(s + 12) >> 1) & 7) + 1
+        val bits = (((b(s + 12) & 1) << 4) | ((b(s + 13) & 0xFF) >> 4)) + 1
+        val total = ((b(s + 13) & 0x0FL) << 32) | ((b(s + 14) & 0xFFL) << 24) |
+          ((b(s + 15) & 0xFFL) << 16) | ((b(s + 16) & 0xFFL) << 8) | (b(s + 17) & 0xFFL)
+        return if (rate > 0) Some((rate, ch, bits, total.toDouble / rate)) else None
+      }
+      if ((hdr & 0x80) != 0) return None // last-block flag, no STREAMINFO seen
+      off += 4L + len
+    }
+    None
+  }
+
+  /** Audio feature extraction: WAV/AIFF/FLAC/MP3 payloads are REALLY
+    * parsed (sample rate, channels, bit depth where the format has
+    * one, exact duration — pure header reads, no codec dependency,
+    * `stubbed = false`); anything else falls back to the deterministic
+    * stub estimate (`stubbed = true`) — swap that branch for a real
+    * codec (javacv) without touching the plumbing: schema, batching,
+    * and partitioning stay identical.
     */
   def withAudioFeatures(df: DataFrame, binaryCol: String, out: String = "audio_features"): DataFrame = {
     val f = udf((bytes: Array[Byte]) => {
@@ -142,14 +243,21 @@ object Multimodal {
         var h = 1125899906842597L
         var i = 0
         while (i < math.min(bytes.length, 4096)) { h = h * 31 + bytes(i); i += 1 }
-        parseWavHeader(bytes).orElse(parseAiffHeader(bytes)) match {
+        parseWavHeader(bytes).orElse(parseAiffHeader(bytes))
+          .orElse(parseFlacStreamInfo(bytes)) match {
           case Some((rate, ch, bits, dur)) =>
             AudioFeatures(Some(bytes.length), Some(dur), Some(rate), Some(ch), Some(bits),
               Some(h), stubbed = false)
-          case None =>
-            // stub estimate: assume 16kHz 16-bit mono PCM
-            AudioFeatures(Some(bytes.length), Some(bytes.length / 32000.0),
-              None, None, None, Some(h), stubbed = true)
+          case None => parseMp3(bytes) match {
+            case Some((rate, ch, dur, _)) =>
+              // lossy format: no per-sample bit depth exists
+              AudioFeatures(Some(bytes.length), Some(dur), Some(rate), Some(ch), None,
+                Some(h), stubbed = false)
+            case None =>
+              // stub estimate: assume 16kHz 16-bit mono PCM
+              AudioFeatures(Some(bytes.length), Some(bytes.length / 32000.0),
+                None, None, None, Some(h), stubbed = true)
+          }
         }
       }
     })
@@ -209,9 +317,89 @@ object Multimodal {
     } yield result
   }
 
-  /** Video metadata extraction: MP4/MOV containers are REALLY parsed
-    * (mvhd duration + timescale, `stubbed = false`); other containers
-    * keep the stub estimate, swappable for a real demuxer.
+  /** Matroska/WebM duration via a pure EBML walk: (docType,
+    * durationSec, timestampScaleNs). Parses the EBML header's DocType
+    * ("matroska" | "webm"), then Segment → Info → TimestampScale
+    * (uint ns/tick, default 1e6) and Duration (float32/64 in ticks).
+    * Handles unknown-size (all-ones vint) Segment/Info elements, which
+    * streamed matroska commonly uses. No codec needed.
+    */
+  private[graft] def parseMkvDuration(b: Array[Byte]): Option[(String, Double, Long)] = {
+    if (b.length < 8 || (b(0) & 0xFF) != 0x1A || (b(1) & 0xFF) != 0x45 ||
+        (b(2) & 0xFF) != 0xDF || (b(3) & 0xFF) != 0xA3) return None
+    def vintLen(first: Int): Int = {
+      var m = 0x80; var n = 1
+      while (n <= 8 && (first & m) == 0) { m >>= 1; n += 1 }
+      if (n > 8) -1 else n
+    }
+    // element ID: marker bits KEPT (matroska convention)
+    def readId(off: Int): Option[(Long, Int)] = {
+      if (off >= b.length) return None
+      val n = vintLen(b(off) & 0xFF)
+      if (n < 1 || n > 4 || off + n > b.length) return None
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(off + i) & 0xFF); i += 1 }
+      Some((v, n))
+    }
+    // data size: marker bit STRIPPED; all-ones = unknown size
+    def readSize(off: Int): Option[(Long, Int)] = {
+      if (off >= b.length) return None
+      val first = b(off) & 0xFF
+      val n = vintLen(first)
+      if (n < 1 || off + n > b.length) return None
+      var v = (first & (0xFF >>> n)).toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(off + i) & 0xFF); i += 1 }
+      val unknown = v == (1L << (7 * n)) - 1
+      Some((if (unknown) -1L else v, n))
+    }
+    // first child with `id` within [start, end): (payloadStart, payloadEnd)
+    def findChild(start: Int, end: Int, id: Long): Option[(Int, Int)] = {
+      var off = start
+      while (off < end) {
+        val (eid, idLen) = readId(off).getOrElse(return None)
+        val (sz, szLen) = readSize(off + idLen).getOrElse(return None)
+        val payload = off + idLen + szLen
+        val payloadEnd =
+          if (sz < 0) end // unknown size: extends to the enclosing end
+          else if (payload + sz > end || sz > Int.MaxValue) return None
+          else payload + sz.toInt
+        if (eid == id) return Some((payload, payloadEnd))
+        if (sz < 0) return None // can't skip an unknown-size sibling
+        off = payloadEnd
+      }
+      None
+    }
+    def uintAt(s: Int, e: Int): Long = {
+      var v = 0L; var i = s
+      while (i < e && i - s < 8) { v = (v << 8) | (b(i) & 0xFF); i += 1 }
+      v
+    }
+    for {
+      (ebmlS, ebmlE) <- findChild(0, b.length, 0x1A45DFA3L)
+      (segS, segE) <- findChild(ebmlE, b.length, 0x18538067L)
+      (infoS, infoE) <- findChild(segS, segE, 0x1549A966L)
+      (durS, durE) <- findChild(infoS, infoE, 0x4489L)
+    } yield {
+      val docType = findChild(ebmlS, ebmlE, 0x4282L)
+        .map { case (s, e) => new String(b, s, e - s, "US-ASCII").takeWhile(_ > ' ') }
+        .getOrElse("matroska")
+      val scale = findChild(infoS, infoE, 0x2AD7B1L)
+        .map { case (s, e) => uintAt(s, e) }.filter(_ > 0).getOrElse(1000000L)
+      val ticks = (durE - durS) match {
+        case 4 => java.lang.Float.intBitsToFloat(uintAt(durS, durE).toInt).toDouble
+        case 8 => java.lang.Double.longBitsToDouble(uintAt(durS, durE))
+        case _ => 0.0
+      }
+      (docType, ticks * scale / 1e9, scale)
+    }
+  }
+
+  /** Video metadata extraction: MP4/MOV and Matroska/WebM containers
+    * are REALLY parsed (duration + timescale, `stubbed = false`);
+    * other containers keep the stub estimate, swappable for a real
+    * demuxer.
     */
   def withVideoMeta(df: DataFrame, binaryCol: String, out: String = "video_meta"): DataFrame = {
     val f = udf((bytes: Array[Byte]) => {
@@ -219,9 +407,14 @@ object Multimodal {
       else parseMp4Duration(bytes) match {
         case Some((dur, scale)) =>
           VideoMeta(Some(bytes.length), Some("mp4"), Some(dur), Some(scale), stubbed = false)
-        case None =>
-          // stub estimate: ~1 Mbit/s payload
-          VideoMeta(Some(bytes.length), None, Some(bytes.length / 125000.0), None, stubbed = true)
+        case None => parseMkvDuration(bytes) match {
+          case Some((docType, dur, scaleNs)) =>
+            VideoMeta(Some(bytes.length), Some(docType), Some(dur),
+              if (scaleNs <= Int.MaxValue) Some(scaleNs.toInt) else None, stubbed = false)
+          case None =>
+            // stub estimate: ~1 Mbit/s payload
+            VideoMeta(Some(bytes.length), None, Some(bytes.length / 125000.0), None, stubbed = true)
+        }
       }
     })
     df.withColumn(out, f(col(binaryCol)))

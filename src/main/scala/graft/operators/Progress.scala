@@ -22,7 +22,8 @@ import org.apache.spark.util.LongAccumulator
   * from the `observe()` metrics and the stats sidecars, never from
   * here.
   */
-class DownloadProgress(sc: SparkContext, intervalMs: Long = 5000) {
+class DownloadProgress(sc: SparkContext, intervalMs: Long = 5000,
+                       metricsJsonlPath: Option[String] = None) {
   val attempted: LongAccumulator = sc.longAccumulator("graft.progress.attempted")
   val succeeded: LongAccumulator = sc.longAccumulator("graft.progress.succeeded")
 
@@ -35,6 +36,11 @@ class DownloadProgress(sc: SparkContext, intervalMs: Long = 5000) {
     val s = succeeded.value
     val elapsed = math.max((System.currentTimeMillis() - startMs) / 1000.0, 1e-9)
     val rate = if (n == 0) 0.0 else s.toDouble / n
+    // each console emission also flows to the structured hook (K8
+    // wandb-parity surface); failure SPLITS are only known post-run,
+    // so progress events carry None there
+    MetricsSink.emit(MetricsEvent("progress", n, s, None, None, n / elapsed, rate, elapsed),
+      metricsJsonlPath)
     f"[graft download $tag] count: $n - success: $rate%.3f - images per sec: ${n / elapsed}%.1f - elapsed: $elapsed%.1f s"
   }
 

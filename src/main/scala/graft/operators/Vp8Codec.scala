@@ -16,14 +16,16 @@ import Vp8Tables._
   * frames with the quality knob mapped to the VP8 quantizer index.
   *
   * Scope (encoder): key frames only, 4:2:0, 16x16 intra prediction
-  * modes (DC/V/H/TM) + 8x8 chroma modes, one token partition, loop
+  * modes (DC/V/H/TM) plus per-MB B_PRED (all ten 4x4 submodes with
+  * intra-MB prediction feedback, chosen by SAD with a quantizer-
+  * scaled penalty) + 8x8 chroma modes, one token partition, loop
   * filter disabled, no segmentation. That is a fully valid VP8
   * bitstream subset — every feature left out is signalled off in the
   * frame header, not assumed. The decoder accepts the same subset
-  * (B_PRED streams are rejected with a clear error) and exists so
-  * round-trip/PSNR tests can run in this offline sandbox, where no
-  * other webp codec is available. See [[Vp8Tables]] for the
-  * probability-table fidelity note.
+  * and exists so round-trip/PSNR tests can run in this offline
+  * sandbox, where no other webp codec is available. See [[Vp8Tables]]
+  * for the probability-table fidelity notes (coef update flags and
+  * the context-free B submode probs).
   */
 object Vp8Codec {
 
@@ -410,6 +412,144 @@ object Vp8Codec {
     out
   }
 
+  /** 4x4 subblock intra prediction (RFC 6386 §12.3), all ten B_*
+    * modes. Pixels are read through `px(x, y)` so the encoder can
+    * compose a scratch MB over the reconstructed frame; borders follow
+    * the frame-edge conventions of [[predictBlock]] (127 above, 129
+    * left). `ar` supplies the four above-right pixels (the caller owns
+    * the VP8 availability rules for them).
+    */
+  private def predictSubBlock(px: (Int, Int) => Int, x: Int, y: Int,
+                              mode: Int, ar: Array[Int]): Array[Int] = {
+    val hasAbove = y > 0
+    val hasLeft = x > 0
+    val A = new Array[Int](4)
+    val L = new Array[Int](4)
+    var i = 0
+    while (i < 4) {
+      A(i) = if (hasAbove) px(x + i, y - 1) else 127
+      L(i) = if (hasLeft) px(x - 1, y + i) else 129
+      i += 1
+    }
+    val P = if (!hasAbove) 127 else if (!hasLeft) 129 else px(x - 1, y - 1)
+    val out = new Array[Int](16)
+    @inline def avg2(a: Int, b: Int) = (a + b + 1) >> 1
+    @inline def avg3(a: Int, b: Int, c: Int) = (a + 2 * b + c + 2) >> 2
+    @inline def set(r: Int, c: Int, v: Int): Unit = out(r * 4 + c) = v
+    mode match {
+      case BDcPred =>
+        val dc = (A(0) + A(1) + A(2) + A(3) + L(0) + L(1) + L(2) + L(3) + 4) >> 3
+        java.util.Arrays.fill(out, dc)
+      case BTmPred =>
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) { set(r, c, clamp255(L(r) + A(c) - P)); c += 1 }
+          r += 1
+        }
+      case BVePred =>
+        val col = Array(avg3(P, A(0), A(1)), avg3(A(0), A(1), A(2)),
+          avg3(A(1), A(2), A(3)), avg3(A(2), A(3), ar(0)))
+        var r = 0
+        while (r < 4) { var c = 0; while (c < 4) { set(r, c, col(c)); c += 1 }; r += 1 }
+      case BHePred =>
+        val rowv = Array(avg3(P, L(0), L(1)), avg3(L(0), L(1), L(2)),
+          avg3(L(1), L(2), L(3)), avg3(L(2), L(3), L(3)))
+        var r = 0
+        while (r < 4) { var c = 0; while (c < 4) { set(r, c, rowv(r)); c += 1 }; r += 1 }
+      case BLdPred =>
+        val X = Array(A(0), A(1), A(2), A(3), ar(0), ar(1), ar(2), ar(3))
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val k = r + c
+            set(r, c, if (k == 6) avg3(X(6), X(7), X(7)) else avg3(X(k), X(k + 1), X(k + 2)))
+            c += 1
+          }
+          r += 1
+        }
+      case BRdPred =>
+        // edge array bottom-up: L3 L2 L1 L0 P A0 A1 A2 A3
+        val E = Array(L(3), L(2), L(1), L(0), P, A(0), A(1), A(2), A(3))
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val k = c - r + 3 // 0..6
+            set(r, c, avg3(E(k), E(k + 1), E(k + 2)))
+            c += 1
+          }
+          r += 1
+        }
+      case BVrPred =>
+        set(3, 0, avg3(L(2), L(1), L(0)))
+        set(2, 0, avg3(L(1), L(0), P))
+        val v10 = avg3(L(0), P, A(0)); set(3, 1, v10); set(1, 0, v10)
+        val v00 = avg2(P, A(0)); set(2, 1, v00); set(0, 0, v00)
+        val v11 = avg3(P, A(0), A(1)); set(3, 2, v11); set(1, 1, v11)
+        val v01 = avg2(A(0), A(1)); set(2, 2, v01); set(0, 1, v01)
+        val v12 = avg3(A(0), A(1), A(2)); set(3, 3, v12); set(1, 2, v12)
+        val v02 = avg2(A(1), A(2)); set(2, 3, v02); set(0, 2, v02)
+        set(1, 3, avg3(A(1), A(2), A(3)))
+        set(0, 3, avg2(A(2), A(3)))
+      case BVlPred =>
+        set(0, 0, avg2(A(0), A(1)))
+        set(1, 0, avg3(A(0), A(1), A(2)))
+        val a12 = avg2(A(1), A(2)); set(2, 0, a12); set(0, 1, a12)
+        val a123 = avg3(A(1), A(2), A(3)); set(3, 0, a123); set(1, 1, a123)
+        val a23 = avg2(A(2), A(3)); set(2, 1, a23); set(0, 2, a23)
+        val a234 = avg3(A(2), A(3), ar(0)); set(3, 1, a234); set(1, 2, a234)
+        val a34 = avg2(A(3), ar(0)); set(2, 2, a34); set(0, 3, a34)
+        val a345 = avg3(A(3), ar(0), ar(1)); set(3, 2, a345); set(1, 3, a345)
+        set(2, 3, avg3(ar(0), ar(1), ar(2)))
+        set(3, 3, avg3(ar(1), ar(2), ar(3)))
+      case BHdPred =>
+        set(3, 0, avg2(L(3), L(2)))
+        set(3, 1, avg3(L(3), L(2), L(1)))
+        val l21 = avg2(L(2), L(1)); set(2, 0, l21); set(3, 2, l21)
+        val l210 = avg3(L(2), L(1), L(0)); set(2, 1, l210); set(3, 3, l210)
+        val l10 = avg2(L(1), L(0)); set(2, 2, l10); set(1, 0, l10)
+        val l10p = avg3(L(1), L(0), P); set(2, 3, l10p); set(1, 1, l10p)
+        val l0p = avg2(L(0), P); set(1, 2, l0p); set(0, 0, l0p)
+        val l0pa = avg3(L(0), P, A(0)); set(1, 3, l0pa); set(0, 1, l0pa)
+        set(0, 2, avg3(P, A(0), A(1)))
+        set(0, 3, avg3(A(0), A(1), A(2)))
+      case BHuPred =>
+        set(0, 0, avg2(L(0), L(1)))
+        set(0, 1, avg3(L(0), L(1), L(2)))
+        val l12 = avg2(L(1), L(2)); set(0, 2, l12); set(1, 0, l12)
+        val l123 = avg3(L(1), L(2), L(3)); set(0, 3, l123); set(1, 1, l123)
+        val l23 = avg2(L(2), L(3)); set(1, 2, l23); set(2, 0, l23)
+        val l233 = avg3(L(2), L(3), L(3)); set(1, 3, l233); set(2, 1, l233)
+        set(2, 2, L(3)); set(2, 3, L(3))
+        set(3, 0, L(3)); set(3, 1, L(3)); set(3, 2, L(3)); set(3, 3, L(3))
+      case m => throw new IllegalArgumentException(s"unsupported submode $m")
+    }
+    out
+  }
+
+  /** The four above-right prediction pixels of the 4x4 subblock at
+    * plane position (x, y) inside the MB at (mbx, mby) — VP8's
+    * availability rules: right-column subblocks read the row above the
+    * NEXT macroblock (decoded rows only), replicated at the frame's
+    * right edge; everything else reads pixels already reconstructed in
+    * scan order; 127 when there is no row above.
+    */
+  private def aboveRightOf(px: (Int, Int) => Int, planeW: Int,
+                           x: Int, y: Int, mbx: Int): Int => Int = {
+    val bx = mbx * 16
+    if (y == 0) _ => 127
+    else if ((x & 15) == 12) {
+      // right column: the above MB row beyond this MB's right edge,
+      // clamped (= border replication) at the frame edge; 127 when the
+      // MB sits in the top row (no decoded row above the MB)
+      val ay = (y / 16) * 16 - 1
+      if (ay < 0) _ => 127
+      else i => px(math.min(bx + 16 + i, planeW - 1), ay)
+    } else { i => px(x + 4 + i, y - 1) }
+  }
+
   // ------------------------------------------------------------------
   // Coefficient token coding (RFC 6386 §13)
   // ------------------------------------------------------------------
@@ -636,6 +776,8 @@ object Vp8Codec {
     val blocks: Array[Array[Int]] = Array.fill(24)(new Array[Int](16))
     var yMode = DcPred
     var uvMode = DcPred
+    /** 4x4 submodes, used only when yMode == BPred. */
+    val bModes = new Array[Int](16)
     var skip = false
   }
 
@@ -656,6 +798,19 @@ object Vp8Codec {
   /** Encode `img` as a lossy webp (VP8 key frame in a RIFF container)
     * at `quality` (0-100, the reference's `encode_quality` scale).
     */
+  /** Per-thread count of B_PRED macroblocks chosen by the most recent
+    * [[encodeLossy]] call — test observability for the mode decision.
+    */
+  private[graft] val lastBPredCount = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  /** Test-only switch: disables the B_PRED candidate so specs can
+    * measure the 16x16-only baseline on the same build. Production
+    * code never touches this.
+    */
+  @volatile private[graft] var bPredEnabled = true
+
   def encodeLossy(img: BufferedImage, quality: Int = 95): Array[Byte] = {
     val (src, srcU, srcV, w, h) = toYuv420(img)
     require(w <= 0x3fff && h <= 0x3fff, s"VP8 dimensions limited to 16383 ($w x $h)")
@@ -678,7 +833,9 @@ object Vp8Codec {
         val bx = mbx * 16
         val by = mby * 16
 
-        // luma mode decision on reconstructed neighbors
+        // luma mode decision on reconstructed neighbors: best 16x16
+        // mode vs B_PRED (per-subblock best-of-10 with exact intra-MB
+        // reconstruction feedback through a scratch overlay)
         var bestMode = DcPred
         var bestSad = Long.MaxValue
         var bestPred: Array[Int] = null
@@ -689,13 +846,89 @@ object Vp8Codec {
           if (s < bestSad) { bestSad = s; bestMode = m; bestPred = pr }
           m += 1
         }
-        mb.yMode = bestMode
-        val yPred = bestPred
 
-        // forward transform 16 luma subblocks; collect DCs for Y2
+        // B_PRED candidate: scratch holds this MB's tentative luma
+        // recon; reads outside the MB fall through to the real frame
+        val scratch = new Array[Int](256)
+        val spx: (Int, Int) => Int = (x, y) =>
+          if (x >= bx && x < bx + 16 && y >= by && y < by + 16)
+            scratch((y - by) * 16 + (x - bx))
+          else rec(x, y)
+        var bSad = 0L
+        val bModes = new Array[Int](16)
+        val bCoefs = Array.fill(16)(new Array[Int](16))
+        var sb = 0
+        while (sb < 16) {
+          val ox = (sb & 3) * 4
+          val oy = (sb >> 2) * 4
+          val x = bx + ox
+          val y = by + oy
+          val arF = aboveRightOf(spx, rec.w, x, y, mbx)
+          val ar = Array(arF(0), arF(1), arF(2), arF(3))
+          var bm = BDcPred
+          var bmSad = Long.MaxValue
+          var bmPred: Array[Int] = null
+          var sm = BDcPred
+          while (sm <= BHuPred) {
+            val pr = predictSubBlock(spx, x, y, sm, ar)
+            var s = 0L
+            var i = 0
+            while (i < 16) {
+              s += math.abs(src(x + (i & 3), y + (i >> 2)) - pr(i))
+              i += 1
+            }
+            if (s < bmSad) { bmSad = s; bm = sm; bmPred = pr }
+            sm += 1
+          }
+          bModes(sb) = bm
+          bSad += bmSad
+          // quantize the residual and reconstruct into the scratch so
+          // the NEXT subblock predicts from decoder-identical pixels
+          var i = 0
+          while (i < 16) {
+            res(i) = src(x + (i & 3), y + (i >> 2)) - bmPred(i)
+            i += 1
+          }
+          val co = fdct4x4(res)
+          val qb = bCoefs(sb)
+          val deq = new Array[Int](16)
+          i = 0
+          while (i < 16) {
+            val qv = if (i == 0) q.y1dc else q.y1ac
+            qb(i) = quantize(co(i), qv)
+            deq(i) = qb(i) * qv
+            i += 1
+          }
+          val pxl = idct4x4(deq)
+          i = 0
+          while (i < 16) {
+            scratch((oy + (i >> 2)) * 16 + (ox + (i & 3))) = clamp255(bmPred(i) + pxl(i))
+            i += 1
+          }
+          sb += 1
+        }
+
+        // B_PRED RECONSTRUCTION distortion (prediction SAD alone is
+        // misleading: B_PRED quantizes each DC with y1dc directly,
+        // while the 16x16 path refines DCs through the Y2/WHT — at
+        // coarse quantizers that difference dominates)
+        var bSsd = 0L
+        var py = 0
+        while (py < 16) {
+          var pxi = 0
+          while (pxi < 16) {
+            val d = scratch(py * 16 + pxi) - src(bx + pxi, by + py)
+            bSsd += d.toLong * d
+            pxi += 1
+          }
+          py += 1
+        }
+
+        // 16x16 candidate: transform + quantize + reconstruct + SSD
+        // (the same arithmetic reconstructMb will run if it wins)
         val dcs = new Array[Int](16)
         val yCoefs = new Array[Array[Int]](16)
-        var sb = 0
+        sb = 0
         while (sb < 16) {
           val ox = (sb & 3) * 4
           val oy = (sb >> 2) * 4
@@ -703,7 +936,7 @@ object Vp8Codec {
           while (i < 16) {
             val x = ox + (i & 3)
             val y = oy + (i >> 2)
-            res(i) = src(bx + x, by + y) - yPred(y * 16 + x)
+            res(i) = src(bx + x, by + y) - bestPred(y * 16 + x)
             i += 1
           }
           val co = fdct4x4(res)
@@ -711,21 +944,96 @@ object Vp8Codec {
           yCoefs(sb) = co
           sb += 1
         }
-        val y2 = fwht4x4(dcs)
+        val y2raw = fwht4x4(dcs)
+        val y2q = new Array[Int](16)
         var i = 0
         while (i < 16) {
-          mb.y2(i) = quantize(y2(i), if (i == 0) q.y2dc else q.y2ac)
+          y2q(i) = quantize(y2raw(i), if (i == 0) q.y2dc else q.y2ac)
           i += 1
         }
+        val blk16 = Array.fill(16)(new Array[Int](16))
         sb = 0
         while (sb < 16) {
-          val co = yCoefs(sb)
-          val out = mb.blocks(sb)
-          out(0) = 0 // DC carried by Y2
+          val out = blk16(sb)
           i = 1
-          while (i < 16) { out(i) = quantize(co(i), q.y1ac); i += 1 }
+          while (i < 16) { out(i) = quantize(yCoefs(sb)(i), q.y1ac); i += 1 }
           sb += 1
         }
+        var ssd16 = 0L
+        locally {
+          val deq = new Array[Int](16)
+          i = 0
+          while (i < 16) { deq(i) = y2q(i) * (if (i == 0) q.y2dc else q.y2ac); i += 1 }
+          val dcRec = iwht4x4(deq)
+          sb = 0
+          while (sb < 16) {
+            val co = new Array[Int](16)
+            co(0) = dcRec(sb)
+            i = 1
+            while (i < 16) { co(i) = blk16(sb)(i) * q.y1ac; i += 1 }
+            val pxl = idct4x4(co)
+            val ox = (sb & 3) * 4
+            val oy = (sb >> 2) * 4
+            i = 0
+            while (i < 16) {
+              val x = ox + (i & 3)
+              val y = oy + (i >> 2)
+              val d = clamp255(bestPred(y * 16 + x) + pxl(i)) - src(bx + x, by + y)
+              ssd16 += d.toLong * d
+              i += 1
+            }
+            sb += 1
+          }
+        }
+
+        // Rate-distortion decision: cost = SSD + λ·bits, with a token
+        // proxy for bits (≈3 bits per nonzero coefficient plus its
+        // magnitude length) and λ ∝ squared quantizer step — the
+        // standard RD shape. B_PRED additionally pays its 16 submode
+        // codes (~4 bits each).
+        def coefBits(c: Array[Int]): Long = {
+          var bits = 0L
+          var k = 0
+          while (k < 16) {
+            val v = math.abs(c(k))
+            if (v > 0) bits += 3 + (32 - Integer.numberOfLeadingZeros(v))
+            k += 1
+          }
+          bits
+        }
+        val lambda = math.max(1L, q.y1ac.toLong * q.y1ac / 4)
+        var bits16 = coefBits(y2q)
+        var bitsB = 64L // 16 submode codes
+        sb = 0
+        while (sb < 16) {
+          bits16 += coefBits(blk16(sb))
+          bitsB += coefBits(bCoefs(sb))
+          sb += 1
+        }
+        val useBPred = bPredEnabled && bSsd + lambda * bitsB < ssd16 + lambda * bits16
+        val yPred: Array[Int] =
+          if (useBPred) {
+            mb.yMode = BPred
+            System.arraycopy(bModes, 0, mb.bModes, 0, 16)
+            sb = 0
+            while (sb < 16) {
+              System.arraycopy(bCoefs(sb), 0, mb.blocks(sb), 0, 16)
+              sb += 1
+            }
+            // commit the luma recon through the SAME function the
+            // decoder runs — no scratch-vs-decoder drift possible
+            reconstructLumaBPred(mb, q, rec, mbx, mby)
+            null
+          } else {
+            mb.yMode = bestMode
+            System.arraycopy(y2q, 0, mb.y2, 0, 16)
+            sb = 0
+            while (sb < 16) {
+              System.arraycopy(blk16(sb), 0, mb.blocks(sb), 0, 16)
+              sb += 1
+            }
+            bestPred
+          }
 
         // chroma mode decision (one mode, applied to both planes)
         val cbx = mbx * 8
@@ -776,6 +1084,8 @@ object Vp8Codec {
       mby += 1
     }
 
+    lastBPredCount.set(mbs.count(_.yMode == BPred))
+
     // --- partition 1: frame header + per-MB modes -------------------
     val skips = mbs.count(_.skip)
     val probSkipFalse =
@@ -800,6 +1110,10 @@ object Vp8Codec {
     for (mb <- mbs) {
       p1.bool(probSkipFalse, mb.skip)
       p1.tree(KfYModeTree, KfYModeProb, mb.yMode)
+      if (mb.yMode == BPred) {
+        var sb = 0
+        while (sb < 16) { p1.tree(BModeTree, BModeProb, mb.bModes(sb)); sb += 1 }
+      }
       p1.tree(UvModeTree, KfUvModeProb, mb.uvMode)
     }
     val part1 = p1.finish()
@@ -819,6 +1133,7 @@ object Vp8Codec {
       var mbx = 0
       while (mbx < mbW) {
         val mb = mbs(mby * mbW + mbx)
+        val hasY2 = mb.yMode != BPred
         if (mb.skip) {
           java.util.Arrays.fill(leftY, 0)
           java.util.Arrays.fill(leftU, 0)
@@ -827,19 +1142,25 @@ object Vp8Codec {
           while (k < 4) { aboveY(mbx * 4 + k) = 0; k += 1 }
           aboveU(mbx * 2) = 0; aboveU(mbx * 2 + 1) = 0
           aboveV(mbx * 2) = 0; aboveV(mbx * 2 + 1) = 0
-          // this encoder always emits a Y2 block (no B_PRED), so the
-          // Y2 context is cleared too (RFC reset rule)
-          aboveY2(mbx) = 0; leftY2 = 0
+          // RFC reset rule: the Y2 context is cleared only when the MB
+          // HAS a Y2 block; a skipped B_PRED MB leaves it untouched
+          if (hasY2) { aboveY2(mbx) = 0; leftY2 = 0 }
         } else {
-          val nzY2 = encodeCoefs(p2, mb.y2, 0, PlaneY2, aboveY2(mbx) + leftY2)
-          val n2 = if (nzY2) 1 else 0
-          aboveY2(mbx) = n2; leftY2 = n2
+          if (hasY2) {
+            val nzY2 = encodeCoefs(p2, mb.y2, 0, PlaneY2, aboveY2(mbx) + leftY2)
+            val n2 = if (nzY2) 1 else 0
+            aboveY2(mbx) = n2; leftY2 = n2
+          }
+          // B_PRED: no Y2 — each luma block carries its own DC and is
+          // coded as plane 3 ("Y with DC") from coefficient 0
+          val yFirst = if (hasY2) 1 else 0
+          val yPlane = if (hasY2) PlaneYNoDc else PlaneYWithDc
           var sb = 0
           while (sb < 16) {
             val r = sb >> 2
             val c = sb & 3
             val ctx = aboveY(mbx * 4 + c) + leftY(r)
-            val nz = encodeCoefs(p2, mb.blocks(sb), 1, PlaneYNoDc, ctx)
+            val nz = encodeCoefs(p2, mb.blocks(sb), yFirst, yPlane, ctx)
             val n = if (nz) 1 else 0
             aboveY(mbx * 4 + c) = n; leftY(r) = n
             sb += 1
@@ -885,8 +1206,46 @@ object Vp8Codec {
     riffLossy(vp8)
   }
 
+  /** B_PRED luma reconstruction — per-subblock predict → dequantize →
+    * IDCT → add, with intra-MB prediction feedback (each subblock
+    * predicts from the previous ones' reconstruction). ONE function
+    * shared verbatim by encoder and decoder, so their reconstructions
+    * cannot drift. No Y2: each 4x4 carries its own DC at `q.y1dc`.
+    */
+  private def reconstructLumaBPred(mb: MbData, q: Quantizers, rec: Plane,
+                                   mbx: Int, mby: Int): Unit = {
+    val bx = mbx * 16
+    val by = mby * 16
+    val px: (Int, Int) => Int = (x, y) => rec(x, y)
+    var sb = 0
+    while (sb < 16) {
+      val ox = (sb & 3) * 4
+      val oy = (sb >> 2) * 4
+      val x = bx + ox
+      val y = by + oy
+      val arF = aboveRightOf(px, rec.w, x, y, mbx)
+      val ar = Array(arF(0), arF(1), arF(2), arF(3))
+      val pred = predictSubBlock(px, x, y, mb.bModes(sb), ar)
+      val deq = new Array[Int](16)
+      var i = 0
+      while (i < 16) {
+        deq(i) = mb.blocks(sb)(i) * (if (i == 0) q.y1dc else q.y1ac)
+        i += 1
+      }
+      val pxl = idct4x4(deq)
+      i = 0
+      while (i < 16) {
+        rec(x + (i & 3), y + (i >> 2)) = clamp255(pred(i) + pxl(i))
+        i += 1
+      }
+      sb += 1
+    }
+  }
+
   /** Shared reconstruction used by encoder (for prediction feedback)
     * and decoder: dequantize, inverse transforms, add prediction.
+    * `yPred == null` means luma was already reconstructed (B_PRED
+    * path, [[reconstructLumaBPred]]) — only chroma is done here.
     */
   private def reconstructMb(
       mb: MbData, q: Quantizers,
@@ -895,30 +1254,32 @@ object Vp8Codec {
       yPred: Array[Int], uPred: Array[Int], vPred: Array[Int]): Unit = {
     val bx = mbx * 16
     val by = mby * 16
-    val deq = new Array[Int](16)
     var i = 0
-    while (i < 16) {
-      deq(i) = mb.y2(i) * (if (i == 0) q.y2dc else q.y2ac)
-      i += 1
-    }
-    val dcs = iwht4x4(deq)
-    var sb = 0
-    while (sb < 16) {
-      val co = new Array[Int](16)
-      co(0) = dcs(sb)
-      i = 1
-      while (i < 16) { co(i) = mb.blocks(sb)(i) * q.y1ac; i += 1 }
-      val px = idct4x4(co)
-      val ox = (sb & 3) * 4
-      val oy = (sb >> 2) * 4
-      i = 0
+    if (yPred != null) {
+      val deq = new Array[Int](16)
       while (i < 16) {
-        val x = ox + (i & 3)
-        val y = oy + (i >> 2)
-        rec(bx + x, by + y) = clamp255(yPred(y * 16 + x) + px(i))
+        deq(i) = mb.y2(i) * (if (i == 0) q.y2dc else q.y2ac)
         i += 1
       }
-      sb += 1
+      val dcs = iwht4x4(deq)
+      var sb = 0
+      while (sb < 16) {
+        val co = new Array[Int](16)
+        co(0) = dcs(sb)
+        i = 1
+        while (i < 16) { co(i) = mb.blocks(sb)(i) * q.y1ac; i += 1 }
+        val px = idct4x4(co)
+        val ox = (sb & 3) * 4
+        val oy = (sb >> 2) * 4
+        i = 0
+        while (i < 16) {
+          val x = ox + (i & 3)
+          val y = oy + (i >> 2)
+          rec(bx + x, by + y) = clamp255(yPred(y * 16 + x) + px(i))
+          i += 1
+        }
+        sb += 1
+      }
     }
     val cbx = mbx * 8
     val cby = mby * 8
@@ -972,8 +1333,8 @@ object Vp8Codec {
       bytes(12) == 'V' && bytes(13) == 'P' && bytes(14) == '8' && bytes(15) == ' '
 
   // ------------------------------------------------------------------
-  // Decoder (subset: key frames, no segmentation/filter deps, 16x16
-  // modes; B_PRED rejected with a clear error)
+  // Decoder (subset: key frames, no segmentation/filter deps; 16x16
+  // modes + B_PRED)
   // ------------------------------------------------------------------
 
   def decodeLossy(bytes: Array[Byte]): BufferedImage = {
@@ -1038,7 +1399,10 @@ object Vp8Codec {
       val mb = new MbData
       mb.skip = noSkip && d1.bool(probSkipFalse)
       mb.yMode = d1.tree(KfYModeTree, KfYModeProb)
-      require(mb.yMode != BPred, "B_PRED not supported by this decoder subset")
+      if (mb.yMode == BPred) {
+        var sb = 0
+        while (sb < 16) { mb.bModes(sb) = d1.tree(BModeTree, BModeProb); sb += 1 }
+      }
       mb.uvMode = d1.tree(UvModeTree, KfUvModeProb)
       mbs(i) = mb
       i += 1
@@ -1061,6 +1425,7 @@ object Vp8Codec {
       var mbx = 0
       while (mbx < mbW) {
         val mb = mbs(mby * mbW + mbx)
+        val hasY2 = mb.yMode != BPred
         if (mb.skip) {
           java.util.Arrays.fill(leftY, 0)
           java.util.Arrays.fill(leftU, 0)
@@ -1069,17 +1434,21 @@ object Vp8Codec {
           while (k < 4) { aboveY(mbx * 4 + k) = 0; k += 1 }
           aboveU(mbx * 2) = 0; aboveU(mbx * 2 + 1) = 0
           aboveV(mbx * 2) = 0; aboveV(mbx * 2 + 1) = 0
-          aboveY2(mbx) = 0; leftY2 = 0
+          if (hasY2) { aboveY2(mbx) = 0; leftY2 = 0 }
         } else {
-          val nzY2 = decodeCoefs(d2, mb.y2, 0, PlaneY2, aboveY2(mbx) + leftY2)
-          val n2 = if (nzY2) 1 else 0
-          aboveY2(mbx) = n2; leftY2 = n2
+          if (hasY2) {
+            val nzY2 = decodeCoefs(d2, mb.y2, 0, PlaneY2, aboveY2(mbx) + leftY2)
+            val n2 = if (nzY2) 1 else 0
+            aboveY2(mbx) = n2; leftY2 = n2
+          }
+          val yFirst = if (hasY2) 1 else 0
+          val yPlane = if (hasY2) PlaneYNoDc else PlaneYWithDc
           var sb = 0
           while (sb < 16) {
             val r = sb >> 2
             val c = sb & 3
             val ctx = aboveY(mbx * 4 + c) + leftY(r)
-            val nz = decodeCoefs(d2, mb.blocks(sb), 1, PlaneYNoDc, ctx)
+            val nz = decodeCoefs(d2, mb.blocks(sb), yFirst, yPlane, ctx)
             val n = if (nz) 1 else 0
             aboveY(mbx * 4 + c) = n; leftY(r) = n
             sb += 1
@@ -1098,7 +1467,9 @@ object Vp8Codec {
           }
         }
         // reconstruct (prediction from already-reconstructed neighbors)
-        val yPred = predictBlock(rec, mbx * 16, mby * 16, 16, mb.yMode)
+        val yPred =
+          if (mb.yMode == BPred) { reconstructLumaBPred(mb, q, rec, mbx, mby); null }
+          else predictBlock(rec, mbx * 16, mby * 16, 16, mb.yMode)
         val uPred = predictBlock(recU, mbx * 8, mby * 8, 8, mb.uvMode)
         val vPred = predictBlock(recV, mbx * 8, mby * 8, 8, mb.uvMode)
         reconstructMb(mb, q, rec, recU, recV, mbx, mby, yPred, uPred, vPred)

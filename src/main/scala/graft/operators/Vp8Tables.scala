@@ -92,18 +92,50 @@ private[operators] object Vp8Tables {
     Array(180, 157, 141, 134, 130),
     Array(254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129))
 
-  // Intra modes (RFC 6386 §11.2). B_PRED is deliberately not produced
-  // by this encoder (16x16-only mode decision keeps the keyframe
-  // header free of the 10x10x9 contextual submode table).
+  // Intra modes (RFC 6386 §11.2).
   final val DcPred = 0
   final val VPred = 1
   final val HPred = 2
   final val TmPred = 3
   final val BPred = 4
 
+  // 4x4 luma submodes (RFC 6386 §11.2 / §12.3).
+  final val BDcPred = 0
+  final val BTmPred = 1
+  final val BVePred = 2
+  final val BHePred = 3
+  final val BLdPred = 4
+  final val BRdPred = 5
+  final val BVrPred = 6
+  final val BVlPred = 7
+  final val BHdPred = 8
+  final val BHuPred = 9
+
   /** Key-frame luma mode tree + probabilities (RFC 6386 §11.2). */
   val KfYModeTree: Array[Int] = Array(-BPred, 2, 4, 6, -DcPred, -VPred, -HPred, -TmPred)
   val KfYModeProb: Array[Int] = Array(145, 156, 163, 128)
+
+  /** 4x4 submode tree (RFC 6386 §11.2 intra_bmode). */
+  val BModeTree: Array[Int] = Array(
+    -BDcPred, 2,
+    -BTmPred, 4,
+    -BVePred, 6,
+    8, 12,
+    -BHePred, 10,
+    -BRdPred, -BVrPred,
+    -BLdPred, 14,
+    -BVlPred, 16,
+    -BHdPred, -BHuPred)
+
+  /** Submode node probabilities. FIDELITY NOTE (same class as
+    * [[CoefUpdateProb]]): key frames contextually select from the
+    * spec's `kf_bmode_prob[above][left][9]` (a 10x10x9 table this
+    * zero-egress build cannot transcribe verbatim); this is the
+    * spec's CONTEXT-FREE inter-frame `bmode_prob` — valid tree
+    * coding, exact in-repo round-trip (encoder and decoder share it),
+    * external-decoder interop subject to the documented caveat.
+    */
+  val BModeProb: Array[Int] = Array(120, 90, 79, 133, 87, 85, 80, 111, 151)
 
   /** Chroma mode tree + key-frame probabilities (RFC 6386 §11.2). */
   val UvModeTree: Array[Int] = Array(-DcPred, 2, -VPred, 4, -HPred, -TmPred)

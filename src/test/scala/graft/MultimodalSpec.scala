@@ -113,6 +113,76 @@ class MultimodalSpec extends SparkSpec {
     assert(!r.getBoolean(6), "AIFF path is NOT stubbed")
   }
 
+  /** Golden MP3: `nFrames` MPEG-1 Layer III frames at 128 kbps,
+    * 44.1 kHz. Frame length = 144·128000/44100 = 417 bytes (int
+    * division, no padding); header FF FB 90 <mode>.
+    */
+  private def goldenMp3(nFrames: Int = 3, mono: Boolean = false,
+                        id3Len: Int = -1): Array[Byte] = {
+    val frame = new Array[Byte](417)
+    frame(0) = 0xFF.toByte; frame(1) = 0xFB.toByte // sync + V1 + LayerIII
+    frame(2) = 0x90.toByte                         // 128kbps, 44.1kHz, no pad
+    frame(3) = (if (mono) 0xC0 else 0x40).toByte   // mode: mono / joint stereo
+    val frames = Array.fill(nFrames)(frame).flatten
+    if (id3Len < 0) frames
+    else {
+      // ID3v2 header: "ID3" ver(2) flags(1) + syncsafe size + body
+      val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0,
+        ((id3Len >> 21) & 0x7F).toByte, ((id3Len >> 14) & 0x7F).toByte,
+        ((id3Len >> 7) & 0x7F).toByte, (id3Len & 0x7F).toByte) ++
+        Array.fill[Byte](id3Len)(0)
+      id3 ++ frames
+    }
+  }
+
+  test("audio features: MP3 frame walk — summed frame duration, stubbed=false") {
+    val df = Seq((1L, goldenMp3()), (2L, goldenMp3(nFrames = 5, mono = true, id3Len = 64)))
+      .toDF("id", "payload")
+    val rows = Multimodal.withAudioFeatures(df, "payload")
+      .select(col("id"), col("audio_features.*")).orderBy("id").collect()
+    val st = rows(0)
+    assert(st.getDouble(2) == 3 * (1152.0 / 44100), "3 frames × 1152 samples at 44.1kHz")
+    assert(st.getInt(3) == 44100 && st.getInt(4) == 2)
+    assert(st.isNullAt(5), "lossy format: no bits_per_sample")
+    assert(!st.getBoolean(7), "MP3 path is NOT stubbed")
+    val mono = rows(1)
+    assert(mono.getDouble(2) == 5 * (1152.0 / 44100), "ID3v2 prefix skipped, 5 frames")
+    assert(mono.getInt(4) == 1, "mode 3 = mono")
+    assert(!mono.getBoolean(7))
+  }
+
+  /** Golden FLAC: fLaC magic + last-block STREAMINFO, 22.05 kHz
+    * stereo 16-bit, 44100 total samples = exactly 2.0 s.
+    */
+  private def goldenFlac(): Array[Byte] = {
+    val si = new Array[Byte](34)
+    si(10) = 0x05; si(11) = 0x62; si(12) = 0x22 // rate 22050 | (ch-1)=1<<1 | bps hi
+    si(13) = 0xF0.toByte                        // bps lo ((16-1)&0xF)<<4 | samples hi
+    si(16) = 0xAC.toByte; si(17) = 0x44         // 44100 total samples
+    Array[Byte]('f', 'L', 'a', 'C', 0x80.toByte, 0, 0, 34) ++ si
+  }
+
+  test("audio features: FLAC STREAMINFO — exact duration, stubbed=false") {
+    val df = Seq((1L, goldenFlac())).toDF("id", "payload")
+    val r = Multimodal.withAudioFeatures(df, "payload")
+      .select("audio_features.*").collect()(0)
+    assert(r.getDouble(1) == 2.0, "44100 samples at 22.05kHz = exactly 2.0s")
+    assert(r.getInt(2) == 22050 && r.getInt(3) == 2 && r.getInt(4) == 16)
+    assert(!r.getBoolean(6), "FLAC path is NOT stubbed")
+  }
+
+  test("MP3/FLAC parsers reject junk, single frames, truncations") {
+    assert(Multimodal.parseMp3(Array.fill[Byte](2000)(0x55)).isEmpty, "no sync")
+    assert(Multimodal.parseMp3(goldenMp3().take(417)).isEmpty,
+      "a single frame is not enough evidence (random sync false-positives)")
+    assert(Multimodal.parseMp3(goldenMp3().take(500)).isEmpty, "second frame truncated")
+    // free-bitrate (idx 0) frames are unparseable without a codec
+    val free = goldenMp3(); free(2) = 0x00
+    assert(Multimodal.parseMp3(free).isEmpty)
+    assert(Multimodal.parseFlacStreamInfo(goldenFlac().take(20)).isEmpty, "truncated")
+    assert(Multimodal.parseFlacStreamInfo("fLaX1234".getBytes).isEmpty, "bad magic")
+  }
+
   test("WAV parse rejects truncated and compressed-format payloads") {
     assert(Multimodal.parseWavHeader(goldenWav().take(30)).isEmpty, "truncated header")
     val adpcm = {
@@ -174,6 +244,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4Duration(goldenMp4().take(20)).isEmpty)
     assert(Multimodal.parseMp4Duration("not a video at all".getBytes).isEmpty)
     assert(Multimodal.parseMp4Duration(goldenMp4(timescale = 0)).isEmpty, "zero timescale")
+  }
+
+  /** Golden Matroska: EBML(DocType) + Segment(Info(TimestampScale,
+    * Duration)). Duration 1500.0 ticks × 1e6 ns/tick = exactly 1.5 s.
+    */
+  private def goldenMkv(docType: String = "webm",
+                        unknownSizeSegment: Boolean = false): Array[Byte] = {
+    def el(id: Long, payload: Array[Byte]): Array[Byte] = {
+      val idBytes = BigInt(id).toByteArray.dropWhile(_ == 0)
+      idBytes ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    val ts = java.nio.ByteBuffer.allocate(4).putInt(1000000).array()
+    val dur = java.nio.ByteBuffer.allocate(8).putDouble(1500.0).array()
+    val info = el(0x1549A966L, el(0x2AD7B1L, ts) ++ el(0x4489L, dur))
+    val header = el(0x1A45DFA3L, el(0x4282L, docType.getBytes("US-ASCII")))
+    val segId = BigInt(0x18538067L).toByteArray.dropWhile(_ == 0)
+    val segment =
+      if (unknownSizeSegment) segId ++ Array(0xFF.toByte) ++ info // all-ones size vint
+      else el(0x18538067L, info)
+    header ++ segment
+  }
+
+  test("video meta: Matroska EBML walk — duration + timescale, stubbed=false") {
+    val df = Seq((1L, goldenMkv()), (2L, goldenMkv(docType = "matroska")))
+      .toDF("id", "payload")
+    val rows = Multimodal.withVideoMeta(df, "payload")
+      .select(col("id"), col("video_meta.*")).orderBy("id").collect()
+    val webm = rows(0)
+    assert(webm.getString(2) == "webm", "DocType surfaces as container")
+    assert(webm.getDouble(3) == 1.5 && webm.getInt(4) == 1000000)
+    assert(!webm.getBoolean(5), "Matroska parse is NOT stubbed")
+    assert(rows(1).getString(2) == "matroska")
+  }
+
+  test("Matroska parse handles unknown-size Segment; rejects junk") {
+    val r = Multimodal.parseMkvDuration(goldenMkv(unknownSizeSegment = true))
+    assert(r.contains(("webm", 1.5, 1000000L)), s"streamed-mkv unknown size: $r")
+    assert(Multimodal.parseMkvDuration("EBML but not really".getBytes).isEmpty)
+    assert(Multimodal.parseMkvDuration(goldenMkv().take(12)).isEmpty, "truncated")
   }
 
   test("video frame sampling fans out frame rows with schema") {

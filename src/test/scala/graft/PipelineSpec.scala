@@ -338,6 +338,36 @@ class PipelineSpec extends SparkSpec {
     } finally DownloadProgress.sink = prior
   }
 
+  test("metrics sink: hook + jsonl receive the final counters (K8 wandb parity)") {
+    import graft.operators.{MetricsEvent, MetricsSink}
+    val events = new scala.collection.mutable.ArrayBuffer[MetricsEvent]()
+    val prior = MetricsSink.hook
+    MetricsSink.hook = e => events.synchronized { events += e }
+    val jsonl = Paths.get(tmpDir("metrics"), "metrics.jsonl").toString
+    try {
+      val urls = server.allowedUrls ++ Seq(server.url("/missing/zz.jpg"))
+      val res = Pipeline.download(spark, writeUrlList("metrics", urls), tmpDir("metrics_out"),
+        baseCfg.copy(outputFormat = "dummy", progressIntervalMs = 25,
+          metricsJsonlPath = Some(jsonl)))
+      val evs = events.synchronized(events.toSeq)
+      // the authoritative final event carries EXACTLY the Result
+      // counters the reference would ship to wandb
+      val fin = evs.filter(_.phase == "final")
+      assert(fin.size == 1, s"exactly one final event: $evs")
+      assert(fin.head.count == res.count && fin.head.successes == res.successes)
+      assert(fin.head.failedToDownload.contains(res.failedToDownload))
+      assert(fin.head.failedToResize.contains(res.failedToResize))
+      assert(fin.head.successRate == res.successes.toDouble / res.count)
+      // progress events carry running counts, unknown failure splits
+      assert(evs.exists(e => e.phase == "progress" && e.failedToDownload.isEmpty))
+      // the jsonl file ends with the same final event, machine-readable
+      val lines = new String(Files.readAllBytes(Paths.get(jsonl)), "UTF-8").trim.split("\n")
+      assert(lines.last.contains("\"phase\":\"final\""))
+      assert(lines.last.contains(s""""count":${res.count}"""))
+      assert(lines.last.contains(s""""failed_to_download":${res.failedToDownload}"""))
+    } finally MetricsSink.hook = prior
+  }
+
   test("empty input: empty result, no crash") {
     val list = writeUrlList("empty", Seq.empty)
     val out = tmpDir("empty_out")

@@ -98,6 +98,98 @@ class StressSpec extends SparkSpec {
     }.reduce(_ union _)
   }
 
+  /** n token-suffixed sf0.1 copies under disjoint ids — mutually
+    * shingle-disjoint batches for the incremental-ingest stress.
+    */
+  private def suffixedCopies(n: Int) = {
+    val base = spark.read.parquet(sf("sf0.1") + "/documents.parquet")
+      .select("doc_id", "text")
+    (0 until n).map { k =>
+      base.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"_$k"))), " ").as("text"))
+    }
+  }
+
+  test("incremental minhash: per-batch wall stays flat as the index grows over 10 batches") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10-batch stress point: set GRAFT_STRESS=1 (takes minutes)")
+    // Each batch dedups against an index that has absorbed all prior
+    // batches. Batches are shingle-disjoint, so survivors ≈ constant
+    // per batch and the index grows linearly — a super-linear
+    // per-batch wall can only come from the candidate join degrading
+    // with index size (uncapped buckets / resident-index scans).
+    val idx = java.nio.file.Files.createTempDirectory("graft_stress_idx")
+      .resolve("index").toString
+    var committed = 0L
+    val times = suffixedCopies(10).zipWithIndex.map { case (df, k) =>
+      val t = timeOf {
+        val surv = Dedup.incrementalMinhash(df, "text", "doc_id", idx,
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
+        val n = surv.count()
+        Dedup.commitMinhash(surv, "text", "doc_id", idx,
+          shingleSize = 3, numHashes = 128, bands = 32)
+        committed += n
+      }
+      info(f"batch $k: $t%.1fs (index now $committed docs)")
+      t
+    }
+    // batch 1 is the first to take the index path; batch 9 joins an
+    // index 9x larger — the wall must not scale with index size
+    val ratio = times.last / times(1)
+    assert(ratio < 5.0,
+      f"per-batch wall grew ${ratio}%.1fx from batch 1 to batch 9 — index join degrading")
+    // index stays O(committed docs): one sig row per doc, bands rows = 32x
+    val sigs = spark.read.parquet(s"$idx/sigs").count()
+    val bandRows = spark.read.parquet(s"$idx/bands").count()
+    assert(sigs == committed, s"sigs=$sigs committed=$committed")
+    assert(bandRows == 32 * committed, s"bands=$bandRows expected ${32 * committed}")
+  }
+
+  test("streaming HLL: hundreds of open windows, bounded state, one emission each") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "many-window stress point: set GRAFT_STRESS=1 (takes minutes)")
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def run(nWindows: Int): Double = timeOf {
+      val stream = MemoryStream[(Timestamp, String)](spark)
+      // 1h watermark delay keeps EVERY window open through the feed —
+      // the point is peak state, not emission latency
+      val out = graft.streaming.EventStream.hllDistinctStream(
+        stream.toDF().toDF("ts", "v"), "ts", "v",
+        windowMillis = 1000L, watermark = "1 hour", p = 11)
+      val name = s"hll_stress_$nWindows"
+      val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        // 50 rows per window, all windows OPEN simultaneously
+        val rows = for (w <- 0 until nWindows; i <- 0 until 50)
+          yield (new Timestamp(w * 1000L + i * 17 % 1000), s"u_${w}_${i % 23}")
+        stream.addData(scala.util.Random.shuffle(rows))
+        q.processAllAvailable()
+        // state rows == open windows (one register array each), not rows seen
+        val state = q.lastProgress.stateOperators.apply(0).numRowsTotal
+        assert(state == nWindows, s"state rows $state != open windows $nWindows")
+        // close everything: sentinels push the watermark past every
+        // window end (+1h delay); each window must emit exactly once
+        stream.addData(Seq((new Timestamp(nWindows * 1000L + 2 * 3600000L), "sentinel")))
+        q.processAllAvailable()
+        stream.addData(Seq((new Timestamp(nWindows * 1000L + 4 * 3600000L), "sentinel2")))
+        q.processAllAvailable()
+        val emitted = spark.sql(s"SELECT * FROM $name").collect()
+          .count(_.getTimestamp(0).getTime < nWindows * 1000L) // exclude sentinel windows
+        assert(emitted == nWindows, s"emitted $emitted of $nWindows windows")
+      } finally q.stop()
+    }
+    val t100 = run(100)
+    val t500 = run(500)
+    val ratio = t500 / t100
+    info(f"100 windows: $t100%.1fs   500 windows: $t500%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 20.0,
+      f"5x windows took $ratio%.1fx the wall — state handling super-linear")
+  }
+
   test("semantic dedup with cell cap survives 10x duplicated vectors sub-quadratically") {
     assume(sys.env.contains("GRAFT_STRESS"),
       "10x stress point: set GRAFT_STRESS=1 (takes minutes)")

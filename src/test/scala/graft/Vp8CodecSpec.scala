@@ -191,14 +191,75 @@ class Vp8CodecSpec extends AnyFunSuite {
     assert(sizes.head > sizes.last, "q95 should cost more bytes than q25 on textured content")
   }
 
+  test("B_PRED raises low-quality PSNR on thin diagonal detail (vs 16x16-only)") {
+    // thin diagonal lines on a flat field: the 16x16 modes leave the
+    // whole line in the residual, which coarse DCT quantization rings
+    // away; the diagonal 4x4 submodes carry it in the PREDICTION.
+    // Measured on this build: q25 23.42 dB / 544 B with B_PRED vs
+    // 22.32 dB / 630 B without — better fidelity AND fewer bytes.
+    val img = new BufferedImage(64, 64, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = if ((x + y) % 16 < 2) 230 else 80
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def encodeAt(bpred: Boolean): (Double, Int, Int) = {
+      Vp8Codec.bPredEnabled = bpred
+      try {
+        val enc = Vp8Codec.encodeLossy(img, 25)
+        val n = Vp8Codec.lastBPredCount.get().intValue
+        (psnr(img, Vp8Codec.decodeLossy(enc)), n, enc.length)
+      } finally Vp8Codec.bPredEnabled = true
+    }
+    val (pOld, nOld, szOld) = encodeAt(bpred = false)
+    val (pNew, nNew, szNew) = encodeAt(bpred = true)
+    info(f"16x16-only: $pOld%.2f dB ($szOld B)   with B_PRED: $pNew%.2f dB ($szNew B, $nNew MBs)")
+    assert(nOld == 0 && nNew > 0, s"mode decision must actually pick B_PRED here ($nNew)")
+    assert(pNew > pOld + 0.75,
+      f"B_PRED should raise the low-quality PSNR floor: $pOld%.2f -> $pNew%.2f dB")
+    assert(szNew < szOld, s"and cost fewer bytes: $szNew vs $szOld")
+    // and at high quality on dense diagonal texture it wins BOTH ways
+    // (measured: 42.12 -> 42.78 dB, 7316 -> 5392 B)
+    val tex = new BufferedImage(64, 64, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = if (((x + y) / 4) % 2 == 0) 220 else 40
+      tex.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val e95 = Vp8Codec.encodeLossy(tex, 95)
+    assert(Vp8Codec.lastBPredCount.get().intValue > 0)
+    assert(psnr(tex, Vp8Codec.decodeLossy(e95)) > 42.5)
+  }
+
+  test("B_PRED round-trips across sizes and qualities (all submodes reachable)") {
+    // mixed directional content across non-MB-aligned sizes — pushes
+    // every border rule (above-right availability, frame edges)
+    val rng = new scala.util.Random(7)
+    for ((w, h) <- Seq((48, 48), (40, 24), (17, 33))) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = ((x + y) / 3) % 2 * 150 + ((x - y + 999) / 5) % 2 * 60
+        val v = math.max(0, math.min(255, base + rng.nextInt(7)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      for (q <- Seq(95, 50, 20)) {
+        val enc = Vp8Codec.encodeLossy(img, q)
+        val back = Vp8Codec.decodeLossy(enc)
+        assert(back.getWidth == w && back.getHeight == h)
+        val p = psnr(img, back)
+        assert(p > (if (q >= 95) 30 else 14), f"$w x $h q$q: $p%.1f dB")
+      }
+    }
+  }
+
   test("byte-level golden: encoder output pinned (bitstream drift is loud)") {
-    // 8x8 two-tone checkerboard at q75 — captured from the encoder at
-    // the round-4 state. Any drift in the bool coder's carry handling,
-    // token tree paths, probability tables, quantizer mapping, or
-    // header layout changes these bytes and must be a DELIBERATE,
-    // documented event (existing payloads in the wild keep decoding —
-    // the decoder is syntax-driven — but golden drift means the
-    // encoder's bitstream changed).
+    // 8x8 two-tone checkerboard at q75 — captured at the round-4
+    // state and UNCHANGED by the round-5 B_PRED event (the RD mode
+    // decision correctly keeps 16x16 for a 1px checkerboard, which no
+    // 4x4 submode predicts better). Any drift in the bool coder's
+    // carry handling, token tree paths, probability tables, quantizer
+    // mapping, or header layout changes these bytes and must be a
+    // DELIBERATE, documented event (existing payloads in the wild keep
+    // decoding — the decoder is syntax-driven — but golden drift means
+    // the encoder's bitstream changed).
     val img = new BufferedImage(8, 8, BufferedImage.TYPE_3BYTE_BGR)
     for (y <- 0 until 8; x <- 0 until 8)
       img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFFC800 else 0x2040A0)
