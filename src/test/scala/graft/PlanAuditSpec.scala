@@ -106,6 +106,40 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("incremental minhash: cross-batch candidate join ships no raw text") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_audit_idx")
+      .resolve("index").toString
+    graft.operators.Dedup.commitMinhash(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", idx, shingleSize = 3)
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit = plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.operators.Dedup.incrementalMinhash(
+        docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", idx,
+        shingleSize = 3, threshold = 0.5).count()
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline &&
+             !plans.synchronized(plans.exists(_.contains("hashpartitioning(band"))))
+        Thread.sleep(100)
+      val all = plans.synchronized(plans.mkString("\n===\n"))
+      // the (band, key) bucket exchanges must carry only slim keyed
+      // rows — raw document text through a 32x band explode would
+      // multiply shuffle bytes 32x at 100 TB
+      val shipsText = all.linesIterator.exists(l =>
+        l.contains("hashpartitioning(band") && l.contains("text#"))
+      assert(!shipsText, s"bucket exchange must not ship the text column")
+      assert(all.contains("hashpartitioning(band"), "bucket equi-join present")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("txt_curation composes the CAPPED LSH near-dup path, not the exact n-gram join") {
     val p = plan("txt_curation")
     assert(p.contains("bucket_n"), "bucket-size cap aggregate present in the curation plan")
