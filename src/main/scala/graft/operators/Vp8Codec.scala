@@ -17,11 +17,12 @@ import Vp8Tables._
   *
   * Scope (encoder): key frames only, 4:2:0, 16x16 intra prediction
   * modes (DC/V/H/TM) plus per-MB B_PRED (all ten 4x4 submodes with
-  * intra-MB prediction feedback, chosen by SAD with a quantizer-
-  * scaled penalty) + 8x8 chroma modes, one token partition, loop
-  * filter disabled, no segmentation. That is a fully valid VP8
-  * bitstream subset — every feature left out is signalled off in the
-  * frame header, not assumed. The decoder accepts the same subset
+  * intra-MB prediction feedback, rate-distortion mode decision) +
+  * 8x8 chroma modes, one token partition, the NORMAL loop filter at
+  * an encoder-measured adaptive level (level 0 kept when smoothing
+  * would hurt), no segmentation. That is a fully valid VP8 bitstream
+  * subset — every feature left out is signalled off in the frame
+  * header, not assumed. The decoder accepts the same subset
   * and exists so round-trip/PSNR tests can run in this offline
   * sandbox, where no other webp codec is available. See [[Vp8Tables]]
   * for the probability-table fidelity notes (coef update flags and
@@ -811,6 +812,16 @@ object Vp8Codec {
     */
   @volatile private[graft] var bPredEnabled = true
 
+  /** Test-only switch: restricts the loop-filter level search to 0 so
+    * specs can measure the unfiltered baseline on the same build.
+    */
+  @volatile private[graft] var loopFilterEnabled = true
+
+  /** Loop-filter level chosen by the most recent [[encodeLossy]]. */
+  private[graft] val lastFilterLevel = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
   def encodeLossy(img: BufferedImage, quality: Int = 95): Array[Byte] = {
     val (src, srcU, srcV, w, h) = toYuv420(img)
     require(w <= 0x3fff && h <= 0x3fff, s"VP8 dimensions limited to 16383 ($w x $h)")
@@ -1086,6 +1097,43 @@ object Vp8Codec {
 
     lastBPredCount.set(mbs.count(_.yMode == BPred))
 
+    // --- adaptive loop-filter level ---------------------------------
+    // The filter is an output stage (prediction uses unfiltered
+    // recon), so the encoder can pick the level by measurement: apply
+    // candidate levels to COPIES of the recon and keep the lowest
+    // error vs source. Level 0 stays a candidate — enabling the
+    // filter can never make output worse.
+    val noCoefs: MbData => Boolean = mb =>
+      mb.y2.forall(_ == 0) && mb.blocks.forall(_.forall(_ == 0))
+    val hasInterior: Int => Boolean = i =>
+      !noCoefs(mbs(i)) || mbs(i).yMode == BPred
+    def planeSse(a: Plane, b: Plane): Long = {
+      var s = 0L
+      var i = 0
+      while (i < a.px.length) { val d = a.px(i) - b.px(i); s += d.toLong * d; i += 1 }
+      s
+    }
+    def copyPlane(p: Plane): Plane = {
+      val c = new Plane(p.w, p.h)
+      System.arraycopy(p.px, 0, c.px, 0, p.px.length)
+      c
+    }
+    val qi = qualityToQIndex(quality)
+    val candidates =
+      if (loopFilterEnabled)
+        Seq(0, math.max(1, qi / 12), math.max(1, qi / 6),
+          math.min(63, math.max(1, qi / 3))).distinct
+      else Seq(0)
+    val filterLevel = candidates.minBy { lvl =>
+      if (lvl == 0) planeSse(rec, src) + planeSse(recU, srcU) + planeSse(recV, srcV)
+      else {
+        val (fy, fu, fv) = (copyPlane(rec), copyPlane(recU), copyPlane(recV))
+        applyLoopFilter(fy, fu, fv, hasInterior, mbW, mbH, lvl, 0)
+        planeSse(fy, src) + planeSse(fu, srcU) + planeSse(fv, srcV)
+      }
+    }
+    lastFilterLevel.set(filterLevel)
+
     // --- partition 1: frame header + per-MB modes -------------------
     val skips = mbs.count(_.skip)
     val probSkipFalse =
@@ -1094,8 +1142,8 @@ object Vp8Codec {
     p1.literal(0, 1) // color space
     p1.literal(0, 1) // clamping type
     p1.literal(0, 1) // segmentation_enabled
-    p1.literal(0, 1) // filter_type
-    p1.literal(0, 6) // loop_filter_level = 0 (disabled)
+    p1.literal(0, 1) // filter_type = 0 (normal)
+    p1.literal(filterLevel, 6) // loop_filter_level (measured, 0 = off)
     p1.literal(0, 3) // sharpness
     p1.literal(0, 1) // loop_filter_adj_enable
     p1.literal(0, 2) // log2(token partitions) = 0 -> 1 partition
@@ -1307,6 +1355,152 @@ object Vp8Codec {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Loop filter (RFC 6386 §15, "normal" filter) — an OUTPUT stage:
+  // intra prediction within the frame uses UNFILTERED reconstruction
+  // (both here and in the spec), so the filter affects only what the
+  // decoder hands back (and, in full VP8, the next frame's reference).
+  // The encoder picks the level by measuring filtered-vs-source error
+  // over a few candidates — level 0 stays available, so enabling the
+  // filter can never make output worse.
+  // ------------------------------------------------------------------
+
+  @inline private def sclamp(v: Int): Int =
+    if (v < -128) -128 else if (v > 127) 127 else v
+
+  /** Derived per-level thresholds (RFC 6386 §15.1). */
+  private def filterLimits(level: Int, sharpness: Int): (Int, Int, Int, Int) = {
+    var interior = level
+    if (sharpness > 0) {
+      interior >>= (if (sharpness > 4) 2 else 1)
+      if (interior > 9 - sharpness) interior = 9 - sharpness
+    }
+    if (interior < 1) interior = 1
+    val hev = if (level >= 40) 2 else if (level >= 15) 1 else 0 // key-frame table
+    (2 * (level + 2) + interior, 2 * level + interior, interior, hev)
+  }
+
+  /** Filter one 8-pixel segment across an edge. `get`/`set` address
+    * pixels at signed offsets from the edge: -4..-1 = p3..p0,
+    * 0..3 = q0..q3. `mbEdge` selects the wider macroblock-edge taps.
+    */
+  private def filterSegment(get: Int => Int, set: (Int, Int) => Unit,
+                            blimit: Int, ilimit: Int, hevT: Int,
+                            mbEdge: Boolean): Unit = {
+    val p3 = get(-4); val p2 = get(-3); val p1 = get(-2); val p0 = get(-1)
+    val q0 = get(0); val q1 = get(1); val q2 = get(2); val q3 = get(3)
+    val mask =
+      math.abs(p3 - p2) <= ilimit && math.abs(p2 - p1) <= ilimit &&
+      math.abs(p1 - p0) <= ilimit && math.abs(q1 - q0) <= ilimit &&
+      math.abs(q2 - q1) <= ilimit && math.abs(q3 - q2) <= ilimit &&
+      math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= blimit
+    if (!mask) return
+    val hev = math.abs(p1 - p0) > hevT || math.abs(q1 - q0) > hevT
+    val ps2 = p2 - 128; val ps1 = p1 - 128; val ps0 = p0 - 128
+    val qs0 = q0 - 128; val qs1 = q1 - 128; val qs2 = q2 - 128
+    if (!mbEdge) {
+      // subblock edge: 4-tap adjust, outer taps only without hev
+      var a = if (hev) sclamp(ps1 - qs1) else 0
+      a = sclamp(a + 3 * (qs0 - ps0))
+      val f1 = sclamp(a + 4) >> 3
+      val f2 = sclamp(a + 3) >> 3
+      set(0, sclamp(qs0 - f1) + 128)
+      set(-1, sclamp(ps0 + f2) + 128)
+      if (!hev) {
+        val o = (f1 + 1) >> 1
+        set(1, sclamp(qs1 - o) + 128)
+        set(-2, sclamp(ps1 + o) + 128)
+      }
+    } else {
+      // MB edge: hev part gets the narrow adjust, the rest the wide
+      // 27/18/9 >> 7 taps across three pixels each side
+      val a = sclamp(sclamp(ps1 - qs1) + 3 * (qs0 - ps0))
+      val ah = if (hev) a else 0
+      val f1 = sclamp(ah + 4) >> 3
+      val f2 = sclamp(ah + 3) >> 3
+      var nq0 = sclamp(qs0 - f1)
+      var np0 = sclamp(ps0 + f2)
+      val aw = if (hev) 0 else a
+      var u = sclamp((63 + aw * 27) >> 7)
+      nq0 = sclamp(nq0 - u); np0 = sclamp(np0 + u)
+      set(0, nq0 + 128); set(-1, np0 + 128)
+      u = sclamp((63 + aw * 18) >> 7)
+      set(1, sclamp(qs1 - u) + 128)
+      set(-2, sclamp(ps1 + u) + 128)
+      u = sclamp((63 + aw * 9) >> 7)
+      set(2, sclamp(qs2 - u) + 128)
+      set(-3, sclamp(ps2 + u) + 128)
+    }
+  }
+
+  /** Normal loop filter over the padded planes, spec order: per MB in
+    * raster scan — left MB edge, interior vertical edges, top MB edge,
+    * interior horizontal edges; interior edges only when the MB has
+    * coefficients or is B_PRED (RFC 6386 §15.2). `hasInterior(i)`
+    * carries that per-MB flag.
+    */
+  private def applyLoopFilter(yP: Plane, uP: Plane, vP: Plane,
+                              hasInterior: Int => Boolean,
+                              mbW: Int, mbH: Int,
+                              level: Int, sharpness: Int): Unit = {
+    if (level == 0) return
+    val (mbBlim, sbBlim, ilim, hevT) = filterLimits(level, sharpness)
+    def vEdge(p: Plane, x: Int, y0: Int, n: Int, mbEdge: Boolean): Unit = {
+      var y = y0
+      val yEnd = y0 + n
+      while (y < yEnd) {
+        val row = y * p.w
+        filterSegment(o => p.px(row + x + o), (o, v) => p.px(row + x + o) = v,
+          if (mbEdge) mbBlim else sbBlim, ilim, hevT, mbEdge)
+        y += 1
+      }
+    }
+    def hEdge(p: Plane, x0: Int, y: Int, n: Int, mbEdge: Boolean): Unit = {
+      var x = x0
+      val xEnd = x0 + n
+      while (x < xEnd) {
+        filterSegment(o => p.px((y + o) * p.w + x), (o, v) => p.px((y + o) * p.w + x) = v,
+          if (mbEdge) mbBlim else sbBlim, ilim, hevT, mbEdge)
+        x += 1
+      }
+    }
+    var mby = 0
+    while (mby < mbH) {
+      var mbx = 0
+      while (mbx < mbW) {
+        val interior = hasInterior(mby * mbW + mbx)
+        val bx = mbx * 16; val by = mby * 16
+        val cx = mbx * 8; val cy = mby * 8
+        if (mbx > 0) {
+          vEdge(yP, bx, by, 16, mbEdge = true)
+          vEdge(uP, cx, cy, 8, mbEdge = true)
+          vEdge(vP, cx, cy, 8, mbEdge = true)
+        }
+        if (interior) {
+          vEdge(yP, bx + 4, by, 16, mbEdge = false)
+          vEdge(yP, bx + 8, by, 16, mbEdge = false)
+          vEdge(yP, bx + 12, by, 16, mbEdge = false)
+          vEdge(uP, cx + 4, cy, 8, mbEdge = false)
+          vEdge(vP, cx + 4, cy, 8, mbEdge = false)
+        }
+        if (mby > 0) {
+          hEdge(yP, bx, by, 16, mbEdge = true)
+          hEdge(uP, cx, cy, 8, mbEdge = true)
+          hEdge(vP, cx, cy, 8, mbEdge = true)
+        }
+        if (interior) {
+          hEdge(yP, bx, by + 4, 16, mbEdge = false)
+          hEdge(yP, bx, by + 8, 16, mbEdge = false)
+          hEdge(yP, bx, by + 12, 16, mbEdge = false)
+          hEdge(uP, cx, cy + 4, 8, mbEdge = false)
+          hEdge(vP, cx, cy + 4, 8, mbEdge = false)
+        }
+        mbx += 1
+      }
+      mby += 1
+    }
+  }
+
   private def riffLossy(vp8: Array[Byte]): Array[Byte] = {
     val chunkLen = vp8.length
     val padded = chunkLen + (chunkLen & 1)
@@ -1361,9 +1555,11 @@ object Vp8Codec {
     d1.literal(1) // color space
     d1.literal(1) // clamping
     require(d1.literal(1) == 0, "segmentation not supported by this decoder subset")
-    d1.literal(1) // filter type
-    d1.literal(6) // filter level (output ignores loop filtering)
-    d1.literal(3) // sharpness
+    val filterType = d1.literal(1)
+    val filterLevel = d1.literal(6)
+    val sharpness = d1.literal(3)
+    require(filterType == 0 || filterLevel == 0,
+      "simple loop filter not supported by this decoder subset")
     if (d1.literal(1) == 1) { // loop_filter_adj_enable
       if (d1.literal(1) == 1) { // mode_ref_lf_delta_update
         var i = 0
@@ -1477,6 +1673,15 @@ object Vp8Codec {
       }
       mby += 1
     }
+    // loop filter: output stage over the full padded planes, same
+    // has-coefficients rule as the encoder's level measurement
+    if (filterLevel > 0)
+      applyLoopFilter(rec, recU, recV,
+        i => {
+          val mb = mbs(i)
+          !(mb.y2.forall(_ == 0) && mb.blocks.forall(_.forall(_ == 0))) || mb.yMode == BPred
+        },
+        mbW, mbH, filterLevel, sharpness)
     fromYuv420(rec, recU, recV, w, h)
   }
 }

@@ -250,6 +250,36 @@ class Vp8CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("loop filter: engages on blocking-prone content and never hurts (measured level choice)") {
+    // smooth diagonal gradient at low quality — the classic blocking
+    // case the deblocker exists for
+    val img = new BufferedImage(96, 96, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 96; x <- 0 until 96) {
+      val v = ((x + y) * 255) / 190
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def run(filter: Boolean, q: Int): (Double, Int) = {
+      Vp8Codec.loopFilterEnabled = filter
+      try {
+        val enc = Vp8Codec.encodeLossy(img, q)
+        (psnr(img, Vp8Codec.decodeLossy(enc)), Vp8Codec.lastFilterLevel.get().intValue)
+      } finally Vp8Codec.loopFilterEnabled = true
+    }
+    val (pOff, lOff) = run(filter = false, q = 20)
+    val (pOn, lOn) = run(filter = true, q = 20)
+    info(f"q20 gradient: unfiltered $pOff%.2f dB   filtered(level=$lOn) $pOn%.2f dB")
+    assert(lOff == 0 && lOn > 0, s"encoder should choose a nonzero level here (got $lOn)")
+    assert(pOn > pOff, f"deblocking should help on gradients: $pOff%.2f -> $pOn%.2f dB")
+    // and the level choice is MEASURED, not forced: on content where
+    // smoothing hurts (1px checkerboard), the encoder keeps level 0
+    val cb = new BufferedImage(32, 32, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 32; x <- 0 until 32)
+      cb.setRGB(x, y, if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000)
+    Vp8Codec.encodeLossy(cb, 20)
+    assert(Vp8Codec.lastFilterLevel.get().intValue == 0,
+      "checkerboard must keep the filter off (smoothing only hurts)")
+  }
+
   test("byte-level golden: encoder output pinned (bitstream drift is loud)") {
     // 8x8 two-tone checkerboard at q75 — captured at the round-4
     // state and UNCHANGED by the round-5 B_PRED event (the RD mode
