@@ -1089,6 +1089,36 @@ object SparkEntry {
       Similarity.hammingTopK(e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
           "embedding", "vec_id", dim = 64, k = 10, nBits = 48)
         .orderBy("query_id", "rank")
+    }),
+    "txt_substring_dedup" -> ((s, dir) => {
+      // Exact substring-duplication spans (Lee et al. 2022): every
+      // overlapping 5-gram hashed, duplicated positions merged into
+      // MAXIMAL spans per doc (gaps-and-islands; window key = doc).
+      TextAnalysis.substringDedup(t(s, dir, "documents"), "doc_id", "text", gramSize = 5)
+        .orderBy("doc_id")
+    }),
+    "txt_lm_score" -> ((s, dir) => {
+      // CCNet-style fluency scoring against the corpus's own add-one
+      // bigram table; per-bigram probabilities quantized to integers
+      // before the per-doc mean, so the aggregate is order-immune.
+      TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "samp_mixture" -> ((s, dir) => {
+      // Target-mixture sampling: rates DERIVED from the domain counts
+      // to hit 50/25/12.5/12.5 shares at the largest feasible size
+      // (power-of-two weights keep the rate arithmetic exact in FP).
+      graft.operators.Sampling.mixtureSample(
+          t(s, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.125))
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+    "emb_label_outliers" -> ((s, dir) => {
+      // Noisy-label pruning: per label, the 10 members least
+      // cosine-similar to their own label centroid (integer-quantized
+      // centroid sums → order-immune; bounded-heap bottom-k).
+      Similarity.labelOutliers(t(s, dir, "embeddings"), "embedding", "vec_id", "label", k = 10)
+        .orderBy("label", "rank")
     })
   )
 
@@ -1814,6 +1844,76 @@ object SparkEntry {
            coalesce(bf.bloom_flagged, false) AS bloom_flagged,
            (doc.doc_id IN (SELECT doc_id FROM ex)) AS exact_contaminated
          FROM documents doc LEFT JOIN bf USING (doc_id) ORDER BY doc.doc_id""",
-    "ann_hamming_topk" -> annHammingOracleSql
+    "ann_hamming_topk" -> annHammingOracleSql,
+    "txt_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+           regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+         e AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 4, 0))) AS pos FROM t),
+         occ AS (SELECT doc_id, pos,
+           ${duckHex60("array_to_string(toks[(pos+1):(pos+5)], ' ')")} AS h FROM e),
+         dh AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+         dup AS (SELECT doc_id, pos FROM occ JOIN dh USING (h)),
+         isl AS (SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dup),
+         sp AS (SELECT doc_id, count(*) AS l FROM isl GROUP BY doc_id, grp),
+         pd AS (SELECT doc_id, CAST(sum(l) AS BIGINT) AS n_dup_grams,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(l) + 4 AS BIGINT) AS max_span_tokens FROM sp GROUP BY doc_id),
+         ng AS (SELECT doc_id, CAST(greatest(len(toks) - 4, 0) AS BIGINT) AS n_grams FROM t)
+         SELECT ng.doc_id, ng.n_grams,
+           coalesce(pd.n_dup_grams, 0) AS n_dup_grams,
+           coalesce(pd.n_spans, 0) AS n_spans,
+           coalesce(pd.max_span_tokens, 0) AS max_span_tokens,
+           CASE WHEN ng.n_grams = 0 THEN 0.0
+                ELSE ${roundToSql("CAST(coalesce(pd.n_dup_grams, 0) AS DOUBLE) / CAST(ng.n_grams AS DOUBLE)", 6)}
+           END AS dup_gram_frac
+         FROM ng LEFT JOIN pd USING (doc_id) ORDER BY ng.doc_id""",
+    "txt_lm_score" ->
+      s"""WITH t AS (SELECT doc_id,
+           regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+         e AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 1, 0))) AS pos FROM t),
+         bg AS (SELECT doc_id, toks[pos+1] AS w1, toks[pos+2] AS w2 FROM e),
+         uc AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+         bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         sc AS (SELECT doc_id,
+             CAST(floor((CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS q
+           FROM bg JOIN bi USING (w1, w2) JOIN uc ON bg.w1 = uc.w CROSS JOIN v),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, CAST(sum(q) AS BIGINT) AS sq
+           FROM sc GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(pd.nb, 0) AS n_bigrams,
+           CASE WHEN coalesce(pd.nb, 0) = 0 THEN 0.0
+                ELSE ${roundToSql("CAST(pd.sq AS DOUBLE) / (CAST(pd.nb AS DOUBLE) * 1e9)", 6)}
+           END AS lm_score
+         FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""",
+    "samp_mixture" ->
+      s"""WITH cnts AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+           CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+                       WHEN 'src2' THEN 0.125 WHEN 'src3' THEN 0.125 END AS w
+         FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source),
+         m AS (SELECT min(n / w) AS m FROM cnts),
+         r AS (SELECT source,
+             CAST(floor(least(1.0, w * m.m / n) * 1e6 + 0.5) AS BIGINT) AS thr
+           FROM cnts CROSS JOIN m)
+         SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+         WHERE ${duckHex60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < r.thr
+         ORDER BY d.doc_id""",
+    "emb_label_outliers" ->
+      s"""WITH q AS (SELECT vec_id, label,
+           list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS qv
+         FROM embeddings),
+         e AS (SELECT label, unnest(qv) AS c, unnest(range(1, len(qv) + 1)) AS dim FROM q),
+         cs AS (SELECT label, dim, sum(c) AS s FROM e GROUP BY label, dim),
+         cent AS (SELECT label, array_agg(CAST(s AS DOUBLE) ORDER BY dim) AS cv FROM cs GROUP BY label),
+         sc AS (SELECT q.vec_id, q.label,
+             ${duckCos("list_transform(q.qv, x -> CAST(x AS DOUBLE))", "cent.cv")} AS c
+           FROM q JOIN cent USING (label)),
+         r AS (SELECT label, vec_id, ${roundToSql("c", 6)} AS cosine,
+             CAST(row_number() OVER (PARTITION BY label ORDER BY c ASC, vec_id) AS INTEGER) AS rank
+           FROM sc)
+         SELECT label, vec_id, cosine, rank FROM r WHERE rank <= 10
+         ORDER BY label, rank"""
   )
 }

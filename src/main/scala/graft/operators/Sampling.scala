@@ -60,6 +60,44 @@ object Sampling {
     df.filter(bucketOf(col(keyCol), salt) < thrCol)
   }
 
+  /** Target-mixture sampling (the DoReMi/Pile-style "domain
+    * reweighting" primitive): given target SHARES per domain (summing
+    * to ≤1), derive the per-domain keep-rates that produce the largest
+    * possible output with EXACTLY those proportions, then sample
+    * deterministically like [[stratifiedSample]].
+    *
+    * The output size is set by the scarcest domain: M = min_s(n_s/w_s)
+    * docs total, rate_s = w_s·M/n_s (so the rate is 1.0 for the
+    * binding domain and <1 elsewhere). Domains absent from `shares`
+    * are dropped — a mixture spec is a whitelist.
+    *
+    * Scale shape: one map-side-combined count per domain (domain
+    * cardinality rows — collected, they are config-sized, not
+    * data-sized), then a narrow scan-side filter with the rates baked
+    * as a literal CASE chain — no join, no shuffle on the data path.
+    * Membership stays a pure function of (salt, key): reruns, task
+    * retries, and other engines reproduce the same sample.
+    */
+  def mixtureSample(df: DataFrame, domainCol: String, keyCol: String,
+                    shares: Map[String, Double],
+                    salt: String = "mix"): DataFrame = {
+    require(shares.nonEmpty, "mixture shares must be non-empty")
+    require(shares.values.forall(v => v > 0.0 && v <= 1.0),
+      s"each share must be in (0,1], got $shares")
+    val counts = df.filter(col(domainCol).isInCollection(shares.keys.toSeq))
+      .groupBy(domainCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // largest total M with w_s·M ≤ n_s for every requested domain; a
+    // domain with zero rows forces M = 0 (empty result, not a crash)
+    val m = shares.keys.map(s => counts.getOrElse(s, 0L).toDouble / shares(s))
+      .min
+    val rates = shares.map { case (s, w) =>
+      val n = counts.getOrElse(s, 0L)
+      s -> (if (n == 0L) 0.0 else math.min(1.0, w * m / n.toDouble))
+    }
+    stratifiedSample(df, domainCol, keyCol, rates, defaultFrac = 0.0, salt = salt)
+  }
+
   /** Exactly-k uniform sample without knowing the population size: the
     * `k` rows with the smallest key hash. Plans as
     * TakeOrderedAndProject (bounded per-partition heaps + driver

@@ -293,4 +293,47 @@ object Similarity {
       .select(col("query_id"), col("t.id").as("corpus_id"),
         (lit(nBits) - col("t.score")).cast("int").as("hamming"), (col("r") + 1).as("rank"))
   }
+
+  /** Per-label centroid outliers — the noisy-label / mislabeled-sample
+    * pruning primitive (Confident-Learning / CLIP-score-filter family):
+    * for every label, the `k` members whose embeddings are LEAST
+    * cosine-similar to their own label's centroid.
+    *
+    * Engine-portable by construction: embedding components are
+    * quantized to integers (1e-6 resolution) BEFORE the centroid sum,
+    * so the per-(label,dim) aggregate is an exact integer sum — immune
+    * to float summation order across partitions — and cosine against
+    * the INTEGER sum vector equals cosine against the mean (cosine is
+    * scale-invariant, so the ÷n never happens and never rounds).
+    *
+    * Scale shape: one map-side-combined (label,dim)-keyed aggregate
+    * (output rows = labels × dims, config-sized), centroids broadcast
+    * back, then the bounded-heap per-label top-k — the corpus never
+    * self-joins, never shuffles full vectors, and no window sorts a
+    * label's full membership. Integer sums stay exact while
+    * n_label · 2^20 < 2^53 (≈8·10^9 rows per label at unit-scale
+    * embeddings) — beyond that, raise the quantization step.
+    */
+  def labelOutliers(df: DataFrame, vecCol: String, idCol: String,
+                    labelCol: String, k: Int = 10): DataFrame = {
+    val qv = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    val q = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"), qv.as("__qv"))
+    val comp = q.select(col("label"), posexplode(col("__qv")).as(Seq("__dim", "__c")))
+    val sums = comp.groupBy("label", "__dim").agg(sum("__c").as("__s"))
+    val cent = sums.groupBy("label").agg(
+      transform(array_sort(collect_list(struct(col("__dim"), col("__s")))),
+        s => s.getField("__s").cast("double")).as("__cv"))
+    val scored = q.join(broadcast(cent), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        cosine(transform(col("__qv"), x => x.cast("double")), col("__cv")).as("__c"))
+    // bounded heap on score = −cosine: (−c desc, id asc) ≡ the
+    // (c asc, id asc) window formulation, bit-for-bit
+    scored.groupBy("label")
+      .agg(graft.plans.TopKByScore.topKByScore(-col("__c"), col("vec_id"), k).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("label"), col("t.id").as("vec_id"),
+        graft.functions.MathFunctions.roundTo(-col("t.score"), 6).as("cosine"),
+        (col("r") + 1).as("rank"))
+  }
 }

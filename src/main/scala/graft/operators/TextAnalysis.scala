@@ -170,6 +170,120 @@ object TextAnalysis {
             col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 6)))
   }
 
+  /** Exact substring-duplication spans (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better", §3 ExactSubstr —
+    * the OVERLAPPING-gram refinement of [[chunkDedup]]'s disjoint
+    * chunks): every `gramSize`-token window is hashed; a position is
+    * duplicated when its gram occurs ≥2 times corpus-wide; runs of
+    * consecutive duplicated positions merge into MAXIMAL spans
+    * (gaps-and-islands), so a verbatim 50-token boilerplate block
+    * reports as ONE span of 50 tokens, not 46 overlapping hits.
+    *
+    * Scale shape: grams shuffle as 8-byte portable hashes keyed by
+    * gram (map-side-combined count, then one slim equi-join back);
+    * the islands window partitions by DOCUMENT — bounded by a doc's
+    * own token count, never by gram popularity, so a hot boilerplate
+    * gram cannot pile into one task. Per-doc output keeps result
+    * cardinality = corpus cardinality.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     gramSize: Int = 5): DataFrame = {
+    require(gramSize >= 2, s"gramSize must be >= 2, got $gramSize")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(normalizeText(col(textCol)), " ")
+    val nGrams = greatest(size(toks) - (gramSize - 1), lit(0))
+    // same empty-guard as chunkDedup: sequence(0, -1) is NOT empty
+    val idxs = when(nGrams > 0, sequence(lit(0), nGrams - 1))
+      .otherwise(lit(Array.emptyIntArray))
+    val grams = transform(idxs,
+      i => struct(i.as("pos"),
+        graft.operators.Dedup.portableHash60(
+          concat_ws(" ", slice(toks, i + lit(1), lit(gramSize)))).as("h")))
+    val occ = df
+      .select(col(idCol).as("__id"), explode(grams).as("__g"))
+      .select(col("__id"), col("__g.pos").as("__pos"), col("__g.h").as("__h"))
+    val dupHashes = occ.groupBy("__h").agg(count("*").as("__c"))
+      .filter(col("__c") >= 2).select("__h")
+    val dup = occ.join(dupHashes, "__h").select("__id", "__pos")
+    // gaps-and-islands: consecutive duplicated positions share
+    // (pos - row_number); window key is the doc id, bounded state
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    val spans = dup
+      .withColumn("__grp", col("__pos") - row_number().over(w))
+      .groupBy("__id", "__grp").agg(count("*").as("__len"))
+    val perDoc = spans.groupBy(col("__id").as(idCol)).agg(
+      sum("__len").as("n_dup_grams"),
+      count("*").as("n_spans"),
+      (max("__len") + lit(gramSize - 1)).as("max_span_tokens"))
+    df.select(col(idCol), nGrams.cast("long").as("n_grams"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"))
+      .withColumn("dup_gram_frac",
+        when(col("n_grams") === 0, lit(0.0)).otherwise(
+          graft.functions.MathFunctions.roundTo(
+            col("n_dup_grams").cast("double") / col("n_grams").cast("double"), 6)))
+  }
+
+  /** Corpus-trained smoothed-bigram fluency score — the shape of
+    * CCNet/Wenzek et al. 2020's perplexity filtering, self-contained:
+    * the "language model" is the corpus's own add-one-smoothed bigram
+    * table, and each document scores the mean conditional probability
+    * of its bigrams, p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V). Degenerate
+    * and boilerplate text (high repetition) scores HIGH; rare-token
+    * noise scores LOW — downstream filters cut both tails.
+    *
+    * Engine-portable by construction: every per-bigram probability is
+    * quantized to an integer (1e-9 resolution) BEFORE the per-doc
+    * mean, so the aggregation is an exact integer sum — immune to
+    * float summation order across partitions (the DuckDB oracle
+    * reproduces it bit-for-bit).
+    *
+    * Scale shape: three map-side-combined aggregations (bigram
+    * counts, unigram counts, vocab size) + two slim equi-joins keyed
+    * by token/bigram; the vocab size rides as a broadcast single-row
+    * cross join. No windows, no data-sized collects.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(normalizeText(col(textCol)), " ")
+    val nBi = greatest(size(toks) - 1, lit(0))
+    val idxs = when(nBi > 0, sequence(lit(0), nBi - 1))
+      .otherwise(lit(Array.emptyIntArray))
+    val bigrams = transform(idxs,
+      i => struct(element_at(toks, i + lit(1)).as("w1"),
+                  element_at(toks, i + lit(2)).as("w2")))
+    val occ = df
+      .select(col(idCol).as("__id"), explode(bigrams).as("__b"))
+      .select(col("__id"), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    val uniCnt = df
+      .select(explode(split(normalizeText(col(textCol)), " ")).as("__w"))
+      .groupBy("__w").agg(count("*").as("__c1"))
+    val biCnt = occ.groupBy("__w1", "__w2").agg(count("*").as("__c12"))
+    val vocab = broadcast(uniCnt.agg(count("*").as("__v")))
+    // quantize each smoothed probability to 1e-9 BEFORE summing: the
+    // per-doc aggregate is then an exact integer sum in any order
+    val q = floor(((col("__c12") + 1).cast("double") /
+        (col("__c1") + col("__v")).cast("double")) * lit(1e9) + lit(0.5)).cast("long")
+    val perDoc = occ
+      .join(biCnt, Seq("__w1", "__w2"))
+      .join(uniCnt.withColumnRenamed("__w", "__w1"), Seq("__w1"))
+      .crossJoin(vocab)
+      .select(col("__id"), q.as("__q"))
+      .groupBy(col("__id").as(idCol)).agg(
+        count("*").as("n_bigrams"),
+        sum("__q").as("__sq"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0)).otherwise(
+          graft.functions.MathFunctions.roundTo(
+            col("__sq").cast("double") / (col("n_bigrams").cast("double") * lit(1e9)), 6))
+          .as("lm_score"))
+  }
+
   /** C4/Gopher-style document filter flags (Raffel et al. 2020 §2.2;
     * Rae et al. 2021 §A1.1): each heuristic as its own boolean column
     * plus the composite `keep`. Tag-don't-drop, like the pipeline's

@@ -294,4 +294,26 @@ class DedupSpec extends SparkSpec {
     assert(out(2).getAs[Long]("corpus_id") == 101L && negH > 8,
       s"negated vector flips (nearly) all sign bits, got hamming $negH")
   }
+
+  test("labelOutliers: planted mislabeled vector ranks first in its label") {
+    // label 0 clusters near +e1 with one anti-aligned plant (id 99);
+    // label 1 clusters near +e2 with its plant at id 199
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    val rows = (0 until 20).map(i => (i.toLong, 0, v(1.0, 0.01 * i, 0.0))) ++
+      Seq((99L, 0, v(-1.0, 0.0, 0.0))) ++
+      (100 until 120).map(i => (i.toLong, 1, v(0.01 * (i - 100), 1.0, 0.0))) ++
+      Seq((199L, 1, v(0.0, -1.0, 0.2)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelOutliers(df, "embedding", "vec_id", "label", k = 3)
+      .orderBy("label", "rank").collect()
+    assert(out.length == 6, "k=3 per label")
+    val first = out.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("vec_id")).toMap
+    assert(first == Map(0 -> 99L, 1 -> 199L), s"plants must rank first, got $first")
+    // cosine ascends within each label and the plant's is negative
+    out.groupBy(_.getAs[Int]("label")).foreach { case (_, rs) =>
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cs.head < 0.0 && cs.sameElements(cs.sorted), cs.mkString(","))
+    }
+  }
 }

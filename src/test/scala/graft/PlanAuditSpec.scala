@@ -244,4 +244,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"hot-chunk-skew-prone window absent:\n$p")
     assert(p.contains("partial_"), "first-occurrence aggregates map-side combined")
   }
+
+  test("txt_substring_dedup: islands window keys by DOCUMENT, not the gram hash") {
+    // a hot boilerplate gram must never pile into one window task: the
+    // only window in the plan partitions by the doc id, and the gram
+    // count aggregate is map-side combined
+    val p = plan("txt_substring_dedup")
+    assert(p.contains("partial_"), "gram-count aggregate map-side combined")
+    val windowSpecs = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!windowSpecs.contains("__h"), s"window must not key on the gram hash:\n$windowSpecs")
+  }
+
+  test("txt_lm_score: vocab scalar broadcast; no single-partition funnel on the data path") {
+    val p = plan("txt_lm_score")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"vocab-size single row must broadcast:\n$p")
+    assert(p.contains("partial_"), "uni/bigram counts map-side combined")
+  }
+
+  test("samp_mixture: data path is a narrow scan-side filter — no join, no window") {
+    val p = plan("samp_mixture")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"rates are baked literals — no join on the data path:\n$p")
+  }
+
+  test("emb_label_outliers: centroids broadcast back; corpus vectors never self-join") {
+    val p = plan("emb_label_outliers")
+    assert(p.contains("BroadcastExchange"), s"label centroids broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no vector-vector shuffle join:\n$p")
+    assert(p.contains("partial_"), "(label,dim) sums and bounded top-k map-side combined")
+  }
 }

@@ -49,4 +49,24 @@ class SamplingSpec extends SparkSpec {
     // k >= population degrades to the full set
     assert(Sampling.hashTopK(docs, "id", 5000).count() == 2000)
   }
+
+  test("mixtureSample derives rates from counts: scarcest domain binds at rate 1.0") {
+    // a:1000 b:300 c:100 with target shares 50/25/25 -> M = min(1000/.5,
+    // 300/.25, 100/.25) = 400 -> rates a=.2 b=1/3 c=1.0 (c binds, kept whole)
+    val mixed = ((0 until 1000).map(i => (i.toLong, "a")) ++
+      (1000 until 1300).map(i => (i.toLong, "b")) ++
+      (1300 until 1400).map(i => (i.toLong, "c")) ++
+      (1400 until 1500).map(i => (i.toLong, "z"))).toDF("id", "dom")
+    val out = Sampling.mixtureSample(mixed, "dom", "id",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)).select("id", "dom").collect()
+    val byDom = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byDom.getOrElse("z", 0) == 0, "mixture spec is a whitelist")
+    assert(byDom("c") == 100, "binding domain keeps every row (rate exactly 1.0)")
+    assert(math.abs(byDom("a") - 200) < 40, s"a kept ${byDom("a")} vs expected 200")
+    assert(math.abs(byDom("b") - 100) < 30, s"b kept ${byDom("b")} vs expected 100")
+    // deterministic across runs
+    val again = Sampling.mixtureSample(mixed, "dom", "id",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)).select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_.getLong(0)).toSet)
+  }
 }

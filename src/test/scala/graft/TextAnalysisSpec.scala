@@ -61,4 +61,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4).getAs[Boolean]("flag_word_length"))
     assert(out(4).getAs[Double]("mean_word_len") == 2.0)
   }
+
+  test("substringDedup merges overlapping duplicated 5-grams into maximal spans") {
+    // an 8-token block shared by docs 1 and 2 (different offsets):
+    // 4 duplicated gram positions each, merging into ONE 8-token span
+    val block = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (1L, s"u1 u2 $block u3 u4"),
+      (2L, s"v1 v2 v3 $block v4"),
+      (3L, "x1 x2 x3 x4 x5"),                  // 1 gram, globally unique
+      (4L, "s t"),                             // shorter than one gram
+      (5L, "r1 r2 r3 r4 r5 m r1 r2 r3 r4 r5")  // WITHIN-doc repeat: 2 islands
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.substringDedup(docs, "doc_id", "text", gramSize = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 8L, 4L, 1L, 8L, 0.5),
+      (2L, 8L, 4L, 1L, 8L, 0.5),
+      (3L, 1L, 0L, 0L, 0L, 0.0),
+      (4L, 0L, 0L, 0L, 0L, 0.0),
+      (5L, 7L, 2L, 2L, 5L, 0.285714)))
+  }
+
+  test("lmScore: hand-computed add-one bigram means; repetition scores high") {
+    // corpus: a:3 b:1 c:1 d:1 -> V=4; bigrams (a,a)x2, (b,c)x1
+    // doc 1: p(a|a) = (2+1)/(3+4) -> q=428571429, mean .428571429
+    // doc 2: p(c|b) = (1+1)/(1+4) = .4 exactly
+    val docs = Seq((1L, "a a a"), (2L, "b c"), (3L, "d")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0.428571),
+      (2L, 1L, 0.4),
+      (3L, 0L, 0.0)))
+    // fluency ordering on realistic text: degenerate repetition beats
+    // a one-off token soup under the corpus's own bigram table
+    val corpus = (Seq((10L, ("spam ham " * 40).trim)) ++
+      (0 until 20).map(i => (20L + i, s"tok${i}a tok${i}b tok${i}c tok${i}d")))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.lmScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(10L) > scores(20L) * 10,
+      s"repetitive doc ${scores(10L)} should dwarf token-soup ${scores(20L)}")
+  }
 }
