@@ -1097,6 +1097,13 @@ object SparkEntry {
       TextAnalysis.substringDedup(t(s, dir, "documents"), "doc_id", "text", gramSize = 5)
         .orderBy("doc_id")
     }),
+    "txt_substring_strip" -> ((s, dir) => {
+      // The REMOVE step of ExactSubstr dedup: every duplicated 5-gram
+      // window keeps only its global first occurrence; text rebuilt
+      // scan-side from the removed-index array (no token shuffle).
+      TextAnalysis.substringStrip(t(s, dir, "documents"), "doc_id", "text", gramSize = 5)
+        .orderBy("doc_id")
+    }),
     "txt_lm_score" -> ((s, dir) => {
       // CCNet-style fluency scoring against the corpus's own add-one
       // bigram table; per-bigram probabilities quantized to integers
@@ -1869,6 +1876,27 @@ object SparkEntry {
                 ELSE ${roundToSql("CAST(coalesce(pd.n_dup_grams, 0) AS DOUBLE) / CAST(ng.n_grams AS DOUBLE)", 6)}
            END AS dup_gram_frac
          FROM ng LEFT JOIN pd USING (doc_id) ORDER BY ng.doc_id""",
+    "txt_substring_strip" ->
+      s"""WITH t AS (SELECT doc_id,
+           regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+         e AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 4, 0))) AS pos FROM t),
+         occ AS (SELECT doc_id, pos,
+           ${duckHex60("array_to_string(toks[(pos+1):(pos+5)], ' ')")} AS h FROM e),
+         fd AS (SELECT h, min(doc_id) AS fdoc FROM occ GROUP BY h),
+         fp AS (SELECT o.h AS h, fdoc, min(o.pos) AS fpos
+           FROM occ o JOIN fd ON o.h = fd.h AND o.doc_id = fd.fdoc GROUP BY o.h, fdoc),
+         dup AS (SELECT o.doc_id AS doc_id, o.pos AS pos FROM occ o JOIN fp ON o.h = fp.h
+           WHERE NOT (o.doc_id = fp.fdoc AND o.pos = fp.fpos)),
+         rem AS (SELECT DISTINCT doc_id, ti FROM
+           (SELECT doc_id, unnest(range(pos, pos + 5)) AS ti FROM dup)),
+         ra AS (SELECT doc_id, array_agg(ti ORDER BY ti) AS rem_arr FROM rem GROUP BY doc_id)
+         SELECT t.doc_id,
+           coalesce(array_to_string(list_transform(
+             list_filter(range(0, len(t.toks)), i -> NOT list_contains(coalesce(ra.rem_arr, []), i)),
+             i -> t.toks[i + 1]), ' '), '') AS clean_text,
+           CAST(len(coalesce(ra.rem_arr, [])) AS BIGINT) AS n_tokens_removed
+         FROM t LEFT JOIN ra USING (doc_id) ORDER BY t.doc_id""",
     "txt_lm_score" ->
       s"""WITH t AS (SELECT doc_id,
            regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks

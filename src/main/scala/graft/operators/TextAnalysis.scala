@@ -228,6 +228,64 @@ object TextAnalysis {
             col("n_dup_grams").cast("double") / col("n_grams").cast("double"), 6)))
   }
 
+  /** The REMOVE step of exact substring dedup (Lee et al. 2022
+    * ExactSubstr §4): every duplicated `gramSize`-token window keeps
+    * only its GLOBAL first occurrence (min (doc, pos)); all other
+    * occurrences are cut from the text. Cutting a position removes
+    * its whole token window, so maximal duplicated runs vanish and
+    * the first copy survives verbatim — e.g. a boilerplate footer
+    * shared by 10k pages survives in exactly one of them.
+    *
+    * Returns (id, clean_text, n_tokens_removed) over the NORMALIZED
+    * token stream (lower-cased, whitespace-collapsed — the same
+    * canonical form every dedup operator here works on).
+    *
+    * Scale shape: gram occurrences shuffle as 8-byte hashes (map-side
+    * combined aggregates + slim joins), removed indices collapse to
+    * ONE int-array row per affected doc, and the cleaned text is
+    * rebuilt SCAN-SIDE with higher-order functions after a single
+    * per-doc equi-join of those arrays (text rides that one exchange
+    * once; small-SF plans broadcast the arrays instead). No per-token
+    * rows ever cross a shuffle and there is no window at all.
+    */
+  def substringStrip(df: DataFrame, idCol: String, textCol: String,
+                     gramSize: Int = 5): DataFrame = {
+    require(gramSize >= 2, s"gramSize must be >= 2, got $gramSize")
+    val toks = split(normalizeText(col(textCol)), " ")
+    val nGrams = greatest(size(toks) - (gramSize - 1), lit(0))
+    val idxs = when(nGrams > 0, sequence(lit(0), nGrams - 1))
+      .otherwise(lit(Array.emptyIntArray))
+    val grams = transform(idxs,
+      i => struct(i.as("pos"),
+        graft.operators.Dedup.portableHash60(
+          concat_ws(" ", slice(toks, i + lit(1), lit(gramSize)))).as("h")))
+    val occ = df
+      .select(col(idCol).as("__id"), explode(grams).as("__g"))
+      .select(col("__id"), col("__g.pos").as("__pos"), col("__g.h").as("__h"))
+    // global first occurrence of each gram: min doc, then min pos
+    // within that doc (chunkDedup's two-step, skew-safe formulation)
+    val firstDoc = occ.groupBy("__h").agg(min("__id").as("__fd"))
+    val firstPos = occ.join(firstDoc, "__h").filter(col("__id") === col("__fd"))
+      .groupBy("__h", "__fd").agg(min("__pos").as("__fp"))
+    val dup = occ.join(firstPos, "__h")
+      .filter(!(col("__id") === col("__fd") && col("__pos") === col("__fp")))
+    // expand each removed gram to its token window, dedup indices,
+    // and collapse to ONE array row per doc — the only doc-keyed
+    // shuffle carries removed indices, not tokens
+    val removed = dup
+      .select(col("__id"), explode(sequence(col("__pos"), col("__pos") + (gramSize - 1))).as("__ti"))
+      .distinct()
+      .groupBy("__id").agg(sort_array(collect_list("__ti")).as("__rem"))
+    val n = size(toks)
+    val rem = coalesce(col("__rem"), lit(Array.emptyIntArray))
+    val keptIdx = filter(sequence(lit(0), n - 1), i => !array_contains(rem, i))
+    df.select(col(idCol), col(textCol))
+      .join(removed.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", transform(keptIdx, i => element_at(toks, i + lit(1)))).as("clean_text"),
+        size(rem).cast("long").as("n_tokens_removed"))
+  }
+
   /** Corpus-trained smoothed-bigram fluency score — the shape of
     * CCNet/Wenzek et al. 2020's perplexity filtering, self-contained:
     * the "language model" is the corpus's own add-one-smoothed bigram

@@ -255,6 +255,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!windowSpecs.contains("__h"), s"window must not key on the gram hash:\n$windowSpecs")
   }
 
+  test("txt_substring_strip: window-free; no per-token rows cross a shuffle") {
+    val p = plan("txt_substring_strip")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+    assert(p.contains("partial_"), "first-occurrence aggregates map-side combined")
+    // the rebuild is higher-order-function scan work after the
+    // removed-array join — the exploded token stream must never be
+    // what an exchange carries (grams travel as the 8-byte __h only)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("__g"), s"gram structs must not cross a shuffle:\n$exchanges")
+  }
+
   test("txt_lm_score: vocab scalar broadcast; no single-partition funnel on the data path") {
     val p = plan("txt_lm_score")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),

@@ -203,4 +203,46 @@ class StressSpec extends SparkSpec {
     info(f"10x duplicated embeddings, capped cells: $t%.1fs")
     assert(t < 120.0, f"capped semantic dedup took $t%.1fs — cell cap not engaging?")
   }
+
+  test("substring dedup + strip stay near-linear at 10x (doc-keyed window / array join)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    // suffixed copies share ZERO grams across groups → duplicated-span
+    // structure scales exactly 10x; a gram-keyed window or an uncapped
+    // token shuffle would blow past linear
+    val (one, ten) = tenX
+    import graft.operators.TextAnalysis
+    def run(df: org.apache.spark.sql.DataFrame): Unit = {
+      TextAnalysis.substringDedup(df, "doc_id", "text", gramSize = 5)
+        .agg(sum("n_dup_grams")).collect()
+      TextAnalysis.substringStrip(df, "doc_id", "text", gramSize = 5)
+        .agg(sum("n_tokens_removed")).collect()
+    }
+    run(one) // warm-up
+    val t1 = timeOf(run(one))
+    val t10 = timeOf(run(ten))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"substring dedup/strip must scale near-linearly: 10x took $ratio%.1fx")
+  }
+
+  test("lmScore stays near-linear at 10x (token-keyed aggregates + slim joins)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    // suffixing grows the VOCAB 10x too — the bigram/unigram count
+    // tables and their joins must scale with corpus size, not blow up
+    val (one, ten) = tenX
+    import graft.operators.TextAnalysis
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      TextAnalysis.lmScore(df, "doc_id", "text")
+        .agg(sum("n_bigrams")).collect()
+    run(one) // warm-up
+    val t1 = timeOf(run(one))
+    val t10 = timeOf(run(ten))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"lmScore must scale near-linearly: 10x took $ratio%.1fx")
+  }
 }

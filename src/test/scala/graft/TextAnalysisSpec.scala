@@ -84,6 +84,28 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 7L, 2L, 2L, 5L, 0.285714)))
   }
 
+  test("substringStrip removes every duplicated window except the global first") {
+    val block = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (1L, s"u1 u2 $block u3 u4"),                // owns the block: untouched
+      (2L, s"v1 v2 v3 $block v4"),                // loses the whole block
+      (3L, "x1 x2 x3 x4 x5"),                     // unique: untouched
+      (4L, "S  T"),                               // sub-gram; normalized only
+      (5L, "r1 r2 r3 r4 r5 m r1 r2 r3 r4 r5"),    // within-doc repeat
+      (6L, "a a a a a a a")                       // degenerate: one token survives
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.substringStrip(docs, "doc_id", "text", gramSize = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, s"u1 u2 $block u3 u4", 0L),
+      (2L, "v1 v2 v3 v4", 8L),
+      (3L, "x1 x2 x3 x4 x5", 0L),
+      (4L, "s t", 0L),
+      (5L, "r1 r2 r3 r4 r5 m", 5L),
+      (6L, "a", 6L)))
+  }
+
   test("lmScore: hand-computed add-one bigram means; repetition scores high") {
     // corpus: a:3 b:1 c:1 d:1 -> V=4; bigrams (a,a)x2, (b,c)x1
     // doc 1: p(a|a) = (2+1)/(3+4) -> q=428571429, mean .428571429
