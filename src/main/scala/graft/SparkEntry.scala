@@ -1111,6 +1111,21 @@ object SparkEntry {
       TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "txt_classifier" -> ((s, dir) => {
+      // fastText-shaped linear quality classifier: hashed
+      // unigram+bigram features scored against a broadcast weight
+      // map. The weight per bucket is a deterministic formula of the
+      // bucket id so the oracle can regenerate the identical model;
+      // the DATA path (hashing, lookup, exact integer logit) is what
+      // the hash-match verifies.
+      val nBuckets = 4096
+      val weights = s.range(nBuckets).select(
+        col("id").as("bucket"),
+        (pmod(col("id") * lit(2654435761L), lit(2001L)) - lit(1000L)).as("weight_q"))
+      TextAnalysis.classifierScore(t(s, dir, "documents"), "doc_id", "text",
+          weights, numBuckets = nBuckets)
+        .orderBy("doc_id")
+    }),
     "samp_mixture" -> ((s, dir) => {
       // Target-mixture sampling: rates DERIVED from the domain counts
       // to hit 50/25/12.5/12.5 shares at the largest feasible size
@@ -1916,6 +1931,31 @@ object SparkEntry {
                 ELSE ${roundToSql("CAST(pd.sq AS DOUBLE) / (CAST(pd.nb AS DOUBLE) * 1e9)", 6)}
            END AS lm_score
          FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""",
+    "txt_classifier" ->
+      s"""WITH w AS (SELECT CAST(range AS BIGINT) AS bucket,
+           (CAST(range AS BIGINT) * 2654435761) % 2001 - 1000 AS wq FROM range(4096)),
+         t AS (SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []
+                ELSE regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') END AS toks
+         FROM documents),
+         f AS (
+           SELECT doc_id, 'u:' || toks[i + 1] AS feat
+             FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t)
+           UNION ALL
+           SELECT doc_id, 'b:' || toks[i + 1] || ' ' || toks[i + 2] AS feat
+             FROM (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 1, 0))) AS i FROM t)),
+         fb AS (SELECT doc_id, ${duckHex60("feat")} % 4096 AS bucket FROM f),
+         pd AS (SELECT fb.doc_id AS doc_id, CAST(sum(w.wq) AS BIGINT) AS lq
+           FROM fb JOIN w USING (bucket) GROUP BY fb.doc_id),
+         nf AS (SELECT doc_id,
+           CAST(len(toks) + greatest(len(toks) - 1, 0) AS BIGINT) AS n_features FROM t)
+         SELECT nf.doc_id, nf.n_features,
+           coalesce(pd.lq, 0) AS logit_q,
+           CASE WHEN nf.n_features = 0 THEN 0.0
+                ELSE ${roundToSql("CAST(pd.lq AS DOUBLE) / (CAST(nf.n_features AS DOUBLE) * 1e6)", 6)}
+           END AS clf_score,
+           coalesce(pd.lq, 0) > 0 AS keep
+         FROM nf LEFT JOIN pd USING (doc_id) ORDER BY nf.doc_id""",
     "samp_mixture" ->
       s"""WITH cnts AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
            CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25

@@ -379,4 +379,59 @@ object TextAnalysis {
         !col("flag_no_stopwords") && !col("flag_brace") && !col("flag_lorem") &&
         !col("flag_symbol_ratio"))
   }
+
+  /** Linear hashed-feature classifier scoring — the shape of
+    * fastText-style model-based quality filtering (Joulin et al.
+    * 2017; the DCLM/DataComp-LM quality-classifier gate): each
+    * document's unigrams and bigrams hash into `numBuckets` feature
+    * buckets, and the document's logit is the sum of the model's
+    * per-bucket weights. The model arrives as a `(bucket, weight_q)`
+    * DataFrame with weights pre-quantized to 1e-6 integers — so the
+    * per-doc aggregation is an exact integer sum, immune to float
+    * summation order and bit-replicable in any engine.
+    *
+    * Sigmoid is monotone, so `keep` thresholds the raw integer logit
+    * directly (`thresholdQ`, default 0 = sigmoid 0.5); `clf_score` is
+    * the mean per-feature weight (length-invariant, rounded with the
+    * portable floor-form).
+    *
+    * Scale shape: the MODEL (≤ numBuckets rows) collapses to a
+    * single map row and rides a broadcast cross join, exactly like
+    * [[lmScore]]'s vocab scalar; the DATA path is a narrow scan —
+    * features are hashed, looked up, and summed with higher-order
+    * functions inside the row, so no per-token row ever exists, let
+    * alone shuffles. One model-sized funnel, zero data-sized ones.
+    */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+                      weights: DataFrame, numBuckets: Int = 65536,
+                      thresholdQ: Long = 0L): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val wmap = broadcast(weights.agg(
+      map_from_arrays(collect_list(col("bucket")), collect_list(col("weight_q")))
+        .as("__wmap")))
+    val toks = split(normalizeText(col(textCol)), " ")
+    val nTok = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
+    val uniIdx = when(nTok > 0, sequence(lit(1), nTok))
+      .otherwise(lit(Array.emptyIntArray))
+    val biIdx = when(nTok > 1, sequence(lit(1), nTok - 1))
+      .otherwise(lit(Array.emptyIntArray))
+    val nB = lit(numBuckets.toLong)
+    val uniB = transform(uniIdx, i => pmod(graft.operators.Dedup.portableHash60(
+      concat(lit("u:"), element_at(toks, i))), nB))
+    val biB = transform(biIdx, i => pmod(graft.operators.Dedup.portableHash60(
+      concat(lit("b:"), element_at(toks, i), lit(" "), element_at(toks, i + 1))), nB))
+    val feats = concat(uniB, biB)
+    val logit = aggregate(feats, lit(0L),
+      (acc, b) => acc + coalesce(element_at(col("__wmap"), b), lit(0L)))
+    df.select(col(idCol), col(textCol)).crossJoin(wmap)
+      .select(col(idCol),
+        (nTok + greatest(nTok - 1, lit(0))).cast("long").as("n_features"),
+        logit.as("logit_q"))
+      .select(col(idCol), col("n_features"), col("logit_q"),
+        when(col("n_features") === 0, lit(0.0)).otherwise(
+          graft.functions.MathFunctions.roundTo(
+            col("logit_q").cast("double") / (col("n_features").cast("double") * lit(1e6)), 6))
+          .as("clf_score"),
+        (col("logit_q") > thresholdQ).as("keep"))
+  }
 }

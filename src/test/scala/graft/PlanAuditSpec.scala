@@ -280,6 +280,18 @@ class PlanAuditSpec extends SparkSpec {
       s"rates are baked literals — no join on the data path:\n$p")
   }
 
+  test("txt_classifier: model broadcast as one map row; features never become rows") {
+    val p = plan("txt_classifier")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"weight map single row must broadcast:\n$p")
+    // the whole per-doc score is higher-order-function scan work: no
+    // explode of the feature array anywhere in the plan
+    assert(!p.contains("Generate"), s"features must stay inside the row:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join on the data path:\n$p")
+  }
+
   test("emb_label_outliers: centroids broadcast back; corpus vectors never self-join") {
     val p = plan("emb_label_outliers")
     assert(p.contains("BroadcastExchange"), s"label centroids broadcast:\n$p")

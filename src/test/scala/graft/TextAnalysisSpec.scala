@@ -106,6 +106,36 @@ class TextAnalysisSpec extends SparkSpec {
       (6L, "a", 6L)))
   }
 
+  test("classifierScore: exact integer logits, planted-token veto, empty text") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val nBuckets = 4096
+    // same 60-bit md5 hash the operator uses, computed independently
+    def bucket(feat: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(feat.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % nBuckets
+    }
+    val spamB = bucket("u:spam")
+    val docs = Seq(
+      (1L, "good text here"),        // 3 uni + 2 bi = 5 features
+      (2L, "buy spam now"),          // contains the veto token
+      (3L, "   ")                    // whitespace-only: zero features
+    ).toDF("doc_id", "text")
+    // every bucket weighs +1 except the spam unigram's, which vetoes
+    val weights = spark.range(nBuckets).select(
+      col("id").as("bucket"),
+      org.apache.spark.sql.functions.when(col("id") === spamB, lit(-1000000L))
+        .otherwise(lit(1L)).as("weight_q"))
+    val out = TextAnalysis.classifierScore(docs, "doc_id", "text", weights, nBuckets)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    // doc 1: 5 features, all +1 (unless a feature collides with spam's
+    // bucket — none of these do); doc 2: 4 features at +1, one at -1e6
+    assert(out(0) == ((1L, 5L, 5L, 0.000001, true)))
+    assert(out(1) == ((2L, 5L, -999996L, -0.199999, false)))
+    assert(out(2) == ((3L, 0L, 0L, 0.0, false)))
+  }
+
   test("lmScore: hand-computed add-one bigram means; repetition scores high") {
     // corpus: a:3 b:1 c:1 d:1 -> V=4; bigrams (a,a)x2, (b,c)x1
     // doc 1: p(a|a) = (2+1)/(3+4) -> q=428571429, mean .428571429
