@@ -364,7 +364,7 @@ object TfRecordCodec {
     lenDelim(1, entries.foldLeft(Array.emptyByteArray)(_ ++ _))
   }
 
-  private def maskedCrc(bytes: Array[Byte]): Int = {
+  private[graft] def maskedCrc(bytes: Array[Byte]): Int = {
     val c = new CRC32C(); c.update(bytes)
     val crc = c.getValue.toInt
     ((crc >>> 15) | (crc << 17)) + 0xa282ead8
