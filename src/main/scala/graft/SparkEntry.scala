@@ -1126,6 +1126,23 @@ object SparkEntry {
           weights, numBuckets = nBuckets)
         .orderBy("doc_id")
     }),
+    "txt_keywords" -> ((s, dir) => {
+      // TF-IDF keyword extraction: top-5 terms per doc; idf quantized
+      // to 1e-6 integers per TERM (safe magnitude for cross-engine
+      // ln), score an exact integer product, term-string tiebreak.
+      TextAnalysis.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")
+    }),
+    "sketch_quantile" -> ((s, dir) => {
+      // histogram quantile sketch per return flag: 256 bins over a
+      // fixed [0, 262144) price domain (power-of-two width keeps the
+      // bin arithmetic FP-exact); ≤256 slim rows per group shuffle.
+      graft.operators.Sketches.quantileSketch(
+          t(s, dir, "lineitem"), "l_extendedprice", Seq("l_returnflag"),
+          lo = 0.0, hi = 262144.0, numBuckets = 256,
+          quantiles = Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy("l_returnflag", "quantile")
+    }),
     "samp_mixture" -> ((s, dir) => {
       // Target-mixture sampling: rates DERIVED from the domain counts
       // to hit 50/25/12.5/12.5 shares at the largest feasible size
@@ -1956,6 +1973,41 @@ object SparkEntry {
            END AS clf_score,
            coalesce(pd.lq, 0) > 0 AS keep
          FROM nf LEFT JOIN pd USING (doc_id) ORDER BY nf.doc_id""",
+    "txt_keywords" ->
+      s"""WITH t AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t WHERE term <> '' GROUP BY doc_id, term),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         sc AS (SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf, df.df AS df,
+             tf.tf * CAST(floor((ln(CAST(n.n + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) + 1.0) * 1e6 + 0.5) AS BIGINT) AS sq
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY sq DESC, term ASC) AS rank
+           FROM sc)
+         SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df,
+           ${roundToSql("CAST(sq AS DOUBLE) / 1e6", 6)} AS tfidf
+         FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""",
+    "sketch_quantile" ->
+      s"""WITH b AS (SELECT l_returnflag,
+           least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+             / (262144.0 - 0.0) * 256) AS BIGINT), 0), 255) AS bin
+         FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         c AS (SELECT l_returnflag, bin, CAST(count(*) AS BIGINT) AS cnt
+           FROM b GROUP BY l_returnflag, bin),
+         cc AS (SELECT l_returnflag, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+           FROM c),
+         e AS (SELECT cc.*, CAST(q.quantile AS DOUBLE) AS quantile
+           FROM cc CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS quantile) q),
+         f AS (SELECT *, greatest(CAST(ceil(quantile * n) AS BIGINT), 1) AS target FROM e)
+         SELECT l_returnflag, quantile,
+           ${roundToSql(
+             "0.0 + (CAST(bin AS DOUBLE) + CAST(target - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) * ((262144.0 - 0.0) / 256)", 6)} AS estimate,
+           n
+         FROM f WHERE cum >= target AND (cum - cnt) < target
+         ORDER BY l_returnflag, quantile""",
     "samp_mixture" ->
       s"""WITH cnts AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
            CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25

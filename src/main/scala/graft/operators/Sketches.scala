@@ -259,4 +259,67 @@ object Sketches {
       .limit(k)
       .select(col("__item").as("item"), col("cms_estimate"), col("exact_count"))
   }
+
+  /** Fixed-grid histogram quantile sketch — the bounded-state
+    * quantile answer that completes the sketch family (HLL for
+    * distincts, CMS for frequencies, Bloom for membership, this for
+    * distributions): `numBuckets` equal-width bins over a declared
+    * `[lo, hi)` domain, one map-side-combinable count per bin, and
+    * quantile estimates by linear interpolation inside the covering
+    * bin. Rank error is bounded by the largest bin's mass; value
+    * error by the bin width — the right trade when exact percentiles
+    * would mean a full sort of 100 TB.
+    *
+    * Mergeable by construction: bin counts ADD, so per-shard
+    * histograms roll up with a plain sum — the same property the HLL
+    * register tables have.
+    *
+    * Portable-determinism design: bin assignment and interpolation
+    * are fixed-shape IEEE expressions (same literals, same operation
+    * order) that DuckDB replicates bit-for-bit; counts and rank
+    * targets are exact integers. NULLs are excluded (SQL aggregate
+    * semantics); values outside the domain clamp into the edge bins.
+    *
+    * Scale shape: ONE aggregation keyed by (group, bin) — at most
+    * `numBuckets` slim rows per group cross the shuffle regardless of
+    * row count; the cumulative/interpolation pass windows over ≤
+    * `numBuckets` rows per group (bounded by the CONSTANT bin count,
+    * never by data size).
+    */
+  def quantileSketch(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                     lo: Double, hi: Double, numBuckets: Int = 256,
+                     quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(numBuckets >= 2 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [2, 2^20], got $numBuckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1], got $quantiles")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val bin = least(greatest(
+      floor((v - lit(lo)) / (lit(hi) - lit(lo)) * lit(numBuckets)).cast("long"),
+      lit(0L)), lit(numBuckets - 1L))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select((g :+ bin.as("__bin")): _*)
+      .groupBy((groupCols :+ "__bin").map(col): _*).agg(count("*").as("__cnt"))
+    val byGroup = Window.partitionBy(g: _*)
+    val cum = sum("__cnt").over(byGroup.orderBy("__bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val n = sum("__cnt").over(byGroup)
+    val binned = counts.select((g ++ Seq(col("__bin"), col("__cnt"),
+      cum.as("__cum"), n.as("__n"))): _*)
+    val q = explode(array(quantiles.map(lit): _*)).as("quantile")
+    // rank target: the ceil(q·n)-th value, at least the 1st; the
+    // covering bin is the unique one with cumBefore < target <= cum
+    val target = greatest(ceil(col("quantile") * col("__n")).cast("long"), lit(1L))
+    val width = (lit(hi) - lit(lo)) / lit(numBuckets)
+    binned.select((g ++ Seq(col("__bin"), col("__cnt"), col("__cum"), col("__n"), q)): _*)
+      .filter(col("__cum") >= target && (col("__cum") - col("__cnt")) < target)
+      .select((g ++ Seq(col("quantile"),
+        roundTo(lit(lo) + (col("__bin").cast("double") +
+          (target - (col("__cum") - col("__cnt"))).cast("double") /
+            col("__cnt").cast("double")) * width, 6).as("estimate"),
+        col("__n").as("n"))): _*)
+  }
 }

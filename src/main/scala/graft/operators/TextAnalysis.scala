@@ -380,6 +380,48 @@ object TextAnalysis {
         !col("flag_symbol_ratio"))
   }
 
+  /** TF-IDF keyword extraction: the top-`k` terms of each document
+    * by tf·idf with smoothed log idf, ln((N+1)/(df+1)) + 1 — the
+    * classic representation behind keyword tagging, near-dup domain
+    * grouping, and lightweight retrieval over a curated corpus.
+    *
+    * Engine-portable by construction: idf is quantized to a 1e-6
+    * integer PER TERM (its magnitude is ≤ ln(N)+1, where a 1-ulp ln
+    * disagreement between engines is ~1e-15 — far below the
+    * quantization step), and the score is the exact integer product
+    * tf·idf_q. Ties break on the term string, so ranks are total.
+    *
+    * Scale shape: tf is one map-side-combined (doc,term) aggregate;
+    * df reduces the ALREADY-unique tf pairs per term (slim rows);
+    * the corpus size N rides a broadcast single-row cross join; the
+    * only window partitions by DOCUMENT (bounded by distinct terms
+    * per doc, never by corpus-wide term frequency — a stopword's
+    * million postings never pile into one task).
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("__id", "term").agg(count("*").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count("*").as("df"))
+    val nDocs = broadcast(df.agg(count("*").as("__n")))
+    val idfQ = floor((log((col("__n") + 1).cast("double") /
+        (col("df") + 1).cast("double")) + lit(1.0)) * lit(1e6) + lit(0.5)).cast("long")
+    val scored = tf.join(dfreq, "term").crossJoin(nDocs)
+      .select(col("__id"), col("term"), col("tf"), col("df"),
+        (col("tf") * idfQ).as("__score_q"))
+    val w = Window.partitionBy("__id")
+      .orderBy(col("__score_q").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__id").as(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        graft.functions.MathFunctions.roundTo(
+          col("__score_q").cast("double") / lit(1e6), 6).as("tfidf"))
+  }
+
   /** Linear hashed-feature classifier scoring — the shape of
     * fastText-style model-based quality filtering (Joulin et al.
     * 2017; the DCLM/DataComp-LM quality-classifier gate): each

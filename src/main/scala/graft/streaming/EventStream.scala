@@ -164,6 +164,84 @@ object EventStream {
       }
   }
 
+  case class WindowQuantile(window_start: java.sql.Timestamp,
+                            quantile: Double, estimate: Double, n: Long)
+
+  /** Streaming quantiles per tumbling window via histogram-sketch
+    * bins held in keyed state: O(numBuckets) longs per OPEN window
+    * instead of the O(values) buffer an exact streaming percentile
+    * would need — the distribution-shaped sibling of
+    * [[hllDistinctStream]] (per-window latency/price/score
+    * percentiles on an unbounded ingest).
+    *
+    * Same bin assignment and interpolation arithmetic as
+    * [[graft.operators.Sketches.quantileSketch]] (identical IEEE
+    * operation order, identical floor-form rounding), so a CLOSED
+    * window's estimates are bit-identical to running the batch
+    * sketch over the same rows — asserted in EventStreamSpec. Each
+    * window emits once when the watermark passes its end and its
+    * state is purged.
+    */
+  def quantileStream(events: DataFrame, tsCol: String, valueCol: String,
+                     windowMillis: Long, lo: Double, hi: Double,
+                     numBuckets: Int = 256,
+                     quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                     watermark: String = "10 minutes"): Dataset[WindowQuantile] = {
+    require(numBuckets >= 2 && numBuckets <= (1 << 20), s"bad numBuckets $numBuckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val qs = quantiles.toArray
+    val keyed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+              window(col(tsCol), s"$windowMillis milliseconds")
+                .getField("start").as("wstart"),
+              col(valueCol).cast("double").as("v"))
+    keyed.groupByKey((r: org.apache.spark.sql.Row) => r.getTimestamp(1))
+      .flatMapGroupsWithState[Array[Long], WindowQuantile](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wstart, rows, state: GroupState[Array[Long]]) =>
+          if (state.hasTimedOut) {
+            val bins = state.get
+            state.remove()
+            var n = 0L
+            var b = 0
+            while (b < numBuckets) { n += bins(b); b += 1 }
+            if (n == 0L) Iterator.empty
+            else qs.iterator.map { q =>
+              // identical arithmetic shape to the batch operator:
+              // target = max(ceil(q·n), 1); est = lo + (bin +
+              // (target - cumBefore)/cnt) · ((hi - lo)/B)
+              val target = math.max(math.ceil(q * n.toDouble).toLong, 1L)
+              var bin = 0
+              var cum = bins(0)
+              while (cum < target) { bin += 1; cum += bins(bin) }
+              val cnt = bins(bin)
+              val cumBefore = cum - cnt
+              val est = lo + (bin.toDouble +
+                (target - cumBefore).toDouble / cnt.toDouble) *
+                ((hi - lo) / numBuckets)
+              WindowQuantile(wstart, q, math.floor(est * 1e6 + 0.5) / 1e6, n)
+            }
+          } else {
+            val bins = state.getOption.getOrElse(new Array[Long](numBuckets))
+            // NULLs excluded, matching the batch filter
+            rows.foreach { r => if (!r.isNullAt(2)) {
+              val v = r.getDouble(2)
+              val raw = math.floor((v - lo) / (hi - lo) * numBuckets).toLong
+              val bin = math.min(math.max(raw, 0L), numBuckets - 1L).toInt
+              bins(bin) += 1L
+            }}
+            state.update(bins)
+            state.setTimeoutTimestamp(
+              math.max(wstart.getTime + windowMillis,
+                       state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events

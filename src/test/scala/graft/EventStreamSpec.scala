@@ -152,4 +152,47 @@ class EventStreamSpec extends SparkSpec {
     assert(got(0L) == batchEst(winA), s"window A: stream ${got(0L)} vs batch ${batchEst(winA)}")
     assert(got(60000L) == batchEst(winB), s"window B: stream ${got(60000L)} vs batch ${batchEst(winB)}")
   }
+
+  test("streaming quantile sketch: closed-window estimates equal the batch sketch bit-for-bit") {
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, Double)](spark)
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val out = EventStream.quantileStream(
+      stream.toDF().toDF("ts", "v"), "ts", "v",
+      windowMillis = 60000L, lo = 0.0, hi = 1024.0, numBuckets = 16,
+      quantiles = qs, watermark = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("quant_win").start()
+    // window A: skewed values (squares mod domain); window B: uniform.
+    // +1 ms offset: a ts-0 row is late against the INITIAL watermark
+    // and would be dropped before it ever reaches the sketch state
+    val winA = (0 until 500).map(i => (new Timestamp(i * 100L + 1), (i * i % 1000).toDouble))
+    val winB = (0 until 200).map(i => (new Timestamp(60000L + i * 100L), i * 5.0))
+    stream.addData(winA ++ winB)
+    q.processAllAvailable()
+    stream.addData(Seq((new Timestamp(600000L), 1.0)))
+    q.processAllAvailable()
+    stream.addData(Seq((new Timestamp(1200000L), 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM quant_win").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getDouble(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    // one row per (window, quantile) for BOTH data windows (sentinel
+    // rows close their own late windows too — those aren't asserted)
+    qs.foreach { qq =>
+      assert(got.contains((0L, qq)) && got.contains((60000L, qq)), s"missing ($qq): $got")
+    }
+    assert(got((0L, qs.head))._2 == 500L && got((60000L, qs.head))._2 == 200L,
+      s"window row counts: $got")
+    def batch(rows: Seq[(Timestamp, Double)]): Map[Double, (Double, Long)] =
+      graft.operators.Sketches.quantileSketch(
+          rows.map(t => ("g", t._2)).toDF("g", "v"), "v", Seq("g"),
+          lo = 0.0, hi = 1024.0, numBuckets = 16, quantiles = qs)
+        .collect().map(r => r.getDouble(1) -> (r.getDouble(2), r.getLong(3))).toMap
+    val bA = batch(winA); val bB = batch(winB)
+    qs.foreach { qq =>
+      assert(got((0L, qq)) == bA(qq), s"window A q=$qq: ${got((0L, qq))} vs ${bA(qq)}")
+      assert(got((60000L, qq)) == bB(qq), s"window B q=$qq: ${got((60000L, qq))} vs ${bB(qq)}")
+    }
+  }
 }

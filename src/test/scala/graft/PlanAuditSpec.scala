@@ -292,6 +292,30 @@ class PlanAuditSpec extends SparkSpec {
       s"no shuffle join on the data path:\n$p")
   }
 
+  test("txt_keywords: corpus size broadcast; the only window keys by DOCUMENT") {
+    val p = plan("txt_keywords")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"N single row must broadcast:\n$p")
+    assert(p.contains("partial_"), "tf/df aggregates map-side combined")
+    // a window keyed by term would funnel every posting of a hot
+    // stopword into one task — the partition key must be the doc id
+    val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(windowSpecs.contains("__id"), s"window partitions by doc:\n$windowSpecs")
+    assert(!windowSpecs.matches("(?s).*windowspecdefinition\\(term.*"),
+      s"window must not key on the term:\n$windowSpecs")
+  }
+
+  test("sketch_quantile: bin counts map-side combined; window over bins, not values") {
+    val p = plan("sketch_quantile")
+    assert(p.contains("partial_"), "bin counts map-side combined before the exchange")
+    // the window runs on the ≤256-bins-per-group COUNT table — its
+    // partition key is the group column; raw values never reach it
+    val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(windowSpecs.contains("l_returnflag"), s"window partitions by group:\n$windowSpecs")
+    assert(!windowSpecs.contains("l_extendedprice"),
+      s"window must see bins, not raw values:\n$windowSpecs")
+  }
+
   test("emb_label_outliers: centroids broadcast back; corpus vectors never self-join") {
     val p = plan("emb_label_outliers")
     assert(p.contains("BroadcastExchange"), s"label centroids broadcast:\n$p")

@@ -82,6 +82,47 @@ class SketchesSpec extends SparkSpec {
       assert(bloom, s"false negative on doc $id — bloom must flag every exact hit")
   }
 
+  test("quantile sketch: exact interpolation on a power-of-two grid; bounded error") {
+    import graft.operators.Sketches
+    // 1..1000 over [0, 1024) with 8 bins: v/1024*8 is FP-exact for
+    // integer v, so every expectation below is hand-derivable
+    val vals = (1 to 1000).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val out = Sketches.quantileSketch(vals, "v", Seq("grp"),
+        lo = 0.0, hi = 1024.0, numBuckets = 8,
+        quantiles = Seq(0.0, 0.5, 1.0))
+      .orderBy("quantile").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // bins hold 127,128,...,128,105 values; width 128
+    // q=0   -> target 1   -> bin 0: (0 + 1/127)·128 = 1.007874…
+    // q=0.5 -> target 500 -> bin 3 (cumBefore 383, cnt 128): 3·128 + 117 = 501
+    // q=1   -> target 1000 -> bin 7 (cumBefore 895, cnt 105): 8·128 = 1024
+    assert(out.toSeq == Seq((0.0, 1.007874, 1000L), (0.5, 501.0, 1000L), (1.0, 1024.0, 1000L)))
+    // value error bounded by one bin width at every decile
+    val qs = (1 to 9).map(_ / 10.0)
+    val est = Sketches.quantileSketch(vals, "v", Seq("grp"),
+        lo = 0.0, hi = 1024.0, numBuckets = 8, quantiles = qs)
+      .orderBy("quantile").collect().map(_.getDouble(2))
+    qs.zip(est).foreach { case (q, e) =>
+      val exact = math.ceil(q * 1000).max(1).toInt // the target-ranked value
+      assert(math.abs(e - exact) <= 128.0, s"q=$q est=$e exact=$exact")
+    }
+    // NULLs excluded; out-of-domain values clamp into edge bins
+    val withNulls = Seq(("g", Some(-50.0)), ("g", None), ("g", Some(5000.0)))
+      .toDF("grp", "v")
+    val edge = Sketches.quantileSketch(withNulls, "v", Seq("grp"),
+        lo = 0.0, hi = 1024.0, numBuckets = 8, quantiles = Seq(0.0, 1.0))
+      .orderBy("quantile").collect()
+    assert(edge.length == 2 && edge.forall(_.getLong(3) == 2L))
+    assert(edge(0).getDouble(2) <= 128.0 && edge(1).getDouble(2) == 1024.0)
+    // mergeability: per-half histograms summed == one-pass histogram
+    val half1 = (1 to 500).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val half2 = (501 to 1000).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val merged = Sketches.quantileSketch(half1.union(half2), "v", Seq("grp"),
+        lo = 0.0, hi = 1024.0, numBuckets = 8, quantiles = Seq(0.5))
+      .collect().head.getDouble(2)
+    assert(merged == 501.0, "union of shard streams gives the one-pass estimate")
+  }
+
   test("CMS never underestimates and ranks the planted heavy hitter first") {
     // zipf-ish: "hot" 500 times, "warm" 60, 200 singletons
     val rows = Seq.fill(500)("hot") ++ Seq.fill(60)("warm") ++

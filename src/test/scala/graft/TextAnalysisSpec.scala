@@ -136,6 +136,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2) == ((3L, 0L, 0L, 0.0, false)))
   }
 
+  test("tfidfKeywords: hand-computed scores, doc-local ranks, term tiebreak") {
+    // N=3. df: common=3, rare=1, dup=1, solo=1
+    val docs = Seq(
+      (1L, "common rare common"),
+      (2L, "common dup dup"),
+      (3L, "common solo")
+    ).toDF("doc_id", "text")
+    def idfQ(df: Long): Long = math.floor((math.log(4.0 / (df + 1)) + 1.0) * 1e6 + 0.5).toLong
+    val out = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    def s(tf: Long, df: Long): Double = tf * idfQ(df) / 1e6
+    // doc1: rare tf1 df1 -> idf ln(2)+1; common tf2 df3 -> 2*(ln(1)+1)=2.0
+    assert(out.toSeq == Seq(
+      (1L, 1, "common", 2L, 3L, s(2, 3)),
+      (1L, 2, "rare", 1L, 1L, s(1, 1)),
+      (2L, 1, "dup", 2L, 1L, s(2, 1)),
+      (2L, 2, "common", 1L, 3L, s(1, 3)),
+      (3L, 1, "solo", 1L, 1L, s(1, 1)),
+      (3L, 2, "common", 1L, 3L, s(1, 3))))
+    // ties: two df-1 singleton terms in one doc rank by term string
+    val tied = Seq((9L, "zeta alpha")).toDF("doc_id", "text")
+    val tr = TextAnalysis.tfidfKeywords(tied, "doc_id", "text", k = 2)
+      .orderBy("rank").collect().map(_.getString(2))
+    assert(tr.toSeq == Seq("alpha", "zeta"))
+  }
+
   test("lmScore: hand-computed add-one bigram means; repetition scores high") {
     // corpus: a:3 b:1 c:1 d:1 -> V=4; bigrams (a,a)x2, (b,c)x1
     // doc 1: p(a|a) = (2+1)/(3+4) -> q=428571429, mean .428571429
