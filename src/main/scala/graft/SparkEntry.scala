@@ -230,8 +230,11 @@ object SparkEntry {
     * sign-bit bucket fold in the same order, exact-cosine verification
     * with the bit-identical sequential fold.
     */
-  private def embedLshOracleSql: String = {
-    val tables = (0 until 8).map { t =>
+  /** The 8×8 seeded plane tables as one DuckDB struct-list literal —
+    * shared by the embed-LSH and knn-graph oracles (same buckets).
+    */
+  private def duckPlaneTables: String =
+    (0 until 8).map { t =>
       val planes = Dedup.randomPlanes(8, 64, 42L + t)
       val bits = planes.zipWithIndex.map { case (p, pi) =>
         val lits = p.map(_.toString).mkString("[", ",", "]")
@@ -240,6 +243,9 @@ object SparkEntry {
       }.mkString(" + ")
       s"{'tbl': $t, 'key': ($bits)}"
     }.mkString("[", ", ", "]")
+
+  private def embedLshOracleSql: String = {
+    val tables = duckPlaneTables
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        bk AS (SELECT vec_id, unnest($tables) AS u FROM v),
        buckets AS (SELECT vec_id, u.tbl AS tbl, u.key AS key FROM bk),
@@ -251,6 +257,28 @@ object SparkEntry {
          FROM cand JOIN v va ON va.vec_id = cand.id_a JOIN v vb ON vb.vec_id = cand.id_b)
        SELECT id_a, id_b, ${roundToSql("c", 6)} AS cosine FROM sc
        WHERE c >= 0.4 ORDER BY id_a, id_b"""
+  }
+
+  /** DuckDB replication of [[graft.operators.Similarity.knnGraph]]:
+    * the same capped LSH buckets as [[embedLshOracleSql]], directed
+    * candidate edges, exact-cosine ranking with the (c desc, id asc)
+    * order the bounded-heap top-k implements.
+    */
+  private def knnGraphOracleSql: String = {
+    val tables = duckPlaneTables
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       bk AS (SELECT vec_id, unnest($tables) AS u FROM v),
+       buckets AS (SELECT vec_id, u.tbl AS tbl, u.key AS key FROM bk),
+       ok AS (SELECT tbl, key FROM buckets GROUP BY tbl, key HAVING count(*) <= 1000),
+       sized AS (SELECT b.vec_id, b.tbl, b.key FROM buckets b JOIN ok USING (tbl, key)),
+       cand AS (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+         FROM sized a JOIN sized b USING (tbl, key) WHERE a.vec_id <> b.vec_id),
+       sc AS (SELECT src_id, nbr_id, ${duckCos("va.v", "vb.v")} AS c
+         FROM cand JOIN v va ON va.vec_id = cand.src_id JOIN v vb ON vb.vec_id = cand.nbr_id),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY c DESC, nbr_id ASC) AS rank
+         FROM sc)
+       SELECT src_id, CAST(rank AS INTEGER) AS rank, nbr_id, ${roundToSql("c", 6)} AS cosine
+       FROM rk WHERE rank <= 10 ORDER BY src_id, rank"""
   }
 
   /** DuckDB replication of [[Dedup.semanticDedup]] (SemDeDup): the
@@ -802,6 +830,13 @@ object SparkEntry {
           dim = 64, threshold = 0.4, nPlanes = 8, nTables = 8)
         .select(col("id_a"), col("id_b"), rd(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
+    "emb_knn_graph" -> ((s, dir) =>
+      // directed k-NN graph over the same capped LSH buckets as
+      // dedup_embed_lsh: each vector's 10 nearest bucket-mates by
+      // exact cosine, ranked by the bounded-heap top-k.
+      graft.operators.Similarity.knnGraph(t(s, dir, "embeddings"), "embedding",
+          "vec_id", dim = 64, k = 10, nPlanes = 8, nTables = 8)
+        .orderBy("src_id", "rank")),
     "dedup_semantic" -> ((s, dir) =>
       // SemDeDup: k-means cells + within-cell cosine pruning, keep the
       // lowest-id representative. Deterministic portable-seed variant
@@ -1614,6 +1649,7 @@ object SparkEntry {
     },
     "dedup_simhash" -> simhashOracleSql,
     "dedup_embed_lsh" -> embedLshOracleSql,
+    "emb_knn_graph" -> knnGraphOracleSql,
     "dedup_semantic" -> dedupSemanticOracleSql,
     "ann_ivf_topk" -> annIvfOracleSql,
     "ann_pq_topk" -> annPqOracleSql,

@@ -336,4 +336,52 @@ object Similarity {
         graft.functions.MathFunctions.roundTo(-col("t.score"), 6).as("cosine"),
         (col("r") + 1).as("rank"))
   }
+
+  /** Approximate k-NN GRAPH over the corpus — every vector's `k`
+    * nearest neighbors among candidates that share a hyperplane-LSH
+    * bucket in any of `nTables` tables. The building block of
+    * graph-based curation: SemDeDup-style duplicate neighborhoods,
+    * diversity sampling, label propagation, connected-component
+    * grouping over the neighbor edges.
+    *
+    * This is [[graft.operators.Dedup.embeddingNearDups]]'s bucketing
+    * turned DIRECTED (each node collects its own neighbor list, no
+    * threshold) with the bounded-heap per-node top-k instead of a
+    * pair filter — and unlike the ANN queries there is no query set:
+    * the corpus IS both sides, which is exactly when the no-self-join
+    * discipline matters most.
+    *
+    * Scale shape: buckets shuffle as slim (id, table, key) rows
+    * (vectors rejoin once per candidate edge, never per bucket row);
+    * `maxBucketSize` caps the per-bucket candidate blow-up (m² edge
+    * bomb on degenerate buckets); the per-node top-k is the map-side
+    * -combinable bounded heap, so no window ever sorts a node's full
+    * candidate list.
+    */
+  def knnGraph(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+               k: Int = 10, nPlanes: Int = 8, nTables: Int = 8,
+               seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val planes = (0 until nTables).map(t => Dedup.randomPlanes(nPlanes, dim, seed + t))
+    val keyed = base.withColumn("buckets",
+      column(graft.plans.HyperplaneBuckets(expression(col("v")), planes)))
+    val buckets = keyed.select(col("id"), posexplode(col("buckets")).as(Seq("table", "key")))
+    val counts = buckets.groupBy("table", "key").agg(count("*").as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val sized = buckets.join(counts, Seq("table", "key"))
+    val a = sized.select(col("table"), col("key"), col("id").as("src_id"))
+    val b = sized.select(col("table"), col("key"), col("id").as("nbr_id"))
+    val cand = a.join(b, Seq("table", "key")).filter(col("src_id") =!= col("nbr_id"))
+      .select("src_id", "nbr_id").dropDuplicates("src_id", "nbr_id")
+    val vA = base.select(col("id").as("src_id"), col("v").as("v_a"))
+    val vB = base.select(col("id").as("nbr_id"), col("v").as("v_b"))
+    val scored = cand.join(vA, "src_id").join(vB, "nbr_id")
+      .select(col("src_id"), col("nbr_id"), cosine(col("v_a"), col("v_b")).as("__c"))
+    scored.groupBy("src_id")
+      .agg(graft.plans.TopKByScore.topKByScore(col("__c"), col("nbr_id"), k).as("top"))
+      .select(col("src_id"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("src_id"), (col("r") + 1).as("rank"), col("t.id").as("nbr_id"),
+        graft.functions.MathFunctions.roundTo(col("t.score"), 6).as("cosine"))
+  }
 }

@@ -295,6 +295,38 @@ class DedupSpec extends SparkSpec {
       s"negated vector flips (nearly) all sign bits, got hamming $negH")
   }
 
+  test("knnGraph: bucket-mates rank by exact cosine; self excluded; k bounds degree") {
+    // two tight clusters far apart in a 4-dim space: within-cluster
+    // vectors share every LSH bucket (near-identical directions), so
+    // each node's neighbor list is its own cluster ranked by cosine
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (0L, v(1.0, 0.0, 0.0, 0.0)),
+      (1L, v(1.0, 0.01, 0.0, 0.0)),
+      (2L, v(1.0, 0.05, 0.0, 0.0)),
+      (10L, v(0.0, 0.0, 1.0, 0.0)),
+      (11L, v(0.0, 0.0, 1.0, 0.01)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(df, "embedding", "vec_id", dim = 4, k = 2,
+        nPlanes = 6, nTables = 4)
+      .orderBy("src_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val bySrc = out.groupBy(_._1)
+    // no self edges, at most k neighbors, cosine non-increasing by rank
+    assert(out.forall { case (s, _, n, _) => s != n })
+    assert(bySrc.values.forall(_.length <= 2))
+    bySrc.values.foreach { es =>
+      val cs = es.sortBy(_._2).map(_._4)
+      assert(cs.sameElements(cs.sorted.reverse), cs.mkString(","))
+    }
+    // node 0's nearest bucket-mate is 1 (cos ~0.99995) before 2
+    val n0 = bySrc(0L).sortBy(_._2).map(_._3)
+    assert(n0.head == 1L && n0.toSeq == Seq(1L, 2L), s"node 0 neighbors: ${n0.toSeq}")
+    // cluster separation: no cross-cluster edge survives the buckets
+    assert(out.forall { case (s, _, n, _) => (s < 10) == (n < 10) },
+      s"cross-cluster edges leaked: ${out.toSeq}")
+  }
+
   test("labelOutliers: planted mislabeled vector ranks first in its label") {
     // label 0 clusters near +e1 with one anti-aligned plant (id 99);
     // label 1 clusters near +e2 with its plant at id 199

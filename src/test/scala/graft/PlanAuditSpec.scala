@@ -316,6 +316,16 @@ class PlanAuditSpec extends SparkSpec {
       s"window must see bins, not raw values:\n$windowSpecs")
   }
 
+  test("emb_knn_graph: slim bucket shuffle, capped; vectors rejoin per edge, no window") {
+    val p = plan("emb_knn_graph")
+    // bucket rows must not carry the 64-dim vector through the explode
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("buckets"),
+      s"bucket arrays must not cross a shuffle:\n$exchanges")
+    assert(p.contains("partial_"), "bucket counts and top-k heap map-side combined")
+    assert(!p.contains("Window"), s"bounded-heap top-k, not a window sort:\n$p")
+  }
+
   test("emb_label_outliers: centroids broadcast back; corpus vectors never self-join") {
     val p = plan("emb_label_outliers")
     assert(p.contains("BroadcastExchange"), s"label centroids broadcast:\n$p")
