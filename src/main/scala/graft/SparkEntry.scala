@@ -2045,13 +2045,21 @@ object SparkEntry {
          FROM f WHERE cum >= target AND (cum - cnt) < target
          ORDER BY l_returnflag, quantile""",
     "samp_mixture" ->
-      s"""WITH cnts AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
-           CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
-                       WHEN 'src2' THEN 0.125 WHEN 'src3' THEN 0.125 END AS w
-         FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source),
+      s"""WITH doms AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25),
+           ('src2', 0.125), ('src3', 0.125)) AS t(source, w)),
+         -- LEFT JOIN so a REQUESTED domain with zero rows contributes
+         -- n = 0 and forces M = 0 (empty sample), exactly like the
+         -- operator's counts.getOrElse(s, 0L) — the counts-only GROUP
+         -- BY would silently skip the missing domain instead
+         cnts AS (SELECT doms.source AS source,
+             CAST(coalesce(g.n, 0) AS DOUBLE) AS n, doms.w AS w
+           FROM doms LEFT JOIN (SELECT source, count(*) AS n FROM documents
+             WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source) g
+           ON doms.source = g.source),
          m AS (SELECT min(n / w) AS m FROM cnts),
          r AS (SELECT source,
-             CAST(floor(least(1.0, w * m.m / n) * 1e6 + 0.5) AS BIGINT) AS thr
+             CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(least(1.0, w * m.m / n) * 1e6 + 0.5) AS BIGINT) END AS thr
            FROM cnts CROSS JOIN m)
          SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
          WHERE ${duckHex60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < r.thr

@@ -84,8 +84,11 @@ object Sampling {
     require(shares.nonEmpty, "mixture shares must be non-empty")
     require(shares.values.forall(v => v > 0.0 && v <= 1.0),
       s"each share must be in (0,1], got $shares")
-    val counts = df.filter(col(domainCol).isInCollection(shares.keys.toSeq))
-      .groupBy(domainCol).count()
+    // cast to string so non-string domain columns (int langid codes)
+    // work — the share keys are strings, and stratifiedSample's CASE
+    // chain compares with === (which coerces) downstream
+    val counts = df.filter(col(domainCol).cast("string").isInCollection(shares.keys.toSeq))
+      .groupBy(col(domainCol).cast("string").as("__d")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // largest total M with w_s·M ≤ n_s for every requested domain; a
     // domain with zero rows forces M = 0 (empty result, not a crash)

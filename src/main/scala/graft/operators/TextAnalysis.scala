@@ -186,10 +186,15 @@ object TextAnalysis {
     * gram cannot pile into one task. Per-doc output keeps result
     * cardinality = corpus cardinality.
     */
-  def substringDedup(df: DataFrame, idCol: String, textCol: String,
-                     gramSize: Int = 5): DataFrame = {
-    require(gramSize >= 2, s"gramSize must be >= 2, got $gramSize")
-    import org.apache.spark.sql.expressions.Window
+  /** Shared TAG/REMOVE front-end: the (doc, pos, hash60) occurrence
+    * stream of every `gramSize`-token window over the normalized
+    * token array. ONE definition so [[substringDedup]] and
+    * [[substringStrip]] can never drift on the hash recipe or the
+    * sequence(0, -1)-is-not-empty guard their shared-hash contract
+    * depends on.
+    */
+  private def gramOccurrences(df: DataFrame, idCol: String, textCol: String,
+                              gramSize: Int): DataFrame = {
     val toks = split(normalizeText(col(textCol)), " ")
     val nGrams = greatest(size(toks) - (gramSize - 1), lit(0))
     // same empty-guard as chunkDedup: sequence(0, -1) is NOT empty
@@ -199,9 +204,17 @@ object TextAnalysis {
       i => struct(i.as("pos"),
         graft.operators.Dedup.portableHash60(
           concat_ws(" ", slice(toks, i + lit(1), lit(gramSize)))).as("h")))
-    val occ = df
-      .select(col(idCol).as("__id"), explode(grams).as("__g"))
+    df.select(col(idCol).as("__id"), explode(grams).as("__g"))
       .select(col("__id"), col("__g.pos").as("__pos"), col("__g.h").as("__h"))
+  }
+
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     gramSize: Int = 5): DataFrame = {
+    require(gramSize >= 2, s"gramSize must be >= 2, got $gramSize")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(normalizeText(col(textCol)), " ")
+    val nGrams = greatest(size(toks) - (gramSize - 1), lit(0))
+    val occ = gramOccurrences(df, idCol, textCol, gramSize)
     val dupHashes = occ.groupBy("__h").agg(count("*").as("__c"))
       .filter(col("__c") >= 2).select("__h")
     val dup = occ.join(dupHashes, "__h").select("__id", "__pos")
@@ -252,16 +265,7 @@ object TextAnalysis {
                      gramSize: Int = 5): DataFrame = {
     require(gramSize >= 2, s"gramSize must be >= 2, got $gramSize")
     val toks = split(normalizeText(col(textCol)), " ")
-    val nGrams = greatest(size(toks) - (gramSize - 1), lit(0))
-    val idxs = when(nGrams > 0, sequence(lit(0), nGrams - 1))
-      .otherwise(lit(Array.emptyIntArray))
-    val grams = transform(idxs,
-      i => struct(i.as("pos"),
-        graft.operators.Dedup.portableHash60(
-          concat_ws(" ", slice(toks, i + lit(1), lit(gramSize)))).as("h")))
-    val occ = df
-      .select(col(idCol).as("__id"), explode(grams).as("__g"))
-      .select(col("__id"), col("__g.pos").as("__pos"), col("__g.h").as("__h"))
+    val occ = gramOccurrences(df, idCol, textCol, gramSize)
     // global first occurrence of each gram: min doc, then min pos
     // within that doc (chunkDedup's two-step, skew-safe formulation)
     val firstDoc = occ.groupBy("__h").agg(min("__id").as("__fd"))
@@ -278,7 +282,11 @@ object TextAnalysis {
       .groupBy("__id").agg(sort_array(collect_list("__ti")).as("__rem"))
     val n = size(toks)
     val rem = coalesce(col("__rem"), lit(Array.emptyIntArray))
-    val keptIdx = filter(sequence(lit(0), n - 1), i => !array_contains(rem, i))
+    // array_except is hash-based O(n + removed) and keeps the first
+    // array's order; the filter/array_contains form was O(n·removed)
+    // per doc — quadratic on exactly the boilerplate-heavy docs this
+    // operator targets
+    val keptIdx = array_except(sequence(lit(0), n - 1), rem)
     df.select(col(idCol), col(textCol))
       .join(removed.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .select(col(idCol),

@@ -1107,12 +1107,22 @@ object Vp8Codec {
       mb.y2.forall(_ == 0) && mb.blocks.forall(_.forall(_ == 0))
     val hasInterior: Int => Boolean = i =>
       !noCoefs(mbs(i)) || mbs(i).yMode == BPred
-    def planeSse(a: Plane, b: Plane): Long = {
+    // SSE over the VISIBLE region only: the padded replication columns
+    // and rows are cropped by the decoder's fromYuv420, so letting
+    // them vote on the level could pick a filter that smooths padding
+    // while blurring pixels the user actually sees — breaking the
+    // "enabling the filter never makes output worse" invariant.
+    def planeSse(a: Plane, b: Plane, vw: Int, vh: Int): Long = {
       var s = 0L
-      var i = 0
-      while (i < a.px.length) { val d = a.px(i) - b.px(i); s += d.toLong * d; i += 1 }
+      var y = 0
+      while (y < vh) {
+        var x = 0
+        while (x < vw) { val d = a(x, y) - b(x, y); s += d.toLong * d; x += 1 }
+        y += 1
+      }
       s
     }
+    val (cw, ch) = ((w + 1) / 2, (h + 1) / 2)
     def copyPlane(p: Plane): Plane = {
       val c = new Plane(p.w, p.h)
       System.arraycopy(p.px, 0, c.px, 0, p.px.length)
@@ -1125,11 +1135,14 @@ object Vp8Codec {
           math.min(63, math.max(1, qi / 3))).distinct
       else Seq(0)
     val filterLevel = candidates.minBy { lvl =>
-      if (lvl == 0) planeSse(rec, src) + planeSse(recU, srcU) + planeSse(recV, srcV)
+      if (lvl == 0)
+        planeSse(rec, src, w, h) + planeSse(recU, srcU, cw, ch) +
+          planeSse(recV, srcV, cw, ch)
       else {
         val (fy, fu, fv) = (copyPlane(rec), copyPlane(recU), copyPlane(recV))
         applyLoopFilter(fy, fu, fv, hasInterior, mbW, mbH, lvl, 0)
-        planeSse(fy, src) + planeSse(fu, srcU) + planeSse(fv, srcV)
+        planeSse(fy, src, w, h) + planeSse(fu, srcU, cw, ch) +
+          planeSse(fv, srcV, cw, ch)
       }
     }
     lastFilterLevel.set(filterLevel)

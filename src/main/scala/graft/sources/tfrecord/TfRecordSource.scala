@@ -71,12 +71,18 @@ object TfRecordSource {
     Set("key", "txt", "json", "caption", "url", "error_message", "status")
 
   private[tfrecord] def listFiles(path: String, conf: Configuration) = {
+    require(path != null && path.nonEmpty,
+      "tfrecord source needs a path: .load(\"/dir\"), .load(\"/dir/*.tfrecord\"), or .option(\"path\", ...)")
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    // getFileStatus THROWS on glob patterns — probe existence first so
+    // /dir/part-*.tfrecord reaches globStatus instead of dying here
     val stats =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.getPath.getName.endsWith(".tfrecord"))
-      else fs.globStatus(p)
+      if (fs.exists(p)) {
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(_.getPath.getName.endsWith(".tfrecord"))
+        else Array(fs.getFileStatus(p))
+      } else Option(fs.globStatus(p)).getOrElse(Array.empty)
     stats.sortBy(_.getPath.getName)
   }
 
@@ -273,11 +279,16 @@ object TfExampleCodec {
     }
     /** (fieldNumber, wireType) */
     def tag(): (Int, Int) = { val v = varint(); ((v >>> 3).toInt, (v & 7).toInt) }
-    /** Start of a length-delimited span; advances past it. */
+    /** Start of a length-delimited span; advances past it. Length
+      * checked as a LONG — a varint in (2^31, 2^32] must not wrap
+      * through toInt into a small positive that mis-frames the span.
+      */
     def span(): Cursor = {
-      val l = varint().toInt
-      if (l < 0 || pos + l > end) throw new java.io.IOException("bad length in Example")
-      val c = new Cursor(buf, pos, pos + l); pos += l; c
+      val l = varint()
+      if (l < 0 || l > (end - pos).toLong)
+        throw new java.io.IOException("bad length in Example")
+      val li = l.toInt
+      val c = new Cursor(buf, pos, pos + li); pos += li; c
     }
     def bytes(): Array[Byte] = { val c = span(); java.util.Arrays.copyOfRange(buf, c.pos, c.end) }
     def skip(wire: Int): Unit = wire match {
@@ -308,6 +319,8 @@ object TfExampleCodec {
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         while (bb.remaining() >= 4) out += bb.getFloat
       } else if (f == 1 && w == 5) { // unpacked
+        if (c.pos + 4 > c.end)
+          throw new java.io.IOException("truncated fixed32 in FloatList")
         val bb = java.nio.ByteBuffer.wrap(c.buf, c.pos, 4)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         out += bb.getFloat; c.pos += 4

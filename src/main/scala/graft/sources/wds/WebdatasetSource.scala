@@ -100,9 +100,14 @@ class WdsScan(path: String, required: StructType, payloadExt: String) extends Sc
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf.value)
+    // getFileStatus THROWS on glob patterns — probe existence first so
+    // /dir/0000*.tar reaches globStatus instead of dying here
     val stats =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).filter(_.getPath.getName.endsWith(".tar"))
-      else fs.globStatus(p)
+      if (fs.exists(p)) {
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(_.getPath.getName.endsWith(".tar"))
+        else Array(fs.getFileStatus(p))
+      } else Option(fs.globStatus(p)).getOrElse(Array.empty)
     stats.sortBy(_.getPath.getName)
       .map(st => WdsPartition(st.getPath.toString): InputPartition).toArray
   }

@@ -49,6 +49,12 @@ class TfRecordSourceSpec extends SparkSpec {
     assert(back.join(sidecar, "key").count() == rows.length)
   }
 
+  test("glob and single-file paths load (not only directories)") {
+    val out = pipelineOut("glob", 3)
+    assert(spark.read.format("tfrecord").load(s"$out/*.tfrecord").count() == 3)
+    assert(spark.read.format("tfrecord").load(s"$out/00000.tfrecord").count() == 3)
+  }
+
   test("column pruning: payload feature skipped when unselected") {
     val out = pipelineOut("prune", 3)
     val pruned = spark.read.format("tfrecord").load(out).select("key")

@@ -53,6 +53,18 @@ class WebdatasetSourceSpec extends SparkSpec {
     assert(payloads.length == 3 && payloads.forall(p => p != null && p.length > 100))
   }
 
+  test("glob and single-file paths load (not only directories)") {
+    val d = Files.createTempDirectory("graft_wdsglob").toString
+    val list = java.nio.file.Paths.get(d, "u.txt")
+    Files.write(list, server.allowedUrls.take(3).mkString("\n").getBytes)
+    val out = Files.createTempDirectory("graft_wdsglob_out").toString
+    Pipeline.download(spark, list.toString, out,
+      DownloadConfig(outputFormat = "webdataset", samplesPerShard = 10,
+        threadCount = 8, incrementalMode = "overwrite"))
+    assert(spark.read.format("webdataset").load(s"$out/*.tar").count() == 3)
+    assert(spark.read.format("webdataset").load(s"$out/00000.tar").count() == 3)
+  }
+
   test("column pruning: payload not materialized when unselected") {
     val outs = Files.createTempDirectory("graft_wds_prune").toString
     val list = Files.createTempDirectory("g").resolve("u.txt")
