@@ -87,6 +87,21 @@ class StressSpec extends SparkSpec {
     assert(t < 120.0, f"capped embedding LSH took $t%.1fs — cap not engaging?")
   }
 
+  test("knn graph completes on 10x duplicated embeddings (bucket cap bounds the edge blow-up)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    // every copy group shares every bucket — without the cap this is
+    // an m^2 directed-edge bomb per bucket; with it, dropped
+    // mega-buckets bound the candidate set
+    val t = timeOf {
+      graft.operators.Similarity.knnGraph(tenXEmbeddings, "embedding", "vec_id",
+          dim = 64, k = 10, nPlanes = 8, nTables = 8, maxBucketSize = 1000)
+        .agg(count("*")).collect()
+    }
+    info(f"10x duplicated embeddings knn graph: $t%.1fs")
+    assert(t < 180.0, f"capped knn graph took $t%.1fs — cap not engaging?")
+  }
+
   /** 10 identical copies of every sf0.1 vector under disjoint ids —
     * the worst case for any bucketing scheme (every copy group lands
     * in one bucket/cell).
