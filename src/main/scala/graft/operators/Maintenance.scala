@@ -142,4 +142,69 @@ object Maintenance {
       children.flatMap(c => partitionLeaves(fs, c.getPath)).toSeq
     }
   }
+
+  /** ANALYZE-style table profile: one output row per column with
+    * exact row/null/distinct counts and type-appropriate min/max —
+    * the stats a data engineer reads before trusting a new table,
+    * and the inputs cost-based planning and partition sizing start
+    * from.
+    *
+    * All statistics come from ONE aggregation pass over the table
+    * (Spark plans the multi-column COUNT(DISTINCT)s via Expand —
+    * the same plan its own ANALYZE TABLE uses; at extreme widths,
+    * profile a column subset or swap in [[Sketches.hllDistinct]]
+    * estimates). The single collected row is schema-sized, never
+    * data-sized; the reshape to per-column rows happens on the
+    * driver from that one row.
+    *
+    * Engine-portable output: counts are exact longs; numeric min/max
+    * surface as DOUBLE (single IEEE conversion, no accumulation);
+    * string min/max as-is; timestamps via an explicit
+    * second-precision format so no engine's cast style leaks in.
+    */
+  def profileTable(df: org.apache.spark.sql.DataFrame,
+                   columns: Seq[String] = Seq.empty): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profileTable: no such columns $missing")
+    def isNum(dt: DataType) = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: DecimalType => true
+      case _ => false
+    }
+    def strOf(c: String, agg: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case _: TimestampType => date_format(agg, "yyyy-MM-dd HH:mm:ss")
+        case _ => agg.cast("string")
+      }
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      val base = Seq(
+        // coalesce: SUM over an empty table is NULL, not 0
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"))
+      if (isNum(df.schema(c).dataType))
+        base ++ Seq(min(col(c)).cast("double").as(s"__min_$c"),
+                    max(col(c)).cast("double").as(s"__max_$c"))
+      else
+        base ++ Seq(strOf(c, min(col(c))).as(s"__smin_$c"),
+                    strOf(c, max(col(c))).as(s"__smax_$c"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nRows = r.getAs[Long]("__n")
+    def opt[A](name: String): Option[A] =
+      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+        Some(r.getAs[A](name))
+      else None
+    val rows = cols.sorted.map { c =>
+      (c, nRows, r.getAs[Long](s"__nulls_$c"), r.getAs[Long](s"__dist_$c"),
+        opt[Double](s"__min_$c"), opt[Double](s"__max_$c"),
+        opt[String](s"__smin_$c"), opt[String](s"__smax_$c"))
+    }
+    import spark.implicits._
+    rows.toDF("col_name", "n_rows", "n_nulls", "n_distinct",
+      "min_num", "max_num", "min_str", "max_str")
+  }
 }

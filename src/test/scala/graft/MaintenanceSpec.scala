@@ -107,6 +107,40 @@ class MaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("mixes partition directories"), e.getMessage)
   }
 
+  test("profileTable: exact per-column counts and typed min/max from one pass") {
+    import org.apache.spark.sql.Row
+    val df = Seq(
+      (1L, Some(2.5), Some("b"), true),
+      (2L, None, Some("a"), false),
+      (2L, Some(-1.0), None, true)
+    ).toDF("id", "score", "tag", "flag")
+    val out = graft.operators.Maintenance.profileTable(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keys.toSeq.sorted == Seq("flag", "id", "score", "tag"))
+    val id = out("id")
+    assert((id.getLong(1), id.getLong(2), id.getLong(3)) == ((3L, 0L, 2L)))
+    assert((id.getDouble(4), id.getDouble(5)) == ((1.0, 2.0)))
+    val score = out("score")
+    assert((score.getLong(2), score.getLong(3)) == ((1L, 2L)))
+    assert((score.getDouble(4), score.getDouble(5)) == ((-1.0, 2.5)))
+    val tag = out("tag")
+    assert((tag.getLong(2), tag.getLong(3)) == ((1L, 2L)))
+    assert((tag.getString(6), tag.getString(7)) == (("a", "b")))
+    assert(tag.isNullAt(4) && tag.isNullAt(5), "string column has no numeric min/max")
+    // boolean profiles through the string branch
+    assert((out("flag").getString(6), out("flag").getString(7)) == (("false", "true")))
+    // column subset + unknown column validation
+    assert(graft.operators.Maintenance.profileTable(df, Seq("id")).count() == 1)
+    intercept[IllegalArgumentException] {
+      graft.operators.Maintenance.profileTable(df, Seq("nope"))
+    }
+    // empty table: zero counts, null extremes — no NPE
+    val empty = graft.operators.Maintenance.profileTable(df.filter(lit(false)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(empty("id").getLong(1) == 0L && empty("id").getLong(2) == 0L &&
+      empty("id").getLong(3) == 0L && empty("id").isNullAt(4))
+  }
+
   test("sortCols naming a partition column cluster by the remaining cols per leaf") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact6").toString + "/t"
     for (b <- 0 until 4)
