@@ -134,6 +134,26 @@ object SparkEntry {
        SELECT id_a, id_b, ${roundToSql("jac", 6)} AS jaccard FROM mh_ver
        WHERE jac >= 0.3 ORDER BY id_a, id_b"""
 
+  /** DuckDB replication of [[Dedup.minhashDecontaminate]]: the corpus
+    * (doc_id >= 20) and benchmark (doc_id < 20) each run the shared
+    * MinHash chain, then a CROSS-corpus band join (corpus-side bucket
+    * cap) and exact-Jaccard verification decide the drops.
+    */
+  private def fuzzyDecontaminateOracleSql: String =
+    s"""WITH ${minhashChain("fc_", "WHERE doc_id >= 20")},
+       ${minhashChain("fb_", "WHERE doc_id < 20")},
+       fd_ok AS (SELECT band, key FROM fc_buckets GROUP BY band, key HAVING count(*) <= 1000),
+       fd_sized AS (SELECT b.doc_id, b.band, b.key FROM fc_buckets b JOIN fd_ok USING (band, key)),
+       fd_cand AS (SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+         FROM fd_sized c JOIN fb_buckets b USING (band, key)),
+       fd_ver AS (SELECT DISTINCT fd_cand.doc_id FROM fd_cand
+         JOIN fc_sh sa ON sa.doc_id = fd_cand.doc_id
+         JOIN fb_sh sb ON sb.doc_id = fd_cand.bench_id
+         WHERE CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) >= 0.3)
+       SELECT doc_id FROM documents WHERE doc_id >= 20
+         AND doc_id NOT IN (SELECT doc_id FROM fd_ver) ORDER BY doc_id"""
+
   /** DuckDB replication of the portable 60-bit SimHash pipeline:
     * same +1/-1 bit fold, MSB-first packing, 4×15-bit chunk banding,
     * bucket cap, and Hamming verification as the Spark plan.
@@ -314,13 +334,23 @@ object SparkEntry {
     * seeded plane literals, the same MSB-first sign-bit packing, then
     * `bit_count(xor)` ranking — bit-exact, like embedLshOracleSql.
     */
-  private def annHammingOracleSql: String = {
+  /** The 48-plane MSB-first sign-bit packing as one SQL expression
+    * over a DOUBLE[] named `v` — shared by every oracle that replays
+    * [[graft.plans.HyperplaneBuckets]] signatures (ann_hamming_topk,
+    * dedup_hamming_pairs), so the plane literals and bit order cannot
+    * drift between them.
+    */
+  private def signBits48Sql: String = {
     val planes = Dedup.randomPlanes(48, 64, 42L)
-    val bits = planes.zipWithIndex.map { case (p, pi) =>
+    planes.zipWithIndex.map { case (p, pi) =>
       val lits = p.map(_.toString).mkString("[", ",", "]")
       s"(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * ($lits)[i]), (x, y) -> x + y) >= 0.0 " +
       s"THEN ${1L << (47 - pi)} ELSE 0 END)"
     }.mkString(" + ")
+  }
+
+  private def annHammingOracleSql: String = {
+    val bits = signBits48Sql
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        sig AS (SELECT vec_id, ($bits) AS s FROM v),
        q AS (SELECT vec_id AS query_id, s AS qs FROM sig WHERE vec_id < 5),
@@ -332,6 +362,75 @@ object SparkEntry {
          FROM sc)
        SELECT query_id, corpus_id, hamming, rank FROM rk WHERE rank <= 10
        ORDER BY query_id, rank"""
+  }
+
+  /** DuckDB replication of [[Dedup.hammingNearDups]] over the same
+    * sign-bit signatures: 6 bands × 8 bits banding, bucket cap,
+    * `bit_count(xor)` verification. maxHamming = 11 > bands runs the
+    * recall-heuristic regime; the oracle replays the identical
+    * banding, so the comparison stays bit-for-bit either way.
+    */
+  private def dedupHammingOracleSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       sig AS (SELECT vec_id AS id, ($signBits48Sql) AS s FROM v),
+       bk AS (SELECT id, s, unnest(list_transform(range(0, 6), j ->
+           {'band': j, 'key': (s >> (j * 8)) & 255})) AS u FROM sig),
+       buckets AS (SELECT id, s, u.band AS band, u.key AS key FROM bk),
+       ok AS (SELECT band, key FROM buckets GROUP BY band, key HAVING count(*) <= 10000),
+       sized AS (SELECT b.id, b.s, b.band, b.key FROM buckets b JOIN ok USING (band, key)),
+       pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+         FROM sized a JOIN sized b USING (band, key) WHERE a.id < b.id)
+       SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 11 ORDER BY id_a, id_b"""
+
+  /** DuckDB replication of [[Similarity.int8TopK]]: identical
+    * quantization expression shapes (one multiply, one divide, one
+    * floor per element — bit-equal IEEE ops), exact integer dot
+    * product, left-associated dequantization multiplies, and the
+    * (score desc, corpus_id asc) ranking of the bounded heap.
+    */
+  private def annInt8OracleSql: String =
+    s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       mx AS (SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM base),
+       qz AS (SELECT id,
+           CASE WHEN m = 0 THEN 0.0 ELSE m / 127.0 END AS scale,
+           list_transform(v, x -> CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(x * 127.0 / m + 0.5) AS BIGINT) END) AS q FROM mx),
+       qs AS (SELECT id AS query_id, q AS qa, scale AS sa FROM qz WHERE id < 5),
+       cs AS (SELECT id AS corpus_id, q AS qb, scale AS sb FROM qz WHERE id >= 5),
+       sc AS (SELECT query_id, corpus_id,
+           CAST(list_reduce(list_transform(range(1, 65), i -> qa[i] * qb[i]),
+             (x, y) -> x + y) AS DOUBLE) * sa * sb AS score
+         FROM cs CROSS JOIN qs),
+       rk AS (SELECT query_id, corpus_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS INTEGER) AS rank
+         FROM sc)
+       SELECT query_id, corpus_id, ${roundToSql("score", 6)} AS score, rank
+       FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** DuckDB replication of [[graft.operators.Sampling.clusterBalancedSample]]:
+    * the same portable-hash seed cells as the SemDeDup oracle, then
+    * per-cell row_number over (ppm bucket asc, id asc) capped at
+    * perCell — the window formulation of the bounded-heap pick.
+    */
+  private def sampClusterBalancedOracleSql: String = {
+    def sqd(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       seed AS (SELECT id, v FROM base
+         ORDER BY ((id % 1000003) * 2654435761) % 2147483647 DESC, id LIMIT 8),
+       cents AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell_id,
+           v AS centroid FROM seed),
+       ad AS (SELECT base.id, cents.cell_id,
+           ${sqd("base.v", "cents.centroid")} AS d FROM base CROSS JOIN cents),
+       assigned AS (SELECT id, cell_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY id ORDER BY d ASC, cell_id ASC) AS rn
+           FROM ad) WHERE rn = 1),
+       sc AS (SELECT cell_id, id,
+           ${duckHex60("'cbs:' || CAST(id AS VARCHAR)")} % 1000000 AS b FROM assigned),
+       rk AS (SELECT cell_id, id,
+           CAST(row_number() OVER (PARTITION BY cell_id ORDER BY b, id) AS INTEGER) AS rank FROM sc)
+       SELECT cell_id, id, rank FROM rk WHERE rank <= 5 ORDER BY cell_id, rank"""
   }
 
   private val enList = TextFunctions.enStopwords.mkString("['", "', '", "']")
@@ -798,6 +897,19 @@ object SparkEntry {
           portableHash = true)
         .select(col("id_a"), col("id_b"), rd(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    "txt_fuzzy_decontaminate" -> ((s, dir) => {
+      // FUZZY decontamination: corpus docs (doc_id >= 20) whose n-gram
+      // Jaccard vs any eval doc (doc_id < 20) reaches 0.3 are removed
+      // — the near-dup form of txt_decontaminate, catching the edited
+      // benchmark copies exact shingle overlap misses. Cross-corpus
+      // MinHash band join, exact-Jaccard verify.
+      val docs = t(s, dir, "documents")
+      Dedup.minhashDecontaminate(docs.filter(col("doc_id") >= 20),
+          docs.filter(col("doc_id") < 20), "text", "doc_id",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.3,
+          portableHash = true)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "dedup_incremental" -> ((s, dir) => {
       // The daily-ingest flow end-to-end: batch 1 (even doc_ids) dedups
       // within itself, commits its survivors to a fresh parquet MinHash
@@ -1106,6 +1218,16 @@ object SparkEntry {
       graft.operators.Sampling.hashTopK(t(s, dir, "documents"), "doc_id", 100)
         .select("doc_id").orderBy("doc_id")
     }),
+    "samp_cluster_balanced" -> ((s, dir) =>
+      // Diversity sampling: ≤ perCell rows from each k-means cell,
+      // picked by deterministic hash order via the bounded heap —
+      // every semantic region capped equally, no window ever sorts a
+      // cell. Portable-seed cells (lloydIters = 0) so the oracle
+      // replays the cells, the hash order, and the cap exactly.
+      graft.operators.Sampling.clusterBalancedSample(t(s, dir, "embeddings"),
+          "embedding", "vec_id", nCells = 8, perCell = 5,
+          lloydIters = 0, portableSeed = true)
+        .orderBy("cell_id", "rank")),
     "sketch_bloom_decontaminate" -> ((s, dir) => {
       // Decontamination against a BROADCAST bloom of the eval set
       // (doc_id < 20, same benchmark as txt_decontaminate): the probe
@@ -1124,6 +1246,31 @@ object SparkEntry {
       Similarity.hammingTopK(e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
           "embedding", "vec_id", dim = 64, k = 10, nBits = 48)
         .orderBy("query_id", "rank")
+    }),
+    "emb_int8_topk" -> ((s, dir) => {
+      // int8 scalar-quantized ANN: exact integer dot products over the
+      // 4×-compressed corpus, dequantized by both scales. Every
+      // quantized element is one multiply/divide/floor — the oracle
+      // reproduces the whole pipeline bit-for-bit.
+      val e = t(s, dir, "embeddings")
+      Similarity.int8TopK(e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("corpus_id"), rd(col("score"), 6).as("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "dedup_hamming_pairs" -> ((s, dir) => {
+      // Signature-agnostic banded-Hamming near-dup (the core behind
+      // perceptual image dedup): 48 packed sign bits per embedding as
+      // the stand-in fingerprint, 6 bands × 8 bits, bit_count verify.
+      // The image front-end (Multimodal.imageDHash) feeds the SAME
+      // operator and is spec-tested on real decoded pixels.
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val planes = Seq(Dedup.randomPlanes(48, 64, 42L))
+      val sigs = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        element_at(column(graft.plans.HyperplaneBuckets(
+          expression(col("embedding").cast("array<double>")), planes)), 1).as("sig"))
+      Dedup.hammingNearDups(sigs, "sig", "id", nBits = 48, bands = 6, maxHamming = 11)
+        .orderBy("id_a", "id_b")
     }),
     "txt_substring_dedup" -> ((s, dir) => {
       // Exact substring-duplication spans (Lee et al. 2022): every
@@ -1167,6 +1314,13 @@ object SparkEntry {
       // ln), score an exact integer product, term-string tiebreak.
       TextAnalysis.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 5)
         .orderBy("doc_id", "rank")
+    }),
+    "meta_profile" -> ((s, dir) => {
+      // ANALYZE-style per-column profile of orders: exact counts from
+      // ONE aggregation pass, type-appropriate min/max (numeric as
+      // double, timestamp via explicit second-precision format).
+      graft.operators.Maintenance.profileTable(t(s, dir, "orders"))
+        .orderBy("col_name")
     }),
     "sketch_quantile" -> ((s, dir) => {
       // histogram quantile sketch per return flag: 256 bins over a
@@ -1522,6 +1676,7 @@ object SparkEntry {
            ${roundToSql("sum(l_quantity)", 2)} AS qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "txt_fuzzy_decontaminate" -> fuzzyDecontaminateOracleSql,
     "txt_decontaminate" ->
       """WITH t AS (SELECT doc_id,
            regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
@@ -1920,6 +2075,9 @@ object SparkEntry {
            (doc.doc_id IN (SELECT doc_id FROM ex)) AS exact_contaminated
          FROM documents doc LEFT JOIN bf USING (doc_id) ORDER BY doc.doc_id""",
     "ann_hamming_topk" -> annHammingOracleSql,
+    "dedup_hamming_pairs" -> dedupHammingOracleSql,
+    "samp_cluster_balanced" -> sampClusterBalancedOracleSql,
+    "emb_int8_topk" -> annInt8OracleSql,
     "txt_substring_dedup" ->
       s"""WITH t AS (SELECT doc_id,
            regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
@@ -2024,6 +2182,28 @@ object SparkEntry {
          SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df,
            ${roundToSql("CAST(sq AS DOUBLE) / 1e6", 6)} AS tfidf
          FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""",
+    "meta_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM orders"""
+      def str(c: String, fmt: String => String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           ${fmt(s"min($c)")} AS min_str, ${fmt(s"max($c)")} AS max_str
+         FROM orders"""
+      val plain = (e: String) => s"CAST($e AS VARCHAR)"
+      val ts = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+      Seq(num("o_custkey"), str("o_orderdate", ts), num("o_orderkey"),
+          str("o_orderpriority", plain), str("o_orderstatus", plain),
+          num("o_totalprice"))
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
     "sketch_quantile" ->
       s"""WITH b AS (SELECT l_returnflag,
            least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)

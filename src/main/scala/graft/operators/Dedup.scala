@@ -308,6 +308,64 @@ object Dedup {
     df.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** FUZZY benchmark decontamination: drop corpus documents whose
+    * n-gram Jaccard against ANY benchmark document reaches
+    * `threshold` — the near-duplicate form of [[decontaminate]].
+    * Exact shingle-overlap misses the paraphrased/lightly-edited
+    * benchmark copies that actually leak eval sets into web corpora
+    * (GPT-3 §4 / Dolma-style "fuzzy decontamination"); this catches
+    * them with the SAME MinHash+LSH machinery as [[minhashNearDups]],
+    * but joined CROSS-corpus: corpus band buckets against benchmark
+    * band buckets, never corpus-vs-corpus.
+    *
+    * Scale shape: both sides shuffle only slim (id, band, key) rows;
+    * the bucket cap applies to the CORPUS side (a boilerplate bucket
+    * is the skew bomb — the benchmark side is bounded by the eval
+    * suite's size, and AQE broadcasts it when it is small);
+    * candidates verify with exact Jaccard via two slim shingle joins.
+    * Recall follows the standard LSH curve: P[candidate] =
+    * 1-(1-j^r)^b — near-certain at j ≥ 0.5 with the 128/32 defaults.
+    */
+  def minhashDecontaminate(
+      df: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 1000,
+      portableHash: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes must be divisible by bands=$bands " +
+        "(a remainder silently drops hashes from the band keys, degrading LSH recall)")
+    val r = numHashes / bands
+    def prep(src: DataFrame): DataFrame = {
+      val base = src.select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleSize).as("shingles"))
+      base.withColumn("sig",
+        minhashSignature(col("shingles"), numHashes, seed, portableMd5 = portableHash))
+    }
+    def toBuckets(s: DataFrame, idName: String): DataFrame = s
+      .select(col("id").as(idName),
+        explode(bandKeys(col("sig"), bands, r, portable = portableHash)).as("bk"))
+      .select(col(idName), col("bk.band"), col("bk.key"))
+    val corpus = prep(df)
+    val bench = prep(benchmark)
+    val cb = toBuckets(corpus, "doc_id")
+    val bb = toBuckets(bench, "bench_id")
+    val counts = cb.groupBy("band", "key").agg(count("*").as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val cbSized = cb.join(counts, Seq("band", "key"))
+    val cand = cbSized.join(bb, Seq("band", "key"))
+      .select("doc_id", "bench_id").dropDuplicates("doc_id", "bench_id")
+    val shC = corpus.select(col("id").as("doc_id"), col("shingles").as("sh_a"))
+    val shB = bench.select(col("id").as("bench_id"), col("shingles").as("sh_b"))
+    val contaminated = cand.join(shC, "doc_id").join(shB, "bench_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("inter") / col("uni") >= threshold)
+      .select(col("doc_id").as(idCol)).distinct()
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Incremental batch dedup against a persisted fingerprint index —
     * the "daily ingest" pattern: drop new documents whose normalized-
     * text fingerprint already exists in the index. Returns the
@@ -602,5 +660,61 @@ object Dedup {
     // representative of every duplicate chain remains)
     val drops = dupPairs.select(col("id_b").as("id")).distinct()
     assigned.join(drops, Seq("id"), "left_anti").select("id", "cell_id")
+  }
+
+  /** Near-dup pairs over a PRECOMPUTED packed-bit signature column —
+    * the signature-agnostic core behind every Hamming-space dedup:
+    * feed it [[Multimodal.imageDHash]] for perceptual image dedup,
+    * [[graft.plans.HyperplaneBuckets]] sign bits for embeddings, or
+    * any external 64-bit fingerprint. [[simhashNearDups]] is the
+    * text-specific sibling that also OWNS its signature; this one
+    * decouples signature production from candidate generation so a
+    * signature computed once (e.g. persisted next to the binary
+    * payload at ingest) can be reused across dedup runs without
+    * re-decoding terabytes of media.
+    *
+    * Same scale shape as simhash: split the `nBits` signature into
+    * `bands` contiguous chunks and equi-join per chunk. For
+    * `maxHamming < bands` the result is COMPLETE — two signatures
+    * within that distance must agree on ≥1 chunk (pigeonhole). For
+    * larger `maxHamming` banding becomes a recall-bounded candidate
+    * generator (P[some chunk clean] ≥ 1 − (d/bands)^... computable
+    * from the distance d and chunk layout) — the standard operating
+    * point when the duplicate radius exceeds the band count and an
+    * exact guarantee would need degenerate chunk widths. Buckets over
+    * `maxBucketSize` are dropped (skew cap — a million identical
+    * images must not become a 10^12-pair task), candidates verify
+    * with `bit_count(xor)`, and only (id, band, key) rows ever
+    * shuffle.
+    */
+  def hammingNearDups(
+      df: DataFrame, sigCol: String, idCol: String,
+      nBits: Int, bands: Int = 4, maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(nBits >= 1 && nBits <= 64, s"nBits=$nBits must be 1..64")
+    require(bands >= 1 && nBits % bands == 0,
+      s"nBits=$nBits must be divisible by bands=$bands (equal-width chunks)")
+    require(maxHamming >= 0 && maxHamming <= nBits,
+      s"maxHamming=$maxHamming outside [0, $nBits]")
+    val chunkBits = nBits / bands
+    val chunkMask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    val withSig = df.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+      .filter(col("sig").isNotNull) // undecodable media ⇒ no signature ⇒ not a candidate
+    val keyed = withSig.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          shiftrightunsigned(col("sig"), j * chunkBits).bitwiseAND(lit(chunkMask)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    val counts = keyed.groupBy("band", "key").agg(count("*").as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val sized = keyed.join(counts, Seq("band", "key"))
+    val a = sized.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sized.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
   }
 }

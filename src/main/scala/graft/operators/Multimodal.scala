@@ -48,6 +48,75 @@ object Multimodal {
     df.withColumn(out, f(col(binaryCol)))
   }
 
+  /** 64-bit difference hash (dHash) of an image payload — the
+    * standard perceptual fingerprint for near-duplicate IMAGE dedup
+    * (re-encodes, resizes and small crops of one photo land within a
+    * few bits of each other; unrelated photos average ~32 bits apart).
+    * REAL decode (ImageIO — png/jpeg/gif/bmp in this JVM), REAL
+    * kernel: average-pool the luma plane onto a 9×8 grid, emit bit
+    * (row·8+col) = [left brighter than right], MSB-first. Undecodable
+    * or null payloads hash to NULL (and [[Dedup.hammingNearDups]]
+    * filters NULL signatures out of candidacy).
+    *
+    * Pipeline position: run ONCE at ingest next to the download
+    * (one decode amortized against resize/EXIF which already decode),
+    * persist the 8-byte column, then every dedup run is
+    * `hammingNearDups` over longs — no terabyte re-decode. Average
+    * pooling (not nearest-neighbor sampling) makes the signature
+    * stable under the ±1px resampling differences that separate
+    * JPEG libraries.
+    */
+  def imageDHash(df: DataFrame, binaryCol: String, out: String = "dhash"): DataFrame = {
+    val f = udf((bytes: Array[Byte]) => dhash64(bytes))
+    df.withColumn(out, f(col(binaryCol)))
+  }
+
+  /** The pure dHash kernel: Option.empty on any decode failure. */
+  private[graft] def dhash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) return None
+    val (gw, gh) = (9, 8)
+    val w = img.getWidth; val h = img.getHeight
+    // integer average pooling over the source rectangle each grid cell
+    // covers — cell edges via (i*w)/gw so the union tiles the image
+    // exactly and no pixel is counted twice
+    val cell = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = (gy * h) / gh; val y1 = math.max(((gy + 1) * h) / gh, y0 + 1)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = (gx * w) / gw; val x1 = math.max(((gx + 1) * w) / gw, x0 + 1)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            // integer ITU-R 601 luma — deterministic across JVMs
+            sum += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF))
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        cell(gy)(gx) = if (n == 0) 0.0 else sum.toDouble / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      val r = i / 8; val c = i % 8
+      if (cell(r)(c) > cell(r)(c + 1)) sig |= 1L << (63 - i)
+      i += 1
+    }
+    Some(sig)
+  }
+
   /** Audio features: REAL header parse for RIFF/WAVE payloads,
     * deterministic stub for everything else (`stubbed = true`).
     */

@@ -101,6 +101,53 @@ object Sampling {
     stratifiedSample(df, domainCol, keyCol, rates, defaultFrac = 0.0, salt = salt)
   }
 
+  /** Cluster-balanced (diversity) sampling: assign every embedding to
+    * its nearest k-means cell, then keep at most `perCell` rows per
+    * cell, picked by the deterministic hash order. Where uniform
+    * sampling reproduces the corpus's density (a petabyte of
+    * boilerplate stays a petabyte's share of the sample), this caps
+    * every semantic region equally — the coverage-first subset
+    * selection behind diverse-pretraining-mix and eval-set
+    * construction, and the sampling complement of
+    * [[Dedup.semanticDedup]] (same cells; dedup prunes by pairwise
+    * similarity, this prunes by region budget).
+    *
+    * Scale shape: centroids via [[Similarity.kmeansCentroids]]
+    * (bounded-heap seeding, no corpus shuffle); assignment is a
+    * narrow map with the centroid matrix as a plan literal; then ONE
+    * aggregation keyed by cell whose per-cell state is the bounded
+    * heap — ≤ perCell·partitions slim (bucket, id) entries cross the
+    * shuffle, and no window ever sorts a cell's full membership (a
+    * hot cell is a skew bomb for a row_number plan, not for a heap).
+    * Selection is a pure function of (salt, id): reruns, retries, and
+    * the DuckDB oracle (portableSeed = true, lloydIters = 0)
+    * reproduce the exact sample.
+    */
+  def clusterBalancedSample(df: DataFrame, vecCol: String, idCol: String,
+                            nCells: Int, perCell: Int, lloydIters: Int = 2,
+                            portableSeed: Boolean = false,
+                            salt: String = "cbs"): DataFrame = {
+    require(nCells > 0, s"nCells=$nCells must be positive")
+    require(perCell > 0, s"perCell=$perCell must be positive")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val cents = Similarity.kmeansCentroids(
+      base.select(col("id").as("corpus_id"), col("v").as("cv")),
+      nCells, lloydIters, portableSeed)
+    val assigned = base.withColumn("cell_id",
+      column(graft.plans.NearestCentroid(expression(col("v")), cents.toSeq.map(_.toSeq))))
+      .select("id", "cell_id")
+    // smallest ppm bucket wins, id tie-break; score is exact in a
+    // double (≤ 10^6), so the heap order equals the SQL
+    // (bucket asc, id asc) order bit-for-bit
+    val scored = assigned.withColumn("__b", bucketOf(col("id"), salt))
+    scored.groupBy("cell_id")
+      .agg(graft.plans.TopKByScore.topKByScore(
+        (lit(Denom) - col("__b")).cast("double"), col("id"), perCell).as("top"))
+      .select(col("cell_id"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("cell_id"), col("t.id").as("id"), (col("r") + 1).cast("int").as("rank"))
+  }
+
   /** Exactly-k uniform sample without knowing the population size: the
     * `k` rows with the smallest key hash. Plans as
     * TakeOrderedAndProject (bounded per-partition heaps + driver

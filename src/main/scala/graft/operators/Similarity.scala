@@ -384,4 +384,55 @@ object Similarity {
       .select(col("src_id"), (col("r") + 1).as("rank"), col("t.id").as("nbr_id"),
         graft.functions.MathFunctions.roundTo(col("t.score"), 6).as("cosine"))
   }
+
+  /** Symmetric per-vector int8 scalar quantization: q_i =
+    * floor(v_i·127/m + 0.5) with m = max|v_i|, plus the
+    * reconstruction scale m/127. The 4×-smaller storage/scan format
+    * for embedding corpora (a 100 TB float32 store becomes 25 TB —
+    * often the difference between "fits on the cluster's NVMe" and
+    * "doesn't"); coarser than [[pqTopK]]'s codebooks but with NO
+    * training step and exact per-element error bounds (≤ m/254).
+    *
+    * Determinism: every element is one multiply, one divide, one
+    * floor — identical IEEE operation shapes in any engine, so the
+    * quantized vectors (and everything computed from them) are
+    * bit-reproducible; a zero vector quantizes to zeros with scale 0
+    * rather than dividing by zero.
+    */
+  def int8Quantize(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val m = array_max(transform(v, x => abs(x)))
+    df.select(col(idCol).as("id"),
+      when(m === 0.0, lit(0.0)).otherwise(m / lit(127.0)).as("scale"),
+      transform(v, x =>
+        when(m === 0.0, lit(0L))
+          .otherwise(floor(x * lit(127.0) / m + lit(0.5)).cast("long"))).as("q"))
+  }
+
+  /** Brute-force top-k over the int8-quantized corpus: the score is
+    * the exact INTEGER dot product of the quantized vectors, scaled
+    * back by both reconstruction scales — the dequantized
+    * approximation of the true dot product. Same scale shape as
+    * [[bruteForceTopK]] (queries broadcast, corpus scans once, never
+    * shuffles, bounded-heap top-k) but the corpus side reads 8 bytes
+    * per dimension less and the inner loop is integer MACs — the
+    * operating point where the index is quantized at ingest and
+    * queries run against it directly.
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame,
+               vecCol: String, idCol: String, k: Int): DataFrame = {
+    val c = int8Quantize(corpus, vecCol, idCol)
+      .select(col("id").as("corpus_id"), col("q").as("qb"), col("scale").as("sb"))
+    val q = int8Quantize(queries, vecCol, idCol)
+      .select(col("id").as("query_id"), col("q").as("qa"), col("scale").as("sa"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        (expr("CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)")
+          * col("sa") * col("sb")).as("score"))
+    scored.groupBy("query_id")
+      .agg(graft.plans.TopKByScore.topKByScore(col("score"), col("corpus_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("query_id"), col("t.id").as("corpus_id"),
+        col("t.score").as("score"), (col("r") + 1).as("rank"))
+  }
 }

@@ -221,6 +221,28 @@ class DedupSpec extends SparkSpec {
       "batch-2 survivor's committed bands block its batch-3 near-dup")
   }
 
+  test("minhashDecontaminate drops fuzzy benchmark copies, keeps incidental overlap") {
+    val bench = "what is the capital of france the answer is paris of course everyone knows"
+    val leaked = bench.replace("everyone", "anybody")  // lightly edited copy
+    val clean = "completely different text about spark catalyst optimizer rules and planning"
+    // shares the common phrase "the capital of france" (2 shingles) but
+    // is not a benchmark copy — aggregate jaccard far below threshold
+    val phrase = "the capital of france is a common trivia question in quizzes worldwide today"
+    val corpus = Seq((100L, leaked), (101L, clean), (102L, phrase)).toDF("doc_id", "text")
+    val benchmark = Seq((1L, bench)).toDF("doc_id", "text")
+    val kept = Dedup.minhashDecontaminate(corpus, benchmark, "text", "doc_id",
+      shingleSize = 3, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(101L, 102L),
+      s"edited copy removed, clean + incidental-phrase docs kept; got $kept")
+    // the false-positive contrast that motivates the fuzzy form: exact
+    // ANY-shingle decontamination also nukes the incidental-phrase doc
+    val exactKept = Dedup.decontaminate(corpus, benchmark, "text", "doc_id", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactKept == Set(101L),
+      s"exact decontaminate drops the shared-phrase doc too, got $exactKept")
+  }
+
   test("incremental exact dedup: durable staging variant survives re-reads") {
     val base = java.nio.file.Files.createTempDirectory("graft_dedup_stg").toString
     val dir = base + "/index"; val stage = base + "/staging"
@@ -273,6 +295,46 @@ class DedupSpec extends SparkSpec {
       VectorFunctions.dot(col("v"), col("v")).as("native"),
       hofDot.as("hof")).collect()
     assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)), "bit-identical dot products")
+  }
+
+  test("int8 quantization: exact error bound, zero-vector guard, top-k agrees with float") {
+    val vecs = Seq(
+      (1L, Array(1.0, -0.5, 0.25, 0.0)),
+      (2L, Array(0.0, 0.0, 0.0, 0.0)),
+      (3L, Array(-2.0, 4.0, 1.0, -0.125))).toDF("vec_id", "v")
+    val qz = Similarity.int8Quantize(vecs, "v", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2))).toList
+    val m = qz.map(t => t._1 -> t).toMap
+    assert(m(1L)._3 == Seq(127L, -63L, 32L, 0L) && m(1L)._2 == 1.0 / 127.0)
+    assert(m(2L)._3 == Seq(0L, 0L, 0L, 0L) && m(2L)._2 == 0.0, "zero vector: scale 0, no div-by-zero")
+    // per-element reconstruction error ≤ m/254 (half a quantization step)
+    for ((id, scale, q) <- qz; if id != 2L) {
+      val orig = Map(1L -> Array(1.0, -0.5, 0.25, 0.0), 3L -> Array(-2.0, 4.0, 1.0, -0.125))(id)
+      val bound = orig.map(math.abs).max / 254.0 + 1e-12
+      orig.zip(q).foreach { case (o, qi) =>
+        assert(math.abs(o - qi * scale) <= bound, s"id=$id elem $o vs ${qi * scale}") }
+    }
+    // quantized top-k ranks the same corpus vector first as exact float
+    // cosine does on well-separated data (the recall contract at q=8bit)
+    val corpus = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+      .filter(col("vec_id") >= 5)
+    val queries = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+      .filter(col("vec_id") < 5)
+    val int8Top1 = Similarity.int8TopK(corpus, queries, "embedding", "vec_id", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // float dot-product top-1 (same score family as int8TopK dequantized)
+    val exactTop1 = {
+      val c = corpus.select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
+      val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+      c.crossJoin(q)
+        .select(col("qid"), col("cid"),
+          aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y), lit(0.0), (a, x) => a + x).as("d"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy(col("d").desc, col("cid"))))
+        .filter(col("rn") === 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val agree = int8Top1.keys.count(k => int8Top1(k) == exactTop1(k))
+    assert(agree >= 4, s"int8 top-1 agrees with float top-1 on >= 4/5 queries, got $agree: $int8Top1 vs $exactTop1")
   }
 
   test("hammingTopK: exact copy ranks first at hamming 0, negation ranks far") {

@@ -69,4 +69,36 @@ class SamplingSpec extends SparkSpec {
       Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)).select("id").collect().map(_.getLong(0)).toSet
     assert(again == out.map(_.getLong(0)).toSet)
   }
+
+  test("clusterBalancedSample caps every cell, picks by hash order, no window sort") {
+    // two well-separated 4-d clusters, 30 points each around (±10,0,0,0)
+    val pts = (0 until 60).map { i =>
+      val c = if (i < 30) 10.0 else -10.0
+      (i.toLong, Array(c + (i % 5) * 0.1, (i % 3) * 0.1, 0.0, 0.0))
+    }.toDF("id", "v")
+    val out = Sampling.clusterBalancedSample(pts, "v", "id",
+      nCells = 2, perCell = 7, lloydIters = 2)
+    val rows = out.select("cell_id", "id", "rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    val byCell = rows.groupBy(_._1)
+    assert(byCell.size == 2 && byCell.values.forall(_.length == 7),
+      s"expected 7 rows from each of 2 cells, got ${byCell.view.mapValues(_.length).toMap}")
+    // each cell's members come from one geometric cluster
+    for ((_, members) <- byCell) {
+      val sides = members.map(m => m._2 < 30).toSet
+      assert(sides.size == 1, s"cell mixes clusters: $members")
+    }
+    // ranks are 1..perCell and deterministic across runs
+    assert(byCell.values.forall(_.map(_._3).sorted.sameElements(1 to 7)))
+    val again = Sampling.clusterBalancedSample(pts, "v", "id",
+      nCells = 2, perCell = 7, lloydIters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == rows.toSet)
+    // the pick is the bounded heap, not a per-cell window sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window-free plan expected:\n$plan")
+    intercept[IllegalArgumentException] {
+      Sampling.clusterBalancedSample(pts, "v", "id", nCells = 0, perCell = 1)
+    }
+  }
 }
