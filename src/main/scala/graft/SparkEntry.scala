@@ -1218,6 +1218,13 @@ object SparkEntry {
       graft.operators.Sampling.hashTopK(t(s, dir, "documents"), "doc_id", 100)
         .select("doc_id").orderBy("doc_id")
     }),
+    "samp_key_cap" -> ((s, dir) =>
+      // Per-source cap (the per-host limit of web-corpus recipes):
+      // ≤ 10 docs per source, deterministic hash order, bounded heap
+      // per key — a hot domain costs the same heap as a small one.
+      graft.operators.Sampling.perKeyCap(t(s, dir, "documents"),
+          "source", "doc_id", cap = 10)
+        .orderBy("key", "rank")),
     "samp_cluster_balanced" -> ((s, dir) =>
       // Diversity sampling: ≤ perCell rows from each k-means cell,
       // picked by deterministic hash order via the bounded heap —
@@ -2078,6 +2085,13 @@ object SparkEntry {
     "dedup_hamming_pairs" -> dedupHammingOracleSql,
     "samp_cluster_balanced" -> sampClusterBalancedOracleSql,
     "emb_int8_topk" -> annInt8OracleSql,
+    "samp_key_cap" ->
+      s"""WITH sc AS (SELECT source AS key, doc_id AS id,
+           ${duckHex60("'cap:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS b
+         FROM documents),
+       rk AS (SELECT key, id,
+           CAST(row_number() OVER (PARTITION BY key ORDER BY b, id) AS INTEGER) AS rank FROM sc)
+       SELECT key, id, rank FROM rk WHERE rank <= 10 ORDER BY key, rank""",
     "txt_substring_dedup" ->
       s"""WITH t AS (SELECT doc_id,
            regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks

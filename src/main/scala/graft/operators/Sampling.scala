@@ -148,6 +148,33 @@ object Sampling {
       .select(col("cell_id"), col("t.id").as("id"), (col("r") + 1).cast("int").as("rank"))
   }
 
+  /** Per-key cap: at most `cap` rows for every value of `keyCol`,
+    * picked by deterministic hash order — the per-host / per-domain /
+    * per-source limit every web-corpus recipe applies (C4's per-host
+    * caps, CommonCrawl politeness budgets) so that one gigantic site
+    * cannot dominate the training mix. [[clusterBalancedSample]] is
+    * the embedding-space analog (k-means cell instead of an existing
+    * key column).
+    *
+    * Scale shape: ONE aggregation keyed by `keyCol` whose per-key
+    * state is the bounded heap — a key with 10^9 rows costs the same
+    * heap as a key with `cap`+1, so hot domains are a non-event (the
+    * row_number-window formulation would sort the hot key's whole
+    * membership in one task). Selection is a pure function of
+    * (salt, id): reruns, retries, and the DuckDB oracle reproduce it.
+    */
+  def perKeyCap(df: DataFrame, keyCol: String, idCol: String, cap: Int,
+                salt: String = "cap"): DataFrame = {
+    require(cap > 0, s"cap=$cap must be positive")
+    val scored = df.select(col(keyCol).as("key"), col(idCol).as("id"))
+      .withColumn("__b", bucketOf(col("id"), salt))
+    scored.groupBy("key")
+      .agg(graft.plans.TopKByScore.topKByScore(
+        (lit(Denom) - col("__b")).cast("double"), col("id"), cap).as("top"))
+      .select(col("key"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("key"), col("t.id").as("id"), (col("r") + 1).cast("int").as("rank"))
+  }
+
   /** Exactly-k uniform sample without knowing the population size: the
     * `k` rows with the smallest key hash. Plans as
     * TakeOrderedAndProject (bounded per-partition heaps + driver

@@ -242,6 +242,105 @@ object EventStream {
       }
   }
 
+  case class WindowHeavyHitter(window_start: java.sql.Timestamp, rank: Int,
+                               item: String, cms_estimate: Long, exact_count: Long)
+
+  /** CMS state per open window: the d×w cell counts plus the bounded
+    * candidate map (item → arrivals since admission).
+    */
+  case class CmsState(cells: Array[Long], items: Map[String, Long])
+
+  /** Streaming heavy hitters per tumbling window: Count-Min cells +
+    * a bounded candidate set in keyed state — the frequency-shaped
+    * sibling of [[hllDistinctStream]]/[[quantileStream]], completing
+    * the batch/streaming sketch symmetry (hot URLs / hot query terms
+    * on an unbounded ingest with O(d·w + maxCandidates) state per
+    * OPEN window, never O(distinct items)).
+    *
+    * Parity contract with [[graft.operators.Sketches.cmsTopK]]: the
+    * cells use the same portable hash and the same integer counts, and
+    * every candidate's final estimate is recomputed from the FINAL
+    * cells at window close — so for windows where `maxCandidates` was
+    * never exceeded, the emitted top-k (membership, estimates, exact
+    * counts, (estimate desc, item asc) order) is bit-identical to the
+    * batch sketch over the same rows (asserted in EventStreamSpec).
+    * When the candidate set overflows, the smallest-count candidate is
+    * evicted first (space-saving style, deterministic (count asc, item
+    * desc) order) and a re-admitted item's count restarts — estimates
+    * stay exact CMS over-approximations; only `exact_count` degrades
+    * to a lower bound, the standard bounded-memory trade.
+    */
+  def cmsTopKStream(events: DataFrame, tsCol: String, itemCol: String,
+                    windowMillis: Long, d: Int = 4, w: Int = 1024,
+                    k: Int = 20, maxCandidates: Int = 4096,
+                    watermark: String = "10 minutes"): Dataset[WindowHeavyHitter] = {
+    require(d >= 1 && w >= 2, s"bad sketch dims d=$d w=$w")
+    require(k >= 1 && maxCandidates >= k, s"need maxCandidates >= k, got $maxCandidates < $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def bucket(row: Int, item: String): Int =
+      (graft.plans.TextExprs.md5Hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"cms$row:$item")) % w).toInt
+    val keyed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+              window(col(tsCol), s"$windowMillis milliseconds")
+                .getField("start").as("wstart"),
+              col(itemCol).cast("string").as("v"))
+    keyed.groupByKey((r: org.apache.spark.sql.Row) => r.getTimestamp(1))
+      .flatMapGroupsWithState[CmsState, WindowHeavyHitter](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wstart, rows, state: GroupState[CmsState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            // final estimates from the END-of-window cells — the same
+            // numbers the batch sketch computes, collisions included
+            val ranked = st.items.toSeq.map { case (item, cnt) =>
+              var est = Long.MaxValue
+              var r = 0
+              while (r < d) {
+                val c = st.cells(r * w + bucket(r, item))
+                if (c < est) est = c
+                r += 1
+              }
+              (item, est, cnt)
+            }.sortBy { case (item, est, _) => (-est, item) }.take(k)
+            ranked.iterator.zipWithIndex.map { case ((item, est, cnt), i) =>
+              WindowHeavyHitter(wstart, i + 1, item, est, cnt)
+            }
+          } else {
+            val st = state.getOption.getOrElse(
+              CmsState(new Array[Long](d * w), Map.empty))
+            val cells = st.cells
+            var items = st.items
+            rows.foreach { r => if (!r.isNullAt(2)) {
+              val item = r.getString(2)
+              var rI = 0
+              while (rI < d) { cells(rI * w + bucket(rI, item)) += 1L; rI += 1 }
+              items.get(item) match {
+                case Some(c) => items = items.updated(item, c + 1L)
+                case None =>
+                  if (items.size >= maxCandidates) {
+                    // deterministic space-saving eviction: smallest
+                    // count first, largest item string on ties
+                    val victim = items.reduceLeft { (a, b) =>
+                      if (b._2 < a._2 || (b._2 == a._2 && b._1 > a._1)) b else a
+                    }
+                    items = items - victim._1
+                  }
+                  items = items.updated(item, 1L)
+              }
+            }}
+            state.update(CmsState(cells, items))
+            state.setTimeoutTimestamp(
+              math.max(wstart.getTime + windowMillis,
+                       state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events

@@ -195,4 +195,46 @@ class EventStreamSpec extends SparkSpec {
       assert(got((60000L, qq)) == bB(qq), s"window B q=$qq: ${got((60000L, qq))} vs ${bB(qq)}")
     }
   }
+
+  test("streaming CMS heavy hitters: closed-window top-k equals the batch sketch bit-for-bit") {
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, String)](spark)
+    val out = EventStream.cmsTopKStream(
+      stream.toDF().toDF("ts", "v"), "ts", "v",
+      windowMillis = 60000L, d = 4, w = 64, k = 5, maxCandidates = 64,
+      watermark = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cms_win").start()
+    // window A: zipfish skew over 30 items (item_j appears ~300/(j+1)
+    // times); window B: mild skew over 40 items. w = 64 forces real
+    // hash collisions so the parity check exercises them.
+    val winA = (0 until 30).flatMap(j => (0 to 300 / (j + 1)).map(c =>
+      (new Timestamp(1L + j * 97L + c * 13L), s"item_$j")))
+    val winB = (0 until 40).flatMap(j => (0 to (if (j < 5) 50 else 3)).map(c =>
+      (new Timestamp(60000L + j * 91L + c * 17L), s"b_item_$j")))
+    stream.addData(winA ++ winB)
+    q.processAllAvailable()
+    stream.addData(Seq((new Timestamp(600000L), "sentinel")))
+    q.processAllAvailable()
+    stream.addData(Seq((new Timestamp(1200000L), "sentinel2")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM cms_win").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    def batch(rows: Seq[(Timestamp, String)]): Seq[(String, Long, Long)] =
+      graft.operators.Sketches.cmsTopK(rows.map(_._2).toDF("v"), "v", d = 4, w = 64, k = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val bA = batch(winA); val bB = batch(winB)
+    // maxCandidates (64) was never exceeded in either window, so
+    // membership, CMS estimates (collisions included), exact counts,
+    // and the (estimate desc, item asc) order all match the batch
+    // sketch exactly
+    bA.zipWithIndex.foreach { case (exp, i) =>
+      assert(got((0L, i + 1)) == exp, s"window A rank ${i + 1}: ${got((0L, i + 1))} vs $exp")
+    }
+    bB.zipWithIndex.foreach { case (exp, i) =>
+      assert(got((60000L, i + 1)) == exp, s"window B rank ${i + 1}: ${got((60000L, i + 1))} vs $exp")
+    }
+  }
 }

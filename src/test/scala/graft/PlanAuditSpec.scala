@@ -332,4 +332,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no vector-vector shuffle join:\n$p")
     assert(p.contains("partial_"), "(label,dim) sums and bounded top-k map-side combined")
   }
+
+  test("emb_int8_topk: corpus scans once and never shuffles; queries broadcast") {
+    val p = plan("emb_int8_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"quantized queries broadcast:\n$p")
+    assert(p.contains("topk_by_score"), "bounded-heap top-k, not a global window")
+    assert(!p.contains("Exchange SinglePartition"), s"funnel in int8 plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle-join:\n$p")
+  }
+
+  test("dedup_hamming_pairs: only slim (id, band, key) rows cross the band shuffle") {
+    val p = plan("dedup_hamming_pairs")
+    // the 8-byte signature rides the bucket rows (needed for the xor
+    // verify), but the exchanges must never carry an embedding vector
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("embedding"),
+      s"vectors must not cross the band shuffle:\n$exchanges")
+    assert(p.contains("partial_"), "bucket counts map-side combined")
+    assert(!p.contains("Window"), s"no window in the pair path:\n$p")
+  }
+
+  test("samp_cluster_balanced: narrow cell assignment; heap pick, no window, no funnel") {
+    val p = plan("samp_cluster_balanced")
+    assert(p.contains("nearest_centroid"), "literal-matrix cell assignment present")
+    assert(p.contains("topk_by_score"), "per-cell bounded heap present")
+    assert(!p.contains("Window"), s"no window sorts a cell's membership:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"funnel:\n$p")
+  }
+
+  test("txt_fuzzy_decontaminate: cross-corpus band join ships no raw text or shingles") {
+    val p = plan("txt_fuzzy_decontaminate")
+    // the (band, key) exchanges must carry only slim keyed rows —
+    // text/shingle arrays through the 32× band explode would multiply
+    // shuffle bytes 32×; shingles legitimately rejoin ONCE per
+    // candidate id later (id-keyed joins), so only band-keyed
+    // exchanges are constrained
+    val bandExchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning(band")).mkString("\n")
+    assert(bandExchanges.nonEmpty, s"cross-corpus band equi-join present:\n$p")
+    assert(!bandExchanges.contains("text#") && !bandExchanges.contains("shingles#"),
+      s"band-key exchanges must carry only (id, band, key):\n$bandExchanges")
+    assert(p.contains("partial_"), "corpus-side bucket counts map-side combined")
+  }
 }

@@ -101,4 +101,22 @@ class SamplingSpec extends SparkSpec {
       Sampling.clusterBalancedSample(pts, "v", "id", nCells = 0, perCell = 1)
     }
   }
+
+  test("perKeyCap: hot key capped, small key kept whole, heap not window") {
+    val rows = ((0 until 1000).map(i => (i.toLong, "big.example")) ++
+      (1000 until 1003).map(i => (i.toLong, "small.example"))).toDF("id", "host")
+    val out = Sampling.perKeyCap(rows, "host", "id", cap = 5)
+    val byKey = out.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+    assert(byKey("big.example").length == 5, "hot key capped at 5")
+    assert(byKey("small.example").length == 3, "under-cap key kept whole")
+    assert(byKey("small.example").map(_._3).sorted.sameElements(1 to 3))
+    // deterministic across runs
+    val again = Sampling.perKeyCap(rows, "host", "id", cap = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == byKey.values.flatten.toSet)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "bounded heap, not a per-key window sort")
+    intercept[IllegalArgumentException] { Sampling.perKeyCap(rows, "host", "id", 0) }
+  }
 }
