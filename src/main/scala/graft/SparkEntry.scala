@@ -408,6 +408,73 @@ object SparkEntry {
        SELECT query_id, corpus_id, ${roundToSql("score", 6)} AS score, rank
        FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** DuckDB replication of [[Sketches.kmvDistinct]] /
+    * [[Sketches.kmvSetOps]]: same portable hashes, same k-smallest
+    * distinct synopses, same estimate arithmetic (single IEEE ops in
+    * the identical order) — bit-exact like every sketch oracle here.
+    */
+  private def kmvDistinctOracleSql: String =
+    s"""WITH h AS (SELECT DISTINCT ${duckHex60("'kmv:' || CAST(l_partkey AS VARCHAR)")} AS h
+         FROM lineitem WHERE l_partkey IS NOT NULL),
+       top AS (SELECT h FROM h ORDER BY h LIMIT 64),
+       ag AS (SELECT max(h) AS hk, count(*) AS n FROM top)
+       SELECT ${roundToSql("CASE WHEN n < 64 THEN CAST(n AS DOUBLE) " +
+         "ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(hk AS DOUBLE) END", 3)} AS kmv_estimate,
+         CAST(n AS INTEGER) AS n_kept FROM ag"""
+
+  /** DuckDB replication of [[TextAnalysis.htmlExtract]] over the
+    * same synthesized page shell: the identical RE2-compatible regex
+    * chain ('g' flags — DuckDB replaces first-match by default),
+    * identical entity order (&amp; last), identical line gate.
+    */
+  private def htmlExtractOracleSql: String = {
+    val shell =
+      "'<html><head><title>Doc</title>" +
+      "<script type=\"text/javascript\">var x = 1 < 2; // nav()</script>" +
+      "<style>.nav{display:none}</style></head><body>" +
+      "<div class=\"nav\">Home | About | Contact</div><p>' || text || " +
+      "'</p><div class=\"footer\">&copy; 2026 Example &amp; Co</div></body></html>'"
+    s"""WITH h AS (SELECT doc_id, $shell AS c FROM documents),
+       s1 AS (SELECT doc_id, regexp_replace(c, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS c FROM h),
+       s2 AS (SELECT doc_id, regexp_replace(c, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS c FROM s1),
+       s3 AS (SELECT doc_id, regexp_replace(c, '(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/title)[^>]*>', chr(10), 'g') AS c FROM s2),
+       s4 AS (SELECT doc_id, regexp_replace(c, '<[^>]*>', ' ', 'g') AS c FROM s3),
+       s5 AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             c, '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+             '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g') AS c FROM s4),
+       s6 AS (SELECT doc_id,
+           list_transform(string_split(c, chr(10)),
+             ln -> trim(regexp_replace(ln, '\\s+', ' ', 'g'))) AS lines FROM s5),
+       s7 AS (SELECT doc_id,
+           list_filter(lines, ln ->
+             len(list_filter(string_split(ln, ' '), w -> regexp_matches(w, '\\p{L}'))) >= 4) AS kept,
+           list_filter(lines, ln -> length(ln) > 0) AS nonempty FROM s6)
+       SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS extracted,
+         CAST(len(kept) AS INTEGER) AS n_lines_kept,
+         CAST(len(nonempty) AS INTEGER) AS n_lines_total
+       FROM s7 ORDER BY doc_id"""
+  }
+
+  private def kmvSetOpsOracleSql: String = {
+    def sk(src: String, key: String): String =
+      s"SELECT DISTINCT ${duckHex60(s"'kmv:' || CAST($key AS VARCHAR)")} AS h " +
+      s"FROM $src WHERE $key IS NOT NULL ORDER BY h LIMIT 64"
+    s"""WITH ha AS (${sk("customer", "c_custkey")}),
+       hb AS (${sk("orders", "o_custkey")}),
+       comb AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) u ORDER BY h LIMIT 64),
+       ag AS (SELECT max(h) AS hk, count(*) AS n FROM comb),
+       ib AS (SELECT count(*) AS inboth FROM comb
+         WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)),
+       un AS (SELECT CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+           ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(hk AS DOUBLE) END AS u,
+           n FROM ag)
+       SELECT ${roundToSql("u", 3)} AS union_est,
+         ${roundToSql("(CAST(inboth AS DOUBLE) / CAST(n AS DOUBLE)) * u", 3)} AS intersect_est,
+         ${roundToSql("CAST(inboth AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS jaccard_est
+       FROM un, ib"""
+  }
+
   /** DuckDB replication of [[graft.operators.Sampling.clusterBalancedSample]]:
     * the same portable-hash seed cells as the SemDeDup oracle, then
     * per-cell row_number over (ppm bucket asc, id asc) capped at
@@ -1200,6 +1267,18 @@ object SparkEntry {
           "token", d = 4, w = 1024, k = 20)
         .orderBy(col("cms_estimate").desc, col("item").asc)
     }),
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      // KMV distinct estimate: 64 smallest distinct portable hashes
+      // of l_partkey; estimate = 63·2^60 / h_64 — config-sized
+      // synopsis, TakeOrderedAndProject (no global sort).
+      Sketches.kmvDistinct(t(s, dir, "lineitem"), "l_partkey", k = 64)),
+    "sketch_kmv_setops" -> ((s, dir) =>
+      // Set-operation estimates from two KMV synopses alone — the
+      // corpus-overlap question (union / intersection / Jaccard of
+      // customer keys vs ordering-customer keys) answered without
+      // ever joining the corpora.
+      Sketches.kmvSetOps(t(s, dir, "customer"), t(s, dir, "orders")
+          .select(col("o_custkey").as("c_custkey")), "c_custkey", k = 64)),
     "samp_stratified" -> ((s, dir) => {
       // Deterministic stratified sampling — the corpus-mixing
       // primitive: downsample English hard, keep half of German,
@@ -1217,6 +1296,16 @@ object SparkEntry {
       // (TakeOrderedAndProject), never a global sort.
       graft.operators.Sampling.hashTopK(t(s, dir, "documents"), "doc_id", 100)
         .select("doc_id").orderBy("doc_id")
+    }),
+    "samp_weighted" -> ((s, dir) => {
+      // Importance sampling by quality: each doc kept with
+      // probability = its (rounded) quality score — the soft
+      // alternative to a hard threshold; membership a pure function
+      // of (salt, doc_id, score), narrow scan-side filter.
+      val scored = t(s, dir, "documents").withColumn("score",
+        TextFunctions.qualityScore(col("text")))
+      graft.operators.Sampling.weightedSample(scored, "doc_id", "score")
+        .select("doc_id", "score").orderBy("doc_id")
     }),
     "samp_key_cap" -> ((s, dir) =>
       // Per-source cap (the per-host limit of web-corpus recipes):
@@ -1278,6 +1367,27 @@ object SparkEntry {
           expression(col("embedding").cast("array<double>")), planes)), 1).as("sig"))
       Dedup.hammingNearDups(sigs, "sig", "id", nBits = 48, bands = 6, maxHamming = 11)
         .orderBy("id_a", "id_b")
+    }),
+    "txt_html_extract" -> ((s, dir) => {
+      // WET-style HTML → main-text extraction: each doc wrapped in a
+      // deterministic page shell (script with a '<' inside, nav bar,
+      // entity-bearing footer), then the full extraction chain —
+      // script/style removal, block-tag newlines, tag strip, entity
+      // unescape, line-level boilerplate gate. The nav ("Home |
+      // About | Contact": 3 letter-words) and footer die; body
+      // prose survives.
+      val html = concat(
+        lit("<html><head><title>Doc</title>" +
+          "<script type=\"text/javascript\">var x = 1 < 2; // nav()</script>" +
+          "<style>.nav{display:none}</style></head><body>" +
+          "<div class=\"nav\">Home | About | Contact</div><p>"),
+        col("text"),
+        lit("</p><div class=\"footer\">&copy; 2026 Example &amp; Co</div>" +
+          "</body></html>"))
+      TextAnalysis.htmlExtract(
+          t(s, dir, "documents").withColumn("html", html), "html")
+        .select("doc_id", "extracted", "n_lines_kept", "n_lines_total")
+        .orderBy("doc_id")
     }),
     "txt_substring_dedup" -> ((s, dir) => {
       // Exact substring-duplication spans (Lee et al. 2022): every
@@ -2085,6 +2195,20 @@ object SparkEntry {
     "dedup_hamming_pairs" -> dedupHammingOracleSql,
     "samp_cluster_balanced" -> sampClusterBalancedOracleSql,
     "emb_int8_topk" -> annInt8OracleSql,
+    "sketch_kmv_distinct" -> kmvDistinctOracleSql,
+    "sketch_kmv_setops" -> kmvSetOpsOracleSql,
+    "txt_html_extract" -> htmlExtractOracleSql,
+    "samp_weighted" ->
+      s"""WITH t AS (SELECT doc_id, text,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+         m AS (SELECT doc_id,
+           $qualityMetricsBody
+         FROM t),
+         q AS (SELECT doc_id, $qualityScoreExpr AS score FROM m)
+         SELECT doc_id, score FROM q
+         WHERE ${duckHex60("'wsamp:' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+           CAST(floor(least(greatest(score * 1.0, 0.0), 1.0) * 1000000.0) AS BIGINT)
+         ORDER BY doc_id""",
     "samp_key_cap" ->
       s"""WITH sc AS (SELECT source AS key, doc_id AS id,
            ${duckHex60("'cap:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS b

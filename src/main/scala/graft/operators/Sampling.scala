@@ -148,6 +148,29 @@ object Sampling {
       .select(col("cell_id"), col("t.id").as("id"), (col("r") + 1).cast("int").as("rank"))
   }
 
+  /** Score-weighted deterministic sampling: keep each row with
+    * probability proportional to a per-row score (clamped to [0, 1]
+    * after scaling) — the importance-sampling primitive behind
+    * quality-weighted corpus construction ("keep high-quality
+    * documents at full rate, tail quality at their score's rate",
+    * the soft alternative to a hard quality threshold).
+    *
+    * Membership: `hash(salt:key) mod 10^6 < floor(score·scale·10^6)`
+    * — the threshold derives from the row's own score column, so the
+    * filter stays a narrow scan-side expression (no join, no window)
+    * and membership remains a pure function of (salt, key, score):
+    * reruns, retries, and any engine reproduce the same sample. The
+    * integer floor makes the comparison exact — no float-equality
+    * hazard at the boundary.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, scoreCol: String,
+                     scale: Double = 1.0, salt: String = "wsamp"): DataFrame = {
+    require(scale > 0.0 && scale.isFinite, s"scale=$scale must be positive and finite")
+    val thr = floor(least(greatest(col(scoreCol).cast("double") * lit(scale), lit(0.0)),
+      lit(1.0)) * lit(Denom.toDouble)).cast("long")
+    df.filter(bucketOf(col(keyCol), salt) < thr)
+  }
+
   /** Per-key cap: at most `cap` rows for every value of `keyCol`,
     * picked by deterministic hash order — the per-host / per-domain /
     * per-source limit every web-corpus recipe applies (C4's per-host

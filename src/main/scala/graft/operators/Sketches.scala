@@ -322,4 +322,79 @@ object Sketches {
             col("__cnt").cast("double")) * width, 6).as("estimate"),
         col("__n").as("n"))): _*)
   }
+
+  /** 2^60 as an (exactly representable) double — the KMV hash-space
+    * size; public so the oracle bakes the identical literal.
+    */
+  val KmvSpace: Double = 1152921504606846976.0
+
+  /** The KMV (k-minimum-values) synopsis of a column: the `k`
+    * smallest DISTINCT portable hashes, ascending. Config-sized
+    * (≤ k longs), mergeable (union = k smallest of the concatenation),
+    * and — unlike HLL registers — supports SET OPERATIONS via
+    * [[kmvSetOps]]: intersection/Jaccard estimates between corpora
+    * (Beyer et al. 2007), e.g. "how much does this crawl snapshot
+    * overlap last month's?" without ever joining them.
+    *
+    * Scale shape: one narrow hash map, a partial-aggregated distinct
+    * on 8-byte hashes, then TakeOrderedAndProject (per-partition
+    * bounded heaps + driver merge — never a global sort).
+    */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int,
+                salt: String = "kmv"): Array[Long] = {
+    require(k >= 2, s"k=$k must be >= 2")
+    df.filter(col(valueCol).isNotNull)
+      .select(Dedup.portableHash60(
+        concat(lit(salt + ":"), col(valueCol).cast("string"))).as("__h"))
+      .distinct()
+      .orderBy("__h").limit(k)
+      .collect().map(_.getLong(0))
+  }
+
+  /** Distinct-count estimate from a KMV synopsis: exact when fewer
+    * than `k` distinct hashes exist, else `(k-1)·2^60 / h_k` — every
+    * step a single IEEE op on exact integers, bit-reproducible.
+    */
+  def kmvEstimate(sketch: Array[Long], k: Int): Double =
+    if (sketch.length < k) sketch.length.toDouble
+    else (k - 1).toDouble * KmvSpace / sketch.last.toDouble
+
+  /** KMV distinct estimate as a one-row DataFrame (oracle-checkable
+    * form of [[kmvSketch]] + [[kmvEstimate]]).
+    */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sk = kmvSketch(df, valueCol, k)
+    Seq((math.floor(kmvEstimate(sk, k) * 1e3 + 0.5) / 1e3, sk.length))
+      .toDF("kmv_estimate", "n_kept")
+  }
+
+  /** Set-operation estimates between two corpora from their KMV
+    * synopses alone (the sketches never see each other's raw rows):
+    * the combined synopsis K = k smallest of HA ∪ HB estimates the
+    * union; ρ = |K ∩ HA ∩ HB| / |K| estimates Jaccard; intersection
+    * = ρ · union (Beyer et al. 2007). All set arithmetic is exact
+    * integer work over ≤ 2k hashes; the only FP ops are the two
+    * divisions and one multiply, in a fixed order — bit-reproducible
+    * by the oracle.
+    */
+  def kmvSetOps(a: DataFrame, b: DataFrame, valueCol: String, k: Int,
+                salt: String = "kmv"): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ha = kmvSketch(a, valueCol, k, salt)
+    val hb = kmvSketch(b, valueCol, k, salt)
+    val haS = ha.toSet; val hbS = hb.toSet
+    val combined = (haS ++ hbS).toArray.sorted.take(k)
+    val unionEst =
+      if (combined.length < k) combined.length.toDouble
+      else (k - 1).toDouble * KmvSpace / combined.last.toDouble
+    val inBoth = combined.count(h => haS.contains(h) && hbS.contains(h))
+    val jaccard = inBoth.toDouble / combined.length.toDouble
+    val intersectEst = jaccard * unionEst
+    def r3(x: Double): Double = math.floor(x * 1e3 + 0.5) / 1e3
+    Seq((r3(unionEst), r3(intersectEst), math.floor(jaccard * 1e6 + 0.5) / 1e6))
+      .toDF("union_est", "intersect_est", "jaccard_est")
+  }
 }

@@ -388,6 +388,49 @@ object TextAnalysis {
         !col("flag_symbol_ratio"))
   }
 
+  /** HTML → main text extraction: the WET-extraction step every
+    * web-corpus pipeline runs before any text analysis (the
+    * trafilatura/jusText class of problem, solved with portable
+    * primitives). Stages, all codegen'd Column expressions — no UDF:
+    *
+    *  1. drop `<script>`/`<style>` blocks (content and all);
+    *  2. turn block-closing tags (`</p> </div> </li> </h*> </tr>
+    *     </title> <br>`) into newlines so block structure survives
+    *     tag stripping;
+    *  3. strip every remaining tag; unescape the common entities
+    *     (`&amp;` LAST, so `&amp;lt;` cannot double-unescape);
+    *  4. per line: collapse whitespace, trim, and keep only lines
+    *     with ≥ `minWords` letter-bearing words — the line-level
+    *     boilerplate gate ("Home | About | Contact" counts 3 words,
+    *     dies; body prose survives). Letter-bearing = matches \p{L},
+    *     so pipes/dates/© don't count as words. Caveat: an unspaced
+    *     CJK line counts as ONE word — language-aware extraction
+    *     plugs in here, as in every words-based extractor.
+    *
+    * Every regex is RE2-compatible (no lookaround), so the DuckDB
+    * oracle replays the identical chain — the whole extraction is
+    * engine-reproducible.
+    */
+  def htmlExtract(df: DataFrame, htmlCol: String, minWords: Int = 4): DataFrame = {
+    val noScript = regexp_replace(col(htmlCol),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val blocks = regexp_replace(noStyle,
+      "(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/title)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val unescaped = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
+    val lines = split(unescaped, "\n")
+    val cleaned = transform(lines, ln => trim(regexp_replace(ln, "\\s+", " ")))
+    val kept = filter(cleaned, ln =>
+      size(filter(split(ln, " "), w => w.rlike("\\p{L}"))) >= minWords)
+    df.withColumn("extracted", array_join(kept, "\n"))
+      .withColumn("n_lines_kept", size(kept).cast("int"))
+      .withColumn("n_lines_total",
+        size(filter(cleaned, ln => length(ln) > 0)).cast("int"))
+  }
+
   /** TF-IDF keyword extraction: the top-`k` terms of each document
     * by tf·idf with smoothed log idf, ln((N+1)/(df+1)) + 1 — the
     * classic representation behind keyword tagging, near-dup domain

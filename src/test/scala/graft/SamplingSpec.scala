@@ -102,6 +102,26 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: keep rate tracks the score; 0 and 1 are exact") {
+    val rows = ((0 until 1000).map(i => (i.toLong, 0.3)) ++
+      (1000 until 2000).map(i => (i.toLong, 1.0)) ++
+      (2000 until 3000).map(i => (i.toLong, 0.0))).toDF("id", "score")
+    val kept = Sampling.weightedSample(rows, "id", "score")
+      .collect().map(r => r.getLong(0)).toSet
+    val lo = kept.count(_ < 1000)
+    assert(kept.count(k => k >= 1000 && k < 2000) == 1000, "score 1.0 keeps every row")
+    assert(!kept.exists(_ >= 2000), "score 0.0 keeps none")
+    assert(math.abs(lo / 1000.0 - 0.3) < 0.06, s"score-0.3 stratum kept at ${lo / 1000.0}")
+    // scale factor shifts the operating point; clamped at 1
+    val boosted = Sampling.weightedSample(rows, "id", "score", scale = 4.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(boosted.count(_ < 1000) > lo, "scale raises the keep rate")
+    assert(kept.subsetOf(boosted), "same salt: higher threshold is a superset")
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(rows, "id", "score", scale = 0.0)
+    }
+  }
+
   test("perKeyCap: hot key capped, small key kept whole, heap not window") {
     val rows = ((0 until 1000).map(i => (i.toLong, "big.example")) ++
       (1000 until 1003).map(i => (i.toLong, "small.example"))).toDF("id", "host")

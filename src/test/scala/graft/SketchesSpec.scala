@@ -137,4 +137,33 @@ class SketchesSpec extends SparkSpec {
     assert(out(0).getString(0) == "hot" && out(0).getAs[Long]("exact_count") == 500L)
     assert(out(1).getString(0) == "warm")
   }
+
+  test("KMV: exact below k, within error bounds above k, merge-consistent set ops") {
+    // below k: estimate is EXACT (the synopsis holds every hash)
+    val tiny = (0 until 40).map(i => s"v$i").toDF("v")
+    val tinyRow = Sketches.kmvDistinct(tiny, "v", k = 64).collect()(0)
+    assert(tinyRow.getDouble(0) == 40.0 && tinyRow.getInt(1) == 40)
+    // above k: 5000 distinct, k=256 → rse ≈ 1/sqrt(k-1) ≈ 6.3%;
+    // 25% is a ~4-sigma margin
+    val big = (0 until 5000).map(i => s"item$i").toDF("v")
+    val est = Sketches.kmvDistinct(big, "v", k = 256).collect()(0).getDouble(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.25, s"estimate $est vs 5000")
+    // duplicates do not move the synopsis (distinct hashes)
+    val dup = (big.union(big)).toDF("v")
+    val estDup = Sketches.kmvDistinct(dup, "v", k = 256).collect()(0).getDouble(0)
+    assert(estDup == est, "KMV is a function of the distinct value set")
+    // set ops: A = 0..2999, B = 2000..4999 → union 5000, intersect
+    // 1000, jaccard 0.2
+    val a = (0 until 3000).map(i => s"item$i").toDF("v")
+    val b = (2000 until 5000).map(i => s"item$i").toDF("v")
+    val ops = Sketches.kmvSetOps(a, b, "v", k = 256).collect()(0)
+    val (u, ix, j) = (ops.getDouble(0), ops.getDouble(1), ops.getDouble(2))
+    assert(math.abs(u - 5000.0) / 5000.0 < 0.25, s"union $u")
+    assert(math.abs(j - 0.2) < 0.1, s"jaccard $j")
+    assert(math.abs(ix - 1000.0) / 1000.0 < 0.6, s"intersect $ix")
+    // disjoint sets: jaccard and intersection exactly 0
+    val disjoint = Sketches.kmvSetOps(tiny,
+      (0 until 40).map(i => s"w$i").toDF("v"), "v", k = 256).collect()(0)
+    assert(disjoint.getDouble(1) == 0.0 && disjoint.getDouble(2) == 0.0)
+  }
 }

@@ -163,6 +163,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tr.toSeq == Seq("alpha", "zeta"))
   }
 
+  test("htmlExtract: scripts/styles die whole, block structure survives, boilerplate lines gated") {
+    val html =
+      """<html><head><title>Ignore me</title>
+        |<script>if (1 < 2) { alert("<p>not text</p>"); }</script>
+        |<style>.x { color: red; }</style></head>
+        |<body><div class="nav">Home | About | Contact</div>
+        |<h1>A Real Headline Spanning Five Words</h1>
+        |<p>This paragraph has plenty of real words to survive the gate.</p>
+        |<p>Entities: a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;done here fine.</p>
+        |<ul><li>item</li><li>thing</li></ul>
+        |<div class="footer">&copy; 2026</div></body></html>""".stripMargin.replace("\n", "")
+    val out = TextAnalysis.htmlExtract(Seq((1L, html)).toDF("id", "html"), "html")
+      .collect()(0)
+    val extracted = out.getAs[String]("extracted")
+    val lines = extracted.split("\n")
+    assert(lines.length == 3, s"3 surviving lines, got ${lines.toSeq}")
+    assert(lines(0) == "A Real Headline Spanning Five Words")
+    assert(lines(1) == "This paragraph has plenty of real words to survive the gate.")
+    assert(lines(2) == "Entities: a & b <tag> \"q\" 's' done here fine.",
+      s"entity unescape: ${lines(2)}")
+    // script body (with its embedded '<p>') and style never leak
+    assert(!extracted.contains("alert") && !extracted.contains("color"))
+    // nav, title, short list items, footer all gated out
+    assert(!extracted.contains("Home") && !extracted.contains("Ignore") &&
+      !extracted.contains("item") && !extracted.contains("2026"))
+    assert(out.getAs[Int]("n_lines_kept") == 3)
+    assert(out.getAs[Int]("n_lines_total") > 3, "gated lines still counted in total")
+    // an all-boilerplate page extracts to empty, not null
+    val empty = TextAnalysis.htmlExtract(
+      Seq((2L, "<html><body><div>Home | About</div></body></html>")).toDF("id", "html"), "html")
+      .collect()(0)
+    assert(empty.getAs[String]("extracted") == "" && empty.getAs[Int]("n_lines_kept") == 0)
+  }
+
   test("lmScore: hand-computed add-one bigram means; repetition scores high") {
     // corpus: a:3 b:1 c:1 d:1 -> V=4; bigrams (a,a)x2, (b,c)x1
     // doc 1: p(a|a) = (2+1)/(3+4) -> q=428571429, mean .428571429
