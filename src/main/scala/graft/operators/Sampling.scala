@@ -166,8 +166,11 @@ object Sampling {
   def weightedSample(df: DataFrame, keyCol: String, scoreCol: String,
                      scale: Double = 1.0, salt: String = "wsamp"): DataFrame = {
     require(scale > 0.0 && scale.isFinite, s"scale=$scale must be positive and finite")
-    val thr = floor(least(greatest(col(scoreCol).cast("double") * lit(scale), lit(0.0)),
-      lit(1.0)) * lit(Denom.toDouble)).cast("long")
+    // nanvl: a NaN score (0/0 ratio upstream) must mean "keep never",
+    // not "keep always" — greatest(NaN, 0) propagates NaN and
+    // least(NaN, 1) would then clamp it to probability 1
+    val thr = floor(least(greatest(nanvl(col(scoreCol).cast("double"), lit(0.0)) * lit(scale),
+      lit(0.0)), lit(1.0)) * lit(Denom.toDouble)).cast("long")
     df.filter(bucketOf(col(keyCol), salt) < thr)
   }
 
