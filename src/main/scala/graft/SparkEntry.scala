@@ -38,15 +38,27 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read nanos as long (legacy conf) and derive a
-    * proper TimestampType column (micros) alongside the raw ns value.
+  /** events.parquet's `ts` column has shipped in two physical forms:
+    * TIMESTAMP(NANOS) (which Spark's reader only accepts as a raw long
+    * via the legacy conf) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
+    * Normalize both to the same two derived columns — `ts_us` (micros
+    * since epoch, long) and `tstamp` (TimestampType) — so every query
+    * downstream is layout-independent. The NTZ wall clock is
+    * interpreted as UTC (session tz pinned here), matching DuckDB's
+    * `epoch_ms`/`epoch_us` treatment of naive timestamps in the oracle.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("tstamp", col("ts").cast("timestamp"))
+          .withColumn("ts_us", unix_micros(col("tstamp")))
+    }
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
@@ -674,7 +686,7 @@ object SparkEntry {
     "q22_events_lag" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       events(s, dir)
-        .withColumn("ms", expr("ts div 1000000"))
+        .withColumn("ms", expr("ts_us div 1000"))
         .withColumn("delta_ms", col("ms") - lag("ms", 1).over(w))
         .select("user_id", "event_id", "delta_ms")
         .orderBy("user_id", "event_id")
@@ -793,8 +805,8 @@ object SparkEntry {
     "i_a6_global_stats" -> ((s, dir) => {
       events(s, dir).agg(
         count("*").as("n"),
-        min(expr("ts div 1000000")).as("start_ms"),
-        max(expr("ts div 1000000")).as("end_ms"))
+        min(expr("ts_us div 1000")).as("start_ms"),
+        max(expr("ts_us div 1000")).as("end_ms"))
         .withColumn("duration_ms", col("end_ms") - col("start_ms"))
         .withColumn("rate_per_sec", rd(col("n") * 1000.0 / col("duration_ms"), 6))
     }),
@@ -1102,11 +1114,11 @@ object SparkEntry {
     "q29_range_join" -> ((s, dir) => {
       // Bucketized range join: click↔view pairs within ±60s per user.
       val ev = events(s, dir)
-      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts", "event_id")
-      val views = ev.filter(col("event_type") === "view").select("user_id", "ts", "event_id")
-      graft.operators.Joins.rangeJoin(clicks, views, Seq("user_id"), "ts",
-          before = 60L * 1000000000L, after = 60L * 1000000000L,
-          granularity = 60L * 1000000000L)
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts_us", "event_id")
+      val views = ev.filter(col("event_type") === "view").select("user_id", "ts_us", "event_id")
+      graft.operators.Joins.rangeJoin(clicks, views, Seq("user_id"), "ts_us",
+          before = 60L * 1000000L, after = 60L * 1000000L,
+          granularity = 60L * 1000000L)
         .select(col("event_id").as("click_id"), col("r_event_id").as("view_id"))
         .orderBy("click_id", "view_id")
     }),
@@ -1131,7 +1143,7 @@ object SparkEntry {
       // EventStream.sessionize): session bumps when the gap > 300 s.
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       events(s, dir)
-        .withColumn("ms", expr("ts div 1000000"))
+        .withColumn("ms", expr("ts_us div 1000"))
         .withColumn("gap_ms", col("ms") - lag("ms", 1).over(w))
         .withColumn("new_session",
           when(col("gap_ms").isNull || col("gap_ms") > 300000L, 1L).otherwise(0L))

@@ -23,8 +23,11 @@ object EventStream {
   case class Session(user_id: Long, start_ms: Long, end_ms: Long,
                      n_events: Int, sum_value: Double)
 
-  /** Streaming read of an events parquet directory (nanos ts read as
-    * long, converted to TimestampType like the batch path).
+  /** Streaming read of an events parquet directory, normalizing the
+    * `ts` column's two shipped physical forms (TIMESTAMP(NANOS) read
+    * as a raw long via the legacy conf; TIMESTAMP(MICROS) read as
+    * TIMESTAMP_NTZ, interpreted as UTC wall clock) to one
+    * TimestampType `tstamp` column, matching the batch path.
     *
     * `schema`: pass it explicitly to start the stream on a
     * NOT-YET-POPULATED ingest directory (the default infers via a
@@ -37,8 +40,16 @@ object EventStream {
                  schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val s = schema.getOrElse(spark.read.parquet(dir).schema)
-    spark.readStream.schema(s).parquet(dir)
-      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+    val base = spark.readStream.schema(s).parquet(dir)
+    s("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        base.withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType =>
+        base.withColumn("tstamp", col("ts"))
+      case _ => // TIMESTAMP_NTZ: wall clock interpreted in the session tz
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        base.withColumn("tstamp", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling-window counts/sums per event type with a watermark —
