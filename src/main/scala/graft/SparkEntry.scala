@@ -1476,6 +1476,18 @@ object SparkEntry {
       // centroid sums → order-immune; bounded-heap bottom-k).
       Similarity.labelOutliers(t(s, dir, "embeddings"), "embedding", "vec_id", "label", k = 10)
         .orderBy("label", "rank")
+    }),
+    "txt_entropy" -> ((s, dir) => {
+      // Token Shannon entropy per doc (information-density quality
+      // gate): per-term 1e-6-quantized integers → exact sums.
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "emb_linear_score" -> ((s, dir) => {
+      // Linear quality head over embeddings (aesthetic-predictor
+      // shape): plan-literal integer model, pure scan-side scoring.
+      Similarity.linearScore(t(s, dir, "embeddings"), "embedding", "vec_id", dim = 64)
+        .orderBy("vec_id")
     })
   )
 
@@ -2408,6 +2420,45 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY label ORDER BY c ASC, vec_id) AS INTEGER) AS rank
            FROM sc)
          SELECT label, vec_id, cosine, rank FROM r WHERE rank <= 10
-         ORDER BY label, rank"""
+         ORDER BY label, rank""",
+    "txt_entropy" ->
+      s"""WITH t AS (SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+           END AS toks FROM documents),
+         o AS (SELECT doc_id, ${duckHex60("tok")} AS h
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+         c AS (SELECT doc_id, h, count(*) AS ct FROM o GROUP BY doc_id, h),
+         n AS (SELECT doc_id, CAST(sum(ct) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS dist
+           FROM c GROUP BY doc_id),
+         q AS (SELECT c.doc_id,
+             CAST(floor((CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) *
+               ln(CAST(n AS DOUBLE) / CAST(ct AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS tq
+           FROM c JOIN n USING (doc_id)),
+         pd AS (SELECT doc_id, CAST(sum(tq) AS BIGINT) AS entropy_q FROM q GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(n.n, 0) AS n_tokens,
+           coalesce(n.dist, 0) AS n_distinct,
+           coalesce(pd.entropy_q, 0) AS entropy_q,
+           ${roundToSql("coalesce(pd.entropy_q, 0) / 1e6", 4)} AS entropy
+         FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN pd USING (doc_id)
+         ORDER BY d.doc_id""",
+    "emb_linear_score" -> {
+      val wq = graft.operators.Similarity.linearWeightsQ(64, "linhead")
+      val bq = graft.operators.Similarity.linearBiasQ("linhead")
+      val wlit = wq.mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT CAST($wlit AS BIGINT[]) AS wq),
+         sc AS (SELECT vec_id,
+             CASE WHEN len(embedding) = 64 THEN
+               list_reduce(list_transform(range(1, 65), i ->
+                 wq[i] * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)),
+                 (a, b) -> a + b) + CAST($bq AS BIGINT)
+             END AS logit_q
+           FROM embeddings CROSS JOIN w)
+         SELECT vec_id, logit_q,
+           ${roundToSql("logit_q / 1e9", 6)} AS lin_score,
+           coalesce(logit_q > 0, false) AS keep
+         FROM sc ORDER BY vec_id"""
+    }
   )
 }

@@ -435,4 +435,59 @@ object Similarity {
       .select(col("query_id"), col("t.id").as("corpus_id"),
         col("t.score").as("score"), (col("r") + 1).as("rank"))
   }
+
+  /** Deterministic portable-seed weights for [[linearScore]]: integer
+    * weights in [-1000, 1000] (value·1e3) derived from the md5-based
+    * portable hash, so any engine regenerates the identical model.
+    */
+  def linearWeightsQ(dim: Int, seed: String): IndexedSeq[Long] =
+    (0 until dim).map { d =>
+      val h = graft.plans.TextExprs.md5Hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$seed:$d"))
+      (h % 2001L) - 1000L
+    }
+
+  /** Bias for [[linearScore]] in logit_q units (1e-9 resolution):
+    * a portable-seed value in [-1, 1].
+    */
+  def linearBiasQ(seed: String): Long = {
+    val h = graft.plans.TextExprs.md5Hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"$seed:bias"))
+    ((h % 2001L) - 1000L) * 1000000L
+  }
+
+  /** Linear scoring head over an embedding column — the
+    * LAION-aesthetic-predictor / learned-quality-head inference shape
+    * (score = w·v + b against a fixed model, threshold or top-k
+    * downstream) that every embedding-based curation pipeline runs
+    * after CLIP-style featurization. The model here is the
+    * deterministic portable seed ([[linearWeightsQ]]/[[linearBiasQ]]);
+    * a real trained head plugs in as the same integer literals.
+    *
+    * Engine-portable by construction: components quantize to 1e-6
+    * integers, weights are 1e-3 integers, so
+    * `logit_q = Σ w_q[d]·v_q[d] + b_q` is one exact integer expression
+    * in 1e-9 units (|logit_q| ≤ dim·1e9 ≪ 2^63) — the DuckDB oracle
+    * reproduces it bit-for-bit from the same baked literals.
+    *
+    * Scale shape: the model is a PLAN LITERAL (no join, no broadcast
+    * table), scoring is a zip_with/aggregate scan-side expression —
+    * zero shuffles, zero UDFs; rows with a wrong-dimension vector get
+    * a NULL score and `keep = false` rather than poisoning the scan.
+    */
+  def linearScore(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+                  seed: String = "linhead", thresholdQ: Long = 0L): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val wlit = array(linearWeightsQ(dim, seed).map(lit): _*)
+    val v = col(vecCol).cast("array<double>")
+    val vq = transform(v, x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    val logitQ = when(size(v) === dim,
+      aggregate(zip_with(wlit, vq, (w, x) => w * x), lit(linearBiasQ(seed)),
+        (acc, p) => acc + p))
+    df.select(col(idCol), logitQ.as("logit_q"))
+      .select(col(idCol), col("logit_q"),
+        graft.functions.MathFunctions.roundTo(
+          col("logit_q").cast("double") / lit(1e9), 6).as("lin_score"),
+        coalesce(col("logit_q") > thresholdQ, lit(false)).as("keep"))
+  }
 }

@@ -495,6 +495,52 @@ object TextAnalysis {
     * functions inside the row, so no per-token row ever exists, let
     * alone shuffles. One model-sized funnel, zero data-sized ones.
     */
+  /** Per-document token Shannon entropy — the information-density
+    * quality gate (low entropy = repeated-token degenerate text, e.g.
+    * SEO keyword stuffing; used alongside the Gopher repetition
+    * signals). H = Σ_t (c_t/n)·ln(n/c_t) over the doc's distinct
+    * tokens, in nats.
+    *
+    * Engine-portable by construction: each distinct token's term is
+    * quantized to a 1e-6 integer BEFORE the per-doc sum (a 1-ulp `ln`
+    * disagreement across engines is ~1e-9 at this magnitude, three
+    * orders below the step), so the aggregation is an exact integer
+    * sum — the same convention as [[tfidfKeywords]]' idf.
+    *
+    * Scale shape: tokens shuffle as 8-byte portable hashes keyed by
+    * (doc, hash) into ONE map-side-combined count, then a doc-keyed
+    * sum — no windows, no raw-token shuffle, no collects. Hash
+    * collisions merge the same pair of tokens on every engine, so the
+    * oracle is unaffected.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(normalizeText(col(textCol)), " ")
+    val toksSafe = when(length(trim(col(textCol))) === 0,
+      lit(Array.empty[String])).otherwise(toks)
+    val occ = df.select(col(idCol).as("__id"), explode(toksSafe).as("__t"))
+      .select(col("__id"), graft.operators.Dedup.portableHash60(col("__t")).as("__h"))
+    val cnt = occ.groupBy("__id", "__h").agg(count("*").as("__c"))
+    val tot = cnt.groupBy("__id").agg(
+      sum("__c").as("__n"), count("*").as("__distinct"))
+    val termQ = floor(
+      (col("__c").cast("double") / col("__n").cast("double")) *
+        log(col("__n").cast("double") / col("__c").cast("double")) *
+        lit(1e6) + lit(0.5)).cast("long")
+    val perDoc = cnt.join(tot, "__id")
+      .withColumn("__q", termQ)
+      .groupBy("__id").agg(
+        max("__n").as("n_tokens"), max("__distinct").as("n_distinct"),
+        sum("__q").as("entropy_q"))
+    df.select(col(idCol))
+      .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("entropy_q"), lit(0L)).as("entropy_q"))
+      .withColumn("entropy", graft.functions.MathFunctions.roundTo(
+        col("entropy_q").cast("double") / lit(1e6), 4))
+  }
+
   def classifierScore(df: DataFrame, idCol: String, textCol: String,
                       weights: DataFrame, numBuckets: Int = 65536,
                       thresholdQ: Long = 0L): DataFrame = {

@@ -410,4 +410,30 @@ class DedupSpec extends SparkSpec {
       assert(cs.head < 0.0 && cs.sameElements(cs.sorted), cs.mkString(","))
     }
   }
+
+  test("linearScore: exact integer logit from the seed model, dim guard, threshold") {
+    val dim = 3
+    val w = Similarity.linearWeightsQ(dim, "linhead")
+    val b = Similarity.linearBiasQ("linhead")
+    def vq(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val rows = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),     // logit = bias exactly
+      (3L, Array(1.0f, 1.0f))            // wrong dim -> NULL score, keep=false
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.linearScore(rows, "embedding", "vec_id", dim)
+      .orderBy("vec_id").collect()
+    val exp1 = w(0) * vq(1.0f.toDouble) + w(1) * vq(-0.5f.toDouble) +
+      w(2) * vq(0.25f.toDouble) + b
+    assert(out(0).getLong(1) == exp1)
+    assert(out(0).getBoolean(3) == (exp1 > 0L))
+    assert(out(1).getLong(1) == b)
+    assert(out(2).isNullAt(1) && !out(2).getBoolean(3))
+    // score is the rounded 1e-9-scaled logit
+    assert(out(0).getDouble(2) == math.floor(exp1 / 1e9 * 1e6 + 0.5) / 1e6)
+    // threshold moves the keep frontier
+    val strict = Similarity.linearScore(rows, "embedding", "vec_id", dim,
+      thresholdQ = Long.MaxValue).orderBy("vec_id").collect()
+    assert(strict.forall(!_.getBoolean(3)))
+  }
 }

@@ -375,4 +375,22 @@ class PlanAuditSpec extends SparkSpec {
       s"band-key exchanges must carry only (id, band, key):\n$bandExchanges")
     assert(p.contains("partial_"), "corpus-side bucket counts map-side combined")
   }
+
+  test("txt_entropy: tokens shuffle as 8-byte hashes; counts map-side combined; no window") {
+    val p = plan("txt_entropy")
+    assert(!p.contains("Window"), s"agg+join formulation, no window:\n$p")
+    assert(p.contains("partial_"), "per-(doc,hash) counts map-side combined")
+    // the (doc, hash)-keyed exchanges must not carry raw token strings
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning(__id")).mkString("\n")
+    assert(keyed.nonEmpty, s"doc-keyed aggregation exchange present:\n$p")
+    assert(!keyed.contains("__t#") && !keyed.contains("text#"),
+      s"entropy exchanges must carry hashes/counts, not tokens:\n$keyed")
+  }
+
+  test("emb_linear_score: model is a plan literal — zero joins, zero exchanges on the scan") {
+    val p = plan("emb_linear_score")
+    assert(!p.contains("Join"), s"no join — the model must be a literal:\n$p")
+    // only the final orderBy may exchange; the scoring itself is scan-side
+    assert(!p.contains("Window") && !p.contains("Exchange SinglePartition"), p)
+  }
 }

@@ -219,4 +219,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores(10L) > scores(20L) * 10,
       s"repetitive doc ${scores(10L)} should dwarf token-soup ${scores(20L)}")
   }
+
+  test("tokenEntropy: hand-computed nats, degenerate and empty docs") {
+    val docs = Seq(
+      (1L, "a a a a"),   // one distinct token: H = 0
+      (2L, "a b"),       // uniform over 2: H = ln 2
+      (3L, ""),          // empty: all zero
+      (4L, "x y y y")    // (1/4)ln4 + (3/4)ln(4/3)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // per-term q = floor((c/n)·ln(n/c)·1e6 + 0.5), summed exactly
+    val q2 = math.floor(0.5 * math.log(2.0) * 1e6 + 0.5).toLong        // 346574
+    val q4x = math.floor(0.25 * math.log(4.0) * 1e6 + 0.5).toLong      // 346574
+    val q4y = math.floor(0.75 * math.log(4.0 / 3.0) * 1e6 + 0.5).toLong // 215762
+    def ent(q: Long): Double = math.floor(q / 1e6 * 1e4 + 0.5) / 1e4
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, 0L, 0.0),
+      (2L, 2L, 2L, 2 * q2, ent(2 * q2)),
+      (3L, 0L, 0L, 0L, 0.0),
+      (4L, 4L, 2L, q4x + q4y, ent(q4x + q4y))))
+  }
 }
