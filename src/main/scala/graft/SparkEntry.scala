@@ -1488,6 +1488,22 @@ object SparkEntry {
       // shape): plan-literal integer model, pure scan-side scoring.
       Similarity.linearScore(t(s, dir, "embeddings"), "embedding", "vec_id", dim = 64)
         .orderBy("vec_id")
+    }),
+    "samp_temperature" -> ((s, dir) => {
+      // α-temperature language rebalancing (XLM-R/mC4 rule): the
+      // smallest language keeps 100%, larger ones soften as n^(α-1).
+      graft.operators.Sampling.temperatureSample(
+          t(s, dir, "documents"), "lang", "doc_id", alpha = 0.3)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    "samp_dsir" -> ((s, dir) => {
+      // DSIR importance resampling: raw = all documents, target = the
+      // English slice; top-50 docs whose hashed-unigram distribution
+      // most resembles the target under add-one-smoothed log-ratios.
+      val docs = t(s, dir, "documents")
+      graft.operators.Sampling.dsirSample(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+        numBuckets = 256, k = 50)
     })
   )
 
@@ -2459,6 +2475,42 @@ object SparkEntry {
            ${roundToSql("logit_q / 1e9", 6)} AS lin_score,
            coalesce(logit_q > 0, false) AS keep
          FROM sc ORDER BY vec_id"""
-    }
+    },
+    "samp_temperature" ->
+      s"""WITH cnts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang),
+         m AS (SELECT max(pow(CAST(n AS DOUBLE), -0.7)) AS m FROM cnts),
+         r AS (SELECT lang,
+             CAST(floor(least(1.0, pow(CAST(n AS DOUBLE), -0.7) / m.m) * 1e6 + 0.5) AS BIGINT) AS thr
+           FROM cnts CROSS JOIN m)
+         SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         WHERE ${duckHex60("'temp:' || CAST(doc_id AS VARCHAR)")} % 1000000 < r.thr
+         ORDER BY d.doc_id""",
+    "samp_dsir" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+           END AS toks FROM documents),
+         o AS (SELECT doc_id, lang, ${duckHex60("'dsir:' || tok")} % 256 AS b
+           FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)),
+         rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM o GROUP BY b),
+         tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM o WHERE lang = 'en' GROUP BY b),
+         tot AS (SELECT (SELECT coalesce(sum(cr), 0) FROM rc) AS nr,
+                        (SELECT coalesce(sum(ct), 0) FROM tc) AS nt),
+         lam AS (SELECT coalesce(rc.b, tc.b) AS b,
+             CAST(floor(ln(
+               CAST((coalesce(ct, 0) + 1) * (nr + 256) AS DOUBLE) /
+               CAST((coalesce(cr, 0) + 1) * (nt + 256) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lamq
+           FROM rc FULL OUTER JOIN tc ON rc.b = tc.b CROSS JOIN tot),
+         sc AS (SELECT o.doc_id, CAST(sum(lam.lamq) AS BIGINT) AS logw_q,
+             CAST(count(*) AS BIGINT) AS ntok
+           FROM o JOIN lam ON o.b = lam.b GROUP BY o.doc_id),
+         f AS (SELECT t.doc_id, coalesce(sc.ntok, 0) AS n_tokens,
+             coalesce(sc.logw_q, 0) AS logw_q
+           FROM t LEFT JOIN sc USING (doc_id))
+         SELECT doc_id, n_tokens, logw_q,
+           CASE WHEN n_tokens = 0 THEN 0.0
+             ELSE ${roundToSql("logw_q / (n_tokens * 1e6)", 6)} END AS dsir_score
+         FROM f ORDER BY logw_q DESC, doc_id LIMIT 50"""
   )
 }

@@ -216,4 +216,106 @@ object Sampling {
       .orderBy(col("__samp_h").asc, col(keyCol).asc)
       .limit(k)
       .drop("__samp_h")
+
+  /** α-temperature domain sampling (the XLM-R / mC4 multilingual
+    * rebalancing rule): keep-rate ∝ n_d^(α−1), normalized so the
+    * SMALLEST domain keeps everything — α→1 reproduces the corpus
+    * as-is, α→0 flattens every domain to the smallest's size. Where
+    * [[mixtureSample]] hits exact TARGET shares, this applies the
+    * standard power-law softening used when no explicit mixture is
+    * specified (low-resource languages upweighted, English softened).
+    *
+    * Scale shape: one map-side-combined count per domain (collected —
+    * config-sized, not data-sized, same as [[mixtureSample]]), then a
+    * narrow scan-side CASE filter. Membership is a pure function of
+    * (salt, key) — reruns, retries, and the DuckDB oracle reproduce
+    * the exact sample.
+    */
+  def temperatureSample(df: DataFrame, domainCol: String, keyCol: String,
+                        alpha: Double = 0.3, salt: String = "temp"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha must be in (0, 1]")
+    val counts = df.groupBy(col(domainCol).cast("string").as("__d")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) df.filter(lit(false))
+    else {
+      val m = counts.values.map(n => math.pow(n.toDouble, alpha - 1.0)).max
+      val rates = counts.map { case (d, n) =>
+        d -> math.min(1.0, math.pow(n.toDouble, alpha - 1.0) / m)
+      }
+      stratifiedSample(df, domainCol, keyCol, rates, defaultFrac = 0.0, salt)
+    }
+  }
+
+  /** DSIR importance resampling (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much it looks like the TARGET corpus under
+    * hashed bag-of-words models — logw(x) = Σ_tokens λ[bucket(tok)]
+    * with λ[b] = ln(p_target[b]/p_raw[b]), add-one smoothed — and keep
+    * the top `k`. The standard "select pretraining data that matches
+    * a high-quality target distribution" primitive (deterministic
+    * top-k deviation from the paper's Gumbel resampling, so the
+    * sample is reproducible and oracle-checkable).
+    *
+    * Engine-portable by construction: each bucket's λ quantizes to a
+    * 1e-6 integer computed from ONE ln of an exact integer ratio
+    * (products < 2^53, so the double inputs are identical across
+    * engines), and a document's log-weight is an exact integer sum of
+    * its tokens' λ_q.
+    *
+    * Scale shape: two map-side-combined bucket counts (numBuckets
+    * rows each — config-sized), a full-outer join of those tiny
+    * tables, and the model collapses to ONE map row broadcast to a
+    * scan-side aggregate over the token array — the corpus shuffles
+    * nothing, features never become rows, and selection is a bounded
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def dsirSample(raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+                 numBuckets: Int = 256, k: Int = 100, seed: String = "dsir"): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(k > 0, s"k must be positive, got $k")
+    import graft.functions.TextFunctions.normalizeText
+    val B = numBuckets.toLong
+    def toksSafe(c: Column) = when(length(trim(c)) === 0,
+      lit(Array.empty[String])).otherwise(split(normalizeText(c), " "))
+    def bucket(t: Column) = pmod(
+      Dedup.portableHash60(concat(lit(seed + ":"), t)), lit(B))
+    def bucketCounts(df: DataFrame, cname: String) =
+      df.select(explode(toksSafe(col(textCol))).as("__t"))
+        .select(bucket(col("__t")).as("__b"))
+        .groupBy("__b").agg(count("*").as(cname))
+    val rc = bucketCounts(raw, "__cr")
+    val tc = bucketCounts(target, "__ct")
+    val tot = rc.agg(coalesce(sum("__cr"), lit(0L)).as("__nr"))
+      .crossJoin(tc.agg(coalesce(sum("__ct"), lit(0L)).as("__nt")))
+    // λ_q[b] = round(ln((c_t+1)(n_r+B) / ((c_r+1)(n_t+B))) · 1e6)
+    val lam = rc.join(tc, Seq("__b"), "full_outer")
+      .select(col("__b"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"))
+      .crossJoin(tot)
+      .select(col("__b"),
+        floor(log(((col("__ct") + 1L) * (col("__nr") + B)).cast("double") /
+                  ((col("__cr") + 1L) * (col("__nt") + B)).cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("__lamq"))
+    // the whole model is ONE broadcast row: the bucket→λ_q map plus
+    // the never-seen-bucket default λ (c_r = c_t = 0 smoothing value)
+    val model = lam
+      .agg(map_from_arrays(collect_list("__b"), collect_list("__lamq")).as("__lam"))
+      .crossJoin(tot.select(
+        floor(log((col("__nr") + B).cast("double") / (col("__nt") + B).cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("__defq")))
+    val bucks = transform(toksSafe(col(textCol)), t => bucket(t))
+    raw.select(col(idCol), col(textCol))
+      .crossJoin(broadcast(model))
+      .select(col(idCol),
+        size(toksSafe(col(textCol))).cast("long").as("n_tokens"),
+        aggregate(bucks, lit(0L),
+          (acc, b) => acc + coalesce(element_at(col("__lam"), b), col("__defq")))
+          .as("logw_q"))
+      .withColumn("dsir_score", when(col("n_tokens") === 0, lit(0.0)).otherwise(
+        graft.functions.MathFunctions.roundTo(
+          col("logw_q").cast("double") / (col("n_tokens").cast("double") * lit(1e6)), 6)))
+      .orderBy(col("logw_q").desc, col(idCol))
+      .limit(k)
+  }
 }

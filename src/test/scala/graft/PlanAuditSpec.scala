@@ -393,4 +393,25 @@ class PlanAuditSpec extends SparkSpec {
     // only the final orderBy may exchange; the scoring itself is scan-side
     assert(!p.contains("Window") && !p.contains("Exchange SinglePartition"), p)
   }
+
+  test("samp_temperature: data path is a narrow scan-side filter — no join, no window") {
+    val p = plan("samp_temperature")
+    assert(!p.contains("Join"), s"rates must be a literal CASE chain:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("samp_dsir: model broadcast as one row; selection is bounded top-k, not a sort") {
+    val p = plan("samp_dsir")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must bound, never globally sort:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the λ-map model must broadcast:\n$p")
+    assert(p.contains("partial_"), "bucket counts map-side combined")
+    assert(!p.contains("Window"), "no window anywhere in the dsir plan")
+    // the only shuffle join allowed is the full-outer of the two
+    // config-sized bucket tables (full-outer cannot broadcast): every
+    // SortMergeJoin must key on the bucket column, never on data rows
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(_.contains("__b#")),
+      s"sort-merge joins must only touch the bucket tables:\n${smj.mkString("\n")}")
+  }
 }

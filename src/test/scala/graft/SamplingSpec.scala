@@ -139,4 +139,46 @@ class SamplingSpec extends SparkSpec {
       "bounded heap, not a per-key window sort")
     intercept[IllegalArgumentException] { Sampling.perKeyCap(rows, "host", "id", 0) }
   }
+
+  test("temperatureSample: smallest domain keeps all; rates follow n^(alpha-1)") {
+    // 1600 en / 400 de: rate_de = 1.0, rate_en = (1600/400)^(alpha-1)
+    val df = (0 until 2000).map(i => (i.toLong, if (i < 1600) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.temperatureSample(df, "lang", "id", alpha = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("de") == 400, s"smallest domain keeps 100%, got $byLang")
+    val expEn = math.pow(4.0, -0.7) // ≈ 0.379
+    assert(math.abs(byLang("en") / 1600.0 - expEn) < 0.05,
+      s"en rate ${byLang("en") / 1600.0} should track $expEn")
+    // alpha = 1 keeps everything; invalid alpha rejected
+    assert(Sampling.temperatureSample(df, "lang", "id", alpha = 1.0).count() == 2000)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(df, "lang", "id", alpha = 0.0)
+    }
+  }
+
+  test("dsirSample: target-like docs outscore off-target; exact integer log-weights") {
+    // target vocabulary {aa bb cc}; off-target {xx yy zz}; raw holds both
+    val raw = ((0 until 20).map(i => (i.toLong, "aa bb cc aa bb")) ++
+      (100 until 120).map(i => (i.toLong, "xx yy zz xx yy"))).toDF("doc_id", "text")
+    val target = (0 until 10).map(i => (1000L + i, "aa bb cc")).toDF("doc_id", "text")
+    val out = Sampling.dsirSample(raw, target, "doc_id", "text",
+      numBuckets = 64, k = 40).collect()
+    assert(out.length == 40)
+    // every target-vocab doc must rank above every off-target doc
+    val (tgt, off) = out.partition(_.getLong(0) < 100L)
+    assert(tgt.length == 20 && off.length == 20)
+    assert(tgt.map(_.getLong(2)).min > off.map(_.getLong(2)).max,
+      "target-like log-weights must dominate")
+    // top-k boundary: k=5 keeps the 5 smallest doc_ids among the
+    // (equal-score) target docs — the documented deterministic tiebreak
+    val top5 = Sampling.dsirSample(raw, target, "doc_id", "text",
+      numBuckets = 64, k = 5).collect().map(_.getLong(0)).toSeq
+    assert(top5 == Seq(0L, 1L, 2L, 3L, 4L), s"tiebreak by doc_id: $top5")
+    // deterministic across runs
+    val again = Sampling.dsirSample(raw, target, "doc_id", "text",
+      numBuckets = 64, k = 40).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
