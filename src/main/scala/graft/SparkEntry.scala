@@ -1504,6 +1504,12 @@ object SparkEntry {
       graft.operators.Sampling.dsirSample(
         docs, docs.filter(col("lang") === "en"), "doc_id", "text",
         numBuckets = 256, k = 50)
+    }),
+    "sketch_domain_overlap" -> ((s, dir) => {
+      // Pairwise source-overlap matrix from per-source KMV synopses:
+      // one corpus pass into k-long sketches, then a tiny self-join.
+      Sketches.kmvOverlapMatrix(t(s, dir, "documents"), "source", "text", k = 64)
+        .orderBy("source_a", "source_b")
     })
   )
 
@@ -2511,6 +2517,29 @@ object SparkEntry {
          SELECT doc_id, n_tokens, logw_q,
            CASE WHEN n_tokens = 0 THEN 0.0
              ELSE ${roundToSql("logw_q / (n_tokens * 1e6)", 6)} END AS dsir_score
-         FROM f ORDER BY logw_q DESC, doc_id LIMIT 50"""
+         FROM f ORDER BY logw_q DESC, doc_id LIMIT 50""",
+    "sketch_domain_overlap" ->
+      s"""WITH h AS (SELECT DISTINCT source, ${duckHex60("'kmv:' || text")} AS h
+           FROM documents WHERE text IS NOT NULL),
+         rk AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM h),
+         sk AS (SELECT source, array_agg(h ORDER BY h) AS hs
+           FROM rk WHERE r <= 64 GROUP BY source),
+         p AS (SELECT a.source AS source_a, b.source AS source_b,
+             a.hs AS ha, b.hs AS hb
+           FROM sk a JOIN sk b ON a.source < b.source),
+         c AS (SELECT source_a, source_b, ha, hb,
+             list_sort(list_distinct(ha || hb))[1:64] AS comb FROM p),
+         e AS (SELECT source_a, source_b, CAST(len(comb) AS BIGINT) AS n,
+             CASE WHEN len(comb) < 64 THEN CAST(len(comb) AS DOUBLE)
+                  ELSE 63 * 1152921504606846976.0 / CAST(comb[64] AS DOUBLE) END AS u,
+             CAST(len(list_filter(comb, x ->
+               list_contains(ha, x) AND list_contains(hb, x))) AS BIGINT) AS ib
+           FROM c)
+         SELECT source_a, source_b,
+           ${roundToSql("u", 3)} AS union_est,
+           ${roundToSql("(CAST(ib AS DOUBLE) / n) * u", 3)} AS intersect_est,
+           ${roundToSql("CAST(ib AS DOUBLE) / n", 6)} AS jaccard_est
+         FROM e ORDER BY source_a, source_b"""
   )
 }

@@ -397,4 +397,58 @@ object Sketches {
     Seq((r3(unionEst), r3(intersectEst), math.floor(jaccard * 1e6 + 0.5) / 1e6))
       .toDF("union_est", "intersect_est", "jaccard_est")
   }
+
+  /** Distributed per-group KMV synopses: for every value of
+    * `groupCol`, the k smallest distinct portable hashes of
+    * `valueCol` — [[kmvSketch]] without the driver round-trip, one
+    * row per group. The bounded-set aggregate
+    * ([[graft.plans.BottomKLongs]]) keeps map-side partials k-bounded,
+    * so ≤ k longs per (group, partition) cross the shuffle and a hot
+    * domain never funnels its full membership into one task.
+    */
+  def kmvGroupSketches(df: DataFrame, groupCol: String, valueCol: String,
+                       k: Int, salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        Dedup.portableHash60(
+          concat(lit(salt + ":"), col(valueCol).cast("string"))).as("__h"))
+      .groupBy("grp").agg(graft.plans.BottomKLongs.bottomK(col("__h"), k).as("hs"))
+  }
+
+  /** Pairwise corpus-overlap matrix from per-group KMV synopses alone
+    * (Beyer et al. 2007, as [[kmvSetOps]] but for ALL group pairs in
+    * one pass): "how much does each crawl/source/snapshot overlap
+    * every other?" — the duplication heat-map a curation run consults
+    * before choosing what to dedup against — without ever joining the
+    * groups' raw rows. Estimates per (a < b) pair: union, intersection,
+    * Jaccard; exact below k distinct values.
+    *
+    * Scale shape: ONE pass over the data into config-sized sketches
+    * (k longs per group), then a groups×groups broadcast self-join of
+    * those sketch rows — |groups|² pairs of k-length arrays, nothing
+    * data-sized. Every estimate is exact integer set arithmetic plus
+    * the two fixed-order IEEE ops of [[kmvSetOps]], so the DuckDB
+    * oracle reproduces all three numbers bit-for-bit.
+    */
+  def kmvOverlapMatrix(df: DataFrame, groupCol: String, valueCol: String,
+                       k: Int, salt: String = "kmv"): DataFrame = {
+    val sk = kmvGroupSketches(df, groupCol, valueCol, k, salt)
+    val a = sk.select(col("grp").as("source_a"), col("hs").as("__ha"))
+    val b = sk.select(col("grp").as("source_b"), col("hs").as("__hb"))
+    val comb = slice(array_sort(array_union(col("__ha"), col("__hb"))), 1, k)
+    val kc = lit((k - 1).toDouble * KmvSpace)
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("__comb", comb)
+      .withColumn("__n", size(col("__comb")))
+      .withColumn("__union", when(col("__n") < k, col("__n").cast("double"))
+        .otherwise(kc / element_at(col("__comb"), k).cast("double")))
+      .withColumn("__inboth", size(array_intersect(
+        array_intersect(col("__comb"), col("__ha")), col("__hb"))))
+      .withColumn("__jac", col("__inboth").cast("double") / col("__n").cast("double"))
+      .select(col("source_a"), col("source_b"),
+        graft.functions.MathFunctions.roundTo(col("__union"), 3).as("union_est"),
+        graft.functions.MathFunctions.roundTo(col("__jac") * col("__union"), 3).as("intersect_est"),
+        graft.functions.MathFunctions.roundTo(col("__jac"), 6).as("jaccard_est"))
+  }
 }

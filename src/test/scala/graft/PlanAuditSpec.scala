@@ -414,4 +414,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(smj.forall(_.contains("__b#")),
       s"sort-merge joins must only touch the bucket tables:\n${smj.mkString("\n")}")
   }
+
+  test("sketch_domain_overlap: bounded sketch agg map-side partial; pair join broadcast; no window") {
+    val p = plan("sketch_domain_overlap")
+    assert(p.contains("partial_bottom_k_longs"),
+      s"per-partition k-bounded partial sketches:\n$p")
+    assert(!p.contains("Window"), "no per-group sort window anywhere")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the groups-by-groups pair join must broadcast sketch rows:\n$p")
+  }
 }

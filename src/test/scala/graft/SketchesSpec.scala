@@ -166,4 +166,39 @@ class SketchesSpec extends SparkSpec {
       (0 until 40).map(i => s"w$i").toDF("v"), "v", k = 256).collect()(0)
     assert(disjoint.getDouble(1) == 0.0 && disjoint.getDouble(2) == 0.0)
   }
+
+  test("bottomK aggregate: k smallest distinct values, merge-consistent across partitions") {
+    val df = spark.range(0, 1000).repartition(8)
+      .selectExpr("CAST(id % 100 AS BIGINT) AS v") // heavy duplication
+    val out = df.agg(graft.plans.BottomKLongs.bottomK(col("v"), 10).as("bk"))
+      .collect()(0).getSeq[Long](0)
+    assert(out == (0L until 10L), s"10 smallest distinct: $out")
+    // fewer distinct values than k: all of them, ascending
+    val small = df.filter(col("v") < 3)
+      .agg(graft.plans.BottomKLongs.bottomK(col("v"), 10).as("bk"))
+      .collect()(0).getSeq[Long](0)
+    assert(small == (0L until 3L), s"$small")
+  }
+
+  test("kmvOverlapMatrix: identical groups read jaccard 1, disjoint read 0, agrees with kmvSetOps") {
+    val rows = (0 until 300).map(i => ("a", s"v$i")) ++        // a == b
+      (0 until 300).map(i => ("b", s"v$i")) ++
+      (0 until 300).map(i => ("c", s"w$i"))                    // c disjoint
+    val df = rows.toDF("src", "v").repartition(7)
+    val out = Sketches.kmvOverlapMatrix(df, "src", "v", k = 64)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.length == 3, "3 pairs from 3 groups")
+    val ab = out.find(p => p._1 == "a" && p._2 == "b").get
+    assert(ab._5 == 1.0, s"identical groups must read jaccard 1.0: $ab")
+    assert(out.filter(p => p._2 == "c" || p._1 == "c")
+      .forall(p => p._4 == 0.0 && p._5 == 0.0), s"disjoint pairs read 0: ${out.toSeq}")
+    // the (a, c) pair must equal the dedicated two-corpus kmvSetOps
+    val aDf = rows.filter(_._1 == "a").map(_._2).toDF("v")
+    val cDf = rows.filter(_._1 == "c").map(_._2).toDF("v")
+    val ref = Sketches.kmvSetOps(aDf, cDf, "v", k = 64).collect()(0)
+    val ac = out.find(p => p._1 == "a" && p._2 == "c").get
+    assert((ac._3, ac._4, ac._5) == (ref.getDouble(0), ref.getDouble(1), ref.getDouble(2)),
+      s"matrix pair $ac must equal kmvSetOps ${ref.toSeq}")
+  }
 }
