@@ -1510,6 +1510,17 @@ object SparkEntry {
       // one corpus pass into k-long sketches, then a tiny self-join.
       Sketches.kmvOverlapMatrix(t(s, dir, "documents"), "source", "text", k = 64)
         .orderBy("source_a", "source_b")
+    }),
+    "txt_ccnet_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail: corpus-LM fluency score, then
+      // per-language tercile thresholds from the histogram sketch.
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.lmScore(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      TextAnalysis.languageBuckets(scored, "doc_id", "lang", "lm_score",
+          lo = 0.0, hi = 0.05)
+        .select("doc_id", "lang", "n_bigrams", "lm_score", "bucket")
+        .orderBy("doc_id")
     })
   )
 
@@ -2540,6 +2551,49 @@ object SparkEntry {
            ${roundToSql("u", 3)} AS union_est,
            ${roundToSql("(CAST(ib AS DOUBLE) / n) * u", 3)} AS intersect_est,
            ${roundToSql("CAST(ib AS DOUBLE) / n", 6)} AS jaccard_est
-         FROM e ORDER BY source_a, source_b"""
+         FROM e ORDER BY source_a, source_b""",
+    "txt_ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id,
+           regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+         e AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 1, 0))) AS pos FROM t),
+         bg AS (SELECT doc_id, toks[pos+1] AS w1, toks[pos+2] AS w2 FROM e),
+         uc AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+         bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         sc AS (SELECT doc_id,
+             CAST(floor((CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS q
+           FROM bg JOIN bi USING (w1, w2) JOIN uc ON bg.w1 = uc.w CROSS JOIN v),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, CAST(sum(q) AS BIGINT) AS sq
+           FROM sc GROUP BY doc_id),
+         lm AS (SELECT d.doc_id, d.lang, coalesce(pd.nb, 0) AS n_bigrams,
+           CASE WHEN coalesce(pd.nb, 0) = 0 THEN 0.0
+                ELSE ${roundToSql("CAST(pd.sq AS DOUBLE) / (CAST(pd.nb AS DOUBLE) * 1e9)", 6)}
+           END AS lm_score
+         FROM documents d LEFT JOIN pd USING (doc_id)),
+         b AS (SELECT lang,
+             least(greatest(CAST(floor((lm_score - 0.0) / (0.05 - 0.0) * 256) AS BIGINT), 0), 255) AS bin
+           FROM lm WHERE lm_score IS NOT NULL),
+         c AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY lang, bin),
+         cc AS (SELECT lang, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+           FROM c),
+         e2 AS (SELECT cc.*, CAST(q.quantile AS DOUBLE) AS quantile
+           FROM cc CROSS JOIN (SELECT unnest([CAST(1 AS DOUBLE) / 3, CAST(2 AS DOUBLE) / 3]) AS quantile) q),
+         f AS (SELECT *, greatest(CAST(ceil(quantile * n) AS BIGINT), 1) AS target FROM e2),
+         est AS (SELECT lang, quantile,
+             ${roundToSql(
+               "0.0 + (CAST(bin AS DOUBLE) + CAST(target - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) * ((0.05 - 0.0) / 256)", 6)} AS estimate
+           FROM f WHERE cum >= target AND (cum - cnt) < target),
+         thr AS (SELECT lang,
+             max(CASE WHEN quantile = CAST(1 AS DOUBLE) / 3 THEN estimate END) AS t1,
+             max(CASE WHEN quantile = CAST(2 AS DOUBLE) / 3 THEN estimate END) AS t2
+           FROM est GROUP BY lang)
+         SELECT lm.doc_id, lm.lang, lm.n_bigrams, lm.lm_score,
+           CASE WHEN lm.lm_score > thr.t2 THEN 'head'
+                WHEN lm.lm_score > thr.t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM lm JOIN thr USING (lang) ORDER BY lm.doc_id"""
   )
 }

@@ -350,6 +350,43 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2020 §4.3):
+    * split every language's documents into fluency terciles, so
+    * downstream recipes can keep "head" (most target-like) text per
+    * language rather than applying one global threshold that would
+    * wipe out low-resource languages. Generic over the score column —
+    * compose with [[lmScore]] for the CCNet shape (done in the
+    * `txt_ccnet_buckets` query) or any other per-doc quality signal.
+    * Deviation from the paper: CCNet trains one LM per language;
+    * here the score is caller-supplied (the query uses the corpus-wide
+    * [[lmScore]]) — the per-language TERCILE split is the operator.
+    *
+    * Thresholds come from the mergeable histogram sketch
+    * ([[Sketches.quantileSketch]]) — per-group state is `numBuckets`
+    * bins regardless of corpus size, so no window ever sorts a
+    * language's full membership (a global `percent_rank` would) —
+    * and the bucket assignment is a broadcast-join + CASE at scan
+    * speed. Every threshold is the same deterministic interpolation
+    * in both engines, so comparisons at the boundary agree exactly.
+    */
+  def languageBuckets(df: DataFrame, idCol: String, groupCol: String,
+                      scoreCol: String, lo: Double, hi: Double,
+                      numBuckets: Int = 256): DataFrame = {
+    val third = 1.0 / 3.0
+    val twoThirds = 2.0 / 3.0
+    val qs = Sketches.quantileSketch(df, scoreCol, Seq(groupCol), lo, hi,
+      numBuckets, quantiles = Seq(third, twoThirds))
+    val thr = qs.groupBy(groupCol).agg(
+      max(when(col("quantile") === third, col("estimate"))).as("__t1"),
+      max(when(col("quantile") === twoThirds, col("estimate"))).as("__t2"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .withColumn("bucket",
+        when(col(scoreCol) > col("__t2"), lit("head"))
+          .when(col(scoreCol) > col("__t1"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__t1", "__t2")
+  }
+
   /** C4/Gopher-style document filter flags (Raffel et al. 2020 §2.2;
     * Rae et al. 2021 §A1.1): each heuristic as its own boolean column
     * plus the composite `keep`. Tag-don't-drop, like the pipeline's

@@ -423,4 +423,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"the groups-by-groups pair join must broadcast sketch rows:\n$p")
   }
+
+  test("txt_ccnet_buckets: thresholds broadcast; windows only over sketch BINS, never docs") {
+    val p = plan("txt_ccnet_buckets")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-language thresholds must broadcast to the doc scan:\n$p")
+    // the only Window sorts the ≤256 histogram bins per language:
+    // its partition key must be the language, ordering by __bin
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, "the sketch cumulative sum uses a window over bins")
+    // every window partitions by language and aggregates the bin
+    // COUNTS (__cnt) — bounded at numBuckets rows per language — never
+    // a per-document column
+    assert(winLines.forall(l => l.contains("lang#") && l.contains("__cnt#")),
+      s"windows must roll up per-language bin counts only:\n${winLines.mkString("\n")}")
+    assert(winLines.exists(_.contains("__bin#")),
+      s"the cumulative window orders by bin:\n${winLines.mkString("\n")}")
+  }
 }

@@ -241,4 +241,27 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 0L, 0L, 0L, 0.0),
       (4L, 4L, 2L, q4x + q4y, ent(q4x + q4y))))
   }
+
+  test("languageBuckets: per-language terciles — each language splits independently") {
+    // lang A: scores 0.5..8.5 (9 docs, thirds of 3); lang B sits two
+    // orders lower — under one GLOBAL threshold all of B would be
+    // "tail"; per-language terciles must still split B 3/3/3
+    val rows = (0 until 9).map(i => (i.toLong, "aa", 0.5 + i)) ++
+      (100 until 109).map(i => (i.toLong, "bb", (0.5 + (i - 100)) / 100.0))
+    val df = rows.toDF("doc_id", "lang", "score")
+    val out = TextAnalysis.languageBuckets(df, "doc_id", "lang", "score",
+        lo = 0.0, hi = 10.0, numBuckets = 1000)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("bucket")))
+    val byLang = out.groupBy(_._2)
+    for ((lang, rs) <- byLang) {
+      val counts = rs.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(counts == Map("head" -> 3, "middle" -> 3, "tail" -> 3),
+        s"$lang terciles: $counts")
+      // ordering: head docs have the highest scores within the language
+      val rank = rs.sortBy(_._1).map(_._3).toSeq
+      assert(rank == Seq("tail", "tail", "tail", "middle", "middle", "middle",
+        "head", "head", "head"), s"$lang: $rank")
+    }
+  }
 }
