@@ -46,7 +46,12 @@ object PlanDump {
     "samp_cluster_balanced" -> "narrow literal-matrix cell assignment; per-cell bounded heap — no window sorts a cell",
     "samp_key_cap" -> "per-key bounded heap: a hot domain costs the same heap as a small one",
     "txt_fuzzy_decontaminate" -> "cross-corpus band join (corpus buckets vs benchmark buckets); capped; exact-Jaccard verify",
-    "meta_profile" -> "one aggregation pass; multi-distinct via Expand; collected row is schema-sized")
+    "meta_profile" -> "one aggregation pass; multi-distinct via Expand; collected row is schema-sized",
+    "txt_entropy" -> "tokens shuffle as 8-byte hashes; (doc,hash) counts map-side combined; no window",
+    "emb_linear_score" -> "plan-literal integer model; pure scan-side zip_with/aggregate — zero joins, zero data shuffles",
+    "samp_dsir" -> "bucket tables config-sized; model one broadcast map row; bounded TakeOrderedAndProject selection",
+    "sketch_domain_overlap" -> "k-bounded partial sketches per group; broadcast groups-by-groups pair join; no window",
+    "txt_ccnet_buckets" -> "per-language thresholds from bin-bounded histogram windows, broadcast back to the doc scan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
