@@ -1521,6 +1521,22 @@ object SparkEntry {
           lo = 0.0, hi = 0.05)
         .select("doc_id", "lang", "n_bigrams", "lm_score", "bucket")
         .orderBy("doc_id")
+    }),
+    "txt_winnowing" -> ((s, dir) => {
+      // MOSS winnowing fingerprints: rightmost-min gram hash per
+      // sliding window — all scan-side, nothing shuffles.
+      TextAnalysis.winnowing(t(s, dir, "documents"), "doc_id", "text",
+          gramSize = 5, w = 4)
+        .orderBy("doc_id")
+    }),
+    "emb_random_projection" -> ((s, dir) => {
+      // JL random projection 64 -> 16 dims: plan-literal integer
+      // matrix, exact integer output components. Flattened to
+      // (vec_id, dim, comp) rows — the oracle comparator is scalar.
+      Similarity.randomProjection(t(s, dir, "embeddings"), "embedding", "vec_id",
+          dim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj_q")).as(Seq("dim", "comp")))
+        .orderBy("vec_id", "dim")
     })
   )
 
@@ -2594,6 +2610,46 @@ object SparkEntry {
            CASE WHEN lm.lm_score > thr.t2 THEN 'head'
                 WHEN lm.lm_score > thr.t1 THEN 'middle'
                 ELSE 'tail' END AS bucket
-         FROM lm JOIN thr USING (lang) ORDER BY lm.doc_id"""
+         FROM lm JOIN thr USING (lang) ORDER BY lm.doc_id""",
+    "txt_winnowing" ->
+      s"""WITH t AS (SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+           END AS toks FROM documents),
+         g AS (SELECT doc_id, toks, greatest(len(toks) - 4, 0) AS ng FROM t),
+         -- outer lambda variable must NOT be `i`: duckHex60 expands to
+         -- a list_transform whose own `i` would shadow it
+         h AS (SELECT doc_id, ng, list_transform(range(0, ng), gi ->
+             ${duckHex60("array_to_string(toks[(gi+1):(gi+5)], ' ')")}) AS hs FROM g),
+         wn AS (SELECT doc_id, ng, hs, greatest(ng - 3, 0) AS nw FROM h),
+         sel AS (SELECT doc_id, ng, nw, hs,
+             list_distinct(list_transform(range(0, nw), i ->
+               CAST(i + 4 - list_position(list_reverse(hs[(i+1):(i+4)]),
+                 list_min(hs[(i+1):(i+4)])) AS INTEGER))) AS pos FROM wn),
+         fp AS (SELECT doc_id, ng, nw,
+             list_transform(pos, p -> hs[p + 1]) AS fps FROM sel)
+         SELECT doc_id, CAST(ng AS BIGINT) AS n_grams, CAST(nw AS BIGINT) AS n_windows,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           coalesce(list_min(fps), 0) AS fp_min,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, b) -> xor(a, b)) AS fp_xor
+         FROM fp ORDER BY doc_id""",
+    "emb_random_projection" -> {
+      val m = (0 until 16).map(j =>
+        graft.operators.Similarity.linearWeightsQ(64, s"rproj:$j")
+          .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT CAST($m AS BIGINT[][]) AS m),
+         sc AS (SELECT vec_id,
+             CASE WHEN len(embedding) = 64 THEN
+               list_transform(range(1, 17), j ->
+                 list_reduce(list_transform(range(1, 65), i ->
+                   m[j][i] * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)),
+                   (a, b) -> a + b))
+             END AS proj_q
+           FROM embeddings CROSS JOIN w)
+         SELECT vec_id, CAST(u.j AS INTEGER) - 1 AS dim, proj_q[u.j] AS comp
+         FROM sc CROSS JOIN (SELECT unnest(range(1, 17)) AS j) u
+         WHERE proj_q IS NOT NULL
+         ORDER BY vec_id, dim"""
+    }
   )
 }

@@ -456,6 +456,38 @@ object Similarity {
     ((h % 2001L) - 1000L) * 1000000L
   }
 
+  /** Dense random-projection dimensionality reduction
+    * (Johnson–Lindenstrauss / Achlioptas-style): y = Pᵀ·v with a
+    * deterministic portable-seed integer matrix — the standard
+    * preprocessing step that shrinks a wide embedding (e.g. 768-d)
+    * to an ANN-friendly width while approximately preserving
+    * pairwise distances. The signed variant of this idea is already
+    * [[graft.operators.Dedup]]'s hyperplane LSH; this keeps the full
+    * projected vector.
+    *
+    * Engine-portable: components quantize to 1e-6 integers, the
+    * matrix entries are 1e-3 integers from the md5 seed
+    * ([[linearWeightsQ]] per output dimension), so every output
+    * component is an exact integer in 1e-9 units.
+    *
+    * Scale shape: the matrix is a PLAN LITERAL (dim × outDim
+    * integers); projection is outDim independent zip_with/aggregate
+    * folds inside the row — zero joins, zero shuffles, zero UDFs.
+    */
+  def randomProjection(df: DataFrame, vecCol: String, idCol: String,
+                       dim: Int, outDim: Int,
+                       seed: String = "rproj"): DataFrame = {
+    require(dim > 0 && outDim > 0, s"dims must be positive, got $dim -> $outDim")
+    val v = col(vecCol).cast("array<double>")
+    val vq = transform(v, x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    val cols = (0 until outDim).map { j =>
+      val wlit = array(linearWeightsQ(dim, s"$seed:$j").map(lit): _*)
+      aggregate(zip_with(wlit, vq, (w, x) => w * x), lit(0L), (acc, p) => acc + p)
+    }
+    df.select(col(idCol),
+      when(size(v) === dim, array(cols: _*)).as("proj_q"))
+  }
+
   /** Linear scoring head over an embedding column — the
     * LAION-aesthetic-predictor / learned-quality-head inference shape
     * (score = w·v + b against a fixed model, threshold or top-k

@@ -350,6 +350,58 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  /** Robust winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm): hash every `gramSize`-token window, slide a window of
+    * `w` consecutive gram hashes, and select the MINIMUM hash per
+    * window (rightmost on ties). Guarantees: every `w`-window
+    * contributes a fingerprint (detection gap ≤ w + gramSize − 1
+    * tokens) while keeping the fingerprint density ~2/(w+1) — the
+    * position-robust document fingerprinting used for plagiarism /
+    * near-dup detection where [[chunkDedup]]'s aligned chunks would
+    * miss shifted copies. Returns per-doc fingerprint summaries;
+    * cross-doc matching composes the selected hashes with the
+    * existing dedup joins.
+    *
+    * Scale shape: pure scan-side higher-order functions — the gram
+    * hash array, the window minima, and the distinct-position
+    * fold all happen inside the row (O(g·w) per doc, w is small);
+    * nothing shuffles, nothing explodes into rows. Engine-portable:
+    * every selected fingerprint is an (integer position, 60-bit md5
+    * hash) pair — no floats anywhere.
+    */
+  def winnowing(df: DataFrame, idCol: String, textCol: String,
+                gramSize: Int = 5, w: Int = 4): DataFrame = {
+    require(gramSize >= 2, s"gramSize must be >= 2, got $gramSize")
+    require(w >= 1, s"window w must be >= 1, got $w")
+    val toks = split(normalizeText(col(textCol)), " ")
+    val nTok = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
+    val nGrams = greatest(nTok - (gramSize - 1), lit(0))
+    val gIdx = when(nGrams > 0, sequence(lit(0), nGrams - 1))
+      .otherwise(lit(Array.emptyIntArray))
+    val hs = transform(gIdx, i => graft.operators.Dedup.portableHash60(
+      concat_ws(" ", slice(toks, i + lit(1), lit(gramSize)))))
+    val nWin = greatest(nGrams - (w - 1), lit(0))
+    val wIdx = when(nWin > 0, sequence(lit(0), nWin - 1))
+      .otherwise(lit(Array.emptyIntArray))
+    // rightmost minimal hash per window: pos = i + (w - position of
+    // the min in the REVERSED window slice), 0-based
+    val selPos = transform(wIdx, i => {
+      val win = slice(hs, i + lit(1), lit(w))
+      val m = array_min(win)
+      (i + lit(w) - array_position(reverse(win), m)).cast("int")
+    })
+    val distinctPos = array_distinct(selPos)
+    val selHashes = transform(distinctPos, p => element_at(hs, p + lit(1)))
+    df.select(col(idCol),
+        nGrams.cast("long").as("n_grams"),
+        nWin.cast("long").as("n_windows"),
+        selHashes.as("__fp"))
+      .select(col(idCol), col("n_grams"), col("n_windows"),
+        size(col("__fp")).cast("long").as("n_fingerprints"),
+        coalesce(array_min(col("__fp")), lit(0L)).as("fp_min"),
+        aggregate(col("__fp"), lit(0L), (acc, h) => acc.bitwiseXOR(h)).as("fp_xor"))
+  }
+
   /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2020 §4.3):
     * split every language's documents into fluency terciles, so
     * downstream recipes can keep "head" (most target-like) text per

@@ -436,4 +436,22 @@ class DedupSpec extends SparkSpec {
       thresholdQ = Long.MaxValue).orderBy("vec_id").collect()
     assert(strict.forall(!_.getBoolean(3)))
   }
+
+  test("randomProjection: exact integer components from the seed matrix, dim guard") {
+    val dim = 3; val outDim = 2
+    val rows = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(1.0f, 1.0f))          // wrong dim -> NULL projection
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(rows, "embedding", "vec_id", dim, outDim)
+      .orderBy("vec_id").collect()
+    def vq(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val v = Seq(vq(1.0f.toDouble), vq(-0.5f.toDouble), vq(0.25f.toDouble))
+    val exp = (0 until outDim).map { j =>
+      val w = Similarity.linearWeightsQ(dim, s"rproj:$j")
+      (0 until dim).map(d => w(d) * v(d)).sum
+    }
+    assert(out(0).getSeq[Long](1) == exp, s"${out(0).getSeq[Long](1)} vs $exp")
+    assert(out(1).isNullAt(1), "wrong-dimension vector projects to NULL")
+  }
 }

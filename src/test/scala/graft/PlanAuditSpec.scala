@@ -440,4 +440,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(winLines.exists(_.contains("__bin#")),
       s"the cumulative window orders by bin:\n${winLines.mkString("\n")}")
   }
+
+  test("txt_winnowing / emb_random_projection: pure scans — no joins, no shuffles, no Generate") {
+    for (name <- Seq("txt_winnowing", "emb_random_projection")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+      assert(!p.contains("Window"), s"$name must not window:\n$p")
+      // only the final orderBy exchanges; the computation is in-row
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.forall(e => e.contains("rangepartitioning")),
+        s"$name: only the output sort may exchange:\n${exchanges.mkString("\n")}")
+    }
+  }
 }

@@ -242,6 +242,37 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 4L, 2L, q4x + q4y, ent(q4x + q4y))))
   }
 
+  test("winnowing: selection equals a direct reimplementation; gap guarantee holds") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h60(s: String): Long =
+      graft.plans.TextExprs.md5Hash60(UTF8String.fromString(s))
+    val toks = "the quick brown fox jumps over the lazy dog tonight".split(" ")
+    val text = toks.mkString(" ")
+    val gramSize = 2; val w = 3
+    val hs = toks.sliding(gramSize).map(g => h60(g.mkString(" "))).toArray
+    // reference robust winnowing: rightmost minimal hash per window
+    val expectedPos = (0 to hs.length - w).map { i =>
+      val win = hs.slice(i, i + w)
+      val m = win.min
+      i + win.lastIndexOf(m)
+    }.distinct
+    val expFps = expectedPos.map(hs)
+    val out = TextAnalysis.winnowing(
+        Seq((1L, text), (2L, ""), (3L, "too short")).toDF("doc_id", "text"),
+        "doc_id", "text", gramSize, w)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == hs.length && out(0).getLong(2) == hs.length - w + 1)
+    assert(out(0).getLong(3) == expFps.length, "distinct fingerprint count")
+    assert(out(0).getLong(4) == expFps.min)
+    assert(out(0).getLong(5) == expFps.fold(0L)(_ ^ _))
+    // the winnowing guarantee: consecutive selections gap <= w
+    assert(expectedPos.sorted.sliding(2).forall {
+      case Seq(a, b) => b - a <= w; case _ => true })
+    // empty text and < gramSize+w-1 tokens: all-zero summaries
+    for (r <- Seq(out(1), out(2)))
+      assert(r.getLong(2) == 0 && r.getLong(3) == 0 && r.getLong(4) == 0 && r.getLong(5) == 0)
+  }
+
   test("languageBuckets: per-language terciles — each language splits independently") {
     // lang A: scores 0.5..8.5 (9 docs, thirds of 3); lang B sits two
     // orders lower — under one GLOBAL threshold all of B would be
