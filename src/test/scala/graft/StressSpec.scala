@@ -260,4 +260,46 @@ class StressSpec extends SparkSpec {
     assert(ratio < 15.0,
       f"lmScore must scale near-linearly: 10x took $ratio%.1fx")
   }
+
+  test("dsirSample stays near-linear at 10x (config-sized model, bounded top-k)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    // vocab grows 10x with the suffixed copies, but the model is
+    // numBuckets rows regardless — only the corpus scan should scale
+    val (one, ten) = tenX
+    import graft.operators.Sampling
+    def run(df: org.apache.spark.sql.DataFrame): Unit = {
+      val target = df.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      Sampling.dsirSample(df, target, "doc_id", "text",
+        numBuckets = 1024, k = 100).collect()
+    }
+    run(one) // warm-up
+    val t1 = timeOf(run(one))
+    val t10 = timeOf(run(ten))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"dsirSample must scale near-linearly: 10x took $ratio%.1fx")
+  }
+
+  test("kmvOverlapMatrix: 10x rows and 10x groups, pairs grow 100x, wall stays bounded") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    val (one, ten) = tenX
+    import graft.operators.Sketches
+    // group key = copy id (derived from the doc_id offset): 1 group
+    // at 1x, 10 groups at 10x — sketches stay k longs per group, the
+    // pair join grows quadratically in GROUPS (tiny), not in rows
+    def run(df: org.apache.spark.sql.DataFrame): Long =
+      Sketches.kmvOverlapMatrix(
+        df.withColumn("grp", (col("doc_id") / 10000000L).cast("long")),
+        "grp", "text", k = 256).count()
+    run(one) // warm-up
+    val t1 = timeOf(run(one))
+    val t10 = timeOf(run(ten))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"grouped KMV sketches must scale with rows, not pairs x rows: $ratio%.1fx")
+  }
 }
