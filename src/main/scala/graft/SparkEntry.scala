@@ -1512,13 +1512,14 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
     "txt_ccnet_buckets" -> ((s, dir) => {
-      // CCNet head/middle/tail: corpus-LM fluency score, then
+      // CCNet head/middle/tail, faithful shape: one bigram LM PER
+      // LANGUAGE (lmScoreBy) scores its own documents, then
       // per-language tercile thresholds from the histogram sketch.
       val docs = t(s, dir, "documents")
-      val scored = TextAnalysis.lmScore(docs, "doc_id", "text")
+      val scored = TextAnalysis.lmScoreBy(docs, "doc_id", "text", "lang")
         .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       TextAnalysis.languageBuckets(scored, "doc_id", "lang", "lm_score",
-          lo = 0.0, hi = 0.05)
+          lo = 0.0, hi = 0.1)
         .select("doc_id", "lang", "n_bigrams", "lm_score", "bucket")
         .orderBy("doc_id")
     }),
@@ -2569,17 +2570,20 @@ object SparkEntry {
            ${roundToSql("CAST(ib AS DOUBLE) / n", 6)} AS jaccard_est
          FROM e ORDER BY source_a, source_b""",
     "txt_ccnet_buckets" ->
-      s"""WITH t AS (SELECT doc_id,
+      s"""WITH t AS (SELECT doc_id, lang,
            regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
          FROM documents),
-         e AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 1, 0))) AS pos FROM t),
-         bg AS (SELECT doc_id, toks[pos+1] AS w1, toks[pos+2] AS w2 FROM e),
-         uc AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
-         v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
-         bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         e AS (SELECT doc_id, lang, toks, unnest(range(0, greatest(len(toks) - 1, 0))) AS pos FROM t),
+         bg AS (SELECT doc_id, lang, toks[pos+1] AS w1, toks[pos+2] AS w2 FROM e),
+         uc AS (SELECT lang, w, count(*) AS c1
+           FROM (SELECT lang, unnest(toks) AS w FROM t) GROUP BY lang, w),
+         v AS (SELECT lang, CAST(count(*) AS BIGINT) AS v FROM uc GROUP BY lang),
+         bi AS (SELECT lang, w1, w2, count(*) AS c12 FROM bg GROUP BY lang, w1, w2),
          sc AS (SELECT doc_id,
              CAST(floor((CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS q
-           FROM bg JOIN bi USING (w1, w2) JOIN uc ON bg.w1 = uc.w CROSS JOIN v),
+           FROM bg JOIN bi USING (lang, w1, w2)
+           JOIN uc ON bg.w1 = uc.w AND bg.lang = uc.lang
+           JOIN v ON bg.lang = v.lang),
          pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, CAST(sum(q) AS BIGINT) AS sq
            FROM sc GROUP BY doc_id),
          lm AS (SELECT d.doc_id, d.lang, coalesce(pd.nb, 0) AS n_bigrams,
@@ -2588,7 +2592,7 @@ object SparkEntry {
            END AS lm_score
          FROM documents d LEFT JOIN pd USING (doc_id)),
          b AS (SELECT lang,
-             least(greatest(CAST(floor((lm_score - 0.0) / (0.05 - 0.0) * 256) AS BIGINT), 0), 255) AS bin
+             least(greatest(CAST(floor((lm_score - 0.0) / (0.1 - 0.0) * 256) AS BIGINT), 0), 255) AS bin
            FROM lm WHERE lm_score IS NOT NULL),
          c AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY lang, bin),
          cc AS (SELECT lang, bin, cnt,
@@ -2600,7 +2604,7 @@ object SparkEntry {
          f AS (SELECT *, greatest(CAST(ceil(quantile * n) AS BIGINT), 1) AS target FROM e2),
          est AS (SELECT lang, quantile,
              ${roundToSql(
-               "0.0 + (CAST(bin AS DOUBLE) + CAST(target - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) * ((0.05 - 0.0) / 256)", 6)} AS estimate
+               "0.0 + (CAST(bin AS DOUBLE) + CAST(target - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) * ((0.1 - 0.0) / 256)", 6)} AS estimate
            FROM f WHERE cum >= target AND (cum - cnt) < target),
          thr AS (SELECT lang,
              max(CASE WHEN quantile = CAST(1 AS DOUBLE) / 3 THEN estimate END) AS t1,

@@ -350,6 +350,56 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  /** Per-GROUP variant of [[lmScore]]: every group (language) trains
+    * its own add-one-smoothed bigram table and scores only its own
+    * documents — the faithful CCNet shape (one LM per language,
+    * Wenzek et al. 2020) that the corpus-wide [[lmScore]]
+    * approximates. Same integer-quantization contract (each smoothed
+    * probability → 1e-9 integer BEFORE the per-doc sum).
+    *
+    * Scale shape: identical to [[lmScore]] with the group key added
+    * to every count key — (grp, w1, w2) bigram counts, (grp, w)
+    * unigram counts, per-grp vocab sizes (|groups| rows, broadcast) —
+    * all map-side combined; a hot language spreads over its (w1, w2)
+    * space, never one task.
+    */
+  def lmScoreBy(df: DataFrame, idCol: String, textCol: String,
+                groupCol: String): DataFrame = {
+    val toks = split(normalizeText(col(textCol)), " ")
+    val nBi = greatest(size(toks) - 1, lit(0))
+    val idxs = when(nBi > 0, sequence(lit(0), nBi - 1))
+      .otherwise(lit(Array.emptyIntArray))
+    val bigrams = transform(idxs,
+      i => struct(element_at(toks, i + lit(1)).as("w1"),
+                  element_at(toks, i + lit(2)).as("w2")))
+    val occ = df
+      .select(col(idCol).as("__id"), col(groupCol).as("__g"), explode(bigrams).as("__b"))
+      .select(col("__id"), col("__g"), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    val uniCnt = df
+      .select(col(groupCol).as("__g"),
+        explode(split(normalizeText(col(textCol)), " ")).as("__w"))
+      .groupBy("__g", "__w").agg(count("*").as("__c1"))
+    val biCnt = occ.groupBy("__g", "__w1", "__w2").agg(count("*").as("__c12"))
+    val vocab = broadcast(uniCnt.groupBy("__g").agg(count("*").as("__v")))
+    val q = floor(((col("__c12") + 1).cast("double") /
+        (col("__c1") + col("__v")).cast("double")) * lit(1e9) + lit(0.5)).cast("long")
+    val perDoc = occ
+      .join(biCnt, Seq("__g", "__w1", "__w2"))
+      .join(uniCnt.withColumnRenamed("__w", "__w1"), Seq("__g", "__w1"))
+      .join(vocab, Seq("__g"))
+      .select(col("__id"), q.as("__q"))
+      .groupBy(col("__id").as(idCol)).agg(
+        count("*").as("n_bigrams"),
+        sum("__q").as("__sq"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0)).otherwise(
+          graft.functions.MathFunctions.roundTo(
+            col("__sq").cast("double") / (col("n_bigrams").cast("double") * lit(1e9)), 6))
+          .as("lm_score"))
+  }
+
   /** Robust winnowing fingerprints (Schleimer et al. 2003, the MOSS
     * algorithm): hash every `gramSize`-token window, slide a window of
     * `w` consecutive gram hashes, and select the MINIMUM hash per

@@ -242,6 +242,24 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 4L, 2L, q4x + q4y, ent(q4x + q4y))))
   }
 
+  test("lmScoreBy: each language scores against ITS OWN bigram table only") {
+    val docs = Seq(
+      (1L, "aa", "x y"), (2L, "aa", "x y"),  // aa: c(x,y)=2, c(x)=2, V=2
+      (3L, "bb", "x y z")                     // bb: own counts, V=3
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.lmScoreBy(docs, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // aa: p(y|x) = (2+1)/(2+2) = 0.75 — UNpolluted by bb's x/y counts
+    assert(out(0) == ((1L, 1L, 0.75)) && out(1) == ((2L, 1L, 0.75)))
+    // bb: p(y|x) = p(z|y) = (1+1)/(1+3) = 0.5
+    assert(out(2) == ((3L, 2L, 0.5)))
+    // the corpus-wide LM would mix the tables: same doc scores differ
+    val global = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    assert(global(0) != 0.75, s"global LM must pool counts, got ${global.toSeq}")
+  }
+
   test("winnowing: selection equals a direct reimplementation; gap guarantee holds") {
     import org.apache.spark.unsafe.types.UTF8String
     def h60(s: String): Long =
