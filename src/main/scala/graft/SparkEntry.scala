@@ -1530,6 +1530,13 @@ object SparkEntry {
           gramSize = 5, w = 4)
         .orderBy("doc_id")
     }),
+    "dedup_winnowing" -> ((s, dir) => {
+      // MOSS matching: pairs sharing >= 2 winnowing fingerprints,
+      // capped-bucket equi-join over slim (doc, hash) rows.
+      TextAnalysis.winnowingPairs(t(s, dir, "documents"), "doc_id", "text",
+          gramSize = 5, w = 4, minShared = 2, maxBucketSize = 50)
+        .orderBy("id_a", "id_b")
+    }),
     "emb_random_projection" -> ((s, dir) => {
       // JL random projection 64 -> 16 dims: plan-literal integer
       // matrix, exact integer output components. Flattened to
@@ -2637,6 +2644,29 @@ object SparkEntry {
            coalesce(list_min(fps), 0) AS fp_min,
            list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, b) -> xor(a, b)) AS fp_xor
          FROM fp ORDER BY doc_id""",
+    "dedup_winnowing" ->
+      s"""WITH t AS (SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+           END AS toks FROM documents),
+         g AS (SELECT doc_id, toks, greatest(len(toks) - 4, 0) AS ng FROM t),
+         h AS (SELECT doc_id, ng, list_transform(range(0, ng), gi ->
+             ${duckHex60("array_to_string(toks[(gi+1):(gi+5)], ' ')")}) AS hs FROM g),
+         wn AS (SELECT doc_id, ng, hs, greatest(ng - 3, 0) AS nw FROM h),
+         sel AS (SELECT doc_id, hs,
+             list_distinct(list_transform(range(0, nw), i ->
+               CAST(i + 4 - list_position(list_reverse(hs[(i+1):(i+4)]),
+                 list_min(hs[(i+1):(i+4)])) AS INTEGER))) AS pos FROM wn),
+         fpd AS (SELECT DISTINCT doc_id, unnest(list_transform(pos, p -> hs[p + 1])) AS h
+           FROM sel),
+         cold AS (SELECT h FROM fpd GROUP BY h HAVING count(*) <= 50),
+         slim AS (SELECT doc_id, h FROM fpd JOIN cold USING (h)),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM slim a JOIN slim b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 2
+         ORDER BY id_a, id_b""",
     "emb_random_projection" -> {
       val m = (0 until 16).map(j =>
         graft.operators.Similarity.linearWeightsQ(64, s"rproj:$j")

@@ -419,10 +419,12 @@ object TextAnalysis {
     * every selected fingerprint is an (integer position, 60-bit md5
     * hash) pair — no floats anywhere.
     */
-  def winnowing(df: DataFrame, idCol: String, textCol: String,
-                gramSize: Int = 5, w: Int = 4): DataFrame = {
-    require(gramSize >= 2, s"gramSize must be >= 2, got $gramSize")
-    require(w >= 1, s"window w must be >= 1, got $w")
+  /** The winnowing-selected gram hashes of `textCol` as an array
+    * Column (one distinct hash per selected position) — shared by
+    * [[winnowing]] and [[winnowingPairs]].
+    */
+  private def winnowSelected(textCol: String, gramSize: Int, w: Int):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val toks = split(normalizeText(col(textCol)), " ")
     val nTok = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
     val nGrams = greatest(nTok - (gramSize - 1), lit(0))
@@ -440,8 +442,15 @@ object TextAnalysis {
       val m = array_min(win)
       (i + lit(w) - array_position(reverse(win), m)).cast("int")
     })
-    val distinctPos = array_distinct(selPos)
-    val selHashes = transform(distinctPos, p => element_at(hs, p + lit(1)))
+    val selHashes = transform(array_distinct(selPos), p => element_at(hs, p + lit(1)))
+    (nGrams, nWin, selHashes)
+  }
+
+  def winnowing(df: DataFrame, idCol: String, textCol: String,
+                gramSize: Int = 5, w: Int = 4): DataFrame = {
+    require(gramSize >= 2, s"gramSize must be >= 2, got $gramSize")
+    require(w >= 1, s"window w must be >= 1, got $w")
+    val (nGrams, nWin, selHashes) = winnowSelected(textCol, gramSize, w)
     df.select(col(idCol),
         nGrams.cast("long").as("n_grams"),
         nWin.cast("long").as("n_windows"),
@@ -450,6 +459,37 @@ object TextAnalysis {
         size(col("__fp")).cast("long").as("n_fingerprints"),
         coalesce(array_min(col("__fp")), lit(0L)).as("fp_min"),
         aggregate(col("__fp"), lit(0L), (acc, h) => acc.bitwiseXOR(h)).as("fp_xor"))
+  }
+
+  /** Winnowing-based near-dup PAIRS (the MOSS matching step): two
+    * documents match when they share at least `minShared` selected
+    * fingerprint hashes — position-independent, so shifted/reordered
+    * copies still pair, where [[chunkDedup]]'s aligned chunks would
+    * not. Returns (id_a, id_b, n_shared) with id_a < id_b.
+    *
+    * Scale shape: the standard capped-bucket dedup join — one slim
+    * (doc, hash) explode of the ~2/(w+1)-density fingerprints, a
+    * fingerprint whose posting list exceeds `maxBucketSize` docs is
+    * dropped whole (boilerplate skew cap, same contract as the LSH
+    * family), and the pair count is a map-side-combined aggregate
+    * over the capped equi-join. Raw text never crosses a shuffle.
+    */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+                     gramSize: Int = 5, w: Int = 4, minShared: Int = 2,
+                     maxBucketSize: Int = 50): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    val (_, _, selHashes) = winnowSelected(textCol, gramSize, w)
+    val fp = df.select(col(idCol).as("__id"),
+      explode(array_distinct(selHashes)).as("__h"))
+    val cold = fp.groupBy("__h").agg(count("*").as("__c"))
+      .filter(col("__c") <= maxBucketSize).select("__h")
+    val slim = fp.join(cold, Seq("__h"))
+    slim.as("a").join(slim.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count("*").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2020 §4.3):

@@ -441,6 +441,18 @@ class PlanAuditSpec extends SparkSpec {
       s"the cumulative window orders by bin:\n${winLines.mkString("\n")}")
   }
 
+  test("dedup_winnowing: only slim (id, hash) rows cross the fingerprint join; text stays scan-side") {
+    val p = plan("dedup_winnowing")
+    // the hash-keyed exchanges feeding the pair join must not carry
+    // document text or the token/hash arrays
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning(__h")).mkString("\n")
+    assert(keyed.nonEmpty, s"fingerprint equi-join present:\n$p")
+    assert(!keyed.contains("text#") && !keyed.contains("toks"),
+      s"fingerprint exchanges must be (id, hash) only:\n$keyed")
+    assert(p.contains("partial_count"), "posting-list sizes and pair counts map-side combined")
+    assert(!p.contains("Window"), "no window anywhere")
+  }
+
   test("txt_winnowing / emb_random_projection: pure scans — no joins, no shuffles, no Generate") {
     for (name <- Seq("txt_winnowing", "emb_random_projection")) {
       val p = plan(name)

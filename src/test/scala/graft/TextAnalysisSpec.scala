@@ -291,6 +291,28 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getLong(2) == 0 && r.getLong(3) == 0 && r.getLong(4) == 0 && r.getLong(5) == 0)
   }
 
+  test("winnowingPairs: shifted copy pairs (position-robust); bucket cap kills boilerplate") {
+    val body = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, "zz ww yy " + body),              // SHIFTED copy — chunk-aligned dedup misses this
+      (3L, (100 until 130).map(i => s"oth$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowingPairs(docs, "doc_id", "text",
+        gramSize = 5, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"only the shifted copy pairs: ${pairs.toSeq}")
+    assert(pairs(0)._3 >= 3, s"shifted copies share many fingerprints: ${pairs(0)._3}")
+    // boilerplate cap: the same short text in MANY docs exceeds the
+    // bucket cap, so its fingerprints are dropped whole — no pair storm
+    val boiler = (0 until 20).map(i => (100L + i, "the same footer appears on every page"))
+      .toDF("doc_id", "text")
+    val capped = TextAnalysis.winnowingPairs(boiler, "doc_id", "text",
+      gramSize = 5, w = 2, minShared = 1, maxBucketSize = 10).count()
+    assert(capped == 0, "posting lists over the cap must be dropped whole")
+  }
+
   test("languageBuckets: per-language terciles — each language splits independently") {
     // lang A: scores 0.5..8.5 (9 docs, thirds of 3); lang B sits two
     // orders lower — under one GLOBAL threshold all of B would be
