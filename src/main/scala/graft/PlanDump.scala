@@ -51,7 +51,11 @@ object PlanDump {
     "emb_linear_score" -> "plan-literal integer model; pure scan-side zip_with/aggregate — zero joins, zero data shuffles",
     "samp_dsir" -> "bucket tables config-sized; model one broadcast map row; bounded TakeOrderedAndProject selection",
     "sketch_domain_overlap" -> "k-bounded partial sketches per group; broadcast groups-by-groups pair join; no window",
-    "txt_ccnet_buckets" -> "per-language thresholds from bin-bounded histogram windows, broadcast back to the doc scan")
+    "txt_ccnet_buckets" -> "per-language thresholds from bin-bounded histogram windows, broadcast back to the doc scan",
+    "evt_funnel" -> "chained slim per-user min-aggregations — no window over a user's event history",
+    "evt_retention" -> "per-user first-day agg + same-key rejoin; distinct-by-aggregation; cohort sizes broadcast",
+    "dedup_edit_distance" -> "LSH candidates with (id,len,band,key) rows; length pre-filter before text joins; bounded levenshtein",
+    "emb_pagerank" -> "per-iteration node-keyed equi-join + map-side-combined inflow sums; integer ranks, no window")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -296,9 +296,15 @@ object SparkEntry {
     * candidate edges, exact-cosine ranking with the (c desc, id asc)
     * order the bounded-heap top-k implements.
     */
-  private def knnGraphOracleSql: String = {
+  /** CTE chain replaying [[graft.operators.Similarity.knnGraph]] up
+    * to the ranked edge list `rk(src_id, nbr_id, c, rank)` — shared
+    * by the k-NN graph oracle and the PageRank oracle (which uses
+    * the rank<=k edges as its graph), so the plane literals, bucket
+    * cap, and tie-breaks cannot drift between them.
+    */
+  private def knnGraphCtes: String = {
     val tables = duckPlaneTables
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        bk AS (SELECT vec_id, unnest($tables) AS u FROM v),
        buckets AS (SELECT vec_id, u.tbl AS tbl, u.key AS key FROM bk),
        ok AS (SELECT tbl, key FROM buckets GROUP BY tbl, key HAVING count(*) <= 1000),
@@ -308,9 +314,42 @@ object SparkEntry {
        sc AS (SELECT src_id, nbr_id, ${duckCos("va.v", "vb.v")} AS c
          FROM cand JOIN v va ON va.vec_id = cand.src_id JOIN v vb ON vb.vec_id = cand.nbr_id),
        rk AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY c DESC, nbr_id ASC) AS rank
-         FROM sc)
+         FROM sc)"""
+  }
+
+  private def knnGraphOracleSql: String =
+    s"""WITH $knnGraphCtes
        SELECT src_id, CAST(rank AS INTEGER) AS rank, nbr_id, ${roundToSql("c", 6)} AS cosine
        FROM rk WHERE rank <= 10 ORDER BY src_id, rank"""
+
+  /** DuckDB replication of [[graft.operators.Graphs.pageRank]] over
+    * the k-NN graph edges: the same integer nano-rank arithmetic
+    * (floor division `(85·r) // (100·outdeg)`, +0.15 teleport)
+    * replayed for the same fixed iteration count — bit-exact because
+    * every intermediate is an integer and integer sums are
+    * summation-order immune.
+    */
+  private def pageRankOracleSql: String = {
+    val iters = 5
+    def iter(i: Int): String = {
+      val prev = if (i == 1) "pr_it0" else s"pr_it${i - 1}"
+      s"""pr_it$i AS (SELECT n.id,
+           CAST(150000000 + COALESCE(s.inflow, 0) AS BIGINT) AS r
+         FROM pr_nodes n LEFT JOIN (
+           SELECT e.dst AS id,
+             CAST(SUM((85 * p.r) // (100 * e.outdeg)) AS BIGINT) AS inflow
+           FROM pr_e e JOIN $prev p ON p.id = e.src GROUP BY e.dst) s
+         ON n.id = s.id)"""
+    }
+    s"""WITH $knnGraphCtes,
+       pr_raw AS (SELECT DISTINCT src_id AS src, nbr_id AS dst FROM rk WHERE rank <= 10),
+       pr_deg AS (SELECT src, count(*) AS outdeg FROM pr_raw GROUP BY src),
+       pr_e AS (SELECT r.src, r.dst, d.outdeg FROM pr_raw r JOIN pr_deg d ON r.src = d.src),
+       pr_nodes AS (SELECT DISTINCT id FROM
+         (SELECT src AS id FROM pr_raw UNION ALL SELECT dst FROM pr_raw)),
+       pr_it0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM pr_nodes),
+       ${(1 to iters).map(iter).mkString(",\n       ")}
+       SELECT id AS vec_id, r AS rank_nanos FROM pr_it$iters ORDER BY vec_id"""
   }
 
   /** DuckDB replication of [[Dedup.semanticDedup]] (SemDeDup): the
@@ -1545,7 +1584,39 @@ object SparkEntry {
           dim = 64, outDim = 16)
         .select(col("vec_id"), posexplode(col("proj_q")).as(Seq("dim", "comp")))
         .orderBy("vec_id", "dim")
-    })
+    }),
+    "evt_funnel" -> ((s, dir) =>
+      // Strict-order conversion funnel view -> click -> purchase,
+      // each step within 7 days of the previous step's completion.
+      // Chained slim per-user min-aggregations — no windows, no
+      // per-user event lists.
+      graft.operators.EventAnalytics.funnel(events(s, dir),
+        "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"), horizonUs = 7L * 86400000000L)),
+    "evt_retention" -> ((s, dir) =>
+      // Weekly cohort retention from pure integer day/week indices
+      // (micros div) — no calendar/timezone dependence.
+      graft.operators.EventAnalytics.retention(events(s, dir), "user_id", "ts_us")),
+    "dedup_edit_distance" -> ((s, dir) =>
+      // MinHash-LSH candidates (same portable chain as
+      // dedup_minhash_lsh) verified by BOUNDED levenshtein over the
+      // raw text — the character-edit notion of near-duplicate.
+      Dedup.editDistanceNearDups(t(s, dir, "documents"), "text", "doc_id",
+          maxDist = 32, shingleSize = 3, numHashes = 128, bands = 32,
+          portableHash = true)
+        .orderBy("id_a", "id_b")),
+    "emb_pagerank" -> ((s, dir) =>
+      // Centrality-weighted data selection: integer-arithmetic
+      // PageRank (5 power iterations, d = 85/100) over the SAME
+      // capped-LSH k-NN graph as emb_knn_graph. Bit-exact: every
+      // intermediate is a long, sums are order-immune.
+      graft.operators.Graphs.pageRank(
+          graft.operators.Similarity.knnGraph(t(s, dir, "embeddings"), "embedding",
+            "vec_id", dim = 64, k = 10, nPlanes = 8, nTables = 8)
+            .select(col("src_id"), col("nbr_id")),
+          srcCol = "src_id", dstCol = "nbr_id", iterations = 5)
+        .select(col("id").as("vec_id"), col("rank_nanos"))
+        .orderBy("vec_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2684,6 +2755,49 @@ object SparkEntry {
          FROM sc CROSS JOIN (SELECT unnest(range(1, 17)) AS j) u
          WHERE proj_q IS NOT NULL
          ORDER BY vec_id, dim"""
-    }
+    },
+    "evt_funnel" -> {
+      val h = 7L * 86400000000L
+      s"""WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS ts FROM events),
+         s1 AS (SELECT u, min(ts) AS t1 FROM ev WHERE et = 'view' GROUP BY u),
+         s2 AS (SELECT ev.u, min(ev.ts) AS t2 FROM ev JOIN s1 ON ev.u = s1.u
+           WHERE ev.et = 'click' AND ev.ts > s1.t1 AND ev.ts <= s1.t1 + $h GROUP BY ev.u),
+         s3 AS (SELECT ev.u, min(ev.ts) AS t3 FROM ev JOIN s2 ON ev.u = s2.u
+           WHERE ev.et = 'purchase' AND ev.ts > s2.t2 AND ev.ts <= s2.t2 + $h GROUP BY ev.u),
+         c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+                      (SELECT count(*) FROM s2) AS c2,
+                      (SELECT count(*) FROM s3) AS c3)
+         SELECT CAST(step AS INTEGER) AS step, event_type, users,
+           CASE WHEN c1 > 0 THEN CAST(users AS DOUBLE) / CAST(c1 AS DOUBLE) END AS conv_from_first
+         FROM (
+           SELECT 1 AS step, 'view' AS event_type, c1 AS users, c1 FROM c
+           UNION ALL SELECT 2, 'click', c2, c1 FROM c
+           UNION ALL SELECT 3, 'purchase', c3, c1 FROM c)
+         ORDER BY step"""
+    },
+    "evt_retention" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS day FROM events),
+         fd AS (SELECT u, min(day) AS first_day FROM ev GROUP BY u),
+         act AS (SELECT DISTINCT ev.u, fd.first_day // 7 AS cohort_week,
+             (ev.day - fd.first_day) // 7 AS week_offset
+           FROM ev JOIN fd ON ev.u = fd.u),
+         agg AS (SELECT cohort_week, week_offset, count(*) AS active_users
+           FROM act GROUP BY cohort_week, week_offset),
+         sz AS (SELECT cohort_week, active_users AS cohort_size FROM agg WHERE week_offset = 0)
+         SELECT agg.cohort_week, agg.week_offset, agg.active_users, sz.cohort_size,
+           CAST(agg.active_users AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) AS retention
+         FROM agg JOIN sz ON agg.cohort_week = sz.cohort_week
+         ORDER BY agg.cohort_week, agg.week_offset""",
+    "dedup_edit_distance" ->
+      s"""WITH ${minhashChain("ed_", "")},
+         edl AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         edp AS (SELECT c.id_a, c.id_b, levenshtein(a.text, b.text) AS dist
+           FROM ed_cand c
+           JOIN edl a ON a.doc_id = c.id_a
+           JOIN edl b ON b.doc_id = c.id_b
+           WHERE abs(a.len - b.len) <= 32)
+         SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist FROM edp
+         WHERE dist <= 32 ORDER BY id_a, id_b""",
+    "emb_pagerank" -> pageRankOracleSql
   )
 }

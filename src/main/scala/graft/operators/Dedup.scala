@@ -151,6 +151,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance-verified near-dup pairs: MinHash-LSH banding
+    * proposes candidates (identical generation to
+    * [[minhashNearDups]] — same signatures, bands, bucket cap), but
+    * verification is `levenshtein(a, b) <= maxDist` over the RAW
+    * text instead of shingle Jaccard — the right verifier when
+    * "duplicate" means a few character edits (OCR noise, template
+    * fills, typo farms) rather than shared vocabulary. Returns
+    * (id_a, id_b, dist) with id_a < id_b, dist <= maxDist.
+    *
+    * Cost control for the quadratic kernel: Spark's bounded
+    * `levenshtein(l, r, threshold)` runs the banded O(maxDist·n)
+    * algorithm and bails to -1 past the bound, and a length
+    * pre-filter |len_a − len_b| ≤ maxDist (edit distance is ≥ the
+    * length gap) discards most candidates while pairs are still
+    * (id, id, int) rows — text is joined back only for surviving
+    * pairs, once per side, and never rides the banding explode.
+    *
+    * Engine note: Spark counts edits in CODEPOINTS; DuckDB's
+    * levenshtein counts UTF-8 bytes. Identical on ASCII (the oracle
+    * corpus); multi-byte text can differ — documented rather than
+    * papered over, since codepoints are the semantics a user wants.
+    */
+  def editDistanceNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int, shingleSize: Int = 3, numHashes: Int = 128,
+      bands: Int = 32, seed: Long = 42L, maxBucketSize: Int = 1000,
+      portableHash: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes must be divisible by bands=$bands")
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val r = numHashes / bands
+    val base = df.select(col(idCol).as("id"), col(textCol).as("txt"),
+      length(col(textCol)).as("len"),
+      wordShingles(col(textCol), shingleSize).as("shingles"))
+    val sigs = base.withColumn("sig",
+      minhashSignature(col("shingles"), numHashes, seed, portableMd5 = portableHash))
+    // Bucket rows carry (id, len, band, key): len is one long and
+    // lets the length pre-filter run BEFORE any text moves.
+    val buckets = sigs
+      .select(col("id"), col("len"),
+        explode(bandKeys(col("sig"), bands, r, portableHash)).as("bk"))
+      .select(col("id"), col("len"), col("bk.band"), col("bk.key"))
+    val counts = buckets.groupBy("band", "key").agg(count("*").as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val sized = buckets.join(counts, Seq("band", "key"))
+    val a = sized.select(col("band"), col("key"), col("id").as("id_a"), col("len").as("len_a"))
+    val b = sized.select(col("band"), col("key"), col("id").as("id_b"), col("len").as("len_b"))
+    val cand = a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= lit(maxDist.toLong))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val txtA = base.select(col("id").as("id_a"), col("txt").as("txt_a"))
+    val txtB = base.select(col("id").as("id_b"), col("txt").as("txt_b"))
+    cand.join(txtA, "id_a").join(txtB, "id_b")
+      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** 64-bit SimHash of the token multiset: per bit of each token's
     * xxh64, fold a +1/-1 counter; sign bits packed into one long —
     * a native one-pass expression ([[graft.plans.SimHash64Expr]]).

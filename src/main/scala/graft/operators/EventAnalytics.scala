@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch event-analytics operators over an event log
+  * (user, event_type, timestamp): ordered conversion funnels and
+  * cohort retention — the two standard product-analytics rollups a
+  * training-data/telemetry warehouse runs beside the curation
+  * pipeline (the batch counterparts of
+  * [[graft.streaming.EventStream]]'s sessionization).
+  *
+  * Scale contract (both operators):
+  *  - every shuffle is keyed by the user column and carries only
+  *    slim (user, long) rows — event payloads/props never move;
+  *  - per-step state is ONE min-timestamp per user (map-side
+  *    combined hash aggregation), never a per-user sorted event
+  *    list and never a window over a user's full history — a
+  *    10^6-event power user costs the same as a 2-event one;
+  *  - the final rollups are O(steps) / O(cohorts × offsets) rows.
+  *
+  * Determinism: all timestamp math is integer micros; counts are
+  * longs; the only doubles are single IEEE divisions of two exact
+  * longs (bit-identical across engines).
+  */
+object EventAnalytics {
+
+  /** Strict-order conversion funnel: for the step sequence
+    * `steps(0) → steps(1) → … → steps(n-1)`, a user reaches step i
+    * iff they have an event of type `steps(i)` STRICTLY after their
+    * step-(i-1) completion time and within `horizonUs` micros of it
+    * (the per-step conversion window). Step completion time is the
+    * EARLIEST qualifying event — the standard strict-funnel
+    * semantics (each step re-anchors the window).
+    *
+    * Returns one row per step:
+    * (step, event_type, users, conv_from_first) ordered by step,
+    * where conv_from_first = users ÷ users(step 1) as one exact
+    * IEEE division (1.0 for the first step; 0/0 → null when the
+    * funnel is empty).
+    *
+    * Plan shape: one slim per-user min-aggregation per step, chained
+    * by equi-joins on the user key (every exchange hashes the same
+    * key), then a single O(steps)-row unpivot — no windows, no
+    * per-user event lists.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String, tsUsCol: String,
+             steps: Seq[String], horizonUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsUsCol).cast("long").as("ts"))
+
+    // t1 per user: earliest step-0 event. Each later step LEFT-joins
+    // onto the accumulating per-user frame so non-converting users
+    // keep their earlier columns (counted at their deepest step).
+    var perUser = ev.filter(col("et") === steps.head)
+      .groupBy("u").agg(min(col("ts")).as("t1"))
+    for (i <- 2 to steps.size) {
+      val prev = s"t${i - 1}"
+      // Only this step's event type shuffles, already halved to
+      // (u, ts); the join key equals the aggregation key so AQE can
+      // reuse the exchange.
+      val stepEv = ev.filter(col("et") === steps(i - 1)).select(col("u"), col("ts"))
+      val reached = stepEv.join(perUser.select(col("u"), col(prev)), Seq("u"))
+        .filter(col("ts") > col(prev) && col("ts") <= col(prev) + lit(horizonUs))
+        .groupBy("u").agg(min(col("ts")).as(s"t$i"))
+      perUser = perUser.join(reached.select(col("u"), col(s"t$i")), Seq("u"), "left")
+    }
+
+    // One single-row global rollup: reached-counts per step, then an
+    // inline unpivot to (step, event_type, users, conv) rows —
+    // conv_from_first divides inside the one-row frame, so no window
+    // and no second pass.
+    val counts = perUser.agg(
+      count(col("t1")).as("c1"),
+      (2 to steps.size).map(i => count(col(s"t$i")).as(s"c$i")): _*)
+    val rows = steps.zipWithIndex.map { case (name, idx) =>
+      struct(lit(idx + 1).as("step"), lit(name).as("event_type"),
+        col(s"c${idx + 1}").as("users"),
+        when(col("c1") > 0,
+          col(s"c${idx + 1}").cast("double") / col("c1").cast("double"))
+          .otherwise(lit(null).cast("double")).as("conv_from_first"))
+    }
+    counts.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.step"), col("r.event_type"), col("r.users"), col("r.conv_from_first"))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention: cohort = the calendar-free week index
+    * (days-since-epoch ÷ 7, integer) of the user's FIRST event;
+    * week_offset = whole weeks between an event's day and the user's
+    * first day. Returns (cohort_week, week_offset, active_users,
+    * cohort_size, retention) ordered by (cohort_week, week_offset),
+    * where retention = active_users ÷ cohort_size as one exact IEEE
+    * division (offset 0 is 1.0 by construction).
+    *
+    * Plan shape: per-user min-day aggregation (slim), re-join on the
+    * user key, distinct on (cohort, offset, user) — an aggregation,
+    * not a window — then an O(cohorts)-row self-join for cohort
+    * sizes. Day/week indices are pure integer division of micros —
+    * no timezone/calendar dependence to drift between engines.
+    */
+  def retention(events: DataFrame, userCol: String, tsUsCol: String): DataFrame = {
+    // Integer `div`, not double `/`: micros-since-epoch (~1.7e15)
+    // sits close enough to 2^53 that double round-trips are a trap.
+    val ev = events.select(col(userCol).as("u"),
+      col(tsUsCol).cast("long").as("ts_us"))
+      .select(col("u"), expr("ts_us div 86400000000").as("day"))
+    val firstDay = ev.groupBy("u").agg(min(col("day")).as("first_day"))
+    val active = ev.join(firstDay, Seq("u"))
+      .select(col("u"), expr("first_day div 7").as("cohort_week"),
+        expr("(day - first_day) div 7").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(col("u")).as("active_users"))
+    val sizes = active.filter(col("week_offset") === 0L)
+      .select(col("cohort_week"), col("active_users").as("cohort_size"))
+    active.join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("retention",
+        col("active_users").cast("double") / col("cohort_size").cast("double"))
+      .select("cohort_week", "week_offset", "active_users", "cohort_size", "retention")
+      .orderBy("cohort_week", "week_offset")
+  }
+}

@@ -454,4 +454,47 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getSeq[Long](1) == exp, s"${out(0).getSeq[Long](1)} vs $exp")
     assert(out(1).isNullAt(1), "wrong-dimension vector projects to NULL")
   }
+
+  test("editDistanceNearDups: planted few-edit copy found with exact distance; far pair dropped") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val threeEdits = "the quick brown fox jumps over the lazy cat and runs far away home tonight"
+    // "dog" -> "cat": 3 substitutions. Shingles mostly shared → LSH
+    // candidate; levenshtein must report exactly 3.
+    val unrelated = "completely different content about spark catalyst optimizer internals here now"
+    val docs = Seq((1L, base), (2L, threeEdits), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.editDistanceNearDups(
+        docs, "text", "doc_id", maxDist = 10, shingleSize = 3, numHashes = 128,
+        bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out === Seq((1L, 2L, 3)))
+  }
+
+  test("editDistanceNearDups: candidate pair past maxDist is excluded by the bounded kernel") {
+    import spark.implicits._
+    // Same vocabulary (strong LSH candidacy) but many edits apart.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda STOP HALT END"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val hit = graft.operators.Dedup.editDistanceNearDups(
+      docs, "text", "doc_id", maxDist = 2, shingleSize = 2, numHashes = 128, bands = 64)
+    assert(hit.count() === 0, "distance 11 pair must not pass maxDist = 2")
+    val loose = graft.operators.Dedup.editDistanceNearDups(
+      docs, "text", "doc_id", maxDist = 20, shingleSize = 2, numHashes = 128, bands = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(loose === Seq((1L, 2L)), "same pair passes once the bound covers it")
+  }
+
+  test("editDistanceNearDups: length-gap pre-filter rejects before text ever joins") {
+    import spark.implicits._
+    val short = "shared words appear here"
+    val long = "shared words appear here " + ("padding " * 20)
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    // |len difference| = 160 > maxDist 5 — must be dropped (edit
+    // distance >= length gap, so this loses nothing).
+    val out = graft.operators.Dedup.editDistanceNearDups(
+      docs, "text", "doc_id", maxDist = 5, shingleSize = 2, numHashes = 128, bands = 64)
+    assert(out.count() === 0)
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.EventAnalytics
+
+/** Hand-computed cases for the batch event-analytics operators
+  * (funnel, retention). Timestamps are raw micros-since-epoch longs
+  * so every expectation is arithmetic you can check by eye.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 1000L // 1 ms horizon keeps the numbers tiny
+
+  private def funnelOn(rows: Seq[(Long, String, Long)]) =
+    EventAnalytics.funnel(rows.toDF("u", "et", "ts"), "u", "et", "ts",
+      Seq("a", "b", "c"), horizonUs = H).collect()
+
+  test("funnel: strict ordering — a step event BEFORE the anchor does not count") {
+    // user 1: b fires before its a → never reaches step 2.
+    // user 2: clean a < b < c inside the horizon → reaches all 3.
+    val out = funnelOn(Seq(
+      (1L, "b", 50L), (1L, "a", 100L),
+      (2L, "a", 100L), (2L, "b", 200L), (2L, "c", 300L)))
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1, "a", 2L), (2, "b", 1L), (3, "c", 1L)))
+    // conv_from_first = users / users(step 1), one IEEE division
+    assert(out.map(_.getDouble(3)).toSeq === Seq(1.0, 0.5, 0.5))
+  }
+
+  test("funnel: horizon boundary — ts = anchor + H converts, anchor + H + 1 does not") {
+    val out = funnelOn(Seq(
+      (1L, "a", 0L), (1L, "b", H),          // exactly on the boundary: in
+      (2L, "a", 0L), (2L, "b", H + 1L)))    // one past: out
+    assert(out.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("a", 2L), ("b", 1L), ("c", 0L)))
+  }
+
+  test("funnel: earliest qualifying event anchors the next step") {
+    // user 1's first b is at 200; c at 200+H+1 relative to that b is
+    // too late even though a LATER b (at 900) would have caught it —
+    // strict funnels anchor on the earliest completion.
+    val out = funnelOn(Seq(
+      (1L, "a", 100L), (1L, "b", 200L), (1L, "b", 900L), (1L, "c", 200L + H + 1L)))
+    assert(out.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("a", 1L), ("b", 1L), ("c", 0L)))
+  }
+
+  test("funnel: same-timestamp step event does NOT convert (strictly after)") {
+    val out = funnelOn(Seq((1L, "a", 100L), (1L, "b", 100L)))
+    assert(out.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("a", 1L), ("b", 0L), ("c", 0L)))
+  }
+
+  test("funnel: empty first step yields zero rows with null conversions") {
+    val out = funnelOn(Seq((1L, "b", 100L)))
+    assert(out.map(_.getLong(2)).toSeq === Seq(0L, 0L, 0L))
+    assert(out.forall(_.isNullAt(3)))
+  }
+
+  test("funnel rejects duplicate steps and non-positive horizons") {
+    val df = Seq((1L, "a", 1L)).toDF("u", "et", "ts")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(df, "u", "et", "ts", Seq("a", "a"), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(df, "u", "et", "ts", Seq("a"), 0L)
+    }
+  }
+
+  private val DayUs = 86400000000L
+
+  test("retention: cohort week and offsets from integer day math") {
+    // Users 1 and 2 first appear in week 0 (days 0 and 6), user 3 in
+    // week 1 (day 7). User 1 returns on day 13 (offset (13-0)/7 = 1);
+    // user 2 returns day 8 (offset (8-6)/7 = 0 — same retention week
+    // RELATIVE to their own first day, not the calendar week).
+    val ev = Seq(
+      (1L, 0L * DayUs), (1L, 13L * DayUs),
+      (2L, 6L * DayUs), (2L, 8L * DayUs),
+      (3L, 7L * DayUs)).toDF("u", "ts")
+    val out = EventAnalytics.retention(ev, "u", "ts").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((0L, 0L, 2L, 2L), (0L, 1L, 1L, 2L), (1L, 0L, 1L, 1L)))
+    assert(out.map(_.getDouble(4)).toSeq === Seq(1.0, 0.5, 1.0))
+  }
+
+  test("retention: a user active twice in one offset week counts once") {
+    val ev = Seq((1L, 0L), (1L, 1000L), (1L, 2000L)).toDF("u", "ts")
+    val out = EventAnalytics.retention(ev, "u", "ts").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((0L, 1L)))
+  }
+}

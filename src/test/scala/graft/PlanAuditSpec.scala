@@ -464,4 +464,37 @@ class PlanAuditSpec extends SparkSpec {
         s"$name: only the output sort may exchange:\n${exchanges.mkString("\n")}")
     }
   }
+
+  test("evt_funnel: window-free; per-step aggregations are partial; only slim columns shuffle") {
+    val p = plan("evt_funnel")
+    assert(!p.contains("Window"), s"funnel must not window a user's history:\n$p")
+    assert(p.contains("partial_min"), "per-user step mins map-side combined")
+    // the event payload column never leaves the scan
+    assert(!p.contains("props#"), s"props must be pruned:\n$p")
+  }
+
+  test("evt_retention: distinct-by-aggregation, no window, payload pruned") {
+    val p = plan("evt_retention")
+    assert(!p.contains("Window"), s"retention must not window:\n$p")
+    assert(!p.contains("props#") && !p.contains("value#"),
+      s"payload columns must be pruned:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "cohort sizes broadcast back onto offsets")
+  }
+
+  test("dedup_edit_distance: text joins only after candidate pairs; banding exchanges are slim") {
+    val p = plan("dedup_edit_distance")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    // bucket exchanges carry (id, len, band, key) — never the text
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning(band"))
+      .mkString("\n")
+    assert(keyed.nonEmpty, s"band equi-join present:\n$p")
+    assert(!keyed.contains("txt"), s"text must not ride the banding exchange:\n$keyed")
+  }
+
+  test("emb_pagerank: iteration joins are keyed by node id; no cartesian, no window") {
+    val p = plan("emb_pagerank")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(p.contains("partial_sum"), "inflow sums map-side combined")
+  }
 }
