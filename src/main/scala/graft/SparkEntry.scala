@@ -352,6 +352,39 @@ object SparkEntry {
        SELECT id AS vec_id, r AS rank_nanos FROM pr_it$iters ORDER BY vec_id"""
   }
 
+  /** DuckDB replication of [[graft.operators.Graphs.labelPropagation]]
+    * over the k-NN edges: mode-of-in-neighbors with the identical
+    * (count desc, label asc) tie-break (the Spark side's
+    * `max(struct(cnt, -label))`), seeds clamped, unreached nodes
+    * null — replayed CTE-per-iteration.
+    */
+  private def labelPropOracleSql: String = {
+    val iters = 3
+    def iter(i: Int): String = {
+      val prev = if (i == 1) "lp_it0" else s"lp_it${i - 1}"
+      s"""lp_vt$i AS (SELECT e.dst AS id, p.label, count(*) AS cnt
+           FROM lp_e e JOIN $prev p ON p.id = e.src
+           WHERE p.label IS NOT NULL GROUP BY e.dst, p.label),
+         lp_md$i AS (SELECT id, label AS mode_label FROM (
+           SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+           FROM lp_vt$i) WHERE rn = 1),
+         lp_it$i AS (SELECT p.id,
+             CAST(COALESCE(s.seed_label, m.mode_label, p.label) AS INTEGER) AS label
+           FROM $prev p LEFT JOIN lp_md$i m ON p.id = m.id
+           LEFT JOIN lp_seed s ON p.id = s.id)"""
+    }
+    s"""WITH $knnGraphCtes,
+       lp_e AS (SELECT DISTINCT src_id AS src, nbr_id AS dst FROM rk WHERE rank <= 10),
+       lp_nodes AS (SELECT DISTINCT id FROM
+         (SELECT src AS id FROM lp_e UNION ALL SELECT dst FROM lp_e)),
+       lp_seed AS (SELECT vec_id AS id, CAST(label AS INTEGER) AS seed_label
+         FROM embeddings WHERE vec_id % 5 = 0),
+       lp_it0 AS (SELECT n.id, s.seed_label AS label
+         FROM lp_nodes n LEFT JOIN lp_seed s ON n.id = s.id),
+       ${(1 to iters).map(iter).mkString(",\n       ")}
+       SELECT id AS vec_id, label FROM lp_it$iters ORDER BY vec_id"""
+  }
+
   /** DuckDB replication of [[Dedup.semanticDedup]] (SemDeDup): the
     * same portable-hash seed cells as the IVF oracle, nearest-centroid
     * assignment with the same (distance asc, cell asc) tie-break,
@@ -1616,7 +1649,23 @@ object SparkEntry {
             .select(col("src_id"), col("nbr_id")),
           srcCol = "src_id", dstCol = "nbr_id", iterations = 5)
         .select(col("id").as("vec_id"), col("rank_nanos"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+    "emb_label_prop" -> ((s, dir) => {
+      // Semi-supervised labeling: every 5th vector keeps its true
+      // label as a seed; 3 LPA iterations spread labels across the
+      // same capped-LSH k-NN graph. Mode tie-break = smallest label,
+      // seeds clamped — fully deterministic.
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Graphs.labelPropagation(
+          graft.operators.Similarity.knnGraph(emb, "embedding", "vec_id",
+            dim = 64, k = 10, nPlanes = 8, nTables = 8)
+            .select(col("src_id"), col("nbr_id")),
+          emb.filter(col("vec_id") % 5 === 0).select(col("vec_id"), col("label")),
+          srcCol = "src_id", dstCol = "nbr_id", idCol = "vec_id",
+          labelCol = "label", iterations = 3)
+        .select(col("id").as("vec_id"), col("label"))
+        .orderBy("vec_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2798,6 +2847,7 @@ object SparkEntry {
            WHERE abs(a.len - b.len) <= 32)
          SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist FROM edp
          WHERE dist <= 32 ORDER BY id_a, id_b""",
-    "emb_pagerank" -> pageRankOracleSql
+    "emb_pagerank" -> pageRankOracleSql,
+    "emb_label_prop" -> labelPropOracleSql
   )
 }

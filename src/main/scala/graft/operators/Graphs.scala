@@ -77,4 +77,56 @@ object Graphs {
     }
     ranks.orderBy("id")
   }
+
+  /** Semi-supervised label propagation (the classic LPA step applied
+    * to data labeling: spread a small seed set's labels across the
+    * similarity graph). Per iteration every node takes the MODE of
+    * its in-neighbors' current labels — ties broken by the SMALLEST
+    * label so the result is deterministic — except seed nodes, whose
+    * labels are clamped, and nodes with no labeled in-neighbor,
+    * which keep their previous label (null until first reached).
+    *
+    * Returns (id, label) for every node, label null if never
+    * reached. All arithmetic is exact (counts + integer labels) —
+    * bit-identical across partitionings and engines.
+    *
+    * Scale shape per iteration: one equi-join of the slim
+    * (id, label) table with the edge list on the source key, one
+    * map-side-combined (dst, label) count, and one (dst)-keyed
+    * arg-max — computed as `max(struct(cnt, -label))`, an
+    * aggregation, NOT a window, so a hub node's candidate list
+    * never sorts. Labels must be non-negative ints (the -label
+    * tie-break trick needs the sign).
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       idCol: String = "id", labelCol: String = "label",
+                       iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val seed = seeds.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("int").as("seed_label"))
+    var labels = nodes.join(seed, Seq("id"), "left")
+      .select(col("id"), col("seed_label").as("label"))
+    for (_ <- 1 to iterations) {
+      val votes = e.join(labels.withColumnRenamed("id", "src"), "src")
+        .filter(col("label").isNotNull)
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count("*").as("cnt"))
+      val mode = votes.groupBy("id")
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("mode_label"))
+      labels = labels.join(mode, Seq("id"), "left")
+        .join(seed, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("seed_label"), col("mode_label"), col("label")).as("label"))
+    }
+    labels.orderBy("id")
+  }
 }

@@ -78,4 +78,51 @@ class GraphsSpec extends SparkSpec {
       Graphs.pageRank(Seq((1L, 2L)).toDF("src", "dst"), iterations = 0)
     }
   }
+
+  private def lpOn(edges: Seq[(Long, Long)], seeds: Seq[(Long, Int)],
+                   iters: Int): Map[Long, Option[Int]] =
+    Graphs.labelPropagation(edges.toDF("src", "dst"), seeds.toDF("id", "label"),
+        iterations = iters)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+
+  test("label propagation: a chain reaches one hop per iteration") {
+    // 1(seed 7) -> 2 -> 3 -> 4, edges directed down the chain.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(lpOn(edges, Seq((1L, 7)), 1) ===
+      Map(1L -> Some(7), 2L -> Some(7), 3L -> None, 4L -> None))
+    assert(lpOn(edges, Seq((1L, 7)), 3) ===
+      Map(1L -> Some(7), 2L -> Some(7), 3L -> Some(7), 4L -> Some(7)))
+  }
+
+  test("label propagation: mode wins; ties break to the smallest label") {
+    // node 10 hears label 3 from two sources and label 9 from one →
+    // mode 3. Node 11 hears 2 and 5 once each → tie → smallest (2).
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 11L), (5L, 11L))
+    val seeds = Seq((1L, 3), (2L, 3), (3L, 9), (4L, 5), (5L, 2))
+    val out = lpOn(edges, seeds, 1)
+    assert(out(10L) === Some(3))
+    assert(out(11L) === Some(2))
+  }
+
+  test("label propagation: seed labels are clamped against the neighborhood mode") {
+    // seed node 2 (label 1) is bombarded with label 0 from both
+    // neighbors but must keep its own label; non-seed 3 flips.
+    val edges = Seq((1L, 2L), (4L, 2L), (1L, 3L))
+    val seeds = Seq((1L, 0), (4L, 0), (2L, 1))
+    val out = lpOn(edges, seeds, 2)
+    assert(out(2L) === Some(1), "seed label clamped")
+    assert(out(3L) === Some(0))
+  }
+
+  test("label propagation: node with no labeled in-neighbors keeps its previous label") {
+    // 1(seed) -> 2; 2 -> 3; 3 has no labeled in-neighbors at it1.
+    // After 2 iterations 3 has 2's it1 label; at it3 nothing changes
+    // (2's vote set is stable) — and crucially, node 2 does NOT lose
+    // its label when its only in-neighbor keeps voting.
+    val edges = Seq((1L, 2L), (2L, 3L))
+    assert(lpOn(edges, Seq((1L, 4)), 3) ===
+      Map(1L -> Some(4), 2L -> Some(4), 3L -> Some(4)))
+  }
 }

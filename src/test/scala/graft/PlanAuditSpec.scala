@@ -497,4 +497,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window:\n$p")
     assert(p.contains("partial_sum"), "inflow sums map-side combined")
   }
+
+  test("emb_label_prop: mode is an aggregation (max-struct), never a window over a hub's votes") {
+    val p = plan("emb_label_prop")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(p.contains("partial_count"), "vote counts map-side combined")
+    assert(p.contains("partial_max"), "mode arg-max is an aggregation")
+  }
 }
