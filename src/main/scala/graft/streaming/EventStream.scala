@@ -393,4 +393,99 @@ object EventStream {
           out.iterator
       }
   }
+
+  /** Final funnel standing for one user: the deepest step reached
+    * and the event-time micros at which it was completed. */
+  case class UserFunnel(user_id: Long, depth: Int, last_step_ts_us: Long)
+
+  case class FunnelState(depth: Int, anchorUs: Long)
+
+  /** Streaming strict-order funnel (the live twin of
+    * [[graft.operators.EventAnalytics.funnel]]): per user, advance a
+    * (depth, anchor) state machine — an event of the NEXT step type
+    * strictly after the anchor and within `horizonUs` of it deepens
+    * the funnel and re-anchors the horizon. State is O(1) per user
+    * (two numbers), NEVER a buffered event history — the property
+    * that keeps an unbounded 100 TB ingest viable.
+    *
+    * Emission (Append mode): a user who completes the LAST step
+    * emits immediately and drops their state; otherwise the user
+    * emits their final depth when the event-time watermark passes
+    * `anchor + horizon` — from that point no in-order event can
+    * deepen the funnel, so the result is final. Users who never
+    * reach step 1 emit nothing.
+    *
+    * Ordering contract (the honest caveat): within a micro-batch a
+    * user's events are sorted by event time before applying the
+    * state machine, so single-batch and in-order multi-batch
+    * delivery reproduce the batch funnel EXACTLY (asserted in
+    * EventStreamSpec). An event that arrives in a LATER micro-batch
+    * but carries an EARLIER timestamp than an already-consumed
+    * anchor cannot retroactively re-anchor — exact late re-anchoring
+    * provably requires unbounded per-user event retention (an
+    * adversary can always present an earlier first-step event), and
+    * this operator chooses bounded state over unbounded replay. Late
+    * events beyond the watermark are dropped by Spark upstream.
+    */
+  def funnelStream(events: DataFrame, tsCol: String, userCol: String,
+                   typeCol: String, steps: Seq[String], horizonUs: Long,
+                   watermark: String = "10 minutes"): Dataset[UserFunnel] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"steps must be distinct: $steps")
+    require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val n = steps.size
+    val keyed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(userCol).cast("long").as("u"),
+              col(typeCol).cast("string").as("et"))
+    keyed.groupByKey((r: org.apache.spark.sql.Row) => r.getLong(1))
+      .flatMapGroupsWithState[FunnelState, UserFunnel](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserFunnel(userId, s.depth, s.anchorUs))
+          } else {
+            // micro-batch-local event-time sort: bounded by the
+            // trigger's rows for this user, not their full history
+            val evs = rows.toArray
+              .map(r => (r.getTimestamp(0).getTime * 1000L, r.getString(2)))
+              .filter(_._2 != null)
+              .sortBy(_._1)
+            var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            var completed: Option[UserFunnel] = None
+            var i = 0
+            while (i < evs.length && completed.isEmpty) {
+              val (ts, et) = evs(i)
+              if (cur.depth < n && stepIdx.get(et).contains(cur.depth) &&
+                  (cur.depth == 0 || (ts > cur.anchorUs && ts <= cur.anchorUs + horizonUs))) {
+                cur = FunnelState(cur.depth + 1, ts)
+                if (cur.depth == n)
+                  completed = Some(UserFunnel(userId, n, ts))
+              }
+              i += 1
+            }
+            completed match {
+              case Some(done) =>
+                if (state.exists) state.remove()
+                Iterator.single(done)
+              case None if cur.depth > 0 =>
+                state.update(cur)
+                // final once no next-step event can still qualify:
+                // watermark past anchor + horizon (clamped above the
+                // current watermark — past timeouts are rejected)
+                state.setTimeoutTimestamp(
+                  math.max((cur.anchorUs + horizonUs) / 1000L + 1,
+                           state.getCurrentWatermarkMs() + 1))
+                Iterator.empty
+              case None =>
+                Iterator.empty
+            }
+          }
+      }
+  }
 }

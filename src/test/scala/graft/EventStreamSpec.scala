@@ -237,4 +237,77 @@ class EventStreamSpec extends SparkSpec {
       assert(got((60000L, i + 1)) == exp, s"window B rank ${i + 1}: ${got((60000L, i + 1))} vs $exp")
     }
   }
+
+  private def runFunnel(batches: Seq[Seq[(Timestamp, Long, String)]],
+                        horizonUs: Long,
+                        sentinelMs: Long): Seq[(Long, Int, Long)] = {
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, String)](spark)
+    val out = EventStream.funnelStream(
+      stream.toDF.toDF("ts", "u", "et"), "ts", "u", "et",
+      Seq("view", "click", "purchase"), horizonUs, watermark = "0 seconds")
+    val name = s"funnel_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    // sentinel advances the watermark past every open horizon
+    stream.addData(Seq((new Timestamp(sentinelMs), 999999L, "noise")))
+    q.processAllAvailable()
+    // a second nudge lets the state-store timeout fire in its own batch
+    stream.addData(Seq((new Timestamp(sentinelMs + 1000L), 999999L, "noise")))
+    q.processAllAvailable(); q.stop()
+    spark.sql(s"SELECT user_id, depth, last_step_ts_us FROM $name")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+  }
+
+  test("streaming funnel: closed per-user depths equal the batch funnel") {
+    val H = 5000000L // 5 s in micros
+    def t(ms: Long) = new Timestamp(ms)
+    // user 1: full funnel; user 2: view+click, purchase too late;
+    // user 3: view only; user 4: click before view (never starts
+    // step 2 — the click precedes its anchor).
+    val events = Seq(
+      (t(1000), 1L, "view"), (t(2000), 1L, "click"), (t(3000), 1L, "purchase"),
+      (t(1000), 2L, "view"), (t(2000), 2L, "click"), (t(2000 + 5001), 2L, "purchase"),
+      (t(1500), 3L, "view"),
+      (t(500), 4L, "click"), (t(1000), 4L, "view"))
+    val got = runFunnel(Seq(events), H, sentinelMs = 60000L)
+    assert(got === Seq((1L, 3, 3000000L), (2L, 2, 2000000L),
+      (3L, 1, 1500000L), (4L, 1, 1000000L)))
+    // cross-check against the batch operator on identical data
+    val batchDf = events.map { case (ts, u, et) => (u, et, ts.getTime * 1000L) }
+      .toDF("u", "et", "ts_us")
+    val batch = graft.operators.EventAnalytics.funnel(
+        batchDf, "u", "et", "ts_us", Seq("view", "click", "purchase"), H)
+      .collect().map(r => r.getLong(2)).toSeq
+    val depthCounts = (1 to 3).map(d => got.count(_._2 >= d).toLong)
+    assert(depthCounts === batch,
+      s"streamed depth counts $depthCounts vs batch funnel $batch")
+  }
+
+  test("streaming funnel: completing the last step emits immediately, before any watermark") {
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, String)](spark)
+    val out = EventStream.funnelStream(
+      stream.toDF.toDF("ts", "u", "et"), "ts", "u", "et",
+      Seq("view", "click"), horizonUs = 10000000L, watermark = "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_now").start()
+    stream.addData(Seq((new Timestamp(1000), 7L, "view"),
+      (new Timestamp(2000), 7L, "click")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT user_id, depth FROM funnel_now")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === Seq((7L, 2)), "completion must not wait for the watermark")
+  }
+
+  test("streaming funnel: in-order cross-batch delivery deepens the same funnel state") {
+    def t(ms: Long) = new Timestamp(ms)
+    val got = runFunnel(Seq(
+      Seq((t(1000), 1L, "view")),
+      Seq((t(2000), 1L, "click")),
+      Seq((t(3000), 1L, "purchase"))), horizonUs = 5000000L, sentinelMs = 60000L)
+    assert(got === Seq((1L, 3, 3000000L)))
+  }
 }

@@ -302,4 +302,47 @@ class StressSpec extends SparkSpec {
     assert(ratio < 15.0,
       f"grouped KMV sketches must scale with rows, not pairs x rows: $ratio%.1fx")
   }
+
+  test("pageRank: 10x nodes/edges stays near-linear (node-keyed joins, integer sums)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    import graft.operators.Graphs
+    // synthetic ring-with-chords graph: n nodes, 3 out-edges each —
+    // the degree profile of a k-NN graph without the LSH build cost
+    def edges(n: Long) = spark.range(n).select(col("id"))
+      .select(col("id").as("src"),
+        explode(array(
+          pmod(col("id") + 1L, lit(n)),
+          pmod(col("id") + 7L, lit(n)),
+          pmod(col("id") * 31L + 3L, lit(n)))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    def run(n: Long): Unit = Graphs.pageRank(edges(n), iterations = 5).count()
+    run(100000L) // warm-up
+    val t1 = timeOf(run(100000L))
+    val t10 = timeOf(run(1000000L))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"pageRank must scale near-linearly in edges: 10x took $ratio%.1fx")
+  }
+
+  test("edit-distance dedup: 10x corpus with capped buckets stays near-linear") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    val (one, ten) = tenX
+    import graft.operators.Dedup
+    // suffixed copies are pairwise shingle-disjoint, so candidate
+    // counts scale with rows; the bounded levenshtein kernel runs
+    // only on surviving same-copy candidates
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      Dedup.editDistanceNearDups(df, "text", "doc_id", maxDist = 16,
+        shingleSize = 3, numHashes = 128, bands = 32).count()
+    run(one) // warm-up
+    val t1 = timeOf(run(one))
+    val t10 = timeOf(run(ten))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"edit-distance dedup must scale near-linearly: 10x took $ratio%.1fx")
+  }
 }
