@@ -1665,6 +1665,47 @@ object SparkEntry {
           labelCol = "label", iterations = 3)
         .select(col("id").as("vec_id"), col("label"))
         .orderBy("vec_id")
+    }),
+    "samp_winsorize" -> ((s, dir) =>
+      // Per-group winsorization: clamp prices to each return flag's
+      // [p01, p99] sketch-quantile band. Thresholds shuffle as bin
+      // counts; the clip is a narrow scan-side least/greatest
+      // against an O(groups) broadcast.
+      graft.operators.Sampling.winsorize(t(s, dir, "lineitem"),
+          "l_extendedprice", Seq("l_returnflag"),
+          lo = 0.0, hi = 262144.0, numBuckets = 256, pLow = 0.01, pHigh = 0.99)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice_w"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "meta_upsert" -> ((s, dir) => {
+      // MERGE INTO semantics over plain parquet: +10% price updates
+      // for every 10th order, inserts under fresh keys for every
+      // 100th-ish — updates win, untouched rows pass through.
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val upd = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+      val ins = base.filter(col("o_orderkey") % 100 === 7)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      graft.operators.Maintenance.upsert(base, upd.unionByName(ins), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    "evt_session_stats" -> ((s, dir) => {
+      // Per-session rollup over the q32 gap sessionization (300 s):
+      // event count, wall duration, value sum per (user, session).
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, dir)
+        .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+        .withColumn("new_session",
+          when(col("gap_us").isNull || col("gap_us") > 300000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count("*").as("n_events"),
+          expr("(max(ts_us) - min(ts_us)) div 1000").as("duration_ms"),
+          rd(sum(col("value")), 2).as("sum_value"))
+        .orderBy("user_id", "session_id")
     })
   )
 
@@ -2848,6 +2889,61 @@ object SparkEntry {
          SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist FROM edp
          WHERE dist <= 32 ORDER BY id_a, id_b""",
     "emb_pagerank" -> pageRankOracleSql,
-    "emb_label_prop" -> labelPropOracleSql
+    "emb_label_prop" -> labelPropOracleSql,
+    "samp_winsorize" ->
+      s"""WITH wz_b AS (SELECT l_returnflag,
+           least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+             / (262144.0 - 0.0) * 256) AS BIGINT), 0), 255) AS bin
+         FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         wz_c AS (SELECT l_returnflag, bin, CAST(count(*) AS BIGINT) AS cnt
+           FROM wz_b GROUP BY l_returnflag, bin),
+         wz_cc AS (SELECT l_returnflag, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+           FROM wz_c),
+         wz_e AS (SELECT wz_cc.*, CAST(q.quantile AS DOUBLE) AS quantile
+           FROM wz_cc CROSS JOIN (SELECT unnest([0.01, 0.99]) AS quantile) q),
+         wz_f AS (SELECT *, greatest(CAST(ceil(quantile * n) AS BIGINT), 1) AS target FROM wz_e),
+         wz_q AS (SELECT l_returnflag, quantile,
+             ${roundToSql(
+               "0.0 + (CAST(bin AS DOUBLE) + CAST(target - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) * ((262144.0 - 0.0) / 256)", 6)} AS estimate
+           FROM wz_f WHERE cum >= target AND (cum - cnt) < target),
+         wz_t AS (SELECT l_returnflag,
+             min(CASE WHEN quantile = 0.01 THEN estimate END) AS qlo,
+             min(CASE WHEN quantile = 0.99 THEN estimate END) AS qhi
+           FROM wz_q GROUP BY l_returnflag)
+         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CASE WHEN l.l_extendedprice IS NULL THEN NULL
+                ELSE least(greatest(CAST(l.l_extendedprice AS DOUBLE), t.qlo), t.qhi)
+           END AS l_extendedprice_w
+         FROM lineitem l JOIN wz_t t USING (l_returnflag)
+         ORDER BY l_orderkey, l_linenumber""",
+    "meta_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+         upd AS (SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+           FROM base WHERE o_orderkey % 10 = 0),
+         ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice
+           FROM base WHERE o_orderkey % 100 = 7),
+         u AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+         SELECT o_orderkey, o_custkey, o_totalprice FROM u
+         UNION ALL
+         SELECT b.o_orderkey, b.o_custkey, b.o_totalprice
+         FROM base b LEFT JOIN u ON b.o_orderkey = u.o_orderkey
+         WHERE u.o_orderkey IS NULL
+         ORDER BY o_orderkey""",
+    "evt_session_stats" ->
+      s"""WITH g AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (SELECT user_id, event_id, value, ts_us,
+           CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 300000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+           (max(ts_us) - min(ts_us)) // 1000 AS duration_ms,
+           ${roundToSql("sum(value)", 2)} AS sum_value
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id"""
   )
 }

@@ -117,6 +117,59 @@ object Maintenance {
     nOut
   }
 
+  /** MERGE/upsert as a pure transform: `updates` rows REPLACE base
+    * rows sharing their key; update keys absent from the base are
+    * inserts; base rows with no matching update pass through. The
+    * lakehouse MERGE INTO (matched → update, not matched → insert)
+    * over plain parquet, CDC-batch style.
+    *
+    * Requires both frames to share the (selected) schema — the
+    * result is `updates ∪ (base ⟕anti updates)`, ONE equi-join on
+    * the key columns, no window, map-combinable, and when `updates`
+    * is broadcast-sized Spark plans a broadcast anti join (the base
+    * never shuffles — the common small-CDC-batch case; asserted in
+    * the plan audit).
+    *
+    * `updates` must be key-unique (two updates for one key make the
+    * merge ambiguous); callers dedup upstream — validated here with
+    * a cheap count check rather than silently keeping either.
+    */
+  def upsert(base: org.apache.spark.sql.DataFrame, updates: org.apache.spark.sql.DataFrame,
+             keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val cols = base.columns.toSeq
+    require(updates.columns.toSeq == cols,
+      s"schema mismatch: base $cols vs updates ${updates.columns.toSeq}")
+    val dupKeys = updates.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"updates carry multiple rows for one key ${keyCols.mkString(",")} — ambiguous merge")
+    updates.unionByName(base.join(updates.select(keyCols.map(col): _*),
+      keyCols, "left_anti"))
+  }
+
+  /** [[upsert]] against a parquet directory, rewritten in place with
+    * the same staged rename swap as [[compactParquet]] (replacement
+    * fully written before the original moves; crash leaves either
+    * the old or the new table, never neither).
+    */
+  def upsertParquet(spark: SparkSession, dir: String, updates: org.apache.spark.sql.DataFrame,
+                    keyCols: Seq[String]): Unit = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged = upsert(spark.read.parquet(dir), updates, keyCols)
+    val tmp = new Path(path.getParent, "_" + path.getName + "_upsert_tmp")
+    val old = new Path(path.getParent, "_" + path.getName + "_upsert_old")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(path, old), s"rename $path -> $old failed; original untouched")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path)
+      throw new IllegalStateException(s"rename $tmp -> $path failed; original restored")
+    }
+    fs.delete(old, true)
+  }
+
   /** `name=value` Hive partition directory — staging/hidden dirs
     * (leading `_` or `.`) are never partition dirs.
     */

@@ -318,4 +318,37 @@ object Sampling {
       .orderBy(col("logw_q").desc, col(idCol))
       .limit(k)
   }
+
+  /** Per-group winsorization: clamp a value column to its group's
+    * [pLow, pHigh] quantile band, with the quantiles estimated by
+    * [[Sketches.quantileSketch]] — so the data pass for thresholds
+    * shuffles ≤ numBuckets slim bin-count rows per group, never the
+    * values, and the clip itself is a narrow scan-side
+    * `least(greatest(...))` against an O(groups)-row broadcast. The
+    * standard outlier-taming step before score-weighted sampling or
+    * feature aggregation (a 10^9-row hot group costs the same bin
+    * table as a small one).
+    *
+    * Determinism: thresholds are the sketch's 1e-6-rounded
+    * estimates; the clamp is two exact IEEE comparisons — an engine
+    * replaying the sketch arithmetic reproduces every output bit.
+    * NULL values stay NULL (clamping invents no data).
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                lo: Double, hi: Double, numBuckets: Int = 256,
+                pLow: Double = 0.01, pHigh: Double = 0.99): DataFrame = {
+    require(pLow < pHigh && pLow >= 0.0 && pHigh <= 1.0,
+      s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    val qs = Sketches.quantileSketch(df, valueCol, groupCols, lo, hi,
+      numBuckets, Seq(pLow, pHigh))
+    val thr = qs.groupBy(groupCols.map(col): _*).agg(
+      min(when(col("quantile") === pLow, col("estimate"))).as("__qlo"),
+      min(when(col("quantile") === pHigh, col("estimate"))).as("__qhi"))
+    val v = col(valueCol).cast("double")
+    df.join(broadcast(thr), groupCols)
+      .withColumn(s"${valueCol}_w",
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(v, col("__qlo")), col("__qhi"))))
+      .drop("__qlo", "__qhi")
+  }
 }

@@ -155,4 +155,38 @@ class MaintenanceSpec extends SparkSpec {
     val ids = back.collect().map(_.getLong(0)).toSeq
     assert(ids == ids.sorted, "rows range-clustered by id within the leaf")
   }
+
+  test("upsert: updates replace, inserts append, untouched rows pass through") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (9L, "new")).toDF("k", "v")
+    val out = Maintenance.upsert(base, updates, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(out === Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "new")))
+  }
+
+  test("upsert: schema mismatch and duplicate update keys are rejected") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Maintenance.upsert(base, Seq((1L, "a", 0)).toDF("k", "v", "extra"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Maintenance.upsert(base, Seq((1L, "x"), (1L, "y")).toDF("k", "v"), Seq("k"))
+    }
+  }
+
+  test("upsertParquet: in-place merge with staged swap, no staging debris") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").write.parquet(dir)
+    Maintenance.upsertParquet(spark, dir,
+      Seq((2L, 99.0), (5L, 50.0)).toDF("k", "v"), Seq("k"))
+    val back = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
+    assert(back === Seq((1L, 10.0), (2L, 99.0), (5L, 50.0)))
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("_upsert")),
+      s"staging dirs cleaned: ${parent.listFiles().map(_.getName).toSeq}")
+  }
 }

@@ -504,4 +504,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), "vote counts map-side combined")
     assert(p.contains("partial_max"), "mode arg-max is an aggregation")
   }
+
+  test("samp_winsorize: thresholds broadcast; windows only roll up bin counts, never values") {
+    val p = plan("samp_winsorize")
+    assert(p.contains("BroadcastHashJoin"), s"O(groups) thresholds must broadcast:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(_.contains("__cnt#")),
+      s"windows must only roll up the ≤numBuckets bin counts:\n${winLines.mkString("\n")}")
+    assert(!winLines.exists(_.contains("l_orderkey")),
+      "no window over the data rows")
+  }
+
+  test("meta_upsert: one anti join, no window, no cartesian") {
+    val p = plan("meta_upsert")
+    assert(p.contains("LeftAnti"), s"pass-through side is an anti join:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("evt_session_stats: session window keyed by user; rollup map-side combined") {
+    val p = plan("evt_session_stats")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("user_id#")),
+      s"windows must partition by user:\n${winLines.mkString("\n")}")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-session rollup partial-aggregated")
+  }
 }

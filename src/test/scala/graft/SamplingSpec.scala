@@ -181,4 +181,36 @@ class SamplingSpec extends SparkSpec {
       numBuckets = 64, k = 40).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("winsorize: values clamp to the group's sketch-quantile band; nulls pass through") {
+    import spark.implicits._
+    // Group A: 100 unit values 0..99 on a unit-width bin grid
+    // (lo=0, hi=128, 128 buckets) — bins are exact, so p10 target =
+    // ceil(0.1*100)=10 → bin 9 (cum 10), estimate = 9 + (10-9)/1 = 10.0;
+    // p90 target = 90 → bin 89, estimate = 90.0. Group B scaled 0..990
+    // by tens would leave the [0,128) domain, so use a SECOND group
+    // with values 20..79 (60 rows): p10 target = 6 → estimate 26.0,
+    // p90 target = 54 → estimate 74.0.
+    val a = (0 until 100).map(i => ("A", i.toDouble, i))
+    val b = (20 until 80).map(i => ("B", i.toDouble, 1000 + i))
+    val df = (a ++ b).toDF("g", "v", "id")
+    val out = Sampling.winsorize(df, "v", Seq("g"), lo = 0.0, hi = 128.0,
+        numBuckets = 128, pLow = 0.1, pHigh = 0.9)
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getDouble(3))).toSeq
+    val byA = out.filter(_._1 == "A")
+    assert(byA.forall { case (_, id, w) =>
+      w == math.min(math.max(id.toDouble, 10.0), 90.0) },
+      s"group A clamps to [10, 90]: ${byA.filterNot { case (_, id, w) =>
+        w == math.min(math.max(id.toDouble, 10.0), 90.0) }.take(5)}")
+    val byB = out.filter(_._1 == "B")
+    assert(byB.forall { case (_, id, w) =>
+      w == math.min(math.max((id - 1000).toDouble, 26.0), 74.0) },
+      "group B clamps to its OWN [26, 74] band")
+    // null value stays null
+    val withNull = Seq(("A", Option.empty[Double], 1), ("A", Some(5.0), 2))
+      .toDF("g", "v", "id")
+    val nOut = Sampling.winsorize(withNull, "v", Seq("g"), 0.0, 128.0, 128, 0.1, 0.9)
+      .where(col("id") === 1).collect()
+    assert(nOut.length == 1 && nOut(0).isNullAt(3), "null value must stay null")
+  }
 }
