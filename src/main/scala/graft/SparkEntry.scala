@@ -1706,7 +1706,38 @@ object SparkEntry {
           expr("(max(ts_us) - min(ts_us)) div 1000").as("duration_ms"),
           rd(sum(col("value")), 2).as("sum_value"))
         .orderBy("user_id", "session_id")
-    })
+    }),
+    "evt_transitions" -> ((s, dir) => {
+      // Markov next-event transition matrix: per-user event
+      // successor pairs → counts + row-normalized probabilities.
+      // The only data window keys by user; the probability window
+      // rolls up the ≤ |types|² matrix.
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, dir)
+        .withColumn("to_event", lead("event_type", 1).over(w))
+        .filter(col("to_event").isNotNull)
+        .groupBy(col("event_type").as("from_event"), col("to_event"))
+        .agg(count("*").as("n"))
+        .withColumn("p", rd(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("from_event")).cast("double"), 6))
+        .orderBy("from_event", "to_event")
+    }),
+    "txt_pmi" -> ((s, dir) =>
+      // PMI collocations: top-50 token pairs by pointwise mutual
+      // information over per-doc co-occurrence; per-doc token cap 20
+      // (alphabetical — engine-portable), quantized single-ln score.
+      TextAnalysis.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 2, capPerDoc = 20, k = 50)),
+    "sketch_percentile_score" -> ((s, dir) =>
+      // Rank normalization without a window: per-row percentile =
+      // fraction of the group's rows in strictly lower histogram
+      // bins; bin table broadcast, scan-side assignment.
+      graft.operators.Sketches.percentileScore(t(s, dir, "lineitem"),
+          "l_extendedprice", Seq("l_returnflag"), lo = 0.0, hi = 262144.0,
+          numBuckets = 256)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("percentile"))
+        .orderBy("l_orderkey", "l_linenumber"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2944,6 +2975,54 @@ object SparkEntry {
            (max(ts_us) - min(ts_us)) // 1000 AS duration_ms,
            ${roundToSql("sum(value)", 2)} AS sum_value
          FROM sess GROUP BY user_id, session_id
-         ORDER BY user_id, session_id"""
+         ORDER BY user_id, session_id""",
+    "evt_transitions" ->
+      s"""WITH g AS (SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_event
+         FROM events),
+         c AS (SELECT event_type AS from_event, to_event, count(*) AS n
+           FROM g WHERE to_event IS NOT NULL GROUP BY event_type, to_event)
+         SELECT from_event, to_event, CAST(n AS BIGINT) AS n,
+           ${roundToSql(
+             "CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_event) AS DOUBLE)", 6)} AS p
+         FROM c ORDER BY from_event, to_event""",
+    "txt_pmi" ->
+      s"""WITH pm_t AS (SELECT doc_id,
+           list_sort(list_distinct(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')))[1:20] AS toks
+         FROM documents),
+         pm_n AS (SELECT count(*) AS nd FROM pm_t),
+         pm_p0 AS (SELECT doc_id, unnest(flatten(list_transform(range(1, len(toks) + 1), i ->
+             list_transform(toks[i+1:], b -> {'a': toks[i], 'b': b})))) AS u FROM pm_t),
+         pm_pr AS (SELECT doc_id, u.a AS a, u.b AS b FROM pm_p0),
+         pm_cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pm_pr
+           GROUP BY a, b HAVING count(*) >= 2),
+         pm_ct AS (SELECT t0 AS tok, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(toks) AS t0 FROM pm_t) GROUP BY t0),
+         pm_sc AS (SELECT pm_cab.a, pm_cab.b, c_ab, ca.c AS c_a, cb.c AS c_b,
+             CAST(floor(ln(CAST(nd * c_ab AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS pmi_q
+           FROM pm_cab JOIN pm_ct ca ON ca.tok = pm_cab.a
+           JOIN pm_ct cb ON cb.tok = pm_cab.b CROSS JOIN pm_n)
+         SELECT a, b, c_ab, c_a, c_b,
+           ${roundToSql("CAST(pmi_q AS DOUBLE) / 1e6", 6)} AS pmi
+         FROM pm_sc ORDER BY pmi_q DESC, a, b LIMIT 50""",
+    "sketch_percentile_score" ->
+      s"""WITH ps_b AS (SELECT l_returnflag,
+           least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+             / (262144.0 - 0.0) * 256) AS BIGINT), 0), 255) AS bin
+         FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         ps_c AS (SELECT l_returnflag, bin, CAST(count(*) AS BIGINT) AS cnt
+           FROM ps_b GROUP BY l_returnflag, bin),
+         ps_t AS (SELECT l_returnflag, bin,
+             CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) - cnt AS cum_before,
+             CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+           FROM ps_c)
+         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           ${roundToSql("CAST(t.cum_before AS DOUBLE) / CAST(t.n AS DOUBLE)", 6)} AS percentile
+         FROM lineitem l JOIN ps_t t ON t.l_returnflag = l.l_returnflag
+           AND t.bin = least(greatest(CAST(floor((CAST(l.l_extendedprice AS DOUBLE) - 0.0)
+             / (262144.0 - 0.0) * 256) AS BIGINT), 0), 255)
+         ORDER BY l.l_orderkey, l.l_linenumber"""
   )
 }

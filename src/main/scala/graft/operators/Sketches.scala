@@ -323,6 +323,48 @@ object Sketches {
         col("__n").as("n"))): _*)
   }
 
+  /** Per-row percentile assignment from the same fixed-grid histogram
+    * as [[quantileSketch]]: a row's percentile is the fraction of its
+    * GROUP's rows in strictly lower bins — rank normalization (score
+    * calibration before mixing corpora scored on different scales)
+    * WITHOUT a per-group window: the data pass shuffles ≤ numBuckets
+    * bin counts per group, the (group, bin, cum_before, n) table is
+    * O(groups·numBuckets) and broadcast back, and the assignment is
+    * a scan-side equi-join — a 10^9-row group never sorts.
+    *
+    * Granularity is the bin width (rows in one bin share a
+    * percentile); callers pick numBuckets for the resolution they
+    * need. Exact integers until the single final division; NULL
+    * values get NULL percentile.
+    */
+  def percentileScore(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                      lo: Double, hi: Double, numBuckets: Int = 256): DataFrame = {
+    require(numBuckets >= 2 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [2, 2^20], got $numBuckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val binExpr = least(greatest(
+      floor((v - lit(lo)) / (lit(hi) - lit(lo)) * lit(numBuckets)).cast("long"),
+      lit(0L)), lit(numBuckets - 1L))
+    val g = groupCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select((g :+ binExpr.as("__bin")): _*)
+      .groupBy((groupCols :+ "__bin").map(col): _*).agg(count("*").as("__cnt"))
+    val byGroup = Window.partitionBy(g: _*)
+    val cum = sum("__cnt").over(byGroup.orderBy("__bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val table = counts.select((g ++ Seq(col("__bin"),
+      (cum - col("__cnt")).as("__cum_before"), sum("__cnt").over(byGroup).as("__n"))): _*)
+    df.withColumn("__bin", when(v.isNull, lit(null).cast("long")).otherwise(binExpr))
+      .join(broadcast(table), groupCols :+ "__bin", "left")
+      .withColumn("percentile",
+        when(col("__bin").isNull, lit(null).cast("double")).otherwise(
+          graft.functions.MathFunctions.roundTo(
+            col("__cum_before").cast("double") / col("__n").cast("double"), 6)))
+      .drop("__bin", "__cum_before", "__n")
+  }
+
   /** 2^60 as an (exactly representable) double — the KMV hash-space
     * size; public so the oracle bakes the identical literal.
     */

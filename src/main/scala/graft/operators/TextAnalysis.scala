@@ -752,4 +752,61 @@ object TextAnalysis {
           .as("clf_score"),
         (col("logit_q") > thresholdQ).as("keep"))
   }
+
+  /** PMI collocation mining: the top-k token pairs by pointwise
+    * mutual information `ln(N·c_ab / (c_a·c_b))` over per-document
+    * co-occurrence — the classic corpus-analysis pass for fixed
+    * phrases, named entities, and boilerplate vocabulary.
+    *
+    * Skew control: each document contributes at most `capPerDoc`
+    * DISTINCT tokens (the alphabetically first, a deterministic and
+    * engine-portable cap), so a 10^6-token document yields the same
+    * ≤ capPerDoc·(capPerDoc−1)/2 pairs as a modest one. Pairs are
+    * generated IN-ROW with higher-order functions (ordered nested
+    * slices, a < b by token order) and shuffle as slim
+    * (token_a, token_b) rows into ONE map-side-combined count;
+    * marginals reuse the same capped token sets, so the PMI
+    * numerator/denominator are consistent by construction.
+    *
+    * Determinism: c_a, c_b, c_ab, and N are exact integers;
+    * `N·c_ab / (c_a·c_b)` is one IEEE division of two exact
+    * (< 2^53) products, and the single `ln` is quantized to 1e-6
+    * integers — magnitude ≤ ln N, so a 1-ulp cross-engine `ln`
+    * disagreement (~1e-15 relative) sits orders below the step.
+    * Selection is the bounded top-k by (pmi_q desc, pair asc) —
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+               minCount: Int = 2, capPerDoc: Int = 20, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && capPerDoc >= 2 && k >= 1,
+      s"bad params: minCount=$minCount capPerDoc=$capPerDoc k=$k")
+    // alphabetically-first capPerDoc distinct tokens, in order
+    val capped = df.select(col(idCol).as("__id"),
+      slice(array_sort(array_distinct(
+        filter(tokens(col(textCol)), t => t =!= ""))), 1, capPerDoc).as("toks"))
+    val nDocs = broadcast(capped.agg(count("*").as("__n")))
+    // in-row ordered pairs: toks is sorted, so (i < j) ⇒ a < b
+    val pairs = capped.select(col("__id"),
+      explode(flatten(transform(col("toks"), (a, i) =>
+        transform(slice(col("toks"), i + 2, lit(capPerDoc)),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("__id"), col("p.a"), col("p.b"))
+    val cAB = pairs.groupBy("a", "b").agg(count("*").as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val cTok = capped.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count("*").as("c"))
+    val scored = cAB
+      .join(cTok.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(cTok.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(nDocs)
+      .withColumn("pmi_q",
+        floor(log((col("__n") * col("c_ab")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+    scored
+      .orderBy(col("pmi_q").desc, col("a").asc, col("b").asc)
+      .limit(k)
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        graft.functions.MathFunctions.roundTo(
+          col("pmi_q").cast("double") / lit(1e6), 6).as("pmi"))
+  }
 }

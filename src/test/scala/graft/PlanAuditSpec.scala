@@ -529,4 +529,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "per-session rollup partial-aggregated")
   }
+
+  test("txt_pmi: bounded top-k selection, pair counts map-side combined, no data window") {
+    val p = plan("txt_pmi")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be bounded, not a sort:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(p.contains("partial_count"), "pair/marginal counts map-side combined")
+  }
+
+  test("sketch_percentile_score: bin table broadcast back; windows only roll up bin counts") {
+    val p = plan("sketch_percentile_score")
+    assert(p.contains("BroadcastHashJoin"), s"bin table must broadcast:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(_.contains("__cnt#")),
+      s"windows only over bin counts:\n${winLines.mkString("\n")}")
+  }
+
+  test("evt_transitions: data window keyed by user; matrix window over the tiny count table") {
+    val p = plan("evt_transitions")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.forall(l => l.contains("user_id#") || l.contains("from_event#")),
+      s"windows keyed by user (lead) or from_event (row normalize) only:\n${winLines.mkString("\n")}")
+  }
 }

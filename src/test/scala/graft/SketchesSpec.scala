@@ -201,4 +201,25 @@ class SketchesSpec extends SparkSpec {
     assert((ac._3, ac._4, ac._5) == (ref.getDouble(0), ref.getDouble(1), ref.getDouble(2)),
       s"matrix pair $ac must equal kmvSetOps ${ref.toSeq}")
   }
+
+  test("percentileScore: exact fractions on a unit bin grid; groups independent; null stays null") {
+    import spark.implicits._
+    // unit-width bins (lo=0, hi=128, 128 buckets): value v in group A
+    // (0..99, one per bin) has exactly v lower rows → percentile v/100.
+    val a = (0 until 100).map(i => ("A", Some(i.toDouble), i))
+    val b = (0 until 50).map(i => ("B", Some((2 * i).toDouble), 1000 + i))
+    val rows = a ++ b :+ (("A", Option.empty[Double], 9999))
+    val out = Sketches.percentileScore(rows.toDF("g", "v", "id"), "v", Seq("g"),
+        lo = 0.0, hi = 128.0, numBuckets = 128)
+      .collect().map(r => (r.getString(0), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    for ((g, id, p) <- out if g == "A" && id != 9999)
+      assert(p === Some(math.floor(id / 100.0 * 1e6 + 0.5) / 1e6),
+        s"A value $id percentile $p")
+    // group B: value 2i has i lower rows of its OWN group's 50
+    for ((g, id, p) <- out if g == "B")
+      assert(p === Some(math.floor((id - 1000) / 50.0 * 1e6 + 0.5) / 1e6),
+        s"B value ${id - 1000} percentile $p")
+    assert(out.find(_._2 == 9999).get._3 === None, "null value → null percentile")
+  }
 }

@@ -335,4 +335,31 @@ class TextAnalysisSpec extends SparkSpec {
         "head", "head", "head"), s"$lang: $rank")
     }
   }
+
+  test("pmiPairs: hand-computed PMI, minCount gate, alphabetical per-doc cap") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "b a"), (3L, "a c"), (4L, "d e"))
+      .toDF("doc_id", "text")
+    // (a,b) co-occurs in 2 docs; c_a = 3, c_b = 2, N = 4 →
+    // PMI = ln(4·2 / (3·2)) = ln(4/3); quantized to 287682 µnats.
+    val out = TextAnalysis.pmiPairs(docs, "doc_id", "text", minCount = 2,
+        capPerDoc = 20, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5)))
+    assert(out.toSeq === Seq(("a", "b", 2L, 0.287682)),
+      s"single surviving pair with exact quantized PMI: ${out.toSeq}")
+    // minCount = 1 admits the singletons; rarer pairs score HIGHER
+    // PMI when their marginals are small — (d,e) = ln(4·1/(1·1))
+    val all = TextAnalysis.pmiPairs(docs, "doc_id", "text", minCount = 1,
+        capPerDoc = 20, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(5)))
+    assert(all.head === (("d", "e", math.floor(math.log(4.0) * 1e6 + 0.5) / 1e6)))
+    assert(all.map(p => (p._1, p._2)).contains(("a", "c")))
+    // cap: a 5-token doc capped to its 3 alphabetically-first tokens
+    val big = Seq((1L, "e d c b a")).toDF("doc_id", "text")
+    val capped = TextAnalysis.pmiPairs(big, "doc_id", "text", minCount = 1,
+        capPerDoc = 3, k = 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(capped.toSet === Set(("a", "b"), ("a", "c"), ("b", "c")),
+      s"pairs only among the capped {a,b,c}: $capped")
+  }
 }
