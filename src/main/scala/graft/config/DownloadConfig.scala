@@ -11,7 +11,8 @@ case class DownloadConfig(
     urlCol: String = "url",
     captionCol: Option[String] = None,
     saveAdditionalColumns: Seq[String] = Nil,
-    /** txt|csv|tsv|json|jsonl|parquet — "auto" sniffs the extension. */
+    /** txt|csv|tsv|json|jsonl|parquet|orc — "auto" sniffs the
+      * extension (orc is an engine extension beyond the reference). */
     inputFormat: String = "auto",
     /** files|webdataset|parquet|tfrecord|dummy (writer.py:55-306). */
     outputFormat: String = "files",
@@ -130,7 +131,7 @@ case class DownloadConfig(
 object DownloadConfig {
   val ValidHashes: Set[String] = Set("md5", "sha256", "sha512")
   val ValidInputFormats: Set[String] =
-    Set("auto", "txt", "csv", "tsv", "json", "jsonl", "parquet")
+    Set("auto", "txt", "csv", "tsv", "json", "jsonl", "parquet", "orc")
   val ValidResizeModes: Set[String] =
     Set("no", "border", "keep_ratio", "keep_ratio_largest", "center_crop")
   /** Reference interpolation vocabulary (`resizer.py:10-18`). */

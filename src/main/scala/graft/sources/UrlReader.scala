@@ -33,6 +33,7 @@ object UrlReader {
       case "json" => "json"
       case "jsonl" => "jsonl"
       case "parquet" => "parquet"
+      case "orc" => "orc"
       case other => throw new IllegalArgumentException(s"unsupported input format: $other")
     }
   }
@@ -49,6 +50,9 @@ object UrlReader {
     case "jsonl" => spark.read.json(path)                                      // S6
     case "json" => readColumnOrientedJson(spark, path)                         // S5
     case "parquet" => spark.read.parquet(path)                                 // S7
+    // beyond the reference: ORC ships in spark-sql (native reader,
+    // same projection/predicate pushdown class as parquet)
+    case "orc" => spark.read.orc(path)
     case other => throw new IllegalArgumentException(
       s"unsupported input format: $other (expected one of ${DownloadConfig.ValidInputFormats})")
   }

@@ -326,6 +326,31 @@ class StressSpec extends SparkSpec {
       f"pageRank must scale near-linearly in edges: 10x took $ratio%.1fx")
   }
 
+  test("labelPropagation: 10x nodes/edges stays near-linear (agg-based mode, no hub window)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    import graft.operators.Graphs
+    def edges(n: Long) = spark.range(n).select(col("id"))
+      .select(col("id").as("src"),
+        explode(array(
+          pmod(col("id") + 1L, lit(n)),
+          pmod(col("id") + 7L, lit(n)),
+          pmod(col("id") * 31L + 3L, lit(n)))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    def run(n: Long): Unit = {
+      val seeds = spark.range(0, n, 5)
+        .select(col("id"), pmod(col("id"), lit(10L)).cast("int").as("label"))
+      Graphs.labelPropagation(edges(n), seeds, iterations = 3).count()
+    }
+    run(100000L) // warm-up
+    val t1 = timeOf(run(100000L))
+    val t10 = timeOf(run(1000000L))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"labelPropagation must scale near-linearly: 10x took $ratio%.1fx")
+  }
+
   test("edit-distance dedup: 10x corpus with capped buckets stays near-linear") {
     assume(sys.env.contains("GRAFT_STRESS"),
       "10x stress point: set GRAFT_STRESS=1 (takes minutes)")

@@ -206,4 +206,19 @@ class UrlReaderSpec extends SparkSpec {
     }
     DownloadConfig(encodeFormat = "jpg", encodeQuality = 80).validate() // jpg quality is real
   }
+
+  test("orc: native round-trip with column pruning (engine extension beyond the reference)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Seq(("http://a/1.jpg", "cap one", 1L), ("http://a/2.jpg", "cap two", 2L))
+      .toDF("url", "caption", "extra").write.orc(s"$dir/urls.orc")
+    assert(UrlReader.sniffFormat(s"$dir/urls.orc") == "orc")
+    val back = UrlReader.readRaw(spark, s"$dir/urls.orc", "orc")
+    assert(back.columns.toSeq == Seq("url", "caption", "extra"))
+    assert(back.count() == 2)
+    val pruned = back.select("url").queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema") && !pruned.contains("caption"),
+      s"orc scan must prune to the selected column:\n$pruned")
+    DownloadConfig(inputFormat = "orc").validate()
+  }
 }
