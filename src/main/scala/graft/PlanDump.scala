@@ -69,7 +69,13 @@ object PlanDump {
     sb.append(s"Generated by `sbt \"runMain graft.PlanDump\"` against `$dir`\n")
     sb.append("(AQE on; partition counts reflect the dump session, not the bench).\n")
     Queries.foreach { case (name, why) =>
-      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      val full = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      // iterative plans (pagerank, label prop) nest every round's
+      // subtree — cap each dump so PLANS.md stays reviewable
+      val plan =
+        if (full.length <= 64 * 1024) full
+        else full.take(64 * 1024) +
+          s"\n… [truncated: ${full.length} chars total — iterative plan nests per-round subtrees]\n"
       sb.append(s"\n## $name\n\n_${why}_\n\n```\n$plan```\n")
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),

@@ -1728,6 +1728,30 @@ object SparkEntry {
       // (alphabetical — engine-portable), quantized single-ln score.
       TextAnalysis.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
         minCount = 2, capPerDoc = 20, k = 50)),
+    "txt_blocklist" -> ((s, dir) => {
+      // Domain-suffix blocklist filter (Dolma/C4-style URL policy):
+      // five synthetic host spellings per doc_id exercise exact,
+      // subdomain, and near-miss cases; tag-don't-drop.
+      val variant = pmod(col("doc_id"), lit(5))
+      val host = when(variant === 0, lit("ads.tracker.example.com"))
+        .when(variant === 1, lit("www.example.com"))
+        .when(variant === 2, lit("bad.org"))
+        .when(variant === 3, lit("sub.bad.org"))
+        .otherwise(lit("notbad.org"))
+      val url = concat(lit("https://"), host, lit("/page/"),
+        col("doc_id").cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), UrlFunctions.urlHost(col("url")).as("host"),
+          UrlFunctions.domainBlocked(col("url"),
+            Seq("tracker.example.com", "bad.org")).as("blocked"))
+        .orderBy("doc_id")
+    }),
+    "meta_correlations" -> ((s, dir) =>
+      // One-pass Pearson matrix over the lineitem measures via exact
+      // decimal moments (order-immune) + fixed-shape double formula.
+      graft.operators.Maintenance.correlationMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "sketch_percentile_score" -> ((s, dir) =>
       // Rank normalization without a window: per-row percentile =
       // fraction of the group's rows in strictly lower histogram
@@ -3007,6 +3031,48 @@ object SparkEntry {
          SELECT a, b, c_ab, c_a, c_b,
            ${roundToSql("CAST(pmi_q AS DOUBLE) / 1e6", 6)} AS pmi
          FROM pm_sc ORDER BY pmi_q DESC, a, b LIMIT 50""",
+    "txt_blocklist" ->
+      """WITH u AS (SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INTEGER)
+             WHEN 0 THEN 'ads.tracker.example.com'
+             WHEN 1 THEN 'www.example.com'
+             WHEN 2 THEN 'bad.org'
+             WHEN 3 THEN 'sub.bad.org'
+             ELSE 'notbad.org' END AS host
+         FROM documents),
+         s AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM u)
+         SELECT doc_id, host,
+           list_has_any(
+             list_transform(range(1, len(labels) + 1), i -> array_to_string(labels[i:], '.')),
+             ['tracker.example.com', 'bad.org']) AS blocked
+         FROM s ORDER BY doc_id""",
+    "meta_correlations" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def s0(c: String) = s"s_$c"
+      def p0(a: String, b: String) = s"p_${a}_$b"
+      val moments =
+        (cols.map(c => s"sum(CAST($c AS DECIMAL(18,6))) AS ${s0(c)}") ++
+         (for (i <- cols.indices; j <- i until cols.size) yield
+           s"sum(CAST(${cols(i)} AS DECIMAL(18,6)) * CAST(${cols(j)} AS DECIMAL(18,6))) AS ${p0(cols(i), cols(j))}"))
+          .mkString(", ")
+      val nn = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val rows = (for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+        val (a, b) = (cols(i), cols(j))
+        val nD = "CAST(n AS DOUBLE)"
+        def sD(c: String) = s"CAST(${s0(c)} AS DOUBLE)"
+        def pD(x: String, y: String) = s"CAST(${p0(x, y)} AS DOUBLE)"
+        val numer = s"($nD * ${pD(a, b)} - ${sD(a)} * ${sD(b)})"
+        val denom = s"(sqrt($nD * ${pD(a, a)} - ${sD(a)} * ${sD(a)}) * " +
+          s"sqrt($nD * ${pD(b, b)} - ${sD(b)} * ${sD(b)}))"
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+           CASE WHEN $denom = 0.0 THEN NULL
+                ELSE ${roundToSql(s"$numer / $denom", 6)} END AS corr FROM m"""
+      }).mkString("\n         UNION ALL ")
+      s"""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, $moments
+         FROM lineitem WHERE $nn)
+         $rows
+         ORDER BY col_a, col_b"""
+    },
     "sketch_percentile_score" ->
       s"""WITH ps_b AS (SELECT l_returnflag,
            least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)

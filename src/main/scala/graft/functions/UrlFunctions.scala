@@ -46,4 +46,32 @@ object UrlFunctions {
     when(scheme === "", lower(u))
       .otherwise(concat(scheme, lit("://"), host, path))
   }
+
+  /** Lowercased host of a URL, port stripped — the key for
+    * domain-level policy (blocklists, per-host caps). */
+  def urlHost(url: Column): Column =
+    split(lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)), ":")
+      .getItem(0)
+
+  /** Domain-suffix blocklist check (the Dolma/C4-style URL filter):
+    * a host is blocked iff the host ITSELF or any parent domain
+    * (label-boundary suffix) appears in `blocked` — so
+    * "tracker.example.com" blocks "ads.tracker.example.com" but
+    * never "nottracker.example.com" (substring matching's classic
+    * false positive).
+    *
+    * Scale shape: the blocklist is a plan LITERAL array (real lists
+    * are 10^4–10^6 entries — past literal size, swap the
+    * `arrays_overlap` for a broadcast-join on the exploded suffix,
+    * same semantics); suffix generation is O(labels) in-row HOFs —
+    * pure scan, no shuffle, no UDF.
+    */
+  def domainBlocked(url: Column, blocked: Seq[String]): Column = {
+    require(blocked.nonEmpty, "empty blocklist — nothing to check")
+    val host = urlHost(url)
+    val labels = split(host, "\\.")
+    val suffixes = transform(labels,
+      (_, i) => array_join(slice(labels, i + 1, size(labels)), "."))
+    arrays_overlap(suffixes, array(blocked.map(d => lit(d.toLowerCase)): _*))
+  }
 }

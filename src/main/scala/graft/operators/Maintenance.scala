@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators — the operational side of running the
   * engine continuously at scale.
@@ -168,6 +168,56 @@ object Maintenance {
       throw new IllegalStateException(s"rename $tmp -> $path failed; original restored")
     }
     fs.delete(old, true)
+  }
+
+  /** Pairwise Pearson correlation matrix over numeric columns from
+    * ONE aggregation pass — the feature-analysis companion to
+    * [[profileTable]].
+    *
+    * Why not `corr(...)`: Spark's (and DuckDB's) native corr folds
+    * doubles in partition order, so the last bits differ run-to-run
+    * and engine-to-engine. Here every moment (Σx, Σx², Σxy) is an
+    * EXACT DECIMAL sum — inputs cast to DECIMAL(18,6) (deterministic
+    * half-up at 1e-6), products DECIMAL(37,12) with no precision
+    * loss, sums DECIMAL(38,12) — so the moments are bit-identical
+    * under any partitioning, and the final
+    * `(n·Σxy − Σx·Σy) / (√(n·Σx²−Σx²)·√(n·Σy²−Σy²))` is a
+    * fixed-shape double formula over exact inputs.
+    *
+    * Rows with a NULL in ANY of `cols` are excluded (one consistent
+    * n for every pair). Output: (col_a, col_b, n, corr) for the
+    * strict upper triangle, corr NULL when a column is constant.
+    * Scale: one map-side-combined aggregation producing a single
+    * O(cols²)-moment row; the matrix explode is driver-trivial.
+    */
+  def correlationMatrix(df: org.apache.spark.sql.DataFrame,
+                        cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      s"need >= 2 distinct columns, got $cols")
+    val base = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    def d(c: String) = col(c).cast("decimal(18,6)")
+    val moments =
+      Seq(count(lit(1)).as("__n")) ++
+      cols.map(c => sum(d(c)).as(s"__s_$c")) ++
+      (for (i <- cols.indices; j <- i until cols.size)
+        yield sum(d(cols(i)) * d(cols(j))).as(s"__p_${cols(i)}__${cols(j)}"))
+    val one = base.agg(moments.head, moments.tail: _*)
+    val nD = col("__n").cast("double")
+    def sD(c: String) = col(s"__s_$c").cast("double")
+    def pD(a: String, b: String) = col(s"__p_${a}__${b}").cast("double")
+    val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      val (a, b) = (cols(i), cols(j))
+      val numer = nD * pD(a, b) - sD(a) * sD(b)
+      val denom = sqrt(nD * pD(a, a) - sD(a) * sD(a)) *
+        sqrt(nD * pD(b, b) - sD(b) * sD(b))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(graft.functions.MathFunctions.roundTo(numer / denom, 6))
+          .as("corr"))
+    }
+    one.select(explode(array(pairs: _*)).as("r"))
+      .select(col("r.col_a"), col("r.col_b"), col("r.n"), col("r.corr"))
+      .orderBy("col_a", "col_b")
   }
 
   /** `name=value` Hive partition directory — staging/hidden dirs

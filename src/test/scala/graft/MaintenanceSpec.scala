@@ -189,4 +189,43 @@ class MaintenanceSpec extends SparkSpec {
     assert(!parent.listFiles().exists(_.getName.contains("_upsert")),
       s"staging dirs cleaned: ${parent.listFiles().map(_.getName).toSeq}")
   }
+
+  test("correlationMatrix: exact ±1 on linear columns, 0 on designed-orthogonal, null on constant") {
+    import spark.implicits._
+    // y = 2x (corr exactly 1), z = -x (exactly -1), w alternates ±1
+    // over symmetric x (Σw = 0, Σxw = 0 → corr exactly 0), k constant.
+    val rows = (-8 to 7).map { i =>
+      val x = i.toDouble
+      (x, 2.0 * x, -x, if (i % 2 == 0) 1.0 else -1.0, 5.0)
+    }
+    val out = Maintenance.correlationMatrix(
+        rows.toDF("x", "y", "z", "w", "k"), Seq("x", "y", "z", "w", "k"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("x", "y")) === Some(1.0))
+    assert(out(("x", "z")) === Some(-1.0))
+    assert(out(("y", "z")) === Some(-1.0))
+    assert(out(("x", "k")) === None, "constant column → null corr")
+    // Σxw = 0 by symmetry: -8..7 pairs (i, w) — compute expectation
+    // exactly: Σx = -8, Σw = 0, Σxw = Σ even i − Σ odd i
+    val n = 16.0
+    val sx = rows.map(_._1).sum; val sw = rows.map(_._4).sum
+    val sxw = rows.map(r => r._1 * r._4).sum
+    val sxx = rows.map(r => r._1 * r._1).sum; val sww = n
+    val expected = (n * sxw - sx * sw) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * sww - sw * sw))
+    assert(out(("x", "w")) === Some(math.floor(expected * 1e6 + 0.5) / 1e6))
+  }
+
+  test("correlationMatrix: rows with any null excluded; determinism across partitionings") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i =>
+      (i.toDouble, (i * i % 37).toDouble, if (i % 10 == 0) None else Some(i / 3.0)))
+    val df = rows.toDF("a", "b", "c")
+    val r1 = Maintenance.correlationMatrix(df.repartition(1), Seq("a", "b", "c")).collect()
+    val r7 = Maintenance.correlationMatrix(df.repartition(7), Seq("a", "b", "c")).collect()
+    assert(r1.map(_.toSeq).toSeq === r7.map(_.toSeq).toSeq,
+      "exact decimal moments ⇒ identical under any partitioning")
+    assert(r1.head.getLong(2) === 90L, "null-bearing rows excluded from n")
+  }
 }

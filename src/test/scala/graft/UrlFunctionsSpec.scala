@@ -65,4 +65,31 @@ class UrlFunctionsSpec extends SparkSpec {
     for (((u, a), b) <- urls.zip(once).zip(twice))
       assert(a == b, s"not idempotent for '$u': '$a' -> '$b'")
   }
+
+  test("domainBlocked: label-boundary suffix match only — no substring false positives") {
+    import spark.implicits._
+    val blocked = Seq("tracker.example.com", "bad.org")
+    val cases = Seq(
+      ("https://tracker.example.com/x", true),       // exact
+      ("https://ads.tracker.example.com/x", true),   // subdomain
+      ("http://SUB.BAD.ORG:8080/y?z=1", true),       // case + port + deeper
+      ("https://www.example.com/x", false),          // parent of a blocked sub
+      ("https://nottracker.example.com/x", false),   // substring near-miss
+      ("https://notbad.org/x", false),               // substring near-miss
+      ("https://bad.org.evil.net/x", false),         // blocked string as PREFIX
+      ("https://good.net/x", false))
+    val out = cases.map(_._1).toDF("url")
+      .select(col("url"), UrlFunctions.domainBlocked(col("url"), blocked).as("b"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    for ((u, exp) <- cases)
+      assert(out(u) === exp, s"$u expected blocked=$exp")
+  }
+
+  test("urlHost: lowercases and strips ports") {
+    import spark.implicits._
+    val out = Seq("HTTPS://WWW.Example.COM:8443/p", "http://h.io/x")
+      .toDF("url").select(UrlFunctions.urlHost(col("url")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("www.example.com", "h.io"))
+  }
 }
