@@ -257,6 +257,50 @@ object SparkEntry {
        WHERE rank <= 10 ORDER BY query_id, rank"""
   }
 
+  /** DuckDB replication of [[graft.operators.Similarity.kmeansAssign]]:
+    * the same 1e-6 coordinate quantization, the same portable hash
+    * seed top-k, and each Lloyd round replayed as CTEs — assignment
+    * via the identical sequential squared-distance fold + first-min
+    * tie-break, centroid update as the exact integer sum / count
+    * division. Bit-exact because every cross-round artifact is either
+    * an exact integer or ONE IEEE division of exact integers.
+    */
+  private def kmeansOracleSql: String = {
+    val k = 8; val dim = 64; val iters = 3
+    def dlExpr: String =
+      s"list_transform(range(0, $k), c -> list_reduce(list_transform(range(1, ${dim + 1}), " +
+      s"d -> (qd[d] - cl[c+1][d]) * (qd[d] - cl[c+1][d])), (x, y) -> x + y))"
+    val iterCtes = (1 to iters).map { i =>
+      s"""km_a$i AS (SELECT vec_id, q, list_position(dl, list_min(dl)) - 1 AS cell
+           FROM (SELECT vec_id, q, $dlExpr AS dl FROM km_data CROSS JOIN km_cl${i - 1})),
+         km_s$i AS (SELECT cell, t.d AS d, CAST(sum(q[t.d]) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+           FROM km_a$i CROSS JOIN range(1, ${dim + 1}) t(d) GROUP BY cell, t.d),
+         km_c$i AS (SELECT c.cell, list(CASE WHEN su.n IS NULL THEN c.m[t.d]
+             ELSE CAST(su.s AS DOUBLE) / CAST(su.n AS DOUBLE) END ORDER BY t.d) AS m
+           FROM km_c${i - 1} c CROSS JOIN range(1, ${dim + 1}) t(d)
+           LEFT JOIN km_s$i su ON su.cell = c.cell AND su.d = t.d
+           GROUP BY c.cell),
+         km_cl$i AS (SELECT list(m ORDER BY cell) AS cl FROM km_c$i)"""
+    }.mkString(",\n         ")
+    s"""WITH km_data AS (SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS q,
+         list_transform(list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)), x -> CAST(x AS DOUBLE)) AS qd
+       FROM embeddings),
+       km_seed AS (SELECT vec_id, qd FROM km_data
+         ORDER BY ((vec_id % 1000003) * 2654435761) % 2147483647 DESC, vec_id LIMIT $k),
+       km_c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+           qd AS m FROM km_seed),
+       km_cl0 AS (SELECT list(m ORDER BY cell) AS cl FROM km_c0),
+       $iterCtes,
+       km_fin AS (SELECT vec_id, list_position(dl, list_min(dl)) - 1 AS cell_id, dl
+         FROM (SELECT vec_id, $dlExpr AS dl FROM km_data CROSS JOIN km_cl$iters))
+       SELECT vec_id, CAST(cell_id AS INTEGER) AS cell_id,
+         ${roundToSql("dl[cell_id + 1] / 1e12", 6)} AS dist
+       FROM km_fin ORDER BY vec_id"""
+  }
+
   /** DuckDB replication of hyperplane-LSH embedding near-dup: the SAME
     * seeded gaussian planes ([[Dedup.randomPlanes]]) baked as literals,
     * sign-bit bucket fold in the same order, exact-cosine verification
@@ -1761,7 +1805,85 @@ object SparkEntry {
           numBuckets = 256)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("percentile"))
-        .orderBy("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "sketch_psi_drift" -> ((s, dir) =>
+      // Pairwise PSI drift matrix over doc-length distributions per
+      // source: ≤64 bin counts per group shuffle, broadcast pair
+      // join, quantized per-bin terms → exact integer sums.
+      graft.operators.Sketches.psiMatrix(t(s, dir, "documents"),
+          "source", "n_chars", lo = 0.0, hi = 640.0, numBuckets = 64)
+        .orderBy("group_a", "group_b")),
+    "txt_bm25" -> ((s, dir) =>
+      // BM25 top-20 for a 3-term query: only query-term postings
+      // shuffle, stats broadcast, bounded top-k selection.
+      TextAnalysis.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "join"), k = 20)),
+    "emb_decontaminate" -> ((s, dir) => {
+      // Embedding-space eval decontamination: every 20th vector
+      // plays the benchmark; survivors keep cosine < 0.35 to ALL of
+      // them (within hyperplane-LSH recall). Cross-corpus buckets
+      // only — the corpus never self-joins.
+      val v = t(s, dir, "embeddings")
+      val bench = v.filter(col("vec_id") % 20 === 0)
+      val corpus = v.filter(col("vec_id") % 20 =!= 0)
+      Dedup.embeddingDecontaminate(corpus, bench, "embedding", "vec_id",
+          dim = 64, threshold = 0.35, nPlanes = 8, nTables = 8,
+          seed = 42L, maxBucketSize = 1000)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
+    "emb_kmeans" -> ((s, dir) =>
+      // Full portable Lloyd's: hash-seeded cells, 3 integer-exact
+      // update rounds, final assignment + quantized inertia.
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), "embedding", "vec_id",
+          nCells = 8, iters = 3)
+        .orderBy("vec_id")),
+    "meta_zorder" -> ((s, dir) =>
+      // Morton key over (custkey, orderkey): the clustering key
+      // zOrderWrite range-partitions on; pure codegen'd bit math.
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          graft.operators.Maintenance.zOrderValue(
+            pmod(col("o_custkey"), lit(65536L)),
+            pmod(col("o_orderkey"), lit(65536L)), bits = 16).as("zval"))
+        .orderBy("o_orderkey")),
+    "evt_anomaly" -> ((s, dir) =>
+      // Daily-volume z-score anomalies per event type; window-free,
+      // stats broadcast onto the tiny (type, day) count table.
+      graft.operators.EventAnalytics.dailyAnomalies(
+          events(s, dir), "event_type", "ts_us", zThreshold = 2.0)
+        .orderBy("event_type", "day")),
+    "meta_diff" -> ((s, dir) => {
+      // Snapshot diff across a simulated pipeline run: the
+      // meta_upsert scenario (updates + inserts) plus deletes of
+      // every key ≡ 13 (mod 100) — added/removed/changed out of one
+      // full-outer key join.
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val upd = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+      val ins = base.filter(col("o_orderkey") % 100 === 7)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      val current = graft.operators.Maintenance
+        .upsert(base, upd.unionByName(ins), Seq("o_orderkey"))
+        .filter(!(col("o_orderkey") % 100 === 13))
+      graft.operators.Maintenance.snapshotDiff(base, current, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    "meta_skew_stats" -> ((s, dir) =>
+      // Join-key skew advisor over lineitem's order key: one
+      // map-side-combined count, exact integer summary, one row out.
+      graft.operators.Maintenance.keySkewProfile(
+        t(s, dir, "lineitem"), Seq("l_orderkey"), topK = 10)),
+    "samp_shuffle" -> ((s, dir) =>
+      // Deterministic global training shuffle: distributed rank over
+      // the portable (salt, id) hash — a range exchange plus two
+      // streaming passes, never a single-partition sort.
+      graft.operators.Sampling.deterministicShuffle(
+          t(s, dir, "documents").select("doc_id", "source"), "doc_id", "epoch0")
+        .select("doc_id", "source", "shuffle_pos")
+        .orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3050,10 +3172,15 @@ object SparkEntry {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       def s0(c: String) = s"s_$c"
       def p0(a: String, b: String) = s"p_${a}_$b"
+      // DECIMAL(19,6): one digit over the int64 width forces DuckDB's
+      // int128 multiply path — (18,6)·(18,6) raises an overflow error
+      // on DuckDB 1.0 even though the mathematical product fits. The
+      // sums are exact decimals either way, so Spark's decimal(18,6)
+      // moments still match bit-for-bit after the final DOUBLE cast.
       val moments =
-        (cols.map(c => s"sum(CAST($c AS DECIMAL(18,6))) AS ${s0(c)}") ++
+        (cols.map(c => s"sum(CAST($c AS DECIMAL(19,6))) AS ${s0(c)}") ++
          (for (i <- cols.indices; j <- i until cols.size) yield
-           s"sum(CAST(${cols(i)} AS DECIMAL(18,6)) * CAST(${cols(j)} AS DECIMAL(18,6))) AS ${p0(cols(i), cols(j))}"))
+           s"sum(CAST(${cols(i)} AS DECIMAL(19,6)) * CAST(${cols(j)} AS DECIMAL(19,6))) AS ${p0(cols(i), cols(j))}"))
           .mkString(", ")
       val nn = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
       val rows = (for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
@@ -3089,6 +3216,127 @@ object SparkEntry {
          FROM lineitem l JOIN ps_t t ON t.l_returnflag = l.l_returnflag
            AND t.bin = least(greatest(CAST(floor((CAST(l.l_extendedprice AS DOUBLE) - 0.0)
              / (262144.0 - 0.0) * 256) AS BIGINT), 0), 255)
-         ORDER BY l.l_orderkey, l.l_linenumber"""
+         ORDER BY l.l_orderkey, l.l_linenumber""",
+    "sketch_psi_drift" ->
+      s"""WITH psi_c AS (SELECT source AS grp,
+           least(greatest(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0)
+             / (640.0 - 0.0) * 64) AS BIGINT), 0), 63) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+         psi_t AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS total FROM psi_c GROUP BY 1),
+         psi_p AS (SELECT a.grp AS group_a, a.total AS ta, b.grp AS group_b, b.total AS tb
+           FROM psi_t a JOIN psi_t b ON a.grp < b.grp),
+         psi_e AS (SELECT p.group_a, p.group_b,
+             CAST(COALESCE(ca.cnt, 0) + 1 AS DOUBLE) / CAST(p.ta + 64 AS DOUBLE) AS pa,
+             CAST(COALESCE(cb.cnt, 0) + 1 AS DOUBLE) / CAST(p.tb + 64 AS DOUBLE) AS pb
+           FROM psi_p p CROSS JOIN range(0, 64) g(bin)
+           LEFT JOIN psi_c ca ON ca.grp = p.group_a AND ca.bin = g.bin
+           LEFT JOIN psi_c cb ON cb.grp = p.group_b AND cb.bin = g.bin)
+         SELECT group_a, group_b,
+           ${roundToSql("CAST(sum(CAST(floor((pa - pb) * ln(pa / pb) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) / 1e6", 6)} AS psi
+         FROM psi_e GROUP BY group_a, group_b ORDER BY group_a, group_b""",
+    "txt_bm25" ->
+      s"""WITH bm_d AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+         bm_l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           list_filter(toks, t -> t IN ('spark', 'window', 'join')) AS hits FROM bm_d),
+         bm_s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM bm_l),
+         bm_tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dl, unnest(hits) AS term FROM bm_l) GROUP BY 1, 2, 3),
+         bm_df AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM bm_tf GROUP BY 1),
+         bm_idf AS (SELECT term, CAST(floor(ln(CAST(2 * n + 2 AS DOUBLE)
+             / CAST(2 * df_t + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS idf_q
+           FROM bm_df CROSS JOIN bm_s),
+         bm_c AS (SELECT doc_id, CAST(floor((CAST(idf_q AS DOUBLE) / 1e6)
+             * (CAST(tf AS DOUBLE) * ${1.2 + 1.0})
+             / (CAST(tf AS DOUBLE) + ${1.2} * (${1.0 - 0.75}
+                + ${0.75} * CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)))
+             * 1e6 + 0.5) AS BIGINT) AS cq
+           FROM bm_tf JOIN bm_idf USING (term) CROSS JOIN bm_s),
+         bm_sc AS (SELECT doc_id, CAST(sum(cq) AS BIGINT) AS sq FROM bm_c GROUP BY 1)
+         SELECT doc_id, ${roundToSql("CAST(sq AS DOUBLE) / 1e6", 6)} AS bm25
+         FROM bm_sc ORDER BY sq DESC, doc_id LIMIT 20""",
+    "emb_decontaminate" -> {
+      val tables = duckPlaneTables
+      s"""WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         eb AS (SELECT vec_id, v FROM ev WHERE vec_id % 20 = 0),
+         ec AS (SELECT vec_id, label, v FROM ev WHERE vec_id % 20 <> 0),
+         cbk AS (SELECT vec_id, unnest($tables) AS u FROM ec),
+         cbuckets AS (SELECT vec_id, u.tbl AS tbl, u.key AS key FROM cbk),
+         bbk AS (SELECT vec_id, unnest($tables) AS u FROM eb),
+         bbuckets AS (SELECT vec_id, u.tbl AS tbl, u.key AS key FROM bbk),
+         dok AS (SELECT tbl, key FROM cbuckets GROUP BY tbl, key HAVING count(*) <= 1000),
+         dcand AS (SELECT DISTINCT c.vec_id AS cid, b.vec_id AS bid
+           FROM cbuckets c JOIN dok USING (tbl, key) JOIN bbuckets b USING (tbl, key)),
+         bad AS (SELECT DISTINCT cid FROM dcand
+           JOIN ec ON ec.vec_id = dcand.cid JOIN eb ON eb.vec_id = dcand.bid
+           WHERE ${duckCos("ec.v", "eb.v")} >= 0.35)
+         SELECT vec_id, label FROM ec
+         WHERE vec_id NOT IN (SELECT cid FROM bad) ORDER BY vec_id"""
+    },
+    "emb_kmeans" -> kmeansOracleSql,
+    "meta_zorder" ->
+      """SELECT o_orderkey, list_reduce(list_transform(range(0, 16), i ->
+           (((o_custkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+           + (((o_orderkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))),
+           (a, b) -> a + b) AS zval
+         FROM orders ORDER BY o_orderkey""",
+    "evt_anomaly" -> {
+      val sd = "sqrt((s.q - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / CAST(s.nd AS DOUBLE)) / CAST(s.nd - 1 AS DOUBLE))"
+      s"""WITH an_c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2),
+         an_s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(n_events) AS BIGINT) AS s,
+             sum(CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) AS q
+           FROM an_c GROUP BY 1),
+         an_z AS (SELECT c.event_type, c.day, c.n_events,
+             CASE WHEN s.nd > 1 AND $sd > 0.0
+               THEN ${roundToSql(s"(CAST(c.n_events AS DOUBLE) - CAST(s.s AS DOUBLE) / CAST(s.nd AS DOUBLE)) / $sd", 6)}
+             END AS z
+           FROM an_c c JOIN an_s s USING (event_type))
+         SELECT event_type, day, n_events, z,
+           CASE WHEN z IS NOT NULL THEN abs(z) >= 2.0 END AS is_anomaly
+         FROM an_z ORDER BY event_type, day"""
+    },
+    "meta_diff" ->
+      """WITH df_b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+         df_u AS (SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+           FROM df_b WHERE o_orderkey % 10 = 0),
+         df_i AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice
+           FROM df_b WHERE o_orderkey % 100 = 7),
+         df_c0 AS (SELECT * FROM df_u UNION ALL SELECT * FROM df_i
+           UNION ALL SELECT b.* FROM df_b b
+           WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM df_u
+             UNION ALL SELECT o_orderkey FROM df_i)),
+         df_c AS (SELECT * FROM df_c0 WHERE o_orderkey % 100 <> 13),
+         df_j AS (SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+             CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                  WHEN c.o_orderkey IS NULL THEN 'removed'
+                  WHEN NOT (b.o_custkey IS NOT DISTINCT FROM c.o_custkey
+                        AND b.o_totalprice IS NOT DISTINCT FROM c.o_totalprice)
+                    THEN 'changed'
+             END AS diff_status
+           FROM df_b b FULL OUTER JOIN df_c c ON b.o_orderkey = c.o_orderkey)
+         SELECT o_orderkey, diff_status FROM df_j
+         WHERE diff_status IS NOT NULL ORDER BY o_orderkey""",
+    "meta_skew_stats" ->
+      s"""WITH sk_c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem GROUP BY 1),
+         sk_t AS (SELECT CAST(sum(cnt) AS BIGINT) AS topk_rows
+           FROM (SELECT cnt FROM sk_c ORDER BY cnt DESC LIMIT 10)),
+         sk_a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(max(cnt) AS BIGINT) AS max_cnt FROM sk_c)
+         SELECT n_rows, n_keys, max_cnt, topk_rows,
+           ${roundToSql("CAST(topk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6)} AS topk_share,
+           ${roundToSql("CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6)} AS skew_factor
+         FROM sk_a CROSS JOIN sk_t""",
+    "samp_shuffle" ->
+      s"""WITH sh AS (SELECT doc_id, source,
+           ${duckHex60("('epoch0:' || CAST(doc_id AS VARCHAR))")} AS h
+         FROM documents)
+         SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_pos
+         FROM sh ORDER BY doc_id"""
   )
 }

@@ -657,6 +657,53 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** EMBEDDING-space benchmark decontamination: drop corpus rows whose
+    * embedding-cosine against ANY benchmark/eval row reaches
+    * `threshold` — the semantic form of [[minhashDecontaminate]].
+    * N-gram methods miss the translated/re-generated/paraphrased eval
+    * leaks that share no surface text; this catches anything the
+    * embedding model maps near an eval item (the decontamination mode
+    * of SemDeDup / DataComp-style pipelines).
+    *
+    * Shape: both sides bucket with the SAME seeded hyperplane tables
+    * as [[embeddingNearDups]] (plan-literal planes, multi-probe over
+    * `nTables` tables), joined CROSS-corpus only — corpus buckets vs
+    * benchmark buckets, never corpus-vs-corpus. Only slim
+    * (id, table, key) rows ride the explode+shuffle; vectors rejoin
+    * once per surviving candidate pair for the exact-cosine verify.
+    * The bucket cap applies to the CORPUS side (the benchmark is
+    * bounded by the eval suite's size; a degenerate corpus bucket is
+    * the m·|bench| candidate bomb). Recall follows the LSH curve over
+    * the table count; a missed pair costs recall, never correctness
+    * of surviving rows. Returns `corpus` survivors unchanged.
+    */
+  def embeddingDecontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      vecCol: String, idCol: String, dim: Int,
+      threshold: Double = 0.8, nPlanes: Int = 8, nTables: Int = 8,
+      seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val planes = (0 until nTables).map(t => randomPlanes(nPlanes, dim, seed + t))
+    def toBuckets(df: DataFrame, idName: String): DataFrame = df
+      .select(col(idCol).as(idName), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("buckets",
+        column(graft.plans.HyperplaneBuckets(expression(col("v")), planes)))
+      .select(col(idName), posexplode(col("buckets")).as(Seq("table", "key")))
+    val cb = toBuckets(corpus, "cid")
+    val bb = toBuckets(benchmark, "bid")
+    val ok = cb.groupBy("table", "key").agg(count("*").as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select("table", "key")
+    val cand = cb.join(ok, Seq("table", "key")).join(bb, Seq("table", "key"))
+      .select("cid", "bid").dropDuplicates("cid", "bid")
+    val vC = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("v_c"))
+    val vB = benchmark.select(col(idCol).as("bid"), col(vecCol).cast("array<double>").as("v_b"))
+    val contaminated = cand.join(vC, "cid").join(vB, "bid")
+      .filter(cosine(col("v_c"), col("v_b")) >= threshold)
+      .select(col("cid").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings into k-means cells, compute
     * pairwise cosine ONLY within a cell, and keep one representative

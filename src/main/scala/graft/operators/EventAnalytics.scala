@@ -124,4 +124,46 @@ object EventAnalytics {
       .select("cohort_week", "week_offset", "active_users", "cohort_size", "retention")
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** Daily-volume anomaly detection per event type: z-score each
+    * (type, day) count against the type's own mean/stddev over days,
+    * flagging |z| ≥ `zThreshold` — the monitoring primitive that
+    * catches a collapsed ingest, a bot burst, or a broken tracker in
+    * a 100 TB event stream.
+    *
+    * Determinism: days are pure integer micros division (no calendar
+    * engine); the per-type moments (n, Σc, Σc²) are exact integer
+    * aggregates of exact integer counts, and mean/variance/z are ONE
+    * fixed-shape IEEE expression over them — bit-replicated by the
+    * oracle; z is quantized to 1e-6 before the flag compare. Σc² is
+    * computed in doubles (counts are exact there up to 2^26-ish per
+    * day — far above any real daily volume ratio) to stay clear of
+    * ANSI long-overflow at extreme scale.
+    *
+    * Plan shape: ONE map-side-combined (type, day) count — the only
+    * data-sized aggregation; per-type moments roll up the tiny count
+    * table; stats broadcast back onto it. Window-free; a type with
+    * one observed day (sd undefined) or zero variance yields NULL z
+    * and never flags.
+    */
+  def dailyAnomalies(events: DataFrame, typeCol: String, tsUsCol: String,
+                     zThreshold: Double = 2.0): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    val counts = events.select(col(typeCol).as("event_type"),
+        expr(s"cast($tsUsCol as long) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count("*").as("n_events"))
+    val stats = counts.groupBy("event_type").agg(
+      count("*").as("__nd"), sum("n_events").as("__s"),
+      sum(col("n_events").cast("double") * col("n_events").cast("double")).as("__q"))
+    val m = col("__s").cast("double") / col("__nd").cast("double")
+    val variance = (col("__q") - col("__s").cast("double") * col("__s").cast("double") /
+      col("__nd").cast("double")) / (col("__nd") - lit(1L)).cast("double")
+    val sd = sqrt(variance)
+    val z = graft.functions.MathFunctions.roundTo(
+      (col("n_events").cast("double") - m) / sd, 6)
+    counts.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", when(col("__nd") > 1L && sd > 0.0, z))
+      .withColumn("is_anomaly", when(col("z").isNotNull, abs(col("z")) >= zThreshold))
+      .select("event_type", "day", "n_events", "z", "is_anomaly")
+  }
 }

@@ -310,4 +310,115 @@ object Maintenance {
     rows.toDF("col_name", "n_rows", "n_nulls", "n_distinct",
       "min_num", "max_num", "min_str", "max_str")
   }
+
+  /** Snapshot diff between two versions of a keyed table — the CDC /
+    * audit primitive ("what did this pipeline run change?"): rows are
+    * `added` (key only in `current`), `removed` (key only in `base`),
+    * `changed` (key in both, any non-key column differs under
+    * null-safe equality), and unchanged rows are dropped. Returns the
+    * key columns + `diff_status`.
+    *
+    * Scale shape: ONE full-outer equi-join on the key (AQE handles
+    * skew/broadcast); the column comparison is a scan-side null-safe
+    * conjunction — no hashing scheme to drift between engines, no
+    * window, nothing collected.
+    */
+  def snapshotDiff(base: org.apache.spark.sql.DataFrame,
+                   current: org.apache.spark.sql.DataFrame,
+                   keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(base.columns.sorted.sameElements(current.columns.sorted),
+      s"schema mismatch: ${base.columns.toSeq} vs ${current.columns.toSeq}")
+    val valCols = base.columns.filterNot(keyCols.contains).toSeq
+    val b = base.select(base.columns.map(c => col(c).as(s"__b_$c")).toSeq: _*)
+    val cu = current.select(current.columns.map(c => col(c).as(s"__c_$c")).toSeq: _*)
+    val cond = keyCols.map(k => col(s"__b_$k") === col(s"__c_$k")).reduce(_ && _)
+    val inBase = col(s"__b_${keyCols.head}").isNotNull
+    val inCur = col(s"__c_${keyCols.head}").isNotNull
+    val same = valCols.map(c => col(s"__b_$c") <=> col(s"__c_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    b.join(cu, cond, "full_outer")
+      .withColumn("diff_status",
+        when(!inBase, lit("added"))
+          .when(!inCur, lit("removed"))
+          .when(!same, lit("changed")))
+      .filter(col("diff_status").isNotNull)
+      .select(keyCols.map(k => coalesce(col(s"__b_$k"), col(s"__c_$k")).as(k)) :+
+        col("diff_status"): _*)
+  }
+
+  /** Join-key skew profile — the "should I salt this join / raise AQE
+    * skew thresholds?" advisor, computed without ever materializing
+    * more than the per-key count table: total rows, distinct keys,
+    * the heaviest key's count, the share of rows owned by the top-`k`
+    * keys, and `skew_factor` = max_cnt / (rows / keys) — 1.0 means
+    * perfectly uniform, 10^4 means one key owns 10^4 partitions'
+    * worth of an even shuffle.
+    *
+    * Scale shape: ONE map-side-combined count keyed by the join key;
+    * the summary rolls that table up with exact integer aggregates
+    * (top-k via a bounded TakeOrderedAndProject over counts — a tie
+    * at the k boundary cannot change the SUM, so the share is
+    * deterministic); one final row.
+    */
+  def keySkewProfile(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                     topK: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count("*").as("cnt"))
+    val top = counts.select(col("cnt")).orderBy(col("cnt").desc).limit(topK)
+      .agg(sum("cnt").as("topk_rows"))
+    val totals = counts.agg(count("*").as("n_keys"), sum("cnt").as("n_rows"),
+      max("cnt").as("max_cnt"))
+    totals.crossJoin(broadcast(top))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"), col("topk_rows"),
+        graft.functions.MathFunctions.roundTo(
+          col("topk_rows").cast("double") / col("n_rows").cast("double"), 6).as("topk_share"),
+        graft.functions.MathFunctions.roundTo(
+          col("max_cnt").cast("double") * col("n_keys").cast("double") /
+            col("n_rows").cast("double"), 6).as("skew_factor"))
+  }
+
+  /** Morton (Z-order) value of two non-negative integer columns: the
+    * low `bits` bits of `x` and `y` interleaved (x in the even
+    * positions) — the space-filling-curve key behind multi-dimensional
+    * data clustering (Delta OPTIMIZE ZORDER, Iceberg sort orders).
+    * Rows close in z-value are close in BOTH dimensions, so files
+    * written in z order carry tight min/max ranges on each column and
+    * parquet row-group / file skipping prunes on either predicate —
+    * where a single-column sort only prunes its leading column.
+    *
+    * Pure codegen'd bit arithmetic (2·bits shift/mask/or terms), no
+    * UDF, no shuffle; callers pre-normalize values into [0, 2^bits)
+    * (the expression masks to be safe).
+    */
+  def zOrderValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                  bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xl = x.cast("long"); val yl = y.cast("long")
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(xl, i).bitwiseAND(1L), 2 * i)) +
+        (shiftleft(shiftright(yl, i).bitwiseAND(1L), 2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Rewrite `df` into a z-order-clustered parquet layout: compute the
+    * Morton key over the two clustering columns, RANGE-partition on it
+    * (each output file owns one contiguous z-range) and sort within
+    * partitions, so every file's (x, y) bounding box is tight. At
+    * 100 TB this is the layout pass run once so that every subsequent
+    * selective scan on either column skips most files; the range
+    * exchange samples the key distribution, so skew in x or y does
+    * not skew file sizes.
+    */
+  def zOrderWrite(df: org.apache.spark.sql.DataFrame, path: String,
+                  xCol: String, yCol: String, numFiles: Int,
+                  bits: Int = 16): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.withColumn("__z", zOrderValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

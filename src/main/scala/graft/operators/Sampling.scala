@@ -351,4 +351,26 @@ object Sampling {
           .otherwise(least(greatest(v, col("__qlo")), col("__qhi"))))
       .drop("__qlo", "__qhi")
   }
+
+  /** Deterministic GLOBAL shuffle order for training: every row gets a
+    * stable 1-based position in a pseudo-random permutation of the
+    * corpus — the "shuffle the dataset once, reproducibly" step before
+    * sequence packing / epoch slicing. Order = ascending portable
+    * 60-bit md5 hash of (salt, id); changing the salt reshuffles,
+    * re-running does not.
+    *
+    * Scale shape: this is a distributed RANK, not a window —
+    * [[TextAnalysis.runningSum]] range-partitions on the hash (each
+    * task owns one contiguous hash slice), counts per-partition rows
+    * (one long per partition collects), and streams each slice with
+    * its broadcast prefix offset. No single-partition sort, no
+    * driver-side data; a 10^12-row corpus costs one range exchange.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, salt: String): DataFrame = {
+    val h = graft.operators.Dedup.portableHash60(
+      concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val withH = df.withColumn("__h", h).withColumn("__one", lit(1L))
+    TextAnalysis.runningSum(withH, Seq("__h", idCol), "__one", "shuffle_pos")
+      .drop("__h", "__one")
+  }
 }

@@ -111,6 +111,78 @@ object Similarity {
     cents
   }
 
+  /** Distributed Lloyd's k-means with a fully PORTABLE arithmetic
+    * contract — the clustering primitive behind corpus partitioning,
+    * diversity sampling, and SemDeDup cells, exposed end-to-end:
+    * seeds → `iters` assignment/update rounds → final (id, cell,
+    * inertia) assignment, every round bit-replicable by another
+    * engine.
+    *
+    * Portability: coordinates quantize to 1e-6 integers up front, so
+    * centroid updates are EXACT integer sums (summation-order-immune
+    * under any partitioning/retry) over a per-(cell, dim) count; the
+    * centroid itself is the one IEEE division sum/n of two exactly-
+    * representable integers, and assignment distances are fixed-order
+    * sequential folds ([[graft.plans.NearestCentroid]], first-minimum
+    * tie-break = lowest cell). |sum| stays < 2^53 up to ~10^9 rows
+    * per cell at unit-normalized inputs; beyond that the division's
+    * rounding is still deterministic for a fixed partitioning-
+    * independent integer sum, so the contract degrades gracefully.
+    *
+    * Scale shape: seeding is the bounded-heap hash top-k (no corpus
+    * sort); each round is ONE narrow assignment map (centroid matrix
+    * is a plan literal) plus a (cells·dim)-keyed partial-aggregated
+    * sum — the shuffle is O(cells·dim·partitions), independent of
+    * corpus size; the driver only ever holds cells·dim longs.
+    */
+  def kmeansAssign(df: DataFrame, vecCol: String, idCol: String,
+                   nCells: Int, iters: Int = 3): DataFrame = {
+    require(nCells > 0, s"nCells=$nCells must be positive")
+    require(iters >= 0, s"iters=$iters must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("q"))
+      .withColumn("qd", col("q").cast("array<double>"))
+    val seedHash = pmod(pmod(col("id"), lit(1000003L)) * lit(2654435761L), lit(2147483647L))
+    val seedIds = base
+      .agg(graft.plans.TopKByScore.topKByScore(seedHash.cast("double"), col("id"), nCells).as("top"))
+      .select(explode(col("top.id")).as("id")).collect().map(_.getLong(0))
+    val seedDf = seedIds.toSeq.toDF("id")
+    var cents: Array[Array[Double]] = base
+      .join(broadcast(seedDf), Seq("id"), "left_semi")
+      .orderBy("id") // tiny frame (nCells rows): determinism only
+      .select("qd").collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = base.withColumn("cell",
+        column(graft.plans.NearestCentroid(expression(col("qd")), cents.toSeq.map(_.toSeq))))
+      val stats = assigned.select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(sum("x").as("s"), count("*").as("n"))
+        .collect()
+      // empty cells keep their previous centroid (no row touches them)
+      val next = cents.map(_.clone())
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3).toDouble
+      }
+      cents = next
+    }
+    val centsSeq = cents.toSeq.map(_.toSeq)
+    val assigned = base.withColumn("cell_id",
+      column(graft.plans.NearestCentroid(expression(col("qd")), centsSeq)))
+    // inertia to the OWN cell's centroid: same sequential fold as the
+    // assignment, selected by a nCells-branch CASE over plan literals
+    var distCol: org.apache.spark.sql.Column = lit(null).cast("double")
+    for (c <- cents.indices) {
+      val centLit = array(cents(c).map(lit): _*)
+      distCol = when(col("cell_id") === c,
+        column(graft.plans.SquaredDistance(
+          expression(col("qd")), expression(centLit)))).otherwise(distCol)
+    }
+    assigned.select(col("id").as(idCol), col("cell_id"),
+      graft.functions.MathFunctions.roundTo(distCol / lit(1e12), 6).as("dist"))
+  }
+
   /** Product-quantization ANN (Jégou et al. 2011): the 100 TB memory
     * path. The corpus is ENCODED once into `m` small codes per vector
     * (64 doubles → 8 ints here: the scan that feeds every query reads

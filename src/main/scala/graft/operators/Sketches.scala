@@ -493,4 +493,72 @@ object Sketches {
         graft.functions.MathFunctions.roundTo(col("__jac") * col("__union"), 3).as("intersect_est"),
         graft.functions.MathFunctions.roundTo(col("__jac"), 6).as("jaccard_est"))
   }
+
+  /** Pairwise Population Stability Index matrix — the dataset-drift
+    * heat-map over a numeric signal (quality score, doc length,
+    * model score): for every ordered pair of groups, PSI =
+    * Σ_bins (p_a − p_b)·ln(p_a/p_b) over a fixed `[lo, hi)` grid with
+    * add-one (Laplace) smoothing, so empty bins contribute finitely
+    * and PSI is symmetric and ≥ 0. The standard monitoring gates
+    * apply downstream (PSI < 0.1 stable, > 0.25 shifted).
+    *
+    * Cross-engine determinism: each bin's term is ONE fixed-shape IEEE
+    * expression — two divisions, one `ln`, one multiply — quantized to
+    * 1e-6 integers BEFORE the per-pair sum, so the sum is an exact
+    * integer (summation-order-immune) and DuckDB replays it bit-for-
+    * bit; 1-ulp `ln`/division disagreement is ~1e-15 at these
+    * magnitudes, three orders under the quantization step.
+    *
+    * Scale shape: the data pass is ONE map-side-combined count keyed
+    * by (group, bin) — ≤ numBuckets slim rows per group shuffle, the
+    * same contract as [[quantileSketch]]; the pair matrix is a
+    * broadcast groups×groups self-join over ≤ numBuckets-row bin
+    * lists. Nothing data-sized ever collects or re-shuffles, so a
+    * 10^12-row group costs the same downstream work as a 10^3-row one.
+    */
+  def psiMatrix(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double, hi: Double, numBuckets: Int = 64): DataFrame = {
+    require(numBuckets >= 2 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [2, 2^20], got $numBuckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val v = col(valueCol).cast("double")
+    val binExpr = least(greatest(
+      floor((v - lit(lo)) / (lit(hi) - lit(lo)) * lit(numBuckets)).cast("long"),
+      lit(0L)), lit(numBuckets - 1L))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), binExpr.as("bin"))
+      .groupBy("grp", "bin").agg(count("*").as("cnt"))
+    // collapse each group's sparse bin counts to ONE (grp, total,
+    // bins[], cnts[]) row — O(groups) rows total, broadcastable
+    val sk = counts.groupBy("grp").agg(
+      sum("cnt").as("total"),
+      sort_array(collect_list(struct(col("bin"), col("cnt")))).as("bc"))
+      .select(col("grp"), col("total"),
+        col("bc.bin").as("bins"), col("bc.cnt").as("cnts"))
+    val a = sk.select(col("grp").as("group_a"), col("total").as("__ta"),
+      col("bins").as("__bina"), col("cnts").as("__cnta"))
+    val b = sk.select(col("grp").as("group_b"), col("total").as("__tb"),
+      col("bins").as("__binb"), col("cnts").as("__cntb"))
+    // per-bin smoothed counts via array lookup (0 when the bin is
+    // absent), term quantized to 1e-6 integers, integer sum over the
+    // CONSTANT-sized bin grid — all in-row, no explode, no shuffle
+    // array_position is 0 when absent and element_at rejects index 0,
+    // so the lookup must short-circuit through the CaseWhen
+    def cntAt(bins: String, cnts: String): Column = {
+      val pos = array_position(col(bins), col("__bin"))
+      coalesce(when(pos > 0, element_at(col(cnts), pos.cast("int"))), lit(0L))
+    }
+    val nb = lit(numBuckets.toLong)
+    val pA = (cntAt("__bina", "__cnta") + lit(1L)).cast("double") /
+      (col("__ta") + nb).cast("double")
+    val pB = (cntAt("__binb", "__cntb") + lit(1L)).cast("double") /
+      (col("__tb") + nb).cast("double")
+    val termQ = floor((pA - pB) * log(pA / pB) * lit(1e6) + lit(0.5)).cast("long")
+    val grid = df.sparkSession.range(numBuckets).select(col("id").as("__bin"))
+    a.join(b, col("group_a") < col("group_b"))
+      .crossJoin(broadcast(grid))
+      .groupBy("group_a", "group_b")
+      .agg(graft.functions.MathFunctions.roundTo(
+        (sum(termQ) / lit(1e6)).cast("double"), 6).as("psi"))
+  }
 }

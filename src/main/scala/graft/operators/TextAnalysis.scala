@@ -809,4 +809,63 @@ object TextAnalysis {
         graft.functions.MathFunctions.roundTo(
           col("pmi_q").cast("double") / lit(1e6), 6).as("pmi"))
   }
+
+  /** BM25 keyword search over the corpus (Robertson & Zaragoza 2009,
+    * the Okapi BM25 ranking function with the "+1" idf variant that
+    * keeps every term's contribution positive): score(d) =
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), ranked
+    * top-`k` — the retrieval primitive behind corpus search,
+    * RAG-store indexing, and query-based curation.
+    *
+    * Cross-engine determinism: idf(t) = ln((N−df+0.5)/(df+0.5) + 1)
+    * algebraically equals ln((2N+2)/(2df+1)) — ONE ln of an exact
+    * integer ratio, quantized to 1e-6 integers; each (doc, term)
+    * contribution is a fixed-shape IEEE expression over exact
+    * integers (tf, dl, the quantized idf, and avgdl as the exact
+    * ratio totalTokens/N), quantized to 1e-6 integers BEFORE the
+    * per-doc sum — so doc scores are exact integers and the top-k
+    * cut is engine-portable ((score desc, id asc) tie-break).
+    *
+    * Scale shape: tokens are filtered to the query's terms AT THE
+    * SCAN, so only matching postings — a |terms|-bounded sliver of
+    * the corpus — ever reach the (doc, term) count shuffle; document
+    * frequencies aggregate to |terms| rows and the corpus-wide
+    * (N, totalTokens) to ONE row, both broadcast back; selection is
+    * bounded top-k (TakeOrderedAndProject), never a global sort.
+    */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int = 20,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc"), size(col("__toks")).cast("long").as("dl"),
+        filter(col("__toks"), t => t.isin(terms: _*)).as("__hits"))
+    // ONE row: corpus size + total token count (avgdl = total/n exact)
+    val stats = broadcast(toks.agg(count("*").as("__n"), sum("dl").as("__tot")))
+    // postings: only query-term hits explode — slim by construction
+    val tf = toks.filter(size(col("__hits")) > 0)
+      .select(col("doc"), col("dl"), explode(col("__hits")).as("term"))
+      .groupBy("doc", "dl", "term").agg(count("*").as("tf"))
+    // |terms|-row document frequencies → quantized idf, broadcast back
+    val dfT = broadcast(tf.groupBy("term").agg(count("*").as("df_t"))
+      .crossJoin(stats)
+      .withColumn("idf_q", floor(log((lit(2L) * col("__n") + lit(2L)).cast("double") /
+        (lit(2L) * col("df_t") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+      .select(col("term"), col("idf_q")))
+    val contrib = tf.join(dfT, "term").crossJoin(stats)
+      .withColumn("__denom", col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") * col("__n").cast("double") /
+          col("__tot").cast("double")))
+      .withColumn("__c_q", floor((col("idf_q").cast("double") / lit(1e6)) *
+        (col("tf").cast("double") * lit(k1 + 1.0)) / col("__denom") * lit(1e6) +
+        lit(0.5)).cast("long"))
+    contrib.groupBy("doc").agg(sum("__c_q").as("__score_q"))
+      .orderBy(col("__score_q").desc, col("doc").asc)
+      .limit(k)
+      .select(col("doc").as(idCol),
+        graft.functions.MathFunctions.roundTo(
+          col("__score_q").cast("double") / lit(1e6), 6).as("bm25"))
+  }
 }

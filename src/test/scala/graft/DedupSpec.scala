@@ -497,4 +497,82 @@ class DedupSpec extends SparkSpec {
       docs, "text", "doc_id", maxDist = 5, shingleSize = 2, numHashes = 128, bands = 64)
     assert(out.count() === 0)
   }
+
+  test("embeddingDecontaminate: exact copies of benchmark rows drop, dissimilar rows survive") {
+    import spark.implicits._
+    val dim = 16
+    def basis(i: Int): Array[Float] = Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    // benchmark = two basis vectors; corpus = one exact copy (id 10),
+    // one near-copy (id 11: same direction, scaled), one orthogonal
+    // (id 12), one anti-parallel (id 13: cosine -1, never >= threshold)
+    val bench = Seq((0L, basis(0)), (1L, basis(1))).toDF("id", "v")
+    val near = basis(0).map(_ * 3f)
+    val corpus = Seq((10L, basis(0)), (11L, near), (12L, basis(5)), (13L, basis(0).map(-_)))
+      .toDF("id", "v")
+    val out = graft.operators.Dedup.embeddingDecontaminate(
+        corpus, bench, "v", "id", dim, threshold = 0.8,
+        nPlanes = 6, nTables = 8, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(!out.contains(10L), "exact benchmark copy must be dropped")
+    assert(!out.contains(11L), "scaled copy (cosine 1) must be dropped")
+    assert(out.contains(12L), "orthogonal vector survives")
+    assert(out.contains(13L), "anti-parallel vector (cosine -1) survives")
+  }
+
+  test("embeddingDecontaminate: survivors keep their full row, empty benchmark drops nothing") {
+    import spark.implicits._
+    val dim = 8
+    val corpus = Seq((1L, Array.fill(dim)(0.5f), "keep-me"))
+      .toDF("id", "v", "payload")
+    val bench = spark.emptyDataset[(Long, Array[Float])].toDF("id", "v")
+    val out = graft.operators.Dedup.embeddingDecontaminate(
+      corpus, bench, "v", "id", dim, threshold = 0.5).collect()
+    assert(out.length === 1 && out(0).getString(2) === "keep-me",
+      "schema and payload columns pass through untouched")
+  }
+
+  test("kmeansAssign: planted clusters separate; inertia is small inside a tight cluster") {
+    import spark.implicits._
+    val dim = 8
+    // the two ids with the LARGEST portable hash seed the centroids —
+    // compute them so each seed can be planted in a different cluster
+    def phash(id: Long): Long = ((id % 1000003L) * 2654435761L) % 2147483647L
+    val ids = (0L until 20L)
+    val Seq(seedA, seedB) = ids.sortBy(id => (-phash(id), id)).take(2).sorted
+    def vecA(eps: Float) = Array.tabulate(dim)(j => if (j == 0) 1f + eps else eps)
+    def vecB(eps: Float) = Array.tabulate(dim)(j => if (j == 7) 1f + eps else -eps)
+    val rows = ids.map { id =>
+      val inA = id == seedA || (id != seedB && id % 2 == 0)
+      val eps = (id % 5).toFloat * 1e-3f
+      (id, if (inA) vecA(eps) else vecB(eps))
+    }
+    val out = graft.operators.Similarity.kmeansAssign(
+        rows.toDF("id", "v"), "v", "id", nCells = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val cells = out.map(r => r._1 -> r._2).toMap
+    val clusterA = rows.filter { case (id, _) => id == seedA || (id != seedB && id % 2 == 0) }.map(_._1)
+    val clusterB = rows.map(_._1).filterNot(clusterA.contains)
+    assert(clusterA.map(cells).toSet.size === 1, s"cluster A maps to one cell: $cells")
+    assert(clusterB.map(cells).toSet.size === 1, s"cluster B maps to one cell: $cells")
+    assert(cells(clusterA.head) !== cells(clusterB.head), "clusters get different cells")
+    // tight clusters (eps ≤ 4e-3) → per-row inertia far below the
+    // inter-cluster distance (≈ 2 in unit coords = 2e12 quantized / 1e12)
+    assert(out.forall(_._3 < 0.01), s"inertia small inside tight clusters: $out")
+  }
+
+  test("kmeansAssign: deterministic across runs; iters=0 assigns to raw seeds") {
+    import spark.implicits._
+    val rows = (0L until 12L).map(id => (id, Array.tabulate(4)(j => (id * 7 % 5 + j).toFloat)))
+    val df = rows.toDF("id", "v")
+    val a = graft.operators.Similarity.kmeansAssign(df, "v", "id", 3, iters = 2).collect()
+    val b = graft.operators.Similarity.kmeansAssign(df, "v", "id", 3, iters = 2).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // iters=0: every seed row sits exactly on its own centroid → dist 0
+    def phash(id: Long): Long = ((id % 1000003L) * 2654435761L) % 2147483647L
+    val seeds = (0L until 12L).sortBy(id => (-phash(id), id)).take(3).toSet
+    val zero = graft.operators.Similarity.kmeansAssign(df, "v", "id", 3, iters = 0)
+      .collect().filter(r => seeds.contains(r.getLong(0)))
+    assert(zero.length === 3 && zero.forall(_.getDouble(2) === 0.0),
+      "seed rows have zero distance to their own centroid")
+  }
 }

@@ -90,4 +90,34 @@ class EventAnalyticsSpec extends SparkSpec {
     val out = EventAnalytics.retention(ev, "u", "ts").collect()
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((0L, 1L)))
   }
+
+  test("dailyAnomalies: hand-computed z-scores; only the spike day flags") {
+    val DayUs = 86400000000L
+    // type "a": 9 days of 10 events + one day of 100 → the spike's
+    // z = (100-19)/sqrt(810) ≈ 2.846 flags; the 10s sit at -0.316
+    val ev = (0 until 10).flatMap { d =>
+      val n = if (d == 9) 100 else 10
+      (0 until n).map(i => ("a", d * DayUs + i))
+    }.toDF("et", "ts")
+    val out = EventAnalytics.dailyAnomalies(ev, "et", "ts", zThreshold = 2.0)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSeq
+    val s = 190.0; val n = 10.0; val q = 9 * 100.0 + 10000.0
+    val sd = math.sqrt((q - s * s / n) / (n - 1))
+    def zq(c: Long): Double = math.floor((c - s / n) / sd * 1e6 + 0.5) / 1e6
+    for ((day, c, z, flag) <- out) {
+      assert(z === zq(c), s"day $day z")
+      assert(flag === (math.abs(zq(c)) >= 2.0), s"day $day flag")
+    }
+    assert(out.count(_._4) === 1, "exactly the spike day flags")
+  }
+
+  test("dailyAnomalies: single-day and zero-variance types yield NULL z, never flag") {
+    val DayUs = 86400000000L
+    val ev = (Seq(("single", 0L)) ++
+      (0 until 3).flatMap(d => Seq(("flat", d * DayUs), ("flat", d * DayUs + 1))))
+      .toDF("et", "ts")
+    val out = EventAnalytics.dailyAnomalies(ev, "et", "ts").collect()
+    assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4)),
+      s"undefined/zero sd → NULL z and NULL flag: ${out.mkString(",")}")
+  }
 }

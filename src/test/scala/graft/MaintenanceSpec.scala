@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 
 import graft.operators.Maintenance
@@ -174,6 +176,81 @@ class MaintenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Maintenance.upsert(base, Seq((1L, "x"), (1L, "y")).toDF("k", "v"), Seq("k"))
     }
+  }
+
+  test("snapshotDiff: added/removed/changed classified; unchanged rows dropped; nulls compare null-safely") {
+    val base = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, Option.empty[String], 30.0), (4L, Some("d"), 40.0))
+      .toDF("k", "s", "v")
+    val cur = Seq((1L, Some("a"), 10.0),          // unchanged
+      (2L, Some("B"), 20.0),                      // changed (s)
+      (3L, Option.empty[String], 30.0),           // unchanged (null <=> null)
+      (5L, Some("e"), 50.0))                      // added; 4 removed
+      .toDF("k", "s", "v")
+    val out = Maintenance.snapshotDiff(base, cur, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out === Map(2L -> "changed", 4L -> "removed", 5L -> "added"))
+    val bad = base.withColumnRenamed("v", "w")
+    intercept[IllegalArgumentException] {
+      Maintenance.snapshotDiff(base, bad, Seq("k"))
+    }
+  }
+
+  test("keySkewProfile: exact counts and shares on a planted skew distribution") {
+    // one hot key with 90 rows + 10 singleton keys = 100 rows, 11 keys
+    val rows = (Seq.fill(90)(999L) ++ (1L to 10L)).map(k => (k, "x"))
+    val out = Maintenance.keySkewProfile(rows.toDF("k", "p"), Seq("k"), topK = 3)
+      .collect()(0)
+    assert(out.getLong(0) === 100L && out.getLong(1) === 11L && out.getLong(2) === 90L)
+    // top-3 = 90 + 1 + 1 = 92
+    assert(out.getLong(3) === 92L)
+    assert(out.getDouble(4) === math.floor(0.92 * 1e6 + 0.5) / 1e6)
+    assert(out.getDouble(5) === math.floor(90.0 * 11.0 / 100.0 * 1e6 + 0.5) / 1e6)
+    // uniform data → skew_factor exactly 1
+    val uni = (1L to 50L).map(k => (k, "x"))
+    assert(Maintenance.keySkewProfile(uni.toDF("k", "p"), Seq("k"))
+      .collect()(0).getDouble(5) === 1.0)
+  }
+
+  test("zOrderValue: hand-computed bit interleaves; high bits beyond `bits` are masked") {
+    import spark.implicits._
+    val rows = Seq((3L, 1L), (5L, 3L), (0L, 0L), (65541L, 3L)).toDF("x", "y")
+    val out = rows.select(col("x"), col("y"),
+        graft.operators.Maintenance.zOrderValue(col("x"), col("y"), bits = 16).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // x=0b11, y=0b01 → bits (x0,y0,x1,y1) = 1,1,1,0 → 0b0111 = 7
+    assert(out((3L, 1L)) === 7L)
+    // x=0b101, y=0b011 → 1,1,0,1,1,0 → 0b011011 = 27
+    assert(out((5L, 3L)) === 27L)
+    assert(out((0L, 0L)) === 0L)
+    // 65541 = 2^16 + 5: bit 16 is beyond bits=16 → same key as x=5
+    assert(out((65541L, 3L)) === 27L, "out-of-range bits never leak into the key")
+  }
+
+  test("zOrderWrite: every output file has a tight bounding box on BOTH columns") {
+    import spark.implicits._
+    val grid = for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    val zDir = Files.createTempDirectory("zorder").toFile.getAbsolutePath
+    val yDir = Files.createTempDirectory("ysort").toFile.getAbsolutePath
+    graft.operators.Maintenance.zOrderWrite(df, zDir, "x", "y", numFiles = 8, bits = 5)
+    // contrast layout: single-column sort — y prunes, x never does
+    df.repartitionByRange(8, col("y")).sortWithinPartitions("y")
+      .write.mode("overwrite").parquet(yDir)
+    def boxes(dir: String): Seq[(Long, Long)] =
+      new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+        val part = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("x"), max("x"), min("y"), max("y")).collect()(0)
+        (part.getLong(1) - part.getLong(0), part.getLong(3) - part.getLong(2))
+      }
+    val zBoxes = boxes(zDir); val yBoxes = boxes(yDir)
+    assert(spark.read.parquet(zDir).count() === 1024, "all rows preserved")
+    // a z-range of ~128 cells spans at most a 16x8 (+ sampling slack)
+    // region; the full domain is 31 on each axis
+    assert(zBoxes.forall { case (rx, ry) => rx <= 24 && ry <= 24 },
+      s"z-order files bound BOTH columns: $zBoxes")
+    assert(yBoxes.forall(_._1 === 31L),
+      s"the single-column layout never prunes x: $yBoxes")
   }
 
   test("upsertParquet: in-place merge with staged swap, no staging debris") {

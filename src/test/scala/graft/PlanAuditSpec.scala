@@ -551,4 +551,74 @@ class PlanAuditSpec extends SparkSpec {
     assert(winLines.forall(l => l.contains("user_id#") || l.contains("from_event#")),
       s"windows keyed by user (lead) or from_event (row normalize) only:\n${winLines.mkString("\n")}")
   }
+
+  test("sketch_psi_drift: bin counts map-side combined; pair matrix is broadcast-joined, no window") {
+    val p = plan("sketch_psi_drift")
+    assert(p.contains("partial_count"), "per-(group,bin) counts map-side combined")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"groups×groups pair join must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+  }
+
+  test("txt_bm25: stats broadcast back; bounded top-k; no window") {
+    val p = plan("txt_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be bounded, not a sort:\n$p")
+    assert(p.contains("BroadcastExchange"), "corpus stats / idf table broadcast back")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "tf/df aggregations map-side combined")
+  }
+
+  test("emb_kmeans: final assignment is a narrow literal-matrix map — no join, no window") {
+    val p = plan("emb_kmeans")
+    assert(p.contains("nearest_centroid"), "assignment via the plan-literal centroid matrix")
+    assert(!p.contains("Join"), s"no join in the returned plan:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+  }
+
+  test("meta_zorder: pure scan-side bit math — no shuffle except the output order") {
+    val p = plan("meta_zorder")
+    assert(!p.contains("Exchange hashpartitioning"), s"no keyed shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), s"narrow map only:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("o_totalprice"),
+      "scan prunes to the two clustering columns")
+  }
+
+  test("evt_anomaly: stats broadcast onto the count table; window-free; props pruned") {
+    val p = plan("evt_anomaly")
+    assert(p.contains("BroadcastHashJoin"), s"per-type stats must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(p.contains("partial_count"), "the (type, day) count is map-side combined")
+    assert(!p.contains("props#"), "payload columns pruned at the scan")
+  }
+
+  test("meta_diff: one full-outer key join; scan-side compare — no window, no cartesian") {
+    val p = plan("meta_diff")
+    assert(p.contains("FullOuter"), s"full-outer key join:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), s"narrow compare:\n$p")
+  }
+
+  test("meta_skew_stats: count map-side combined; top-k bounded, not a global sort") {
+    val p = plan("meta_skew_stats")
+    assert(p.contains("partial_count"), "per-key count map-side combined")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k counts bounded:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+  }
+
+  test("samp_shuffle: distributed rank — no window, no single-partition funnel") {
+    val p = plan("samp_shuffle")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"no one-task funnel:\n$p")
+  }
+
+  test("emb_decontaminate: only slim (id, table, key) rows ride the bucket exchanges") {
+    val p = plan("emb_decontaminate")
+    // every keyed shuffle (bucket join, candidate dedup) must NOT
+    // carry a vector column — vectors rejoin once per candidate id
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.nonEmpty, s"expected keyed exchanges:\n$p")
+    assert(exch.forall(l => !l.contains("v_c#") && !l.contains("v_b#") && !l.contains("embedding#")),
+      s"vectors must not cross bucket shuffles:\n${exch.mkString("\n")}")
+    assert(p.contains("LeftAnti"), "survivors selected with an anti join")
+  }
 }

@@ -213,4 +213,31 @@ class SamplingSpec extends SparkSpec {
       .where(col("id") === 1).collect()
     assert(nOut.length == 1 && nOut(0).isNullAt(3), "null value must stay null")
   }
+
+  test("deterministicShuffle: a true permutation, hash-ordered, stable across runs, salt-sensitive") {
+    import spark.implicits._
+    val df = (0L until 500L).map(id => (id, s"p$id")).toDF("id", "payload")
+      .repartition(7) // multi-partition input: the rank must still be global
+    val out = Sampling.deterministicShuffle(df, "id", "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out.map(_._2).sorted === (1L to 500L), "positions are exactly 1..n")
+    // ground truth: sort by the same portable hash on the driver
+    val expected = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(id: Long): Long = {
+        val hex = md.digest(s"s1:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      (0L until 500L).sortBy(id => (h(id), id)).zipWithIndex
+        .map { case (id, i) => (id, (i + 1).toLong) }.toMap
+    }
+    assert(out.toMap === expected, "order equals the portable-hash sort")
+    val again = Sampling.deterministicShuffle(df, "id", "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(again.toMap === out.toMap, "re-running reproduces the permutation")
+    val other = Sampling.deterministicShuffle(df, "id", "s2")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(other !== out.toMap, "a different salt reshuffles")
+  }
 }

@@ -222,4 +222,46 @@ class SketchesSpec extends SparkSpec {
         s"B value ${id - 1000} percentile $p")
     assert(out.find(_._2 == 9999).get._3 === None, "null value → null percentile")
   }
+
+  test("psiMatrix: hand-computed PSI on unit-width bins, identical distributions score 0") {
+    import spark.implicits._
+    // lo=0, hi=4, 4 buckets → value v lands in bin v.
+    // A: {0:1, 1:1, 2:1}, B: {2:1, 3:1}, C identical to A.
+    val rows = Seq(("A", 0.0), ("A", 1.0), ("A", 2.0),
+                   ("B", 2.0), ("B", 3.0),
+                   ("C", 0.0), ("C", 1.0), ("C", 2.0))
+    val out = Sketches.psiMatrix(rows.toDF("g", "v"), "g", "v",
+        lo = 0.0, hi = 4.0, numBuckets = 4)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(out.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")),
+      s"one row per unordered pair: ${out.keySet}")
+    // replicate the quantized per-bin terms for (A, B): tA=3, tB=2,
+    // smoothed pa=(cA+1)/7, pb=(cB+1)/6 over bins 0..3
+    val cA = Map(0 -> 1L, 1 -> 1L, 2 -> 1L); val cB = Map(2 -> 1L, 3 -> 1L)
+    val expQ = (0 until 4).map { bin =>
+      val pa = (cA.getOrElse(bin, 0L) + 1).toDouble / 7.0
+      val pb = (cB.getOrElse(bin, 0L) + 1).toDouble / 6.0
+      math.floor((pa - pb) * math.log(pa / pb) * 1e6 + 0.5).toLong
+    }.sum
+    val exp = math.floor(expQ / 1e6 * 1e6 + 0.5) / 1e6
+    assert(out(("A", "B")) === exp, s"hand PSI $exp vs ${out(("A", "B"))}")
+    assert(out(("A", "B")) > 0.0, "shifted distributions must score positive")
+    assert(out(("A", "C")) === 0.0, "identical distributions → PSI exactly 0")
+    assert(out(("B", "C")) === out(("A", "B")),
+      "PSI is symmetric in the pair's distributions, not its labels")
+  }
+
+  test("psiMatrix: out-of-range values clamp to the edge bins, nulls are ignored") {
+    import spark.implicits._
+    val rows = Seq(("A", Some(-5.0)), ("A", Some(99.0)), ("B", Some(0.0)),
+      ("B", Some(3.9)), ("B", Option.empty[Double]))
+    val out = Sketches.psiMatrix(rows.toDF("g", "v"), "g", "v",
+        lo = 0.0, hi = 4.0, numBuckets = 4)
+      .collect()
+    assert(out.length === 1)
+    // A clamps to bins {0, 3}; B (nulls dropped) lands in {0, 3} too →
+    // identical histograms, PSI 0 — proving both the clamp and the
+    // null filter took effect
+    assert(out(0).getDouble(2) === 0.0)
+  }
 }

@@ -362,4 +362,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(capped.toSet === Set(("a", "b"), ("a", "c"), ("b", "c")),
       s"pairs only among the capped {a,b,c}: $capped")
   }
+
+  test("bm25Search: hand-computed scores, ranking, and hit filtering") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark pad pad"), // tf(spark)=3, dl=5
+      (2L, "spark pad pad pad pad"),     // tf(spark)=1, dl=5
+      (3L, "rare pad pad pad pad"),      // tf(rare)=1,  dl=5
+      (4L, "pad pad pad pad pad")        // no query terms → excluded
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(docs, "doc_id", "text",
+        Seq("spark", "rare"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out.map(_._1) === Seq(3L, 1L, 2L),
+      s"rare (df=1) outranks spark hits; tf breaks the spark tie: $out")
+    // replicate the operator's quantized arithmetic: N=4, tot=20,
+    // avgdl=5 → dl/avgdl = 1 for every doc
+    def idfQ(dfT: Long): Long =
+      math.floor(math.log((2.0 * 4 + 2) / (2.0 * dfT + 1)) * 1e6 + 0.5).toLong
+    def scoreOf(tf: Long, dfT: Long): Double = {
+      val denom = tf.toDouble + 1.2 * (0.25 + 0.75 * 5.0 * 4.0 / 20.0)
+      val cq = math.floor((idfQ(dfT) / 1e6) * (tf.toDouble * 2.2) / denom * 1e6 + 0.5).toLong
+      math.floor(cq.toDouble / 1e6 * 1e6 + 0.5) / 1e6
+    }
+    val byId = out.toMap
+    assert(byId(3L) === scoreOf(1, 1), "rare: tf=1, df=1")
+    assert(byId(1L) === scoreOf(3, 2), "spark x3: tf=3, df=2")
+    assert(byId(2L) === scoreOf(1, 2), "spark x1: tf=1, df=2")
+    assert(!byId.contains(4L), "docs with no query term never surface")
+  }
+
+  test("bm25Search: k bounds the result and multi-term docs sum their contributions") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, if (i <= 5) "spark rare" else "spark pad"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      Seq("spark", "rare"), k = 3).collect()
+    assert(out.length === 3)
+    // two-term docs strictly dominate one-term docs; lowest ids win ties
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
 }
