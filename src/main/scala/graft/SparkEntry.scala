@@ -1883,7 +1883,18 @@ object SparkEntry {
       graft.operators.Sampling.deterministicShuffle(
           t(s, dir, "documents").select("doc_id", "source"), "doc_id", "epoch0")
         .select("doc_id", "source", "shuffle_pos")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "emb_covariance" -> ((s, dir) =>
+      // Exact 64x64 covariance from one augmented-moment scan;
+      // decimal integer sums, fixed-shape IEEE assembly.
+      Similarity.covarianceMatrix(t(s, dir, "embeddings"), "embedding", dim = 64)
+        .orderBy("dim_i", "dim_j")),
+    "txt_inverted_index" -> ((s, dir) =>
+      // Bounded index build: exact df + the 8 lowest doc ids per
+      // term via the k-bounded heap aggregate; no collect_list.
+      TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+          maxPostings = 8, minDf = 5)
+        .orderBy("term", "slot"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3337,6 +3348,33 @@ object SparkEntry {
          FROM documents)
          SELECT doc_id, source,
            CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_pos
-         FROM sh ORDER BY doc_id"""
+         FROM sh ORDER BY doc_id""",
+    "emb_covariance" ->
+      s"""WITH cv_d AS (SELECT list_append(
+           list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)),
+           CAST(1 AS BIGINT)) AS qe FROM embeddings),
+         cv_p AS (SELECT i.i AS i, j.j AS j,
+             sum(CAST(qe[i.i + 1] * qe[j.j + 1] AS DECIMAL(38,0))) AS s
+           FROM cv_d CROSS JOIN range(0, 65) i(i) CROSS JOIN range(0, 65) j(j)
+           WHERE j.j >= i.i GROUP BY 1, 2),
+         cv_n AS (SELECT CAST(s AS DOUBLE) AS n FROM cv_p WHERE i = 64 AND j = 64),
+         cv_s AS (SELECT i, CAST(s AS DOUBLE) AS sv FROM cv_p WHERE j = 64 AND i < 64)
+         SELECT CAST(p.i AS INTEGER) AS dim_i, CAST(p.j AS INTEGER) AS dim_j,
+           ${roundToSql("(CAST(p.s AS DOUBLE) - sa.sv * sb.sv / n) / (n - 1.0) / 1e12", 6)} AS cov
+         FROM cv_p p JOIN cv_s sa ON sa.i = p.i JOIN cv_s sb ON sb.i = p.j
+           CROSS JOIN cv_n
+         WHERE p.j < 64 ORDER BY dim_i, dim_j""",
+    "txt_inverted_index" ->
+      """WITH ii_p AS (SELECT DISTINCT doc_id AS doc, t.term FROM (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents) t WHERE term <> ''),
+         ii_g AS (SELECT term, CAST(count(*) AS BIGINT) AS df_count FROM ii_p GROUP BY 1),
+         ii_r AS (SELECT term, doc,
+             CAST(row_number() OVER (PARTITION BY term ORDER BY doc) - 1 AS INTEGER) AS slot
+           FROM ii_p)
+         SELECT g.term, g.df_count, r.slot, r.doc AS doc_id
+         FROM ii_g g JOIN ii_r r ON r.term = g.term
+         WHERE g.df_count >= 5 AND r.slot < 8
+         ORDER BY g.term, r.slot"""
   )
 }

@@ -183,6 +183,49 @@ object Similarity {
       graft.functions.MathFunctions.roundTo(distCol / lit(1e12), 6).as("dist"))
   }
 
+  /** Exact sample covariance matrix of the embedding dimensions — the
+    * moment pass behind PCA/whitening/feature-correlation analysis —
+    * from ONE corpus scan via the augmented-moment trick: append a
+    * constant 1 to the (1e-6-quantized) vector, and the single
+    * upper-triangle product-sum table contains ALL the moments
+    * (P[i][d] = Σ q_i is the mean numerator, P[d][d] = n is the row
+    * count). Sums are exact DECIMAL(38,0) integers — summation-order-
+    * immune under any partitioning — and each covariance is a fixed-
+    * shape IEEE expression over them, so another engine replays every
+    * output bit.
+    *
+    * Scale shape: the scan explodes (d+1)(d+2)/2 slim (i, j, prod)
+    * structs per row, but the term-keyed aggregation partial-combines
+    * map-side, so the shuffle is O(d²·partitions) regardless of
+    * corpus size; the joins that assemble cov(i,j) run on the
+    * d²-row moment table. Returns (dim_i, dim_j, cov) for i ≤ j.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val q = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    val qe = concat(q, array(lit(1L)))
+    // upper-triangle (i, j, q_i*q_j) structs over the augmented vector
+    val pairs = flatten(transform(sequence(lit(0), lit(dim)), i =>
+      transform(sequence(i, lit(dim)), j => struct(i.as("i"), j.as("j"),
+        (element_at(qe, i + 1) * element_at(qe, j + 1)).as("prod")))))
+    val moments = df.select(explode(pairs).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.prod"))
+      .groupBy("i", "j").agg(sum(col("prod").cast("decimal(38,0)")).as("s"))
+    val n = moments.filter(col("i") === dim && col("j") === dim)
+      .select(col("s").cast("double").as("__n"))
+    val means = moments.filter(col("j") === dim && col("i") < dim)
+      .select(col("i").as("__mi"), col("s").cast("double").as("__s"))
+    moments.filter(col("j") < dim)
+      .join(broadcast(means).withColumnRenamed("__mi", "i").withColumnRenamed("__s", "__si"), "i")
+      .join(broadcast(means).withColumnRenamed("__mi", "j").withColumnRenamed("__s", "__sj"), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i").as("dim_i"), col("j").as("dim_j"),
+        graft.functions.MathFunctions.roundTo(
+          (col("s").cast("double") - col("__si") * col("__sj") / col("__n")) /
+            (col("__n") - lit(1.0)) / lit(1e12), 6).as("cov"))
+  }
+
   /** Product-quantization ANN (Jégou et al. 2011): the 100 TB memory
     * path. The corpus is ENCODED once into `m` small codes per vector
     * (64 doubles → 8 ints here: the scan that feeds every query reads

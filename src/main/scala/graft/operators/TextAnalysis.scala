@@ -868,4 +868,33 @@ object TextAnalysis {
         graft.functions.MathFunctions.roundTo(
           col("__score_q").cast("double") / lit(1e6), 6).as("bm25"))
   }
+
+  /** Inverted-index build with BOUNDED per-term state: for every term
+    * above `minDf` document frequency, the exact df plus the
+    * `maxPostings` LOWEST doc ids as a sample posting list — the
+    * index-construction half of corpus search (the [[bm25Search]]
+    * runtime recomputes postings per query; this materializes them).
+    * Output is flattened to (term, df_count, slot, doc_id) scalar
+    * rows, slot = 0-based rank of the doc id within the sample.
+    *
+    * Scale shape: per-doc DISTINCT terms explode into slim
+    * (term, doc) longs; ONE aggregation keyed by term computes df and
+    * the sample TOGETHER — the posting sample uses the k-bounded
+    * [[graft.plans.BottomKLongs]] heap, so a stopword appearing in
+    * 10^10 documents ships ≤ maxPostings ids per partition instead of
+    * a 10^10-element collect_list (the classic index-build skew bomb).
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 32, minDf: Int = 2): DataFrame = {
+    require(maxPostings >= 2, s"maxPostings=$maxPostings must be >= 2")
+    require(minDf >= 1, s"minDf=$minDf must be >= 1")
+    val postings = df.select(col(idCol).as("doc"),
+        explode(array_distinct(filter(tokens(col(textCol)), t => t =!= ""))).as("term"))
+    postings.groupBy("term")
+      .agg(count("*").as("df_count"),
+        graft.plans.BottomKLongs.bottomK(col("doc"), maxPostings).as("__docs"))
+      .filter(col("df_count") >= minDf)
+      .select(col("term"), col("df_count"),
+        posexplode(col("__docs")).as(Seq("slot", "doc_id")))
+  }
 }

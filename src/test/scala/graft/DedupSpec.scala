@@ -575,4 +575,31 @@ class DedupSpec extends SparkSpec {
     assert(zero.length === 3 && zero.forall(_.getDouble(2) === 0.0),
       "seed rows have zero distance to their own centroid")
   }
+
+  test("covarianceMatrix: hand-computed 2x2 sample covariance, upper triangle only") {
+    import spark.implicits._
+    // vectors (1,2), (3,4), (5,12): means (3,6);
+    // var x = 4, var y = 28, cov(x,y) = 10 (sample, n-1)
+    val df = Seq(
+      (1L, Array(1f, 2f)), (2L, Array(3f, 4f)), (3L, Array(5f, 12f))
+    ).toDF("id", "v")
+    val out = graft.operators.Similarity.covarianceMatrix(df, "v", dim = 2)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(out.keySet === Set((0, 0), (0, 1), (1, 1)), "i <= j rows only")
+    assert(out((0, 0)) === 4.0)
+    assert(out((1, 1)) === 28.0)
+    assert(out((0, 1)) === 10.0)
+  }
+
+  test("covarianceMatrix: order-immune — repartitioned input gives identical bits") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(id =>
+      (id, Array.tabulate(4)(j => math.sin(id * 0.37 + j).toFloat)))
+    val df = rows.toDF("id", "v")
+    val a = graft.operators.Similarity.covarianceMatrix(df, "v", 4)
+      .orderBy("dim_i", "dim_j").collect().map(_.getDouble(2)).toSeq
+    val b = graft.operators.Similarity.covarianceMatrix(df.repartition(13), "v", 4)
+      .orderBy("dim_i", "dim_j").collect().map(_.getDouble(2)).toSeq
+    assert(a === b, "decimal integer moments make the result partitioning-independent")
+  }
 }

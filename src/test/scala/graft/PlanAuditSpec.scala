@@ -611,6 +611,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"no one-task funnel:\n$p")
   }
 
+  test("emb_covariance: moment aggregation map-side combined; assembly joins broadcast") {
+    val p = plan("emb_covariance")
+    assert(p.contains("partial_sum"), "decimal moment sums partial-aggregated before the shuffle")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"mean/count joins on the d2-row table broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+  }
+
+  test("txt_inverted_index: bounded heap per term — no collect_list, no window over postings") {
+    val p = plan("txt_inverted_index")
+    assert(p.contains("bottom_k_longs") || p.contains("partial_bottom_k_longs"),
+      s"posting sample via the k-bounded aggregate:\n$p")
+    assert(!p.contains("collect_list"), s"no unbounded per-term state:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+  }
+
   test("emb_decontaminate: only slim (id, table, key) rows ride the bucket exchanges") {
     val p = plan("emb_decontaminate")
     // every keyed shuffle (bucket join, candidate dedup) must NOT

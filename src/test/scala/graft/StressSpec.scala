@@ -351,6 +351,58 @@ class StressSpec extends SparkSpec {
       f"labelPropagation must scale near-linearly: 10x took $ratio%.1fx")
   }
 
+  test("bm25Search: 10x corpus stays near-linear (query-term postings only shuffle)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    val (one, ten) = tenX
+    import graft.operators.TextAnalysis
+    // suffixed copies rewrite tokens, so query the base spellings
+    // plus one suffixed spelling — postings stay a corpus sliver
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      TextAnalysis.bm25Search(df, "doc_id", "text",
+        Seq("spark", "window", "join", "spark_3"), k = 50).collect()
+    run(one) // warm-up
+    val t1 = timeOf(run(one))
+    val t10 = timeOf(run(ten))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"bm25 must scale near-linearly: 10x took $ratio%.1fx")
+  }
+
+  test("kmeansAssign: 10x vectors stays near-linear (narrow assignment, cells*dim shuffle)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    import graft.operators.Similarity
+    val one = spark.read.parquet(sf("sf0.1") + "/embeddings.parquet")
+    val ten = tenXEmbeddings
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      Similarity.kmeansAssign(df, "embedding", "vec_id", nCells = 16, iters = 3).count()
+    run(one) // warm-up
+    val t1 = timeOf(run(one))
+    val t10 = timeOf(run(ten))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"k-means must scale near-linearly in rows: 10x took $ratio%.1fx")
+  }
+
+  test("deterministicShuffle: 10x corpus stays near-linear (range rank, no global sort task)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    val (one, ten) = tenX
+    import graft.operators.Sampling
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      Sampling.deterministicShuffle(df, "doc_id", "s1").count()
+    run(one) // warm-up
+    val t1 = timeOf(run(one))
+    val t10 = timeOf(run(ten))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"deterministic shuffle must scale near-linearly: 10x took $ratio%.1fx")
+  }
+
   test("edit-distance dedup: 10x corpus with capped buckets stays near-linear") {
     assume(sys.env.contains("GRAFT_STRESS"),
       "10x stress point: set GRAFT_STRESS=1 (takes minutes)")

@@ -402,4 +402,25 @@ class TextAnalysisSpec extends SparkSpec {
     // two-term docs strictly dominate one-term docs; lowest ids win ties
     assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("invertedIndex: exact df, bounded lowest-id postings, minDf gate, within-doc dedup") {
+    import spark.implicits._
+    // "common" in docs 1..6; "pair" in 2 docs; "solo" in 1; doc 1
+    // repeats "common" twice (df must still count it once)
+    val docs = Seq(
+      (1L, "common common pair"), (2L, "common pair"), (3L, "common"),
+      (4L, "common"), (5L, "common"), (6L, "common solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, "doc_id", "text",
+        maxPostings = 4, minDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    val byTerm = out.groupBy(_._1)
+    assert(!byTerm.contains("solo"), "df=1 term filtered by minDf=2")
+    assert(byTerm("pair").map(_._2).distinct === Seq(2L), "pair df=2")
+    assert(byTerm("pair").sortBy(_._3).map(_._4) === Seq(1L, 2L))
+    assert(byTerm("common").map(_._2).distinct === Seq(6L),
+      "within-doc repetition never inflates df")
+    // bounded: 6 matching docs but only the 4 LOWEST ids survive
+    assert(byTerm("common").sortBy(_._3).map(_._4) === Seq(1L, 2L, 3L, 4L))
+  }
 }
