@@ -425,24 +425,17 @@ object TextAnalysis {
     */
   private def winnowSelected(textCol: String, gramSize: Int, w: Int):
       (org.apache.spark.sql.Column, org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val toks = split(normalizeText(col(textCol)), " ")
     val nTok = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
     val nGrams = greatest(nTok - (gramSize - 1), lit(0))
-    val gIdx = when(nGrams > 0, sequence(lit(0), nGrams - 1))
-      .otherwise(lit(Array.emptyIntArray))
-    val hs = transform(gIdx, i => graft.operators.Dedup.portableHash60(
-      concat_ws(" ", slice(toks, i + lit(1), lit(gramSize)))))
     val nWin = greatest(nGrams - (w - 1), lit(0))
-    val wIdx = when(nWin > 0, sequence(lit(0), nWin - 1))
-      .otherwise(lit(Array.emptyIntArray))
-    // rightmost minimal hash per window: pos = i + (w - position of
-    // the min in the REVERSED window slice), 0-based
-    val selPos = transform(wIdx, i => {
-      val win = slice(hs, i + lit(1), lit(w))
-      val m = array_min(win)
-      (i + lit(w) - array_position(reverse(win), m)).cast("int")
-    })
-    val selHashes = transform(array_distinct(selPos), p => element_at(hs, p + lit(1)))
+    // One native O(grams·w) pass per row ([[graft.plans.WinnowingExpr]]):
+    // each gram digested once, rightmost-min selection in a compiled
+    // loop. The previous nested-HOF formulation re-computed the
+    // md5-of-every-gram array per window per reference (>5 min/query
+    // at sf0.1); semantics are bit-identical.
+    val selHashes = column(graft.plans.WinnowingExpr(expression(toks), gramSize, w))
     (nGrams, nWin, selHashes)
   }
 
