@@ -331,10 +331,14 @@ object Dedup {
       // lineage), so the convergence probe below reads materialized
       // blocks instead of recomputing the propagation join — this
       // halved dedup_clusters' round cost vs a separate count() probe.
-      val flagged = next.as("n").join(labels.as("o"), Seq("id"))
-        .select(col("id"), col("n.label").as("label"),
-                (col("n.label") =!= col("o.label")).as("chg"))
-        .localCheckpoint(eager = true)
+      // fresh-stats checkpoint: labels enters this round's plan four
+      // times (base ∪ viaEdges ∪ shortcut self-join ⨝ flag join), so a
+      // stats-carrying localCheckpoint would ×4 the inherited BigInt
+      // sizeInBytes every round — see CheckpointBridge.
+      val flagged = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointFreshStats(next.as("n").join(labels.as("o"), Seq("id"))
+          .select(col("id"), col("n.label").as("label"),
+                  (col("n.label") =!= col("o.label")).as("chg")))
       converged = flagged.filter(col("chg")).isEmpty
       labels = flagged.select("id", "label")
       i += 1
@@ -489,7 +493,8 @@ object Dedup {
         fresh.drop("__fp").write.mode("overwrite").parquet(dir)
         spark.read.parquet(dir)
       case None =>
-        fresh.localCheckpoint(eager = true).drop("__fp")
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .localCheckpointFreshStats(fresh).drop("__fp")
     }
   }
 
@@ -586,7 +591,8 @@ object Dedup {
         fresh.write.mode("overwrite").parquet(dir)
         spark.read.parquet(dir)
       case None =>
-        fresh.localCheckpoint(eager = true)
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .localCheckpointFreshStats(fresh)
     }
   }
 

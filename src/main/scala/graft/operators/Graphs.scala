@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Eager local checkpoint that also RESETS inherited plan
+    * statistics ([[org.apache.spark.sql.graftbridge.CheckpointBridge]]):
+    * plain `localCheckpoint` carries the origin `sizeInBytes` onto
+    * the LogicalRDD, and a loop frame joined against itself squares
+    * that BigInt every round — stats arithmetic ends up dominating
+    * the round (measured ~3×/round growth) and finally overflows.
+    */
+  private def graftCheckpoint(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.CheckpointBridge.localCheckpointFreshStats(df)
+
   /** PageRank by power iteration over a directed edge list.
     *
     * Node set = distinct sources ∪ destinations. Every node starts
@@ -43,39 +53,86 @@ object Graphs {
     * is ≤ the total mass ≤ N·1e9 nanos, so 85·rank stays inside a
     * long for N < 10^11 nodes.
     *
-    * Lineage: each iteration's plan nests the previous one's; for
-    * the few fixed iterations used here (≤ 10) that is fine — for
-    * long chains callers should checkpoint, as
-    * [[Dedup.connectedComponents]] does.
+    * Lineage & caching: the (src, dst, outdeg) edge frame — which at
+    * production scale embeds the entire upstream k-NN-graph build —
+    * is PERSISTED before the loop and computed exactly once; the rank
+    * frame is eagerly `localCheckpoint`ed every 3 rounds (and at
+    * exit, so the caches can be freed before returning) to bound the
+    * iterative-join lineage — the [[Dedup.connectedComponents]]
+    * pattern.
+    *
+    * `toleranceNanos` > 0 adds a convergence early-exit: stop when
+    * the total absolute rank movement Σ|Δr| of a round is ≤ the
+    * tolerance (an exact integer test — no float drift), so
+    * large-scale callers don't pay fixed iterations past
+    * convergence. The convergence probe rides the round's
+    * checkpointed frame — one action per round, no recompute. The
+    * default 0 keeps the fixed-iteration form (the oracle-replayable
+    * contract).
     */
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-               iterations: Int = 5): DataFrame = {
+               iterations: Int = 5, toleranceNanos: Long = 0L): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
+    require(toleranceNanos >= 0L,
+      s"toleranceNanos must be >= 0, got $toleranceNanos")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+      .union(e.select(col("dst").as("id"))).distinct().persist()
     val outdeg = e.groupBy("src").agg(count("*").as("outdeg"))
-    // (src, dst, outdeg) is iteration-invariant; keep it materialized
-    // once rather than re-deriving the degree join every round.
-    val withDeg = e.join(outdeg, "src")
+    // (src, dst, outdeg) is iteration-invariant: persist it so the
+    // upstream edge build (at scale, the dominant cost) runs once and
+    // every round's join reads cached blocks.
+    val withDeg = e.join(outdeg, "src").persist()
 
     var ranks = nodes.withColumn("rank_nanos", lit(1000000000L))
-    for (_ <- 1 to iterations) {
-      val contribs = withDeg
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"),
-          expr("(85 * rank_nanos) div (100 * outdeg)").as("c"))
-        .groupBy("id").agg(sum(col("c")).as("inflow"))
-      ranks = nodes
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(150000000L) + coalesce(col("inflow"), lit(0L))).as("rank_nanos"))
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
+      val next = pageRankRound(withDeg, nodes, ranks)
+      if (toleranceNanos > 0L) {
+        val flagged = graftCheckpoint(next.as("n").join(ranks.as("o"), Seq("id"))
+          .select(col("id"), col("n.rank_nanos").as("rank_nanos"),
+            abs(col("n.rank_nanos") - col("o.rank_nanos")).as("__delta")))
+        val moved = flagged.agg(coalesce(sum("__delta"), lit(0L))).head.getLong(0)
+        ranks = flagged.select("id", "rank_nanos")
+        converged = moved <= toleranceNanos
+      } else {
+        ranks =
+          if ((it + 1) % 3 == 0 && it + 1 < iterations)
+            graftCheckpoint(next)
+          else next
+      }
+      it += 1
     }
-    ranks.orderBy("id")
+    // Materialize the result before dropping the caches it was built
+    // from, so the caller's action never re-derives the edge frame.
+    val out = graftCheckpoint(ranks)
+    withDeg.unpersist()
+    nodes.unpersist()
+    out.orderBy("id")
+  }
+
+  /** One power-iteration round — the plan the cluster actually pays
+    * per iteration (the public entry checkpoints its result, so plan
+    * audits must look HERE): one source-keyed equi-join, one
+    * map-side-combined destination sum, one left join back onto the
+    * node set. Package-private test seam.
+    */
+  private[graft] def pageRankRound(withDeg: DataFrame, nodes: DataFrame,
+                                   ranks: DataFrame): DataFrame = {
+    val contribs = withDeg
+      .join(ranks.withColumnRenamed("id", "src"), "src")
+      .select(col("dst").as("id"),
+        expr("(85 * rank_nanos) div (100 * outdeg)").as("c"))
+      .groupBy("id").agg(sum(col("c")).as("inflow"))
+    nodes
+      .join(contribs, Seq("id"), "left")
+      .select(col("id"),
+        (lit(150000000L) + coalesce(col("inflow"), lit(0L))).as("rank_nanos"))
   }
 
   /** Semi-supervised label propagation (the classic LPA step applied
@@ -104,29 +161,50 @@ object Graphs {
                        iterations: Int = 3): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
+    // The edge list (at scale, the whole upstream k-NN-graph build)
+    // and the slim seed table are iteration-invariant: persist both
+    // so every round's joins read cached blocks; checkpoint the label
+    // frame every 3 rounds (and at exit, before freeing the caches)
+    // to bound the iterative-join lineage.
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+      .distinct().persist()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val seed = seeds.select(col(idCol).cast("long").as("id"),
-      col(labelCol).cast("int").as("seed_label"))
+      col(labelCol).cast("int").as("seed_label")).persist()
     var labels = nodes.join(seed, Seq("id"), "left")
       .select(col("id"), col("seed_label").as("label"))
-    for (_ <- 1 to iterations) {
-      val votes = e.join(labels.withColumnRenamed("id", "src"), "src")
-        .filter(col("label").isNotNull)
-        .groupBy(col("dst").as("id"), col("label"))
-        .agg(count("*").as("cnt"))
-      val mode = votes.groupBy("id")
-        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
-        .select(col("id"), (-col("m.neg")).as("mode_label"))
-      labels = labels.join(mode, Seq("id"), "left")
-        .join(seed, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("seed_label"), col("mode_label"), col("label")).as("label"))
+    for (it <- 1 to iterations) {
+      labels = labelPropRound(e, seed, labels)
+      if (it % 3 == 0 && it < iterations)
+        labels = graftCheckpoint(labels)
     }
-    labels.orderBy("id")
+    val out = graftCheckpoint(labels)
+    e.unpersist()
+    seed.unpersist()
+    out.orderBy("id")
+  }
+
+  /** One label-propagation round — the per-iteration plan the cluster
+    * pays (the public entry checkpoints its result, so plan audits
+    * must look HERE): source-keyed vote join, map-side-combined
+    * (dst, label) count, (dst)-keyed max-struct arg-max — never a
+    * window. Package-private test seam.
+    */
+  private[graft] def labelPropRound(e: DataFrame, seed: DataFrame,
+                                    labels: DataFrame): DataFrame = {
+    val votes = e.join(labels.withColumnRenamed("id", "src"), "src")
+      .filter(col("label").isNotNull)
+      .groupBy(col("dst").as("id"), col("label"))
+      .agg(count("*").as("cnt"))
+    val mode = votes.groupBy("id")
+      .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+      .select(col("id"), (-col("m.neg")).as("mode_label"))
+    labels.join(mode, Seq("id"), "left")
+      .join(seed, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("seed_label"), col("mode_label"), col("label")).as("label"))
   }
 }

@@ -77,6 +77,44 @@ class GraphsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Graphs.pageRank(Seq((1L, 2L)).toDF("src", "dst"), iterations = 0)
     }
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(Seq((1L, 2L)).toDF("src", "dst"), toleranceNanos = -1L)
+    }
+  }
+
+  test("tolerance early-exit: a converged graph stops moving, result unchanged") {
+    // The 2-cycle is a fixed point from iteration 1 (Σ|Δr| = 0), so
+    // with a tolerance the 50-iteration budget exits early — and must
+    // return exactly the fixed-iteration answer.
+    val edges = Seq((1L, 2L), (2L, 1L))
+    val strict = ranksOf(edges, iters = 5)
+    val t0 = System.nanoTime()
+    val eager = Graphs.pageRank(edges.toDF("src", "dst"),
+        iterations = 50, toleranceNanos = 0L + 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(eager === strict)
+    // Sanity that it did not run all 50 rounds: 50 iterated joins on
+    // this suite's session take far longer than the early-exit path.
+    assert((System.nanoTime() - t0) / 1e9 < 60.0)
+  }
+
+  test("tolerance early-exit: an unconverged graph matches the serial recurrence at exit") {
+    // Star graph converges geometrically; with a coarse tolerance the
+    // exit happens after the first round whose movement is under it,
+    // and the returned ranks must equal the serial recurrence run for
+    // that same number of rounds.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+    val got = Graphs.pageRank(edges.toDF("src", "dst"),
+        iterations = 50, toleranceNanos = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Find the serial round count with the same movement criterion.
+    var k = 1
+    while ({
+      val prev = serial(edges, k - 1); val cur = serial(edges, k)
+      val moved = cur.map { case (n, r) => math.abs(r - prev(n)) }.sum
+      moved > 1000000L && k < 50
+    }) k += 1
+    assert(got === serial(edges, k))
   }
 
   private def lpOn(edges: Seq[(Long, Long)], seeds: Seq[(Long, Int)],

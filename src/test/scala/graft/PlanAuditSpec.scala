@@ -492,17 +492,40 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("emb_pagerank: iteration joins are keyed by node id; no cartesian, no window") {
+    // The public entry eagerly checkpoints its result (fresh-stats
+    // LogicalRDD), so the returned plan is just the materialized scan;
+    // the plan the cluster pays per ROUND is the extracted seam.
     val p = plan("emb_pagerank")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(!p.contains("Window"), s"no window:\n$p")
-    assert(p.contains("partial_sum"), "inflow sums map-side combined")
+    import org.apache.spark.sql.functions._
+    val e = spark.range(100).select(col("id").as("src"),
+      pmod(col("id") * 7 + 1, lit(100L)).as("dst"))
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+    val withDeg = e.join(e.groupBy("src").agg(count("*").as("outdeg")), "src")
+    val round = graft.operators.Graphs.pageRankRound(withDeg, nodes,
+      nodes.withColumn("rank_nanos", lit(1000000000L)))
+    val rp = round.queryExecution.executedPlan.toString
+    assert(!rp.contains("CartesianProduct") && !rp.contains("Window"), s"round plan:\n$rp")
+    assert(rp.contains("partial_sum"), s"inflow sums map-side combined:\n$rp")
   }
 
   test("emb_label_prop: mode is an aggregation (max-struct), never a window over a hub's votes") {
     val p = plan("emb_label_prop")
     assert(!p.contains("Window"), s"no window:\n$p")
-    assert(p.contains("partial_count"), "vote counts map-side combined")
-    assert(p.contains("partial_max"), "mode arg-max is an aggregation")
+    import org.apache.spark.sql.functions._
+    val e = spark.range(100).select(col("id").as("src"),
+      pmod(col("id") * 7 + 1, lit(100L)).as("dst"))
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+    val seed = spark.range(0, 100, 5).select(col("id"),
+      pmod(col("id"), lit(10L)).cast("int").as("seed_label"))
+    val labels = nodes.join(seed, Seq("id"), "left")
+      .select(col("id"), col("seed_label").as("label"))
+    val round = graft.operators.Graphs.labelPropRound(e, seed, labels)
+    val rp = round.queryExecution.executedPlan.toString
+    assert(!rp.contains("Window"), s"no window in the round plan:\n$rp")
+    assert(rp.contains("partial_count"), s"vote counts map-side combined:\n$rp")
+    assert(rp.contains("partial_max"), s"mode arg-max is an aggregation:\n$rp")
   }
 
   test("samp_winsorize: thresholds broadcast; windows only roll up bin counts, never values") {
