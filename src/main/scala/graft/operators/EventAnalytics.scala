@@ -131,14 +131,15 @@ object EventAnalytics {
     * catches a collapsed ingest, a bot burst, or a broken tracker in
     * a 100 TB event stream.
     *
-    * Determinism: days are pure integer micros division (no calendar
-    * engine); the per-type moments (n, Σc, Σc²) are exact integer
-    * aggregates of exact integer counts, and mean/variance/z are ONE
-    * fixed-shape IEEE expression over them — bit-replicated by the
-    * oracle; z is quantized to 1e-6 before the flag compare. Σc² is
-    * computed in doubles (counts are exact there up to 2^26-ish per
-    * day — far above any real daily volume ratio) to stay clear of
-    * ANSI long-overflow at extreme scale.
+    * Determinism: days are pure integer micros FLOOR-division (no
+    * calendar engine; floor — not truncate-toward-zero — so
+    * pre-epoch timestamps bucket identically to the oracle's `//`
+    * and days −1/0 stay distinct); the per-type moments (n, Σc, Σc²)
+    * are exact integer aggregates of exact integer counts — Σc² in
+    * DECIMAL(38,0), summation-order-immune and exact far beyond the
+    * 2^53 double mantissa — and mean/variance/z are ONE fixed-shape
+    * IEEE expression over them, bit-replicated by the oracle; z is
+    * quantized to 1e-6 before the flag compare.
     *
     * Plan shape: ONE map-side-combined (type, day) count — the only
     * data-sized aggregation; per-type moments roll up the tiny count
@@ -149,14 +150,19 @@ object EventAnalytics {
   def dailyAnomalies(events: DataFrame, typeCol: String, tsUsCol: String,
                      zThreshold: Double = 2.0): DataFrame = {
     require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    // Floor division via the always-positive pmod: ts − pmod(ts, d)
+    // is the largest multiple of d ≤ ts, so the `div` is exact.
     val counts = events.select(col(typeCol).as("event_type"),
-        expr(s"cast($tsUsCol as long) div 86400000000").as("day"))
+        expr(s"(cast($tsUsCol as long) - pmod(cast($tsUsCol as long), 86400000000))" +
+          " div 86400000000").as("day"))
       .groupBy("event_type", "day").agg(count("*").as("n_events"))
     val stats = counts.groupBy("event_type").agg(
       count("*").as("__nd"), sum("n_events").as("__s"),
-      sum(col("n_events").cast("double") * col("n_events").cast("double")).as("__q"))
+      sum(col("n_events").cast("decimal(19,0)") * col("n_events").cast("decimal(19,0)"))
+        .as("__q"))
     val m = col("__s").cast("double") / col("__nd").cast("double")
-    val variance = (col("__q") - col("__s").cast("double") * col("__s").cast("double") /
+    val variance = (col("__q").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") /
       col("__nd").cast("double")) / (col("__nd") - lit(1L)).cast("double")
     val sd = sqrt(variance)
     val z = graft.functions.MathFunctions.roundTo(

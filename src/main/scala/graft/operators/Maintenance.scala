@@ -322,6 +322,12 @@ object Maintenance {
     * skew/broadcast); the column comparison is a scan-side null-safe
     * conjunction — no hashing scheme to drift between engines, no
     * window, nothing collected.
+    *
+    * Null keys are first-class: the join is null-safe (`<=>`) per key
+    * column and side-presence is tracked with explicit marker
+    * columns, so a null-keyed row present only in `base` reports
+    * `removed` (a key-null presence test would have mis-filed it as
+    * `added`).
     */
   def snapshotDiff(base: org.apache.spark.sql.DataFrame,
                    current: org.apache.spark.sql.DataFrame,
@@ -330,11 +336,13 @@ object Maintenance {
     require(base.columns.sorted.sameElements(current.columns.sorted),
       s"schema mismatch: ${base.columns.toSeq} vs ${current.columns.toSeq}")
     val valCols = base.columns.filterNot(keyCols.contains).toSeq
-    val b = base.select(base.columns.map(c => col(c).as(s"__b_$c")).toSeq: _*)
-    val cu = current.select(current.columns.map(c => col(c).as(s"__c_$c")).toSeq: _*)
-    val cond = keyCols.map(k => col(s"__b_$k") === col(s"__c_$k")).reduce(_ && _)
-    val inBase = col(s"__b_${keyCols.head}").isNotNull
-    val inCur = col(s"__c_${keyCols.head}").isNotNull
+    val b = base.select(base.columns.map(c => col(c).as(s"__b_$c")).toSeq
+      :+ lit(true).as("__b_present"): _*)
+    val cu = current.select(current.columns.map(c => col(c).as(s"__c_$c")).toSeq
+      :+ lit(true).as("__c_present"): _*)
+    val cond = keyCols.map(k => col(s"__b_$k") <=> col(s"__c_$k")).reduce(_ && _)
+    val inBase = col("__b_present").isNotNull
+    val inCur = col("__c_present").isNotNull
     val same = valCols.map(c => col(s"__b_$c") <=> col(s"__c_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     b.join(cu, cond, "full_outer")

@@ -205,10 +205,16 @@ object Similarity {
     val q = transform(col(vecCol).cast("array<double>"),
       x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
     val qe = concat(q, array(lit(1L)))
-    // upper-triangle (i, j, q_i*q_j) structs over the augmented vector
+    // upper-triangle (i, j, q_i*q_j) structs over the augmented
+    // vector; each factor is cast to decimal BEFORE the multiply so a
+    // large coordinate (|q| up to 1e18, i.e. |x| up to 1e12) widens
+    // exactly instead of overflowing the long product — and under
+    // ANSI a coordinate beyond that errors loudly rather than
+    // wrapping.
     val pairs = flatten(transform(sequence(lit(0), lit(dim)), i =>
       transform(sequence(i, lit(dim)), j => struct(i.as("i"), j.as("j"),
-        (element_at(qe, i + 1) * element_at(qe, j + 1)).as("prod")))))
+        (element_at(qe, i + 1).cast("decimal(18,0)") *
+          element_at(qe, j + 1).cast("decimal(18,0)")).as("prod")))))
     val moments = df.select(explode(pairs).as("p"))
       .select(col("p.i"), col("p.j"), col("p.prod"))
       .groupBy("i", "j").agg(sum(col("prod").cast("decimal(38,0)")).as("s"))

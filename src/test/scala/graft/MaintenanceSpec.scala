@@ -190,6 +190,18 @@ class MaintenanceSpec extends SparkSpec {
     val out = Maintenance.snapshotDiff(base, cur, Seq("k"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(out === Map(2L -> "changed", 4L -> "removed", 5L -> "added"))
+    // Null KEYS are first-class: presence is tracked by marker
+    // columns and the key join is null-safe, so a null-key row only
+    // in base is `removed` (not mis-filed as `added`), only in
+    // current is `added`, in both with equal values is dropped.
+    val nb = Seq((Some(1L), "x", 1.0), (Option.empty[Long], "gone", 2.0),
+      (Option.empty[Long], "same", 3.0)).toDF("k", "s", "v")
+    val nc = Seq((Some(1L), "x", 1.0), (Option.empty[Long], "same", 3.0),
+      (Option.empty[Long], "new", 4.0)).toDF("k", "s", "v")
+    val nout = Maintenance.snapshotDiff(nb, nc, Seq("k", "s"))
+      .collect().map(r => ((if (r.isNullAt(0)) -1L else r.getLong(0)),
+        r.getString(1)) -> r.getString(2)).toMap
+    assert(nout === Map((-1L, "gone") -> "removed", (-1L, "new") -> "added"))
     val bad = base.withColumnRenamed("v", "w")
     intercept[IllegalArgumentException] {
       Maintenance.snapshotDiff(base, bad, Seq("k"))
