@@ -18,8 +18,12 @@ import graft.operators.Resizer
   *    FLAC (STREAMINFO), MP3 (frame-header walk), MP4/MOV (mvhd) and
   *    Matroska/WebM (EBML) — sample rate / channels / duration /
   *    timescale, `stubbed = false`;
-  *  - audio/video SAMPLE DECODE (frame pixels, PCM from compressed
-  *    streams): no codec library exists in this container, so those
+  *  - video FRAMES: REALLY extracted for MP4 tracks whose samples
+  *    are self-contained images (MJPEG family, PNG-in-MP4): the
+  *    sample table is demuxed box-by-box and each sampled frame is
+  *    sliced + ImageIO-decoded (`stubbed = false`);
+  *  - inter-frame video codecs (h264…) and PCM-from-compressed
+  *    audio: no codec library exists in this container, so those
   *    stay deterministic STUBS (`stubbed = true` in the output
   *    struct) — the contract is the schema + plumbing, with the
   *    kernel swappable for javacv/ffmpeg.
@@ -489,21 +493,219 @@ object Multimodal {
     df.withColumn(out, f(col(binaryCol)))
   }
 
-  /** Video frame-sample plumbing: emits one row per sampled frame
-    * index with a frame payload column. Frame extraction itself is a
-    * STUB (frame payload = null, `stubbed = true`); the row fan-out,
-    * schema, and partition shape are the real contract.
+  /** One video sample located in an MP4 payload: byte extent plus
+    * presentation start time in seconds (from stts × mdhd timescale).
+    */
+  private[graft] case class Mp4Sample(index: Int, offset: Long, size: Long, timeSec: Double)
+
+  /** Demux the FIRST video ('vide' handler) track's sample table out
+    * of an MP4/MOV payload — pure box walk, no codec: stsd (sample
+    * fourcc), stsz (sizes), stsc + stco/co64 (chunk layout →
+    * per-sample byte offsets), stts + mdhd timescale (per-sample
+    * start times). Returns (fourcc, samples) with at most
+    * `maxSamples` entries; None when any table is missing/corrupt or
+    * extents fall outside the payload.
+    */
+  private[graft] def parseMp4Samples(b: Array[Byte],
+                                     maxSamples: Int = 4096): Option[(String, Array[Mp4Sample])] = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) | ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def typ(o: Int): String = new String(b, o + 4, 4, "US-ASCII")
+    // all child boxes named `name` in [start, end): (payload, payloadEnd)
+    def children(start: Int, end: Int, name: String): List[(Int, Int)] = {
+      var off = start
+      var acc = List.empty[(Int, Int)]
+      while (off + 8 <= end) {
+        val size0 = u32(off)
+        val (size, hdr) =
+          if (size0 == 1 && off + 16 <= end) (u64(off + 8), 16)
+          else if (size0 == 0) ((end - off).toLong, 8)
+          else (size0, 8)
+        if (size < hdr || off + size > end || size > Int.MaxValue) return acc.reverse
+        if (typ(off) == name) acc = (off + hdr, off + size.toInt) :: acc
+        off += size.toInt
+      }
+      acc.reverse
+    }
+    def first(start: Int, end: Int, name: String): Option[(Int, Int)] =
+      children(start, end, name).headOption
+    if (b.length < 16 || (typ(0) != "ftyp" && typ(0) != "styp")) return None
+    val videoTrak = for {
+      (moovS, moovE) <- first(0, b.length, "moov").toList
+      (trakS, trakE) <- children(moovS, moovE, "trak")
+      (mdiaS, mdiaE) <- first(trakS, trakE, "mdia").toList
+      (hdlrS, hdlrE) <- first(mdiaS, mdiaE, "hdlr").toList
+      // hdlr: ver/flags(4) pre_defined(4) handler_type(4)
+      if hdlrS + 12 <= hdlrE && new String(b, hdlrS + 8, 4, "US-ASCII") == "vide"
+    } yield (mdiaS, mdiaE)
+    videoTrak.headOption.flatMap { case (mdiaS, mdiaE) =>
+      for {
+        (mdhdS, mdhdE) <- first(mdiaS, mdiaE, "mdhd")
+        timescale <- {
+          val v = if (mdhdS < mdhdE) b(mdhdS) & 0xFF else -1
+          if (v == 0 && mdhdS + 16 <= mdhdE) Some(u32(mdhdS + 12))
+          else if (v == 1 && mdhdS + 24 <= mdhdE) Some(u32(mdhdS + 20))
+          else None
+        }
+        if timescale > 0
+        (minfS, minfE) <- first(mdiaS, mdiaE, "minf")
+        (stblS, stblE) <- first(minfS, minfE, "stbl")
+        (stsdS, stsdE) <- first(stblS, stblE, "stsd")
+        // stsd: ver/flags(4) entry_count(4) entry{size(4) fourcc(4) …}
+        if stsdS + 16 <= stsdE && u32(stsdS + 4) >= 1
+        fourcc = new String(b, stsdS + 12, 4, "US-ASCII")
+        (stszS, stszE) <- first(stblS, stblE, "stsz")
+        if stszS + 12 <= stszE
+        uniform = u32(stszS + 4)
+        nSamples0 = u32(stszS + 8)
+        if nSamples0 >= 1 && nSamples0 <= 1000000
+        nSamples = math.min(nSamples0, maxSamples.toLong).toInt
+        sizes <- {
+          if (uniform > 0) Some(Array.fill(nSamples)(uniform))
+          else if (stszS + 12 + 4L * nSamples <= stszE)
+            Some(Array.tabulate(nSamples)(i => u32(stszS + 12 + 4 * i)))
+          else None
+        }
+        (stscS, stscE) <- first(stblS, stblE, "stsc")
+        if stscS + 8 <= stscE
+        nStsc = u32(stscS + 4).toInt
+        if nStsc >= 1 && nStsc <= 100000 && stscS + 8 + 12L * nStsc <= stscE
+        stsc = Array.tabulate(nStsc)(i =>
+          (u32(stscS + 8 + 12 * i), u32(stscS + 12 + 12 * i)))  // (first_chunk, samples/chunk)
+        chunkOffsets <- {
+          first(stblS, stblE, "stco") match {
+            case Some((s, e)) if s + 8 <= e =>
+              val n = u32(s + 4).toInt
+              if (n >= 1 && n <= 1000000 && s + 8 + 4L * n <= e)
+                Some(Array.tabulate(n)(i => u32(s + 8 + 4 * i)))
+              else None
+            case _ => first(stblS, stblE, "co64") match {
+              case Some((s, e)) if s + 8 <= e =>
+                val n = u32(s + 4).toInt
+                if (n >= 1 && n <= 1000000 && s + 8 + 8L * n <= e)
+                  Some(Array.tabulate(n)(i => u64(s + 8 + 8 * i)))
+                else None
+              case _ => None
+            }
+          }
+        }
+        (sttsS, sttsE) <- first(stblS, stblE, "stts")
+        if sttsS + 8 <= sttsE
+        nStts = u32(sttsS + 4).toInt
+        if nStts >= 1 && nStts <= 100000 && sttsS + 8 + 8L * nStts <= sttsE
+      } yield {
+        // expand stts → per-sample start times (seconds)
+        val times = new Array[Double](nSamples)
+        var si = 0; var t = 0L; var e = 0
+        while (e < nStts && si < nSamples) {
+          val cnt = u32(sttsS + 8 + 8 * e); val delta = u32(sttsS + 12 + 8 * e)
+          var k = 0L
+          while (k < cnt && si < nSamples) {
+            times(si) = t.toDouble / timescale; t += delta; si += 1; k += 1
+          }
+          e += 1
+        }
+        while (si < nSamples) { times(si) = t.toDouble / timescale; si += 1 }
+        // expand stsc/stco → per-sample byte offsets
+        val samples = new Array[Mp4Sample](nSamples)
+        var sample = 0; var chunk = 0; var sc = 0
+        while (sample < nSamples && chunk < chunkOffsets.length) {
+          while (sc + 1 < stsc.length && stsc(sc + 1)._1 - 1 <= chunk) sc += 1
+          val perChunk = stsc(sc)._2
+          var off = chunkOffsets(chunk)
+          var k = 0L
+          while (k < perChunk && sample < nSamples) {
+            samples(sample) = Mp4Sample(sample, off, sizes(sample), times(sample))
+            off += sizes(sample); sample += 1; k += 1
+          }
+          chunk += 1
+        }
+        val filled = samples.take(sample)
+        (fourcc, filled.filter(s =>
+          s.offset >= 0 && s.size > 0 && s.offset + s.size <= b.length))
+      }
+    }.filter(_._2.nonEmpty)
+  }
+
+  /** Sample fourccs whose payloads are self-contained still images —
+    * the tractable no-codec-library decode path (motion-JPEG family +
+    * PNG-in-MP4). Other codecs (avc1/hev1/vp09…) need a real video
+    * decoder and stay on the stub path.
+    */
+  private val ImageSampleCodecs = Set("jpeg", "mjpa", "mjpb", "png ")
+
+  private[graft] case class VideoFrame(frame_idx: Int, frame_time_sec: Double,
+                                       frame_payload: Array[Byte],
+                                       frame_width: Option[Int], frame_height: Option[Int],
+                                       stubbed: Boolean)
+
+  /** Video frame sampling: one row per sampled frame at
+    * `everyNthSecond` spacing, at most `maxFrames`.
+    *
+    * For MP4 payloads whose video track carries self-contained image
+    * samples (MJPEG / PNG-in-MP4), the frames are REALLY extracted:
+    * the sample table is demuxed ([[parseMp4Samples]]), the sample
+    * nearest at-or-after each k·everyNthSecond mark is sliced out of
+    * the payload, and its dimensions are decoded with ImageIO —
+    * `frame_payload` holds the standalone image bytes,
+    * `stubbed = false`. Inter-frame codecs (h264 &c.) and non-MP4
+    * containers keep the size-based row-count ESTIMATE with a null
+    * payload and `stubbed = true` — the schema/fan-out contract is
+    * identical on both paths, so a real decoder slots in without a
+    * plan change.
     */
   def sampleVideoFrames(df: DataFrame, binaryCol: String, everyNthSecond: Double = 1.0,
                         maxFrames: Int = 8): DataFrame = {
-    val base = df.withColumn("_n_frames_est",
-      least(greatest((octet_length(col(binaryCol)) / 100000).cast("int"), lit(1)), lit(maxFrames)))
-    base.select(col("*"),
-        posexplode(sequence(lit(0), col("_n_frames_est") - 1)).as(Seq("frame_idx", "_f")))
-      .drop("_f", "_n_frames_est")
-      .withColumn("frame_time_sec", col("frame_idx") * everyNthSecond)
-      .withColumn("frame_payload", lit(null).cast(BinaryType))  // ??? real frame decode
-      .withColumn("stubbed", lit(true))
+    require(everyNthSecond > 0, s"everyNthSecond must be positive, got $everyNthSecond")
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    val f = udf((bytes: Array[Byte]) => {
+      val real: Option[Seq[VideoFrame]] =
+        if (bytes == null) None
+        else parseMp4Samples(bytes) match {
+          case Some((fourcc, samples)) if ImageSampleCodecs.contains(fourcc) =>
+            // first sample at-or-after each k·step mark, deduped
+            val picked = scala.collection.mutable.LinkedHashSet.empty[Int]
+            var k = 0
+            while (picked.size < maxFrames && k < maxFrames * 4) {
+              val target = k * everyNthSecond
+              samples.indexWhere(_.timeSec >= target - 1e-9) match {
+                case -1 => k = maxFrames * 4
+                case i  => picked += i
+              }
+              k += 1
+            }
+            Some(picked.toSeq.zipWithIndex.map { case (si, fi) =>
+              val s = samples(si)
+              val payload = java.util.Arrays.copyOfRange(bytes, s.offset.toInt,
+                (s.offset + s.size).toInt)
+              val dims =
+                try Option(javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(payload)))
+                  .map(im => (im.getWidth, im.getHeight))
+                catch { case _: Exception => None }
+              VideoFrame(fi, s.timeSec, payload, dims.map(_._1), dims.map(_._2),
+                stubbed = false)
+            })
+          case _ => None
+        }
+      real.getOrElse {
+        val nBytes = if (bytes == null) 0 else bytes.length
+        val n = math.min(math.max(nBytes / 100000, 1), maxFrames)
+        (0 until n).map(i =>
+          VideoFrame(i, i * everyNthSecond, null, None, None, stubbed = true))
+      }
+    })
+    df.withColumn("__frames", f(col(binaryCol)))
+      .select(col("*"), explode(col("__frames")).as("__fr"))
+      .drop("__frames")
+      .select(col("*"), col("__fr.frame_idx").as("frame_idx"),
+        col("__fr.frame_time_sec").as("frame_time_sec"),
+        col("__fr.frame_payload").as("frame_payload"),
+        col("__fr.frame_width").as("frame_width"),
+        col("__fr.frame_height").as("frame_height"),
+        col("__fr.stubbed").as("stubbed"))
+      .drop("__fr")
   }
 
   /** Batched image resize over the payload column via the REAL

@@ -292,4 +292,76 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2))
     assert(frames.forall(_.getAs[Boolean]("stubbed")))
   }
+
+  /** Minimal MJPEG-in-MP4: ftyp + mdat(frames…) + moov with a full
+    * 'vide' sample table (stsd "jpeg", stts 1 s/frame at timescale
+    * 1000, stsc one-chunk layout, stsz per-sample sizes, stco).
+    */
+  private def mjpegMp4(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def be32(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0))
+    val mdatPayloadOff = ftyp.length + 8
+    val mdat = box("mdat", frames.flatten.toArray)
+    val mvhd = box("mvhd", be32(0, 0, 0, 1000, frames.length * 1000) ++ Array.fill[Byte](80)(0))
+    val hdlr = box("hdlr", be32(0, 0) ++ "vide".getBytes("US-ASCII") ++ Array.fill[Byte](13)(0))
+    val mdhd = box("mdhd", be32(0, 0, 0, 1000, frames.length * 1000) ++ Array.fill[Byte](4)(0))
+    val stsd = box("stsd", be32(0, 1) ++ be32(16) ++ "jpeg".getBytes("US-ASCII") ++ Array.fill[Byte](8)(0))
+    val stts = box("stts", be32(0, 1, frames.length, 1000))
+    val stsc = box("stsc", be32(0, 1, 1, frames.length, 1))
+    val stsz = box("stsz", be32(0, 0, frames.length) ++ be32(frames.map(_.length): _*))
+    val stco = box("stco", be32(0, 1, mdatPayloadOff))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  test("MJPEG-in-MP4: frames REALLY extracted — golden dims, exact payload bytes, decoded pixels") {
+    def solidJpg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      Resizer.encode(img, "jpg", 90)
+    }
+    val f0 = solidJpg(16, 8, 0xFF0000); val f1 = solidJpg(16, 8, 0x00FF00)
+    val f2 = solidJpg(16, 8, 0x0000FF)
+    val mp4 = mjpegMp4(Seq(f0, f1, f2))
+    val out = Multimodal.sampleVideoFrames(Seq((1L, mp4)).toDF("id", "payload"), "payload")
+      .orderBy("frame_idx").collect()
+    assert(out.length == 3, s"3 real frames at 1 fps / 1 s sampling, got ${out.length}")
+    assert(out.forall(!_.getAs[Boolean]("stubbed")), "real path, not the stub estimate")
+    assert(out.map(_.getAs[Double]("frame_time_sec")).toSeq == Seq(0.0, 1.0, 2.0))
+    assert(out.forall(r => r.getAs[Int]("frame_width") == 16 && r.getAs[Int]("frame_height") == 8))
+    // exact byte slice out of mdat
+    assert(out(0).getAs[Array[Byte]]("frame_payload").sameElements(f0))
+    assert(out(2).getAs[Array[Byte]]("frame_payload").sameElements(f2))
+    // decoded pixel check: frame 1 is solid green (JPEG-lossy tolerance)
+    val img1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1).getAs[Array[Byte]]("frame_payload")))
+    val px = new java.awt.Color(img1.getRGB(8, 4))
+    assert(px.getGreen > 200 && px.getRed < 60 && px.getBlue < 60, s"green frame, got $px")
+    // coarser sampling keeps every-2nd-second frames only
+    val sparse = Multimodal.sampleVideoFrames(Seq((1L, mp4)).toDF("id", "payload"),
+        "payload", everyNthSecond = 2.0)
+      .orderBy("frame_idx").collect()
+    assert(sparse.map(_.getAs[Double]("frame_time_sec")).toSeq == Seq(0.0, 2.0))
+    // a non-image sample codec (fabricated fourcc) falls back to the stub path
+    val avc = mjpegMp4(Seq(f0)).clone()
+    val idx = avc.indexOfSlice("jpeg".getBytes("US-ASCII"),
+      avc.indexOfSlice("stsd".getBytes("US-ASCII")))
+    "avc1".getBytes("US-ASCII").copyToArray(avc, idx)
+    val stub = Multimodal.sampleVideoFrames(Seq((1L, avc)).toDF("id", "payload"), "payload")
+      .collect()
+    assert(stub.forall(_.getAs[Boolean]("stubbed")), "inter-frame codec → stub estimate")
+  }
 }
