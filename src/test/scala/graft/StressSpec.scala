@@ -351,6 +351,54 @@ class StressSpec extends SparkSpec {
       f"labelPropagation must scale near-linearly: 10x took $ratio%.1fx")
   }
 
+  test("pageRank: 10x nodes/edges stays near-linear (persisted edges, checkpointed ranks)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    import graft.operators.Graphs
+    def edges(n: Long) = spark.range(n).select(col("id"))
+      .select(col("id").as("src"),
+        explode(array(
+          pmod(col("id") + 1L, lit(n)),
+          pmod(col("id") + 7L, lit(n)),
+          pmod(col("id") * 31L + 3L, lit(n)))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    def run(n: Long): Unit =
+      Graphs.pageRank(edges(n), iterations = 5).count()
+    run(100000L) // warm-up
+    val t1 = timeOf(run(100000L))
+    val t10 = timeOf(run(1000000L))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"pageRank must scale near-linearly: 10x took $ratio%.1fx")
+  }
+
+  test("winnowing + winnowingPairs: 10x corpus stays near-linear (one native pass per doc)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    // The r7 regression class: nested-HOF fingerprinting was ~O(g²·w)
+    // per doc and >300 s/query at sf0.1 — the native expression must
+    // hold both the absolute wall AND the 10x ratio. Token-suffixed
+    // copies share zero grams across groups, so pair structure scales
+    // exactly 10x.
+    val (one, ten) = tenX
+    import graft.operators.TextAnalysis
+    def run(df: org.apache.spark.sql.DataFrame): Unit = {
+      TextAnalysis.winnowing(df, "doc_id", "text", gramSize = 5, w = 4)
+        .agg(sum("n_fingerprints")).collect()
+      TextAnalysis.winnowingPairs(df, "doc_id", "text", gramSize = 5, w = 4,
+        minShared = 2, maxBucketSize = 50).count()
+    }
+    run(one) // warm-up
+    val t1 = timeOf(run(one))
+    val t10 = timeOf(run(ten))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(t1 < 60.0, f"sf0.1 winnowing pair must run in seconds, took $t1%.1fs")
+    assert(ratio < 15.0,
+      f"winnowing must scale near-linearly: 10x took $ratio%.1fx")
+  }
+
   test("bm25Search: 10x corpus stays near-linear (query-term postings only shuffle)") {
     assume(sys.env.contains("GRAFT_STRESS"),
       "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
