@@ -3354,7 +3354,7 @@ object SparkEntry {
            list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)),
            CAST(1 AS BIGINT)) AS qe FROM embeddings),
          cv_p AS (SELECT i.i AS i, j.j AS j,
-             sum(CAST(CAST(qe[i.i + 1] AS DECIMAL(18,0)) * CAST(qe[j.j + 1] AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS s
+             sum(CAST(qe[i.i + 1] * qe[j.j + 1] AS DECIMAL(38,0))) AS s
            FROM cv_d CROSS JOIN range(0, 65) i(i) CROSS JOIN range(0, 65) j(j)
            WHERE j.j >= i.i GROUP BY 1, 2),
          cv_n AS (SELECT CAST(s AS DOUBLE) AS n FROM cv_p WHERE i = 64 AND j = 64),

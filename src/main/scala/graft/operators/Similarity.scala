@@ -194,9 +194,11 @@ object Similarity {
     * shape IEEE expression over them, so another engine replays every
     * output bit.
     *
-    * Scale shape: the scan explodes (d+1)(d+2)/2 slim (i, j, prod)
-    * structs per row, but the term-keyed aggregation partial-combines
-    * map-side, so the shuffle is O(d²·partitions) regardless of
+    * Scale shape: ONE aggregation buffer per partition accumulates
+    * every triangle cell in a tight primitive loop
+    * ([[graft.plans.MomentMatrix]] — signed 128-bit cells, no per-row
+    * explode), so the scan is a single narrow pass and the shuffle
+    * carries one 16-byte cell per (i, j, partition) regardless of
     * corpus size; the joins that assemble cov(i,j) run on the
     * d²-row moment table. Returns (dim_i, dim_j, cov) for i ≤ j.
     */
@@ -205,19 +207,19 @@ object Similarity {
     val q = transform(col(vecCol).cast("array<double>"),
       x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
     val qe = concat(q, array(lit(1L)))
-    // upper-triangle (i, j, q_i*q_j) structs over the augmented
-    // vector; each factor is cast to decimal BEFORE the multiply so a
-    // large coordinate (|q| up to 1e18, i.e. |x| up to 1e12) widens
-    // exactly instead of overflowing the long product — and under
-    // ANSI a coordinate beyond that errors loudly rather than
-    // wrapping.
-    val pairs = flatten(transform(sequence(lit(0), lit(dim)), i =>
-      transform(sequence(i, lit(dim)), j => struct(i.as("i"), j.as("j"),
-        (element_at(qe, i + 1).cast("decimal(18,0)") *
-          element_at(qe, j + 1).cast("decimal(18,0)")).as("prod")))))
-    val moments = df.select(explode(pairs).as("p"))
-      .select(col("p.i"), col("p.j"), col("p.prod"))
-      .groupBy("i", "j").agg(sum(col("prod").cast("decimal(38,0)")).as("s"))
+    // ALL (d+1)(d+2)/2 upper-triangle product sums in ONE aggregation
+    // buffer per partition ([[graft.plans.MomentMatrix]]): signed
+    // 128-bit cells (so even max-magnitude 63-bit products cannot
+    // overflow — the earlier long-product explode relied on an input
+    // magnitude contract, and a decimal-product variant benchmarked
+    // 25× slower), map-side combined, nothing exploded per row. The
+    // triangle only unfolds AFTER aggregation — 2 145 rows out of the
+    // single result row at d = 64, a driver-scale frame the
+    // downstream assembly joins broadcast.
+    val moments = df.select(qe.as("__qe"))
+      .agg(graft.plans.MomentMatrix.momentMatrix(col("__qe"), dim + 1).as("__m"))
+      .select(explode(col("__m")).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.s").as("s"))
     val n = moments.filter(col("i") === dim && col("j") === dim)
       .select(col("s").cast("double").as("__n"))
     val means = moments.filter(col("j") === dim && col("i") < dim)

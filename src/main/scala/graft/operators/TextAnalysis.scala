@@ -48,8 +48,11 @@ object TextAnalysis {
     import graft.functions.MathFunctions.roundTo
     val toks = split(normalizeText(col(textCol)), " ")
     val nGrams = size(toks) - 1
-    val grams = transform(sequence(lit(1), nGrams),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    // zip_with against the 1-shifted slice: HOF array operands
+    // evaluate once per row, where the index-transform form captured
+    // `toks` inside the lambda and re-split the doc per element
+    val grams = slice(zip_with(toks, slice(toks, lit(2), greatest(nGrams, lit(0))),
+      (a, b) => concat_ws(" ", a, b)), lit(1), greatest(nGrams, lit(0)))
     val dupFrac = when(nGrams <= 0, lit(0.0)).otherwise(
       roundTo(lit(1.0) - size(array_distinct(grams)).cast("double") / nGrams.cast("double"), 6))
     val withDup = df.select(col(idCol), col(textCol)).withColumn("dup_2gram_frac", dupFrac)
@@ -138,15 +141,13 @@ object TextAnalysis {
                  chunkSize: Int = 3): DataFrame = {
     require(chunkSize >= 1)
     val toks = split(normalizeText(col(textCol)), " ")
-    val nChunks = floor(size(toks) / chunkSize).cast("int")
-    // guard: sequence(0, -1) would produce a DESCENDING [0, -1] in
-    // Spark, not an empty array — short docs must yield zero chunks
-    val idxs = when(nChunks > 0, sequence(lit(0), nChunks - 1))
-      .otherwise(lit(Array.emptyIntArray))
-    val chunks = transform(idxs,
-      i => struct(i.as("pos"),
-        graft.operators.Dedup.portableHash60(
-          concat_ws(" ", slice(toks, i * chunkSize + lit(1), lit(chunkSize)))).as("h")))
+    // native one-pass chunk hashing ([[graft.plans.GramPosHashExpr]],
+    // stride = chunkSize): the index-transform form captured `toks`
+    // inside the lambda and re-split the doc per chunk
+    val chunks = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      column(graft.plans.GramPosHashExpr(expression(toks), chunkSize, chunkSize))
+    }
     val occ = df
       .select(col(idCol).as("__id"), explode(chunks).as("__c"))
       .select(col("__id"), col("__c.pos").as("__pos"), col("__c.h").as("__h"))
@@ -196,14 +197,13 @@ object TextAnalysis {
   private def gramOccurrences(df: DataFrame, idCol: String, textCol: String,
                               gramSize: Int): DataFrame = {
     val toks = split(normalizeText(col(textCol)), " ")
-    val nGrams = greatest(size(toks) - (gramSize - 1), lit(0))
-    // same empty-guard as chunkDedup: sequence(0, -1) is NOT empty
-    val idxs = when(nGrams > 0, sequence(lit(0), nGrams - 1))
-      .otherwise(lit(Array.emptyIntArray))
-    val grams = transform(idxs,
-      i => struct(i.as("pos"),
-        graft.operators.Dedup.portableHash60(
-          concat_ws(" ", slice(toks, i + lit(1), lit(gramSize)))).as("h")))
+    // native one-pass gram hashing ([[graft.plans.GramPosHashExpr]],
+    // stride = 1): the index-transform form captured `toks` inside
+    // the lambda and re-split the doc per gram — O(tokens²) per doc
+    val grams = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      column(graft.plans.GramPosHashExpr(expression(toks), gramSize, 1))
+    }
     df.select(col(idCol).as("__id"), explode(grams).as("__g"))
       .select(col("__id"), col("__g.pos").as("__pos"), col("__g.h").as("__h"))
   }
@@ -280,17 +280,26 @@ object TextAnalysis {
       .select(col("__id"), explode(sequence(col("__pos"), col("__pos") + (gramSize - 1))).as("__ti"))
       .distinct()
       .groupBy("__id").agg(sort_array(collect_list("__ti")).as("__rem"))
-    val n = size(toks)
     val rem = coalesce(col("__rem"), lit(Array.emptyIntArray))
+    // toks is PROJECTED to a column BELOW the join before the lambda
+    // references it: a lambda-captured attribute is an O(1) read per
+    // element, where the inlined split(normalize(text)) expression
+    // would re-evaluate per kept token — O(tokens²) per doc (the
+    // winnowing-class HOF capture pitfall). The projection must sit
+    // under the join boundary: CollapseProject merges ADJACENT
+    // projects and would otherwise substitute the expression straight
+    // back into the lambda body.
+    val n = size(col("__toks"))
     // array_except is hash-based O(n + removed) and keeps the first
     // array's order; the filter/array_contains form was O(n·removed)
     // per doc — quadratic on exactly the boilerplate-heavy docs this
     // operator targets
     val keptIdx = array_except(sequence(lit(0), n - 1), rem)
-    df.select(col(idCol), col(textCol))
+    df.select(col(idCol), toks.as("__toks"))
       .join(removed.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .select(col(idCol),
-        concat_ws(" ", transform(keptIdx, i => element_at(toks, i + lit(1)))).as("clean_text"),
+        concat_ws(" ", transform(keptIdx,
+          i => element_at(col("__toks"), i + lit(1)))).as("clean_text"),
         size(rem).cast("long").as("n_tokens_removed"))
   }
 
@@ -313,14 +322,26 @@ object TextAnalysis {
     * by token/bigram; the vocab size rides as a broadcast single-row
     * cross join. No windows, no data-sized collects.
     */
+  /** (w1, w2) bigram structs of a token array via `zip_with` of the
+    * array against its own 1-shifted slice. The array operands of a
+    * higher-order function are evaluated ONCE PER ROW; the earlier
+    * `transform(indices, i -> struct(element_at(toks, i+1), …))`
+    * formulation captured `toks` INSIDE the lambda, and a
+    * lambda-captured expression re-evaluates per element — the whole
+    * normalize+split re-ran per bigram, O(tokens²) per document
+    * (measured: the bigram explode alone cost 12 s on 5k docs; this
+    * form is sub-second). Same winnowing-class pitfall, fixed at the
+    * composition level since zip_with expresses it exactly.
+    */
+  private def bigramStructs(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n1 = greatest(size(toks) - 1, lit(0))
+    slice(zip_with(toks, slice(toks, lit(2), n1),
+      (a, b) => struct(a.as("w1"), b.as("w2"))), lit(1), n1)
+  }
+
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(normalizeText(col(textCol)), " ")
-    val nBi = greatest(size(toks) - 1, lit(0))
-    val idxs = when(nBi > 0, sequence(lit(0), nBi - 1))
-      .otherwise(lit(Array.emptyIntArray))
-    val bigrams = transform(idxs,
-      i => struct(element_at(toks, i + lit(1)).as("w1"),
-                  element_at(toks, i + lit(2)).as("w2")))
+    val bigrams = bigramStructs(toks)
     val occ = df
       .select(col(idCol).as("__id"), explode(bigrams).as("__b"))
       .select(col("__id"), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
@@ -366,12 +387,7 @@ object TextAnalysis {
   def lmScoreBy(df: DataFrame, idCol: String, textCol: String,
                 groupCol: String): DataFrame = {
     val toks = split(normalizeText(col(textCol)), " ")
-    val nBi = greatest(size(toks) - 1, lit(0))
-    val idxs = when(nBi > 0, sequence(lit(0), nBi - 1))
-      .otherwise(lit(Array.emptyIntArray))
-    val bigrams = transform(idxs,
-      i => struct(element_at(toks, i + lit(1)).as("w1"),
-                  element_at(toks, i + lit(2)).as("w2")))
+    val bigrams = bigramStructs(toks)
     val occ = df
       .select(col(idCol).as("__id"), col(groupCol).as("__g"), explode(bigrams).as("__b"))
       .select(col("__id"), col("__g"), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
@@ -722,15 +738,20 @@ object TextAnalysis {
         .as("__wmap")))
     val toks = split(normalizeText(col(textCol)), " ")
     val nTok = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
-    val uniIdx = when(nTok > 0, sequence(lit(1), nTok))
-      .otherwise(lit(Array.emptyIntArray))
-    val biIdx = when(nTok > 1, sequence(lit(1), nTok - 1))
-      .otherwise(lit(Array.emptyIntArray))
     val nB = lit(numBuckets.toLong)
-    val uniB = transform(uniIdx, i => pmod(graft.operators.Dedup.portableHash60(
-      concat(lit("u:"), element_at(toks, i))), nB))
-    val biB = transform(biIdx, i => pmod(graft.operators.Dedup.portableHash60(
-      concat(lit("b:"), element_at(toks, i), lit(" "), element_at(toks, i + 1))), nB))
+    // HOFs over the token array itself (operands evaluate once per
+    // row), not index transforms capturing `toks` in the lambda —
+    // the capture form re-split the document per feature, O(tokens²)
+    // per doc (the winnowing-class pitfall).
+    val emptyLongs = lit(Array.empty[Long])
+    val uniB = when(nTok > 0, transform(toks,
+        t => pmod(graft.operators.Dedup.portableHash60(concat(lit("u:"), t)), nB)))
+      .otherwise(emptyLongs)
+    val n1 = greatest(nTok - 1, lit(0))
+    val biB = when(nTok > 1, slice(zip_with(toks, slice(toks, lit(2), n1),
+        (a, b) => pmod(graft.operators.Dedup.portableHash60(
+          concat(lit("b:"), a, lit(" "), b)), nB)), lit(1), n1))
+      .otherwise(emptyLongs)
     val feats = concat(uniB, biB)
     val logit = aggregate(feats, lit(0L),
       (acc, b) => acc + coalesce(element_at(col("__wmap"), b), lit(0L)))

@@ -290,3 +290,54 @@ case class WinnowingExpr(child: Expression, gramSize: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Positioned gram hashes over a token array: chunk i covers tokens
+  * [i·stride, i·stride + gramSize); emits
+  * `array<struct<pos int, h bigint>>` with h = the portable 60-bit
+  * md5 of the space-joined gram and pos = i. `stride = 1` gives the
+  * overlapping-gram stream (substring dedup), `stride = gramSize`
+  * the aligned-chunk stream (chunk dedup). Only complete grams are
+  * emitted: count = floor((n − gramSize)/stride) + 1, zero when
+  * n < gramSize.
+  *
+  * Native for the same reason as [[WinnowingExpr]]: the
+  * `transform(indices, i -> …slice(toks, …)…)` formulation captures
+  * the token array inside the lambda, and a lambda-captured computed
+  * expression re-evaluates per element — the whole normalize+split
+  * re-ran per gram, O(tokens²) per document. Here every token is
+  * read once and every gram digested once.
+  */
+case class GramPosHashExpr(child: Expression, gramSize: Int, stride: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(gramSize >= 1, s"gramSize must be >= 1, got $gramSize")
+  require(stride >= 1, s"stride must be >= 1, got $stride")
+  override def prettyName: String = "gram_pos_hash"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < gramSize) return new GenericArrayData(Array.empty[Any])
+    val count = (n - gramSize) / stride + 1
+    val out = new Array[Any](count)
+    val space = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](gramSize)
+    var i = 0
+    while (i < count) {
+      val base = i * stride
+      var j = 0
+      while (j < gramSize) { parts(j) = toks.getUTF8String(base + j); j += 1 }
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        i, TextExprs.md5Hash60(UTF8String.concatWs(space, parts: _*)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -602,4 +602,36 @@ class DedupSpec extends SparkSpec {
       .orderBy("dim_i", "dim_j").collect().map(_.getDouble(2)).toSeq
     assert(a === b, "decimal integer moments make the result partitioning-independent")
   }
+
+  test("MomentMatrix aggregate: exact 128-bit cells — max-magnitude products, signs, carries, merge") {
+    import spark.implicits._
+    import graft.plans.MomentMatrix.momentMatrix
+    // Products near ±2^62: two rows of (±a, ∓a) with a = 3e9 —
+    // a² = 9e18 is within a long, but the SUM 2·a² = 1.8e19 > 2^63
+    // overflows any long accumulator; the 128-bit cells must carry.
+    val a = 3000000000L
+    val big = Seq(Array(a, -a), Array(a, -a), Array(-a, a))
+      .toDF("v").repartition(3) // force cross-partition merge
+    val out = big.agg(momentMatrix(col("v"), 2).as("m"))
+      .select(explode(col("m")).as("p")).select("p.i", "p.j", "p.s")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2).toBigInteger)).toMap
+    val aa = java.math.BigInteger.valueOf(a).pow(2)
+    assert(out((0, 0)) === aa.multiply(java.math.BigInteger.valueOf(3)), "Σ a² = 3a² > 2^63")
+    assert(out((0, 1)) === aa.multiply(java.math.BigInteger.valueOf(-3)), "negative cells exact")
+    assert(out((1, 1)) === aa.multiply(java.math.BigInteger.valueOf(3)))
+    // equivalence with the composable formulation on mixed-sign data
+    val rows = (0L until 100L).map(id => Array.tabulate(3)(j => id * 7 - 300 + j * 13))
+    val df = rows.toDF("v")
+    val fast = df.agg(momentMatrix(col("v"), 3).as("m"))
+      .select(explode(col("m")).as("p")).select("p.i", "p.j", "p.s")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2).longValueExact())).toMap
+    val slow = (for { i <- 0 until 3; j <- i until 3 } yield
+      ((i, j), rows.map(v => v(i) * v(j)).sum)).toMap
+    assert(fast === slow, "aggregate ≡ explode-and-sum formulation")
+    // length-mismatched rows are a data bug, not a skippable value
+    intercept[Exception] {
+      Seq(Array(1L, 2L), Array(1L)).toDF("v")
+        .agg(momentMatrix(col("v"), 2)).collect()
+    }
+  }
 }
