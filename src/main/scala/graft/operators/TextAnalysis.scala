@@ -733,32 +733,43 @@ object TextAnalysis {
                       weights: DataFrame, numBuckets: Int = 65536,
                       thresholdQ: Long = 0L): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
-    val wmap = broadcast(weights.agg(
-      map_from_arrays(collect_list(col("bucket")), collect_list(col("weight_q")))
-        .as("__wmap")))
+    // The weight model is config-sized by contract (hashed buckets),
+    // so it becomes a DENSE bucket-indexed PLAN LITERAL — the same
+    // treatment as PQ codebooks and k-means centroids. Array-literal
+    // indexing is O(1) per feature; the previous broadcast-map form
+    // paid a LINEAR key scan per lookup (`element_at` on a Spark map
+    // scans its entries — measured 34 s at sf0.1 with 4 096 buckets).
+    // Models too large to collect should switch to the explode +
+    // broadcast-join shape instead.
+    val dense = new Array[Long](numBuckets)
+    weights.select(col("bucket").cast("int"), col("weight_q").cast("long"))
+      .collect()
+      .foreach { r =>
+        val b = r.getInt(0)
+        require(b >= 0 && b < numBuckets,
+          s"weight bucket $b outside [0, $numBuckets)")
+        dense(b) = r.getLong(1)
+      }
     val toks = split(normalizeText(col(textCol)), " ")
     val nTok = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
-    val nB = lit(numBuckets.toLong)
-    // HOFs over the token array itself (operands evaluate once per
-    // row), not index transforms capturing `toks` in the lambda —
-    // the capture form re-split the document per feature, O(tokens²)
-    // per doc (the winnowing-class pitfall).
-    val emptyLongs = lit(Array.empty[Long])
-    val uniB = when(nTok > 0, transform(toks,
-        t => pmod(graft.operators.Dedup.portableHash60(concat(lit("u:"), t)), nB)))
-      .otherwise(emptyLongs)
-    val n1 = greatest(nTok - 1, lit(0))
-    val biB = when(nTok > 1, slice(zip_with(toks, slice(toks, lit(2), n1),
-        (a, b) => pmod(graft.operators.Dedup.portableHash60(
-          concat(lit("b:"), a, lit(" "), b)), nB)), lit(1), n1))
-      .otherwise(emptyLongs)
-    val feats = concat(uniB, biB)
-    val logit = aggregate(feats, lit(0L),
-      (acc, b) => acc + coalesce(element_at(col("__wmap"), b), lit(0L)))
-    df.select(col(idCol), col(textCol)).crossJoin(wmap)
+    // one native featurize-and-score pass
+    // ([[graft.plans.ClassifierLogitExpr]], weights as a plan
+    // literal): unigram + bigram buckets with the portable md5-60
+    // kernel folded against the dense weight vector in a single
+    // compiled loop — the per-element interpreted md5→hex→conv chain
+    // plus a per-feature map scan (and before that an index-transform
+    // capturing `toks`, the winnowing-class O(tokens²) pitfall)
+    // priced this step in tens of seconds at sf0.1
+    val scoredRow = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      when(nTok > 0,
+          column(graft.plans.ClassifierLogitExpr(expression(toks), dense.toSeq)))
+        .otherwise(struct(lit(0L).as("n_features"), lit(0L).as("logit_q")))
+    }
+    df.select(col(idCol), scoredRow.as("__s"))
       .select(col(idCol),
-        (nTok + greatest(nTok - 1, lit(0))).cast("long").as("n_features"),
-        logit.as("logit_q"))
+        col("__s.n_features").as("n_features"),
+        col("__s.logit_q").as("logit_q"))
       .select(col(idCol), col("n_features"), col("logit_q"),
         when(col("n_features") === 0, lit(0.0)).otherwise(
           graft.functions.MathFunctions.roundTo(

@@ -341,3 +341,55 @@ case class GramPosHashExpr(child: Expression, gramSize: Int, stride: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Hashed unigram+bigram linear-classifier logit of a token array —
+  * the fastText-style featurize-and-score step in ONE compiled pass:
+  * bucket `floorMod(md5_60("u:" + tok), numBuckets)` per token and
+  * `floorMod(md5_60("b:" + t1 + " " + t2), numBuckets)` per adjacent
+  * pair (the exact strings of the composable `concat`/
+  * `portableHash60` formulation, so scores are bit-identical and
+  * oracle-replayable), then sum the dense weight vector at those
+  * buckets. The weight model is a constructor literal — the same
+  * plan-literal treatment as PQ codebooks. Native because the
+  * per-element interpreted chain (md5 → hex substring → base-16 conv
+  * → cast, then a map/array lookup per feature) priced the featurize
+  * fold in tens of seconds at sf0.1. Output
+  * `struct<n_features bigint, logit_q bigint>`.
+  */
+case class ClassifierLogitExpr(child: Expression, weights: Seq[Long])
+    extends UnaryExpression with CodegenFallback {
+  require(weights.nonEmpty, "weights must be non-empty")
+  override def prettyName: String = "classifier_logit"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_features", LongType, nullable = false),
+    StructField("logit_q", LongType, nullable = false)))
+
+  private val w: Array[Long] = weights.toArray
+  private val nB: Long = w.length.toLong
+  private val uPre = UTF8String.fromString("u:")
+  private val bPre = UTF8String.fromString("b:")
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    var logit = 0L
+    var i = 0
+    while (i < n) {
+      logit += w(java.lang.Math.floorMod(
+        TextExprs.md5Hash60(UTF8String.concat(uPre, toks.getUTF8String(i))), nB).toInt)
+      i += 1
+    }
+    var j = 0
+    while (j < n - 1) {
+      logit += w(java.lang.Math.floorMod(
+        TextExprs.md5Hash60(UTF8String.concat(
+          bPre, toks.getUTF8String(j), space, toks.getUTF8String(j + 1))), nB).toInt)
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow((n + math.max(n - 1, 0)).toLong, logit)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
