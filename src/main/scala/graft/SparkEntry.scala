@@ -1653,6 +1653,18 @@ object SparkEntry {
           gramSize = 5, w = 4, minShared = 2, maxBucketSize = 50)
         .orderBy("id_a", "id_b")
     }),
+    "dedup_winnowing_clusters" -> ((s, dir) => {
+      // MOSS end-to-end: winnowing pair matches -> connected
+      // components — position-robust plagiarism/near-dup GROUPS,
+      // where the chunk/LSH cluster families would miss shifted
+      // copies. Same capped pair generator as dedup_winnowing; same
+      // pointer-doubling components as dedup_clusters.
+      val pairs = TextAnalysis.winnowingPairs(t(s, dir, "documents"), "doc_id", "text",
+        gramSize = 5, w = 4, minShared = 2, maxBucketSize = 50)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
     "emb_random_projection" -> ((s, dir) => {
       // JL random projection 64 -> 16 dims: plan-literal integer
       // matrix, exact integer output components. Flattened to
@@ -3016,6 +3028,39 @@ object SparkEntry {
            GROUP BY a.doc_id, b.doc_id)
          SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 2
          ORDER BY id_a, id_b""",
+    "dedup_winnowing_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+           END AS toks FROM documents),
+         g AS (SELECT doc_id, toks, greatest(len(toks) - 4, 0) AS ng FROM t),
+         h AS (SELECT doc_id, ng, list_transform(range(0, ng), gi ->
+             ${duckHex60("array_to_string(toks[(gi+1):(gi+5)], ' ')")}) AS hs FROM g),
+         wn AS (SELECT doc_id, ng, hs, greatest(ng - 3, 0) AS nw FROM h),
+         sel AS (SELECT doc_id, hs,
+             list_distinct(list_transform(range(0, nw), i ->
+               CAST(i + 4 - list_position(list_reverse(hs[(i+1):(i+4)]),
+                 list_min(hs[(i+1):(i+4)])) AS INTEGER))) AS pos FROM wn),
+         fpd AS (SELECT DISTINCT doc_id, unnest(list_transform(pos, p -> hs[p + 1])) AS h
+           FROM sel),
+         cold AS (SELECT h FROM fpd GROUP BY h HAVING count(*) <= 50),
+         slim AS (SELECT doc_id, h FROM fpd JOIN cold USING (h)),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM slim a JOIN slim b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+         pairs AS (SELECT id_a, id_b FROM pr WHERE n_shared >= 2),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         nodes AS (SELECT DISTINCT src AS doc_id FROM edges)
+         SELECT n.doc_id,
+           least(n.doc_id, min(r.dst)) AS cluster_id
+         FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
+         GROUP BY n.doc_id ORDER BY n.doc_id""",
     "emb_random_projection" -> {
       val m = (0 until 16).map(j =>
         graft.operators.Similarity.linearWeightsQ(64, s"rproj:$j")

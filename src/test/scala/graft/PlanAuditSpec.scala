@@ -280,16 +280,17 @@ class PlanAuditSpec extends SparkSpec {
       s"rates are baked literals — no join on the data path:\n$p")
   }
 
-  test("txt_classifier: model broadcast as one map row; features never become rows") {
+  test("txt_classifier: model is a plan literal; scoring is pure scan work, no join at all") {
     val p = plan("txt_classifier")
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
-      s"weight map single row must broadcast:\n$p")
-    // the whole per-doc score is higher-order-function scan work: no
-    // explode of the feature array anywhere in the plan
+    // the dense weight vector rides inside the native scoring
+    // expression (classifier_logit) — no broadcast round-trip, no
+    // join of any kind on the data path
+    assert(p.contains("classifier_logit"), s"native one-pass scorer:\n$p")
+    assert(!p.contains("Join"), s"model is a literal — no join needed:\n$p")
+    // the whole per-doc score is single-expression scan work: no
+    // explode of a feature array anywhere in the plan
     assert(!p.contains("Generate"), s"features must stay inside the row:\n$p")
     assert(!p.contains("Window"), s"no window:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"no shuffle join on the data path:\n$p")
   }
 
   test("txt_keywords: corpus size broadcast; the only window keys by DOCUMENT") {
@@ -636,7 +637,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("emb_covariance: moment aggregation map-side combined; assembly joins broadcast") {
     val p = plan("emb_covariance")
-    assert(p.contains("partial_sum"), "decimal moment sums partial-aggregated before the shuffle")
+    // ONE buffer per partition, partial-combined before the single
+    // 1-row shuffle; the per-row triangle explode is gone entirely
+    assert(p.contains("partial_moment_matrix"),
+      s"128-bit moment buffer partial-aggregated before the shuffle:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"mean/count joins on the d2-row table broadcast:\n$p")
     assert(!p.contains("Window"), s"no window:\n$p")
