@@ -174,14 +174,17 @@ object Graphs {
       .union(e.select(col("dst").as("id"))).distinct()
     val seed = seeds.select(col(idCol).cast("long").as("id"),
       col(labelCol).cast("int").as("seed_label")).persist()
+    // the clamped seed label RIDES the iteration frame (one extra int
+    // column through the checkpoints) so no round re-joins the seed
+    // table — one fewer shuffle join per iteration
     var labels = nodes.join(seed, Seq("id"), "left")
-      .select(col("id"), col("seed_label").as("label"))
+      .select(col("id"), col("seed_label"), col("seed_label").as("label"))
     for (it <- 1 to iterations) {
-      labels = labelPropRound(e, seed, labels)
+      labels = labelPropRound(e, labels)
       if (it % 3 == 0 && it < iterations)
         labels = graftCheckpoint(labels)
     }
-    val out = graftCheckpoint(labels)
+    val out = graftCheckpoint(labels.select("id", "label"))
     e.unpersist()
     seed.unpersist()
     out.orderBy("id")
@@ -191,11 +194,12 @@ object Graphs {
     * pays (the public entry checkpoints its result, so plan audits
     * must look HERE): source-keyed vote join, map-side-combined
     * (dst, label) count, (dst)-keyed max-struct arg-max — never a
-    * window. Package-private test seam.
+    * window. `labels` carries (id, seed_label, label); seeds stay
+    * clamped via the coalesce, no per-round seed join.
+    * Package-private test seam.
     */
-  private[graft] def labelPropRound(e: DataFrame, seed: DataFrame,
-                                    labels: DataFrame): DataFrame = {
-    val votes = e.join(labels.withColumnRenamed("id", "src"), "src")
+  private[graft] def labelPropRound(e: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = e.join(labels.select(col("id").as("src"), col("label")), "src")
       .filter(col("label").isNotNull)
       .groupBy(col("dst").as("id"), col("label"))
       .agg(count("*").as("cnt"))
@@ -203,8 +207,7 @@ object Graphs {
       .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
       .select(col("id"), (-col("m.neg")).as("mode_label"))
     labels.join(mode, Seq("id"), "left")
-      .join(seed, Seq("id"), "left")
-      .select(col("id"),
+      .select(col("id"), col("seed_label"),
         coalesce(col("seed_label"), col("mode_label"), col("label")).as("label"))
   }
 }

@@ -521,8 +521,8 @@ class PlanAuditSpec extends SparkSpec {
     val seed = spark.range(0, 100, 5).select(col("id"),
       pmod(col("id"), lit(10L)).cast("int").as("seed_label"))
     val labels = nodes.join(seed, Seq("id"), "left")
-      .select(col("id"), col("seed_label").as("label"))
-    val round = graft.operators.Graphs.labelPropRound(e, seed, labels)
+      .select(col("id"), col("seed_label"), col("seed_label").as("label"))
+    val round = graft.operators.Graphs.labelPropRound(e, labels)
     val rp = round.queryExecution.executedPlan.toString
     assert(!rp.contains("Window"), s"no window in the round plan:\n$rp")
     assert(rp.contains("partial_count"), s"vote counts map-side combined:\n$rp")
