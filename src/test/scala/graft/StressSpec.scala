@@ -399,6 +399,45 @@ class StressSpec extends SparkSpec {
       f"winnowing must scale near-linearly: 10x took $ratio%.1fx")
   }
 
+  test("covarianceMatrix: 10x vectors stays near-linear (one moment buffer per partition)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    import graft.operators.Similarity
+    val one = spark.read.parquet(sf("sf0.1") + "/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val ten = tenXEmbeddings
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      Similarity.covarianceMatrix(df, "embedding", dim = 64)
+        .agg(sum("cov")).collect()
+    run(one) // warm-up
+    val t1 = timeOf(run(one))
+    val t10 = timeOf(run(ten))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"moment aggregation must scale near-linearly: 10x took $ratio%.1fx")
+  }
+
+  test("classifierScore: 10x corpus stays near-linear (plan-literal model, one scan pass)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    import graft.operators.TextAnalysis
+    val (one, ten) = tenX
+    val weights = spark.range(4096).select(
+      col("id").as("bucket"),
+      (pmod(col("id") * 2654435761L, lit(2001L)) - 1000L).as("weight_q"))
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      TextAnalysis.classifierScore(df, "doc_id", "text", weights, numBuckets = 4096)
+        .agg(sum("logit_q")).collect()
+    run(one) // warm-up
+    val t1 = timeOf(run(one))
+    val t10 = timeOf(run(ten))
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    assert(ratio < 15.0,
+      f"classifier scoring must scale near-linearly: 10x took $ratio%.1fx")
+  }
+
   test("bm25Search: 10x corpus stays near-linear (query-term postings only shuffle)") {
     assume(sys.env.contains("GRAFT_STRESS"),
       "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
