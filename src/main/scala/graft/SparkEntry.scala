@@ -1051,14 +1051,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "dedup_embed_cosine" -> ((s, dir) => {
-      val v = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val a = v.select(col("vec_id").as("id_a"), col("v").as("va"))
-      val b = v.select(col("vec_id").as("id_b"), col("v").as("vb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("c"))
-        .filter(col("c") >= 0.4)
-        .select(col("id_a"), col("id_b"), rd(col("c"), 6).as("cosine"))
+      // EXACT all-pairs recall oracle for the LSH variant — fenced by
+      // Dedup.requireOracleScale so it can never be pointed at a full
+      // production corpus (the cross join is uncapped by design).
+      Dedup.embedCosinePairsExact(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
+        .select(col("id_a"), col("id_b"), rd(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
     "dedup_clusters" -> ((s, dir) => {

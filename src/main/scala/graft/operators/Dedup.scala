@@ -264,15 +264,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Driver-side scale fence for the EXACT all-pairs oracle paths.
+    *
+    * The exact pairwise operators ([[ngramJaccardPairs]],
+    * [[embedCosinePairsExact]]) exist as LSH-RECALL ORACLES: their
+    * joins are deliberately uncapped (a cap would bias the recall
+    * measurement), so their cost is quadratic in the hottest key /
+    * corpus size and they must never run on a full production corpus.
+    * This fence makes that contract executable — the query fails
+    * BEFORE the quadratic join is attempted, with the at-scale
+    * alternative named in the message. One count() job on the (already
+    * pruned) input frame; negligible next to the join it protects.
+    */
+  private[graft] def requireOracleScale(df: DataFrame, maxExactRows: Long,
+                                        what: String, lshAlternative: String): DataFrame = {
+    val n = df.count()
+    require(n <= maxExactRows,
+      s"$what is an exact all-pairs recall oracle fenced to <= $maxExactRows input rows " +
+        s"(got $n); at scale run $lshAlternative and SAMPLE this oracle for recall measurement")
+    df
+  }
+
   /** Exact pairwise n-gram Jaccard via shingle-explode + equi-join on
     * the shingle value — every pair sharing ≥1 shingle is scored
     * exactly. This is the oracle-checkable exact counterpart of
     * [[minhashNearDups]]; at 100 TB you run the LSH variant and sample
-    * this one for recall measurement.
+    * this one for recall measurement — a contract enforced by the
+    * `maxExactRows` fence ([[requireOracleScale]]): the shingle join
+    * is deliberately uncapped (a bucket cap would bias the recall
+    * oracle), so its hot-shingle cost is quadratic and the operator
+    * refuses corpora beyond sample scale.
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      maxExactRows: Long = 100000L): DataFrame = {
+    requireOracleScale(df, maxExactRows, "ngramJaccardPairs", "minhashNearDups")
     val base = df.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("shingles"))
       .withColumn("n_sh", size(col("shingles")))
@@ -285,6 +312,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact all-pairs embedding cosine — the recall oracle for
+    * [[embeddingNearDups]]'s hyperplane-LSH candidates. The join is a
+    * deliberate full cross product (`id_a < id_b`) with NO bucket cap:
+    * recall oracles must see every pair. Consequently it is fenced by
+    * `maxExactRows` ([[requireOracleScale]]) — at 100 TB you run the
+    * LSH variant and point this at a sampled slice.
+    */
+  def embedCosinePairsExact(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, maxExactRows: Long = 100000L): DataFrame = {
+    val v = requireOracleScale(
+      df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v")),
+      maxExactRows, "embedCosinePairsExact", "embeddingNearDups")
+    val a = v.select(col("__id").as("id_a"), col("__v").as("va"))
+    val b = v.select(col("__id").as("id_b"), col("__v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** Connected components over a near-dup pair list: every node gets

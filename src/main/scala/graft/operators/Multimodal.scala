@@ -121,13 +121,23 @@ object Multimodal {
     Some(sig)
   }
 
-  /** Audio features: REAL header parse for RIFF/WAVE payloads,
-    * deterministic stub for everything else (`stubbed = true`).
+  /** Audio features: REAL header parse for WAV/AIFF/FLAC/MP3 payloads;
+    * for uncompressed (WAV/AIFF PCM) payloads the SAMPLES are really
+    * decoded too ([[decodePcm]]) and the sample-domain fields (rms,
+    * peak, zero_cross_rate, spectral_centroid_hz, silence_ratio) are
+    * measured, not estimated. Compressed formats leave those fields
+    * null (header metadata only); unrecognized payloads take the
+    * deterministic stub estimate (`stubbed = true`).
     */
   case class AudioFeatures(n_bytes: Option[Int], duration_sec_est: Option[Double],
                            sample_rate: Option[Int], channels: Option[Int],
                            bits_per_sample: Option[Int],
-                           fingerprint: Option[Long], stubbed: Boolean)
+                           fingerprint: Option[Long],
+                           rms: Option[Double], peak: Option[Double],
+                           zero_cross_rate: Option[Double],
+                           spectral_centroid_hz: Option[Double],
+                           silence_ratio: Option[Double],
+                           stubbed: Boolean)
 
   /** Parsed `fmt ` + `data` chunks of a RIFF/WAVE container, or None
     * if the payload is not a well-formed WAV. PCM (format 1) and IEEE
@@ -203,6 +213,234 @@ object Multimodal {
       offL += 8 + size + (size & 1)
     }
     None
+  }
+
+  /** Decoded PCM audio: mono-mixed samples normalized to [-1, 1]. */
+  private[graft] case class PcmAudio(rate: Int, channels: Int, bits: Int,
+                                     samples: Array[Double])
+
+  /** REAL sample decode for uncompressed payloads — raw PCM needs no
+    * codec library, only the container's byte layout (public specs:
+    * RIFF/WAVE little-endian, AIFF big-endian). Integer PCM at
+    * 8/16/24/32 bits plus IEEE float32/64 WAV; channels are mono-mixed
+    * by averaging; at most `maxSamples` frames are decoded (bounded
+    * work per row — features over the first ~10 s are representative
+    * and the cap keeps the UDF's cost independent of payload size).
+    * Compressed formats return None and stay on the header-only path.
+    */
+  private[graft] def decodePcm(b: Array[Byte], maxSamples: Int = 480000): Option[PcmAudio] =
+    decodeWavPcm(b, maxSamples).orElse(decodeAiffPcm(b, maxSamples))
+
+  private def decodeWavPcm(b: Array[Byte], maxSamples: Int): Option[PcmAudio] = {
+    def u16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    def u32(o: Int) = (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    def tag(o: Int, s: String) = b.length >= o + 4 && s.indices.forall(i => b(o + i) == s(i).toByte)
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var offL = 12L
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
+    var data: Option[(Int, Int)] = None          // (payload offset, len)
+    while (offL + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val off = offL.toInt
+      val size = u32(off + 4)
+      if (tag(off, "fmt ") && off + 24 <= b.length)
+        fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+      else if (tag(off, "data"))
+        data = Some((off + 8, math.min(size, (b.length - off - 8).toLong).toInt))
+      offL += 8 + size + (size & 1)
+    }
+    for {
+      (format, ch, rate, bits) <- fmt
+      (dOff, dLen) <- data
+      if ch > 0 && rate > 0 && bits > 0 && bits % 8 == 0
+      if (format == 1 && bits <= 32) || (format == 3 && (bits == 32 || bits == 64))
+    } yield {
+      val bytesPer = bits / 8
+      val frameBytes = bytesPer * ch
+      val nFrames = math.min(dLen / frameBytes, maxSamples)
+      val out = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val o = dOff + f * frameBytes + c * bytesPer
+          acc += (if (format == 3 && bits == 32)
+              java.lang.Float.intBitsToFloat(u32(o).toInt).toDouble
+            else if (format == 3)
+              java.lang.Double.longBitsToDouble(u32(o) | (u32(o + 4) << 32))
+            else bits match {
+              case 8  => ((b(o) & 0xFF) - 128) / 128.0 // WAV 8-bit is UNSIGNED
+              case 16 => ((b(o) & 0xFF) | (b(o + 1) << 8)).toShort / 32768.0
+              case 24 => (((b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | (b(o + 2) << 16)) << 8 >> 8) / 8388608.0
+              case _  => u32(o).toInt / 2147483648.0
+            })
+          c += 1
+        }
+        out(f) = acc / ch
+        f += 1
+      }
+      PcmAudio(rate, ch, bits, out)
+    }
+  }
+
+  private def decodeAiffPcm(b: Array[Byte], maxSamples: Int): Option[PcmAudio] = {
+    def tag(o: Int, s: String) = b.length >= o + 4 && s.indices.forall(i => b(o + i) == s(i).toByte)
+    def u32(o: Int) = ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    if (b.length < 38 || !tag(0, "FORM")) return None
+    val aifc = tag(8, "AIFC")
+    if (!tag(8, "AIFF") && !aifc) return None
+    val hdr = parseAiffHeader(b).getOrElse(return None)
+    val (rate, ch, bits, _) = hdr
+    if (bits <= 0 || bits % 8 != 0 || bits > 32) return None
+    // locate COMM (for the AIFC compression fourcc) and SSND
+    var offL = 12L
+    var ssnd: Option[(Int, Int)] = None
+    var compressed = false
+    while (offL + 8 <= b.length) {
+      val off = offL.toInt
+      val size = u32(off + 4)
+      if (tag(off, "COMM") && aifc && off + 8 + 22 <= b.length)
+        // AIFC COMM carries a compression type after the 18 PCM bytes;
+        // only "NONE" (uncompressed BE PCM) is decodable here
+        compressed = !tag(off + 8 + 18, "NONE")
+      else if (tag(off, "SSND") && off + 16 <= b.length) {
+        val dataOff = u32(off + 8) // offset INTO the sound data
+        val start = off + 16 + dataOff
+        if (start >= 0 && start <= b.length)
+          ssnd = Some((start.toInt, b.length - start.toInt))
+      }
+      offL += 8 + size + (size & 1)
+    }
+    if (compressed) return None
+    ssnd.map { case (dOff, avail) =>
+      val bytesPer = bits / 8
+      val frameBytes = bytesPer * ch
+      val nFrames = math.min(avail / frameBytes, maxSamples)
+      val out = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val o = dOff + f * frameBytes + c * bytesPer
+          acc += (bits match { // AIFF integer PCM is SIGNED big-endian at every depth
+            case 8  => b(o) / 128.0
+            case 16 => ((b(o) << 8) | (b(o + 1) & 0xFF)).toShort / 32768.0
+            case 24 => ((((b(o) & 0xFF) << 16) | ((b(o + 1) & 0xFF) << 8) | (b(o + 2) & 0xFF)) << 8 >> 8) / 8388608.0
+            case _  => (((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) | ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)) / 2147483648.0
+          })
+          c += 1
+        }
+        out(f) = acc / ch
+        f += 1
+      }
+      PcmAudio(rate, ch, bits, out)
+    }
+  }
+
+  /** Sample-domain features over decoded PCM: RMS energy, peak
+    * amplitude, zero-crossing rate (crossings/sec), spectral centroid
+    * (Hz, magnitude-weighted mean frequency over up to 16 FFT windows
+    * of 2048), and silence ratio (fraction of |x| < 1e-3). All
+    * computed from REAL samples — the measurements a curation pipeline
+    * filters on (clipped/silent/narrowband audio detection).
+    */
+  private[graft] def pcmFeatures(p: PcmAudio): (Double, Double, Double, Option[Double], Double) = {
+    val s = p.samples
+    val n = s.length
+    if (n == 0) return (0.0, 0.0, 0.0, None, 1.0)
+    var sumSq = 0.0; var peak = 0.0; var crossings = 0; var silent = 0
+    var i = 0
+    while (i < n) {
+      val x = s(i)
+      sumSq += x * x
+      val ax = math.abs(x)
+      if (ax > peak) peak = ax
+      if (ax < 1e-3) silent += 1
+      if (i > 0 && (s(i - 1) > 0) != (x > 0) && (s(i - 1) != 0 || x != 0)) crossings += 1
+      i += 1
+    }
+    val rms = math.sqrt(sumSq / n)
+    val zcr = crossings.toDouble * p.rate / n
+    val centroid = spectralCentroid(s, p.rate)
+    (rms, peak, zcr, centroid, silent.toDouble / n)
+  }
+
+  /** Magnitude-spectrum centroid via an in-place radix-2 FFT
+    * (Cooley–Tukey, iterative) over up to 16 consecutive Hann-windowed
+    * 2048-sample windows (shorter inputs use the largest power of two
+    * that fits, min 64). The Hann window keeps rectangular-window
+    * leakage from dominating the weighted mean — a pure 440 Hz tone
+    * reads ~440 Hz windowed vs ~1040 Hz unwindowed. DC is excluded;
+    * None when the input is too short or entirely silent.
+    */
+  private[graft] def spectralCentroid(s: Array[Double], rate: Int): Option[Double] = {
+    val n = s.length
+    val win = math.min(2048, java.lang.Integer.highestOneBit(math.max(n, 1)))
+    if (win < 64) return None
+    val nWin = math.min(n / win, 16)
+    val hann = Array.tabulate(win)(i => 0.5 - 0.5 * math.cos(2.0 * math.Pi * i / win))
+    val mag = new Array[Double](win / 2)
+    val re = new Array[Double](win)
+    val im = new Array[Double](win)
+    var w = 0
+    while (w < nWin) {
+      var i = 0
+      while (i < win) { re(i) = s(w * win + i) * hann(i); im(i) = 0.0; i += 1 }
+      fftInPlace(re, im)
+      var k = 1
+      while (k < win / 2) { mag(k) += math.hypot(re(k), im(k)); k += 1 }
+      w += 1
+    }
+    var num = 0.0; var den = 0.0
+    var k = 1
+    while (k < win / 2) {
+      num += (k.toDouble * rate / win) * mag(k); den += mag(k); k += 1
+    }
+    if (den > 0) Some(num / den) else None
+  }
+
+  /** Iterative in-place radix-2 FFT (bit-reversal permutation +
+    * butterfly passes). `re.length` must be a power of two.
+    */
+  private[graft] def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n > 0 && (n & (n - 1)) == 0, s"FFT size must be a power of two, got $n")
+    // bit-reversal permutation
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(base + k); val ui = im(base + k)
+          val vr = re(base + k + len / 2) * cr - im(base + k + len / 2) * ci
+          val vi = re(base + k + len / 2) * ci + im(base + k + len / 2) * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
   }
 
   /** MP3 (MPEG-1/2/2.5 Layer III) frame-header walk: (sampleRate,
@@ -311,25 +549,32 @@ object Multimodal {
     */
   def withAudioFeatures(df: DataFrame, binaryCol: String, out: String = "audio_features"): DataFrame = {
     val f = udf((bytes: Array[Byte]) => {
-      if (bytes == null) AudioFeatures(None, None, None, None, None, None, stubbed = true)
+      if (bytes == null)
+        AudioFeatures(None, None, None, None, None, None, None, None, None, None, None,
+          stubbed = true)
       else {
         var h = 1125899906842597L
         var i = 0
         while (i < math.min(bytes.length, 4096)) { h = h * 31 + bytes(i); i += 1 }
+        // uncompressed payloads: REAL sample decode → measured features
+        val pcm = decodePcm(bytes).map { p =>
+          val (rms, peak, zcr, centroid, silence) = pcmFeatures(p)
+          (Some(rms), Some(peak), Some(zcr), centroid, Some(silence))
+        }.getOrElse((None, None, None, None, None))
         parseWavHeader(bytes).orElse(parseAiffHeader(bytes))
           .orElse(parseFlacStreamInfo(bytes)) match {
           case Some((rate, ch, bits, dur)) =>
             AudioFeatures(Some(bytes.length), Some(dur), Some(rate), Some(ch), Some(bits),
-              Some(h), stubbed = false)
+              Some(h), pcm._1, pcm._2, pcm._3, pcm._4, pcm._5, stubbed = false)
           case None => parseMp3(bytes) match {
             case Some((rate, ch, dur, _)) =>
-              // lossy format: no per-sample bit depth exists
+              // lossy format: no per-sample bit depth, no sample decode
               AudioFeatures(Some(bytes.length), Some(dur), Some(rate), Some(ch), None,
-                Some(h), stubbed = false)
+                Some(h), None, None, None, None, None, stubbed = false)
             case None =>
               // stub estimate: assume 16kHz 16-bit mono PCM
               AudioFeatures(Some(bytes.length), Some(bytes.length / 32000.0),
-                None, None, None, Some(h), stubbed = true)
+                None, None, None, Some(h), None, None, None, None, None, stubbed = true)
           }
         }
       }
@@ -498,6 +743,16 @@ object Multimodal {
     */
   private[graft] case class Mp4Sample(index: Int, offset: Long, size: Long, timeSec: Double)
 
+  /** A demuxed MP4 video track: sample fourcc, located samples,
+    * sync-sample indices (0-based positions into `samples`; None when
+    * the track has no `stss` box, which per ISO 14496-12 means EVERY
+    * sample is a sync sample), and codec-level dimensions (for avc1:
+    * parsed from the SPS inside `avcC`, falling back to the
+    * VisualSampleEntry width/height fields).
+    */
+  private[graft] case class Mp4Track(fourcc: String, samples: Array[Mp4Sample],
+                                     sync: Option[Set[Int]], dims: Option[(Int, Int)])
+
   /** Demux the FIRST video ('vide' handler) track's sample table out
     * of an MP4/MOV payload — pure box walk, no codec: stsd (sample
     * fourcc), stsz (sizes), stsc + stco/co64 (chunk layout →
@@ -507,7 +762,7 @@ object Multimodal {
     * extents fall outside the payload.
     */
   private[graft] def parseMp4Samples(b: Array[Byte],
-                                     maxSamples: Int = 4096): Option[(String, Array[Mp4Sample])] = {
+                                     maxSamples: Int = 4096): Option[Mp4Track] = {
     def u32(o: Int): Long =
       ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) | ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
     def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
@@ -622,10 +877,147 @@ object Multimodal {
           chunk += 1
         }
         val filled = samples.take(sample)
-        (fourcc, filled.filter(s =>
-          s.offset >= 0 && s.size > 0 && s.offset + s.size <= b.length))
+          .filter(s => s.offset >= 0 && s.size > 0 && s.offset + s.size <= b.length)
+        // stss (optional): 1-based sync-sample numbers → 0-based set.
+        // Absent box = every sample is sync (ISO 14496-12 §8.6.2).
+        val sync = first(stblS, stblE, "stss").flatMap { case (s, e) =>
+          if (s + 8 > e) None
+          else {
+            val n = u32(s + 4).toInt
+            if (n >= 0 && n <= 1000000 && s + 8 + 4L * n <= e)
+              Some(Array.tabulate(n)(i => u32(s + 8 + 4 * i).toInt - 1).toSet)
+            else None
+          }
+        }
+        // codec dims: avc1/avc3 → SPS inside avcC (authoritative,
+        // crop-aware); fall back to the VisualSampleEntry u16 fields.
+        val entryS = stsdS + 8
+        val entrySize = u32(entryS)
+        val entryE = math.min(entryS + math.min(entrySize, Int.MaxValue.toLong).toInt, stsdE)
+        val entryDims =
+          if (entryS + 36 <= entryE) {
+            val w = ((b(entryS + 32) & 0xFF) << 8) | (b(entryS + 33) & 0xFF)
+            val h = ((b(entryS + 34) & 0xFF) << 8) | (b(entryS + 35) & 0xFF)
+            if (w > 0 && h > 0) Some((w, h)) else None
+          } else None
+        val spsDims =
+          if ((fourcc == "avc1" || fourcc == "avc3") && entryS + 86 <= entryE)
+            first(entryS + 86, entryE, "avcC").flatMap { case (aS, aE) =>
+              // AVCDecoderConfigurationRecord: ver profile compat level
+              // lenSizeMinusOne numSPS, then u16-length-prefixed SPS NALs
+              if (aS + 8 > aE || (b(aS) & 0xFF) != 1) None
+              else {
+                val nSps = b(aS + 5) & 0x1F
+                if (nSps < 1) None
+                else {
+                  val spsLen = ((b(aS + 6) & 0xFF) << 8) | (b(aS + 7) & 0xFF)
+                  if (aS + 8 + spsLen > aE) None
+                  else parseH264SpsDims(java.util.Arrays.copyOfRange(b, aS + 8, aS + 8 + spsLen))
+                }
+              }
+            }
+          else None
+        Mp4Track(fourcc, filled, sync, spsDims.orElse(entryDims))
       }
-    }.filter(_._2.nonEmpty)
+    }.filter(_.samples.nonEmpty)
+  }
+
+  /** H.264 SPS parse for (width, height) — public bitstream syntax
+    * from ISO/IEC 14496-10 §7.3.2.1: an exp-Golomb bit reader over the
+    * RBSP (emulation-prevention 00 00 03 bytes removed), walking every
+    * field up to the frame-cropping block, including the High-profile
+    * chroma/bit-depth/scaling-list section. Width/height come from
+    * `pic_width_in_mbs_minus1` / `pic_height_in_map_units_minus1`
+    * (16-px macroblock units, doubled vertically for field coding)
+    * minus the crop offsets scaled by the chroma-format crop units.
+    */
+  private[graft] def parseH264SpsDims(nal: Array[Byte]): Option[(Int, Int)] = {
+    if (nal.length < 4 || (nal(0) & 0x1F) != 7) return None // NAL type 7 = SPS
+    // strip the NAL header byte, un-escape 00 00 03 → 00 00
+    val rbsp = new Array[Byte](nal.length - 1)
+    var n = 0
+    var i = 1
+    while (i < nal.length) {
+      if (i + 2 < nal.length && nal(i) == 0 && nal(i + 1) == 0 && nal(i + 2) == 3) {
+        rbsp(n) = 0; rbsp(n + 1) = 0; n += 2; i += 3
+      } else { rbsp(n) = nal(i); n += 1; i += 1 }
+    }
+    var bit = 0
+    val nBits = n * 8
+    def u(k: Int): Int = { // k-bit unsigned read; -1 on underrun
+      if (bit + k > nBits) { bit = nBits + 1; return -1 }
+      var v = 0
+      var j = 0
+      while (j < k) {
+        v = (v << 1) | ((rbsp(bit >> 3) >> (7 - (bit & 7))) & 1)
+        bit += 1; j += 1
+      }
+      v
+    }
+    def ue(): Int = { // exp-Golomb: countLeadingZeros zeros, 1, then zeros bits
+      var zeros = 0
+      while (bit < nBits && ((rbsp(bit >> 3) >> (7 - (bit & 7))) & 1) == 0) { bit += 1; zeros += 1 }
+      if (bit >= nBits || zeros > 30) { bit = nBits + 1; return -1 }
+      bit += 1 // the marker 1
+      val rest = if (zeros == 0) 0 else u(zeros)
+      if (rest < 0) -1 else (1 << zeros) - 1 + rest
+    }
+    def se(): Int = { val k = ue(); if (k < 0) k else if (k % 2 == 0) -(k / 2) else (k + 1) / 2 }
+    def ok = bit <= nBits
+    val profile = u(8); u(8); u(8) // profile_idc, constraint flags, level_idc
+    ue()                           // seq_parameter_set_id
+    var chromaIdc = 1              // default 4:2:0
+    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135).contains(profile)) {
+      chromaIdc = ue()
+      if (chromaIdc == 3) u(1)     // separate_colour_plane_flag
+      ue(); ue(); u(1)             // bit depths, transform bypass
+      if (u(1) == 1) {             // seq_scaling_matrix_present_flag
+        val lists = if (chromaIdc == 3) 12 else 8
+        var l = 0
+        while (l < lists && ok) {
+          if (u(1) == 1) {         // scaling_list_present[l]
+            val size = if (l < 6) 16 else 64
+            var last = 8; var next = 8; var j = 0
+            while (j < size && ok) {
+              if (next != 0) next = (last + se() + 256) % 256
+              if (next != 0) last = next
+              j += 1
+            }
+          }
+          l += 1
+        }
+      }
+    }
+    ue()                           // log2_max_frame_num_minus4
+    val pocType = ue()
+    if (pocType == 0) ue()
+    else if (pocType == 1) {
+      u(1); se(); se()
+      val cyc = ue()
+      var j = 0
+      while (j < cyc && j <= 255 && ok) { se(); j += 1 }
+    }
+    ue(); u(1)                     // max_num_ref_frames, gaps flag
+    val widthMbs = ue()
+    val heightMapUnits = ue()
+    val frameMbsOnly = u(1)
+    if (frameMbsOnly == 0) u(1)    // mb_adaptive_frame_field_flag
+    u(1)                           // direct_8x8_inference_flag
+    var cropL = 0; var cropR = 0; var cropT = 0; var cropB = 0
+    if (u(1) == 1) { cropL = ue(); cropR = ue(); cropT = ue(); cropB = ue() }
+    if (!ok || widthMbs < 0 || heightMapUnits < 0 || frameMbsOnly < 0 ||
+        cropL < 0 || cropR < 0 || cropT < 0 || cropB < 0) return None
+    val (subW, subH) = chromaIdc match {
+      case 0 => (1, 1) // monochrome: crop units are 1 × (2 - fmof)
+      case 1 => (2, 2) // 4:2:0
+      case 2 => (2, 1) // 4:2:2
+      case _ => (1, 1) // 4:4:4 (or separate planes)
+    }
+    val cropUnitX = if (chromaIdc == 0 || chromaIdc == 3) 1 else subW
+    val cropUnitY = (if (chromaIdc == 0 || chromaIdc == 3) 1 else subH) * (2 - frameMbsOnly)
+    val w = (widthMbs + 1) * 16 - cropUnitX * (cropL + cropR)
+    val h = (2 - frameMbsOnly) * (heightMapUnits + 1) * 16 - cropUnitY * (cropT + cropB)
+    if (w > 0 && h > 0) Some((w, h)) else None
   }
 
   /** Sample fourccs whose payloads are self-contained still images —
@@ -640,6 +1032,13 @@ object Multimodal {
                                        frame_width: Option[Int], frame_height: Option[Int],
                                        stubbed: Boolean)
 
+  /** Codecs whose MP4 samples can be emitted as real frames without a
+    * pixel decoder: keyframes are self-contained length-prefixed NAL
+    * units and the SPS carries the dimensions. Pixel decode of the
+    * emitted payload still needs an external h264 decoder.
+    */
+  private val NalSampleCodecs = Set("avc1", "avc3")
+
   /** Video frame sampling: one row per sampled frame at
     * `everyNthSecond` spacing, at most `maxFrames`.
     *
@@ -649,34 +1048,50 @@ object Multimodal {
     * nearest at-or-after each k·everyNthSecond mark is sliced out of
     * the payload, and its dimensions are decoded with ImageIO —
     * `frame_payload` holds the standalone image bytes,
-    * `stubbed = false`. Inter-frame codecs (h264 &c.) and non-MP4
-    * containers keep the size-based row-count ESTIMATE with a null
-    * payload and `stubbed = true` — the schema/fan-out contract is
-    * identical on both paths, so a real decoder slots in without a
-    * plan change.
+    * `stubbed = false`. For h264 tracks (avc1/avc3) the KEYFRAMES
+    * (stss sync samples) are really demuxed too: `frame_payload`
+    * holds the sample's length-prefixed NAL units, `frame_time_sec`
+    * the real presentation time, and the dimensions come from the SPS
+    * ([[parseH264SpsDims]]) — only pixel decode of that payload needs
+    * an external codec. Other codecs and non-MP4 containers keep the
+    * size-based row-count ESTIMATE with a null payload and
+    * `stubbed = true` — the schema/fan-out contract is identical on
+    * every path, so a real decoder slots in without a plan change.
     */
   def sampleVideoFrames(df: DataFrame, binaryCol: String, everyNthSecond: Double = 1.0,
                         maxFrames: Int = 8): DataFrame = {
     require(everyNthSecond > 0, s"everyNthSecond must be positive, got $everyNthSecond")
     require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    // First sample at-or-after each k·step mark. After a pick, the
+    // next mark jumps STRICTLY beyond the picked sample's timestamp
+    // (and the search resumes after it) — so a step much finer than
+    // the real frame spacing can never burn marks on the same sample
+    // and under-fill maxFrames while later samples still exist.
+    def pick(samples: Array[Mp4Sample]): Seq[Int] = {
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var from = 0
+      var k = 0
+      var done = false
+      while (picked.size < maxFrames && !done) {
+        val target = k * everyNthSecond
+        val i = samples.indexWhere(_.timeSec >= target - 1e-9, from)
+        if (i == -1) done = true
+        else {
+          picked += i
+          from = i + 1
+          k = math.max(k + 1,
+            (math.floor((samples(i).timeSec + 1e-9) / everyNthSecond) + 1).toInt)
+        }
+      }
+      picked.toSeq
+    }
     val f = udf((bytes: Array[Byte]) => {
       val real: Option[Seq[VideoFrame]] =
         if (bytes == null) None
         else parseMp4Samples(bytes) match {
-          case Some((fourcc, samples)) if ImageSampleCodecs.contains(fourcc) =>
-            // first sample at-or-after each k·step mark, deduped
-            val picked = scala.collection.mutable.LinkedHashSet.empty[Int]
-            var k = 0
-            while (picked.size < maxFrames && k < maxFrames * 4) {
-              val target = k * everyNthSecond
-              samples.indexWhere(_.timeSec >= target - 1e-9) match {
-                case -1 => k = maxFrames * 4
-                case i  => picked += i
-              }
-              k += 1
-            }
-            Some(picked.toSeq.zipWithIndex.map { case (si, fi) =>
-              val s = samples(si)
+          case Some(track) if ImageSampleCodecs.contains(track.fourcc) =>
+            Some(pick(track.samples).zipWithIndex.map { case (si, fi) =>
+              val s = track.samples(si)
               val payload = java.util.Arrays.copyOfRange(bytes, s.offset.toInt,
                 (s.offset + s.size).toInt)
               val dims =
@@ -686,6 +1101,20 @@ object Multimodal {
                 catch { case _: Exception => None }
               VideoFrame(fi, s.timeSec, payload, dims.map(_._1), dims.map(_._2),
                 stubbed = false)
+            })
+          case Some(track) if NalSampleCodecs.contains(track.fourcc) =>
+            // only sync samples are self-contained — sample over the
+            // keyframe subsequence (no stss box = every sample is sync)
+            val keyframes = track.sync match {
+              case Some(sync) => track.samples.filter(s => sync.contains(s.index))
+              case None       => track.samples
+            }
+            Some(pick(keyframes).zipWithIndex.map { case (si, fi) =>
+              val s = keyframes(si)
+              val payload = java.util.Arrays.copyOfRange(bytes, s.offset.toInt,
+                (s.offset + s.size).toInt)
+              VideoFrame(fi, s.timeSec, payload,
+                track.dims.map(_._1), track.dims.map(_._2), stubbed = false)
             })
           case _ => None
         }

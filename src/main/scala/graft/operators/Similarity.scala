@@ -201,6 +201,12 @@ object Similarity {
     * carries one 16-byte cell per (i, j, partition) regardless of
     * corpus size; the joins that assemble cov(i,j) run on the
     * d²-row moment table. Returns (dim_i, dim_j, cov) for i ≤ j.
+    *
+    * Contract: every input row must carry a non-null vector of exactly
+    * `dim` elements — a null or length-mismatched row fails the query
+    * (the one-buffer moment pass has no per-row skip path; pre-filter
+    * upstream if the corpus is dirty). Fewer than 2 valid rows returns
+    * an EMPTY frame (sample covariance needs n ≥ 2), never NaN rows.
     */
   def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
@@ -228,6 +234,11 @@ object Similarity {
       .join(broadcast(means).withColumnRenamed("__mi", "i").withColumnRenamed("__s", "__si"), "i")
       .join(broadcast(means).withColumnRenamed("__mi", "j").withColumnRenamed("__s", "__sj"), "j")
       .crossJoin(broadcast(n))
+      // a no-groupBy TypedImperativeAggregate emits its zero buffer
+      // even on empty input — without this fence an empty corpus
+      // would surface as d(d+1)/2 NaN rows (0/0) instead of an empty
+      // frame, and n = 1 as ±Infinity (division by n-1 = 0)
+      .filter(col("__n") >= 2)
       .select(col("i").as("dim_i"), col("j").as("dim_j"),
         graft.functions.MathFunctions.roundTo(
           (col("s").cast("double") - col("__si") * col("__sj") / col("__n")) /

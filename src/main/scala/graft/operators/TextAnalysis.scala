@@ -742,12 +742,19 @@ object TextAnalysis {
     // Models too large to collect should switch to the explode +
     // broadcast-join shape instead.
     val dense = new Array[Long](numBuckets)
+    // Duplicate bucket rows would make the score depend on collect()
+    // order (last-write-wins); the previous map_from_arrays form failed
+    // loudly on duplicates (Spark's map-key dedup policy defaults to
+    // EXCEPTION) and this form must be no weaker.
+    val seen = new java.util.BitSet(numBuckets)
     weights.select(col("bucket").cast("int"), col("weight_q").cast("long"))
       .collect()
       .foreach { r =>
         val b = r.getInt(0)
         require(b >= 0 && b < numBuckets,
           s"weight bucket $b outside [0, $numBuckets)")
+        require(!seen.get(b), s"duplicate weight bucket $b in model frame")
+        seen.set(b)
         dense(b) = r.getLong(1)
       }
     val toks = split(normalizeText(col(textCol)), " ")

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit, TimeoutException}
 
 /** Per-query wall-time smoke gate — the check that would have caught
   * round 7's winnowing regression (two queries green on correctness at
@@ -14,18 +14,29 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
   * (`args(1)` seconds, default 60), executing each plan fully via the
   * noop sink (no result IO, no driver collect). A query that breaches
   * the budget has its Spark jobs cancelled (job-group cancel) and the
-  * run continues, so one bomb cannot mask another. Exit code 1 when
-  * any query breaches or errors; per-query seconds printed sorted
-  * slowest-first plus a single trailing JSON line for tooling.
+  * run continues, so one bomb cannot mask another. Each query runs on
+  * its OWN single-thread executor: a timed-out task that ignores the
+  * job-group cancel keeps only its own (abandoned) thread, it cannot
+  * steal the worker from subsequent queries — and the per-query clock
+  * starts when the task actually begins running, never at submit, so a
+  * stuck predecessor can't inflate a successor's reading.
   *
-  * Usage: sbt "runMain graft.tools.SmokeGate /root/testdata/sf0.1 60"
+  * A second, global wall budget (`args(2)` seconds, default 600) fails
+  * the run fast under a pervasive slowdown: once total elapsed exceeds
+  * it, remaining queries are recorded as `SKIPPED_BUDGET` and the gate
+  * exits nonzero. Exit code 1 when any query breaches, errors, or is
+  * budget-skipped; per-query seconds printed sorted slowest-first plus
+  * a single trailing JSON line for tooling.
+  *
+  * Usage: sbt "runMain graft.tools.SmokeGate /root/testdata/sf0.1 60 600"
   * Subset via SPARK_GRAFT_ONLY=a,b,c (same contract as Verify).
   */
 object SmokeGate {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: SmokeGate <sfDir> [timeoutSec]")
+    require(args.nonEmpty, "usage: SmokeGate <sfDir> [timeoutSec] [totalBudgetSec]")
     val sfDir = args(0)
     val timeoutSec = if (args.length > 1) args(1).toInt else 60
+    val totalBudgetSec = if (args.length > 2) args(2).toInt else 600
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,39 +48,58 @@ object SmokeGate {
     spark.sparkContext.setLogLevel("ERROR")
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val pool = Executors.newSingleThreadExecutor()
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, String)]
+    val runStart = System.nanoTime()
+    def totalElapsedSec: Double = (System.nanoTime() - runStart) / 1e9
 
     graft.SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
-        val group = s"smoke-$name"
-        val t0 = System.nanoTime()
-        val fut = pool.submit(new Runnable {
-          def run(): Unit = {
-            spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            finally spark.sparkContext.clearJobGroup()
-          }
-        })
-        val status =
-          try { fut.get(timeoutSec.toLong, TimeUnit.SECONDS); "ok" }
-          catch {
-            case _: TimeoutException =>
-              spark.sparkContext.cancelJobGroup(group)
-              fut.cancel(true)
-              "TIMEOUT"
-            case e: Throwable =>
-              val root = Option(e.getCause).getOrElse(e)
-              System.err.println(s"[smoke] $name failed: ${root.getMessage}")
-              "ERROR"
-          }
-        val sec = (System.nanoTime() - t0) / 1e9
-        results += ((name, sec, status))
-        println(f"[smoke] $name%-28s ${sec}%8.2f s  $status")
+        if (totalElapsedSec > totalBudgetSec) {
+          results += ((name, 0.0, "SKIPPED_BUDGET"))
+          println(f"[smoke] $name%-28s ${0.0}%8.2f s  SKIPPED_BUDGET")
+        } else {
+          val group = s"smoke-$name"
+          // Fresh executor per query: an abandoned (cancel-ignoring)
+          // task from a previous query can never occupy this worker.
+          val pool = Executors.newSingleThreadExecutor()
+          val started = new CountDownLatch(1)
+          @volatile var taskStartNanos = 0L
+          val fut = pool.submit(new Runnable {
+            def run(): Unit = {
+              taskStartNanos = System.nanoTime()
+              started.countDown()
+              spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+              try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              finally spark.sparkContext.clearJobGroup()
+            }
+          })
+          started.await() // fresh executor: the task begins immediately
+          val status =
+            try { fut.get(timeoutSec.toLong, TimeUnit.SECONDS); "ok" }
+            catch {
+              case _: TimeoutException =>
+                spark.sparkContext.cancelJobGroup(group)
+                fut.cancel(true)
+                "TIMEOUT"
+              case e: Throwable =>
+                val root = Option(e.getCause).getOrElse(e)
+                System.err.println(s"[smoke] $name failed: ${root.getMessage}")
+                "ERROR"
+            }
+          // Clock runs from task start, not submit.
+          val sec = (System.nanoTime() - taskStartNanos) / 1e9
+          pool.shutdownNow()
+          // Give the worker a moment to unwind after cancel; if it
+          // ignores the interrupt we abandon the executor (next query
+          // gets its own) and note the zombie for the operator.
+          if (!pool.awaitTermination(2, TimeUnit.SECONDS) && status == "TIMEOUT")
+            System.err.println(s"[smoke] $name: worker thread ignored cancellation (abandoned)")
+          results += ((name, sec, status))
+          println(f"[smoke] $name%-28s ${sec}%8.2f s  $status")
+        }
       }
-    pool.shutdownNow()
 
     val bad = results.filter(_._3 != "ok")
     println("[smoke] slowest 10:")
@@ -79,7 +109,7 @@ object SmokeGate {
     val json = results.sortBy(-_._2)
       .map { case (n, s, st) => s""""$n":{"sec":${f"$s%.2f"},"status":"$st"}""" }
       .mkString("{", ",", "}")
-    println(s"""{"smoke_gate":{"sf_dir":"$sfDir","timeout_sec":$timeoutSec,"breaches":${bad.size},"queries":$json}}""")
+    println(s"""{"smoke_gate":{"sf_dir":"$sfDir","timeout_sec":$timeoutSec,"total_budget_sec":$totalBudgetSec,"total_sec":${f"$totalElapsedSec%.2f"},"breaches":${bad.size},"queries":$json}}""")
     spark.stop()
     if (bad.nonEmpty) {
       System.err.println(s"[smoke] FAILED: ${bad.map(_._1).mkString(", ")}")

@@ -603,6 +603,41 @@ class DedupSpec extends SparkSpec {
     assert(a === b, "decimal integer moments make the result partitioning-independent")
   }
 
+  test("covarianceMatrix: empty and single-row input yield an EMPTY frame, never NaN rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "v")
+    assert(graft.operators.Similarity.covarianceMatrix(empty, "v", 3).count() === 0L,
+      "n = 0: the zero moment buffer must not surface as 0/0 NaN rows")
+    val one = Seq((1L, Array(1f, 2f, 3f))).toDF("id", "v")
+    assert(graft.operators.Similarity.covarianceMatrix(one, "v", 3).count() === 0L,
+      "n = 1: sample covariance (n-1 denominator) undefined → empty")
+  }
+
+  test("exact all-pairs oracles refuse corpora beyond the maxExactRows fence") {
+    import spark.implicits._
+    val docs = planted
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5, maxExactRows = 2L)
+    }
+    assert(e.getMessage.contains("recall oracle") && e.getMessage.contains("minhashNearDups"),
+      s"fence names the at-scale alternative: ${e.getMessage}")
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.embedCosinePairsExact(emb, "embedding", "vec_id", 0.4, maxExactRows = 3L)
+    }
+    assert(e2.getMessage.contains("embeddingNearDups"))
+    // under the fence the helper IS the inline exact join it replaced
+    import graft.functions.VectorFunctions.cosine
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val inline = v.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb")), col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val helper = Dedup.embedCosinePairsExact(emb, "embedding", "vec_id", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(helper === inline)
+  }
+
   test("MomentMatrix aggregate: exact 128-bit cells — max-magnitude products, signs, carries, merge") {
     import spark.implicits._
     import graft.plans.MomentMatrix.momentMatrix

@@ -42,7 +42,7 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getInt(0) == 64000)
     assert(r.getDouble(1) == 2.0)       // 64000 bytes / 32000 Bps
     assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4), "no parsed fields for non-WAV")
-    assert(r.getBoolean(6), "stub is marked")
+    assert(r.getAs[Boolean]("stubbed"), "stub is marked")
   }
 
   /** Golden WAV: 16 kHz, mono, 16-bit PCM, exactly 1.0 s (16000
@@ -79,11 +79,107 @@ class MultimodalSpec extends SparkSpec {
     val r1 = rows(0)
     assert(r1.getDouble(2) == 1.0, "16000 samples at 16kHz = exactly 1.0s")
     assert(r1.getInt(3) == 16000 && r1.getInt(4) == 1 && r1.getInt(5) == 16)
-    assert(!r1.getBoolean(7), "WAV path is NOT stubbed")
+    assert(!r1.getAs[Boolean]("stubbed"), "WAV path is NOT stubbed")
     val r2 = rows(1)
     assert(r2.getDouble(2) == 0.5, "22050 stereo samples at 44.1kHz = exactly 0.5s")
     assert(r2.getInt(3) == 44100 && r2.getInt(4) == 2 && r2.getInt(5) == 16)
-    assert(!r2.getBoolean(7))
+    assert(!r2.getAs[Boolean]("stubbed"))
+  }
+
+  test("audio features: WAV PCM samples REALLY decoded — measured rms/peak/zcr/centroid/silence") {
+    // golden 440 Hz sine at half scale, 16 kHz mono 16-bit, 1.0 s:
+    // rms = 0.5/√2, peak = 0.5, zcr = 880 crossings/s, Hann-windowed
+    // spectral centroid ≈ 440.59 Hz (cross-checked against numpy.fft
+    // on the identical quantized samples), silence ratio = 0.005
+    val df = Seq((1L, goldenWav())).toDF("id", "payload")
+    val r = Multimodal.withAudioFeatures(df, "payload")
+      .select("audio_features.*").collect()(0)
+    assert(!r.getAs[Boolean]("stubbed"))
+    assert(math.abs(r.getAs[Double]("rms") - 0.35354) < 1e-3, s"rms ${r.getAs[Double]("rms")}")
+    assert(math.abs(r.getAs[Double]("peak") - 0.5) < 1e-3)
+    assert(math.abs(r.getAs[Double]("zero_cross_rate") - 880.0) < 2.0)
+    assert(math.abs(r.getAs[Double]("spectral_centroid_hz") - 440.59) < 2.0,
+      s"centroid ${r.getAs[Double]("spectral_centroid_hz")}")
+    assert(math.abs(r.getAs[Double]("silence_ratio") - 0.005) < 2e-3)
+    // a 3 kHz tone reads a ~3 kHz centroid (feature is discriminative)
+    val hiBytes = goldenWav()
+    var i = 0
+    while (i < 16000) {
+      val v = (math.sin(i * 2 * math.Pi * 3000 / 16000) * 16384).toShort
+      hiBytes(44 + 2 * i) = (v & 0xFF).toByte
+      hiBytes(45 + 2 * i) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val r2 = Multimodal.withAudioFeatures(Seq((1L, hiBytes)).toDF("id", "payload"), "payload")
+      .select("audio_features.*").collect()(0)
+    assert(math.abs(r2.getAs[Double]("spectral_centroid_hz") - 3000.0) < 10.0)
+    // silent payload: rms 0, silence 1, centroid null
+    val silent = goldenWav()
+    java.util.Arrays.fill(silent, 44, silent.length, 0.toByte)
+    val r3 = Multimodal.withAudioFeatures(Seq((1L, silent)).toDF("id", "payload"), "payload")
+      .select("audio_features.*").collect()(0)
+    assert(r3.getAs[Double]("rms") == 0.0 && r3.getAs[Double]("silence_ratio") == 1.0)
+    assert(r3.isNullAt(r3.fieldIndex("spectral_centroid_hz")), "all-zero spectrum → null centroid")
+    // compressed/lossy paths carry NO fake sample features
+    val mp3r = Multimodal.withAudioFeatures(Seq((1L, goldenMp3())).toDF("id", "payload"), "payload")
+      .select("audio_features.*").collect()(0)
+    assert(mp3r.isNullAt(mp3r.fieldIndex("rms")), "no sample decode for lossy formats")
+  }
+
+  test("audio features: stereo WAV mono-mix and 8-bit unsigned decode") {
+    // stereo: L = +0.25, R = -0.25 constants → mono mix 0 (rms 0);
+    // L = R = 0.25 → rms 0.25
+    def stereoWav(l: Short, rr: Short): Array[Byte] = {
+      val n = 1000
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 4).put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(2)
+        .putInt(8000).putInt(8000 * 4).putShort(4).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(n * 4)
+      (0 until n).foreach { _ => bb.putShort(l); bb.putShort(rr) }
+      bb.array()
+    }
+    val opp = Multimodal.withAudioFeatures(
+        Seq((1L, stereoWav(8192, -8192))).toDF("id", "payload"), "payload")
+      .select("audio_features.*").collect()(0)
+    assert(opp.getAs[Double]("rms") == 0.0, "opposite-phase channels cancel in the mono mix")
+    val same = Multimodal.withAudioFeatures(
+        Seq((1L, stereoWav(8192, 8192))).toDF("id", "payload"), "payload")
+      .select("audio_features.*").collect()(0)
+    assert(math.abs(same.getAs[Double]("rms") - 0.25) < 1e-6)
+    // 8-bit WAV is UNSIGNED: constant 0x80 bytes are digital silence
+    val n8 = 1000
+    val bb = java.nio.ByteBuffer.allocate(44 + n8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n8).put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(n8)
+    (0 until n8).foreach(_ => bb.put(0x80.toByte))
+    val r8 = Multimodal.withAudioFeatures(Seq((1L, bb.array())).toDF("id", "payload"), "payload")
+      .select("audio_features.*").collect()(0)
+    assert(r8.getAs[Double]("rms") == 0.0 && r8.getAs[Double]("silence_ratio") == 1.0)
+  }
+
+  test("audio features: AIFF SSND big-endian PCM decode") {
+    // FORM/AIFF with COMM (8 kHz mono 16-bit, n frames) + SSND holding
+    // a constant +0.25 level → rms 0.25, peak 0.25, zcr 0
+    val n = 2000
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 18 + 8 + 8 + n * 2) // BE default
+    bb.put("FORM".getBytes("US-ASCII")).putInt(4 + 8 + 18 + 8 + 8 + n * 2)
+      .put("AIFF".getBytes("US-ASCII"))
+      .put("COMM".getBytes("US-ASCII")).putInt(18)
+      .putShort(1).putInt(n).putShort(16)
+      .putShort(0x400B.toShort).putInt(0xFA000000).putInt(0) // 80-bit float 8000.0
+      .put("SSND".getBytes("US-ASCII")).putInt(8 + n * 2)
+      .putInt(0).putInt(0) // offset, blockSize
+    (0 until n).foreach(_ => bb.putShort(8192))
+    val r = Multimodal.withAudioFeatures(Seq((1L, bb.array())).toDF("id", "payload"), "payload")
+      .select("audio_features.*").collect()(0)
+    assert(!r.getAs[Boolean]("stubbed"))
+    assert(r.getAs[Int]("sample_rate") == 8000)
+    assert(math.abs(r.getAs[Double]("rms") - 0.25) < 1e-6, s"rms ${r.getAs[Double]("rms")}")
+    assert(math.abs(r.getAs[Double]("peak") - 0.25) < 1e-6)
+    assert(r.getAs[Double]("zero_cross_rate") == 0.0)
   }
 
   /** Golden AIFF: FORM/AIFF with a COMM chunk — 44.1 kHz (the 80-bit
@@ -110,7 +206,7 @@ class MultimodalSpec extends SparkSpec {
       .select("audio_features.*").collect()(0)
     assert(r.getDouble(1) == 0.5, "22050 frames at 44.1kHz = exactly 0.5s")
     assert(r.getInt(2) == 44100 && r.getInt(3) == 2 && r.getInt(4) == 16)
-    assert(!r.getBoolean(6), "AIFF path is NOT stubbed")
+    assert(!r.getAs[Boolean]("stubbed"), "AIFF path is NOT stubbed")
   }
 
   /** Golden MP3: `nFrames` MPEG-1 Layer III frames at 128 kbps,
@@ -144,11 +240,11 @@ class MultimodalSpec extends SparkSpec {
     assert(st.getDouble(2) == 3 * (1152.0 / 44100), "3 frames × 1152 samples at 44.1kHz")
     assert(st.getInt(3) == 44100 && st.getInt(4) == 2)
     assert(st.isNullAt(5), "lossy format: no bits_per_sample")
-    assert(!st.getBoolean(7), "MP3 path is NOT stubbed")
+    assert(!st.getAs[Boolean]("stubbed"), "MP3 path is NOT stubbed")
     val mono = rows(1)
     assert(mono.getDouble(2) == 5 * (1152.0 / 44100), "ID3v2 prefix skipped, 5 frames")
     assert(mono.getInt(4) == 1, "mode 3 = mono")
-    assert(!mono.getBoolean(7))
+    assert(!mono.getAs[Boolean]("stubbed"))
   }
 
   /** Golden FLAC: fLaC magic + last-block STREAMINFO, 22.05 kHz
@@ -168,7 +264,7 @@ class MultimodalSpec extends SparkSpec {
       .select("audio_features.*").collect()(0)
     assert(r.getDouble(1) == 2.0, "44100 samples at 22.05kHz = exactly 2.0s")
     assert(r.getInt(2) == 22050 && r.getInt(3) == 2 && r.getInt(4) == 16)
-    assert(!r.getBoolean(6), "FLAC path is NOT stubbed")
+    assert(!r.getAs[Boolean]("stubbed"), "FLAC path is NOT stubbed")
   }
 
   test("MP3/FLAC parsers reject junk, single frames, truncations") {
@@ -355,13 +451,174 @@ class MultimodalSpec extends SparkSpec {
         "payload", everyNthSecond = 2.0)
       .orderBy("frame_idx").collect()
     assert(sparse.map(_.getAs[Double]("frame_time_sec")).toSeq == Seq(0.0, 2.0))
-    // a non-image sample codec (fabricated fourcc) falls back to the stub path
-    val avc = mjpegMp4(Seq(f0)).clone()
-    val idx = avc.indexOfSlice("jpeg".getBytes("US-ASCII"),
-      avc.indexOfSlice("stsd".getBytes("US-ASCII")))
-    "avc1".getBytes("US-ASCII").copyToArray(avc, idx)
-    val stub = Multimodal.sampleVideoFrames(Seq((1L, avc)).toDF("id", "payload"), "payload")
+    // an undecodable inter-frame codec (HEVC) falls back to the stub path
+    val hev = mjpegMp4(Seq(f0)).clone()
+    val idx = hev.indexOfSlice("jpeg".getBytes("US-ASCII"),
+      hev.indexOfSlice("stsd".getBytes("US-ASCII")))
+    "hev1".getBytes("US-ASCII").copyToArray(hev, idx)
+    val stub = Multimodal.sampleVideoFrames(Seq((1L, hev)).toDF("id", "payload"), "payload")
       .collect()
     assert(stub.forall(_.getAs[Boolean]("stubbed")), "inter-frame codec → stub estimate")
+  }
+
+  /** MSB-first bit writer for hand-building H.264 SPS bitstreams. */
+  private class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0; private var nBits = 0
+    def u(v: Int, k: Int): this.type = {
+      var j = k - 1
+      while (j >= 0) {
+        cur = (cur << 1) | ((v >> j) & 1); nBits += 1
+        if (nBits == 8) { buf += cur.toByte; cur = 0; nBits = 0 }
+        j -= 1
+      }
+      this
+    }
+    def ue(v: Int): this.type = {
+      val vv = v + 1
+      val len = 32 - java.lang.Integer.numberOfLeadingZeros(vv)
+      u(0, len - 1); u(vv, len)
+    }
+    def bytes: Array[Byte] = {
+      val done = buf.toArray
+      if (nBits == 0) done else done :+ (cur << (8 - nBits)).toByte
+    }
+  }
+
+  /** Baseline-profile SPS NAL for an uncropped W×H frame. */
+  private def goldenSps(widthMbs: Int, heightMapUnits: Int,
+                        crop: Option[(Int, Int, Int, Int)] = None): Array[Byte] = {
+    val w = new BitWriter
+    w.u(0x67, 8)            // NAL header: ref_idc 3, type 7 (SPS)
+      .u(66, 8).u(0, 8).u(30, 8) // profile/constraints/level
+      .ue(0)                // seq_parameter_set_id
+      .ue(0)                // log2_max_frame_num_minus4
+      .ue(0).ue(0)          // pic_order_cnt_type 0 + log2_max_poc_lsb
+      .ue(1).u(0, 1)        // max_num_ref_frames, gaps flag
+      .ue(widthMbs - 1).ue(heightMapUnits - 1)
+      .u(1, 1).u(1, 1)      // frame_mbs_only, direct_8x8
+    crop match {
+      case Some((l, r, t, bb)) => w.u(1, 1).ue(l).ue(r).ue(t).ue(bb)
+      case None => w.u(0, 1)
+    }
+    w.u(0, 1)               // vui_parameters_present
+      .u(1, 1)              // rbsp stop bit
+    w.bytes
+  }
+
+  test("H.264 SPS parse: macroblock dims, 4:2:0 cropping, High-profile chroma section") {
+    assert(Multimodal.parseH264SpsDims(goldenSps(4, 3).drop(0)).contains((64, 48)))
+    // 1920×1080: 120×68 MBs with a 4-row (8 px at 4:2:0 CropUnitY=2)
+    // bottom crop
+    assert(Multimodal.parseH264SpsDims(goldenSps(120, 68, crop = Some((0, 0, 0, 4))))
+      .contains((1920, 1080)))
+    // High profile (100): chroma_format_idc + bit depths precede the
+    // frame-size fields — a Baseline-only parser would misread them
+    val hi = new BitWriter
+    hi.u(0x67, 8).u(100, 8).u(0, 8).u(40, 8)
+      .ue(0)                 // sps id
+      .ue(1)                 // chroma_format_idc 4:2:0
+      .ue(0).ue(0).u(0, 1)   // bit depths, bypass
+      .u(0, 1)               // no scaling matrix
+      .ue(0).ue(0).ue(0)     // frame_num, poc type 0, poc lsb
+      .ue(1).u(0, 1)
+      .ue(7).ue(5)           // 128×96
+      .u(1, 1).u(1, 1).u(0, 1).u(0, 1).u(1, 1)
+    assert(Multimodal.parseH264SpsDims(hi.bytes).contains((128, 96)))
+    // junk / truncation / non-SPS NAL types are rejected
+    assert(Multimodal.parseH264SpsDims(Array[Byte](0x41, 1, 2, 3)).isEmpty)
+    assert(Multimodal.parseH264SpsDims(goldenSps(4, 3).take(5)).isEmpty)
+  }
+
+  /** avc1-in-MP4: like [[mjpegMp4]] but with an avc1 stsd entry
+    * (full 78-byte VisualSampleEntry + avcC carrying `sps`) and an
+    * stss box marking `syncSamples` (1-based) as keyframes.
+    */
+  private def avcMp4(frames: Seq[Array[Byte]], sps: Array[Byte],
+                     syncSamples: Seq[Int]): Array[Byte] = {
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def be32(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0))
+    val mdatPayloadOff = ftyp.length + 8
+    val mdat = box("mdat", frames.flatten.toArray)
+    val mvhd = box("mvhd", be32(0, 0, 0, 1000, frames.length * 1000) ++ Array.fill[Byte](80)(0))
+    val hdlr = box("hdlr", be32(0, 0) ++ "vide".getBytes("US-ASCII") ++ Array.fill[Byte](13)(0))
+    val mdhd = box("mdhd", be32(0, 0, 0, 1000, frames.length * 1000) ++ Array.fill[Byte](4)(0))
+    // avcC: ver 1, profile/compat/level, lengthSizeMinusOne 3, 1 SPS
+    val avcc = box("avcC", Array[Byte](1, 66, 0, 30, 0xFF.toByte, 0xE1.toByte,
+      ((sps.length >> 8) & 0xFF).toByte, (sps.length & 0xFF).toByte) ++ sps)
+    // VisualSampleEntry: 6 reserved + dataref(2), then 78-8... fields:
+    // pre(2) res(2) pre(12) WIDTH(2) HEIGHT(2) hres(4) vres(4) res(4)
+    // frame_count(2) compressor(32) depth(2) pre(2), then avcC
+    val vse = Array.fill[Byte](6)(0) ++ Array[Byte](0, 1) ++
+      Array.fill[Byte](16)(0) ++
+      Array[Byte](0, 64, 0, 48) ++ // entry-level w/h fallback fields
+      be32(0x00480000, 0x00480000, 0) ++ Array[Byte](0, 1) ++
+      Array.fill[Byte](32)(0) ++ Array[Byte](0, 24, -1, -1) ++ avcc
+    val entry = box("avc1", vse)
+    val stsd = box("stsd", be32(0, 1) ++ entry)
+    val stts = box("stts", be32(0, 1, frames.length, 1000))
+    val stsc = box("stsc", be32(0, 1, 1, frames.length, 1))
+    val stsz = box("stsz", be32(0, 0, frames.length) ++ be32(frames.map(_.length): _*))
+    val stco = box("stco", be32(0, 1, mdatPayloadOff))
+    val stss = box("stss", be32(0, syncSamples.length) ++ be32(syncSamples: _*))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco ++ stss)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  test("h264-in-MP4: keyframes demuxed — stss offsets, SPS dims, exact NAL payload bytes") {
+    // 4 samples at 1 fps; samples 1 and 3 (1-based) are keyframes
+    val f = (1 to 4).map(i => Array.fill[Byte](40 + i)(i.toByte))
+    val mp4 = avcMp4(f, goldenSps(4, 3), syncSamples = Seq(1, 3))
+    val out = Multimodal.sampleVideoFrames(Seq((1L, mp4)).toDF("id", "payload"), "payload")
+      .orderBy("frame_idx").collect()
+    assert(out.length == 2, s"two keyframes, got ${out.length}")
+    assert(out.forall(!_.getAs[Boolean]("stubbed")), "h264 keyframe path is real")
+    assert(out.map(_.getAs[Double]("frame_time_sec")).toSeq == Seq(0.0, 2.0),
+      "keyframe presentation times from stts, non-sync samples skipped")
+    assert(out.forall(r => r.getAs[Int]("frame_width") == 64 && r.getAs[Int]("frame_height") == 48),
+      "dimensions parsed from the SPS inside avcC")
+    assert(out(0).getAs[Array[Byte]]("frame_payload").sameElements(f(0)), "exact sample-1 bytes")
+    assert(out(1).getAs[Array[Byte]]("frame_payload").sameElements(f(2)), "exact sample-3 bytes")
+    // SPS takes precedence over the entry fields, but a track with no
+    // avcC still reports the VisualSampleEntry dims
+    val noAvcc = avcMp4(f, goldenSps(4, 3), Seq(1)).clone()
+    val ai = noAvcc.indexOfSlice("avcC".getBytes("US-ASCII"))
+    "free".getBytes("US-ASCII").copyToArray(noAvcc, ai) // neuter the avcC box
+    val out2 = Multimodal.sampleVideoFrames(Seq((1L, noAvcc)).toDF("id", "payload"), "payload")
+      .collect()
+    assert(out2.forall(r => r.getAs[Int]("frame_width") == 64 && r.getAs[Int]("frame_height") == 48),
+      "entry-level width/height fallback")
+  }
+
+  test("frame sampling: step far finer than frame spacing still fills maxFrames") {
+    // 4 frames 1 s apart sampled at 0.1 s: a fixed k < maxFrames*4 mark
+    // budget would burn all 16 marks inside the first 1.6 s and return
+    // only 3 frames; the advance-past-picked-timestamp loop reaches
+    // all 4.
+    def jpg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, 8, 8); g.dispose()
+      Resizer.encode(img, "jpg", 90)
+    }
+    val mp4 = mjpegMp4(Seq(jpg(0xFF0000), jpg(0x00FF00), jpg(0x0000FF), jpg(0xFFFFFF)))
+    val out = Multimodal.sampleVideoFrames(Seq((1L, mp4)).toDF("id", "payload"),
+        "payload", everyNthSecond = 0.1, maxFrames = 4)
+      .orderBy("frame_idx").collect()
+    assert(out.length == 4, s"all 4 real frames picked, got ${out.length}")
+    assert(out.map(_.getAs[Double]("frame_time_sec")).toSeq == Seq(0.0, 1.0, 2.0, 3.0))
+    assert(out.forall(!_.getAs[Boolean]("stubbed")))
   }
 }

@@ -71,6 +71,42 @@ class StressSpec extends SparkSpec {
       f"chunk dedup must scale near-linearly: 10x data took $ratio%.1fx the time")
   }
 
+  test("connected components: power-law cluster — half of all rows in ONE chain component") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    // Pointer-doubling's worst case: one giant component whose
+    // diameter grows with the corpus (a CHAIN holding 50% of all
+    // nodes; the other 50% are 2-node clusters). Plain min-label
+    // propagation needs O(diameter) rounds — the doubling shortcut
+    // must keep it at O(log diameter) (30k-chain ≈ 15 rounds,
+    // 300k-chain ≈ 19, both inside maxIter = 20), and the converging
+    // hot label (every chain node ends up labeled 0) must not stall a
+    // single task: labels are the PROBE side of the shortcut
+    // equi-join, the unique-id side builds, so a hot key skews a
+    // partition without exploding it.
+    def graph(n: Int) = {
+      val chain = spark.range(0, n / 2 - 1)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val smalls = spark.range(n / 2, n - 1, 2)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      chain.union(smalls)
+    }
+    def run(n: Int): Long =
+      Dedup.connectedComponents(graph(n))
+        .filter(col("cluster_id") === 0).count()
+    run(6000) // warm-up: JIT + codegen
+    var c1 = 0L; var c10 = 0L
+    val t1 = timeOf { c1 = run(60000) }
+    val t10 = timeOf { c10 = run(600000) }
+    assert(c1 == 30000L, s"every 1x chain node labeled 0, got $c1")
+    assert(c10 == 300000L, s"every 10x chain node labeled 0, got $c10")
+    val ratio = t10 / t1
+    info(f"1x: $t1%.1fs   10x: $t10%.1fs   ratio: $ratio%.1f")
+    // 10x rows × (19/15 rounds) ≈ 12.7 is the linear expectation
+    assert(ratio < 16.0,
+      f"giant-component CC must stay near-linear: 10x took $ratio%.1fx")
+  }
+
   test("embedding LSH with cap survives 10x duplicated vectors sub-quadratically") {
     assume(sys.env.contains("GRAFT_STRESS"),
       "10x stress point: set GRAFT_STRESS=1 (takes minutes)")

@@ -136,6 +136,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2) == ((3L, 0L, 0L, 0.0, false)))
   }
 
+  test("classifierScore: duplicate weight buckets fail loudly, not last-write-wins") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "some text")).toDF("doc_id", "text")
+    // bucket 7 appears twice with different weights: collect() order
+    // must never silently decide the model
+    val dup = Seq((7L, 1L), (7L, 2L), (8L, 3L)).toDF("bucket", "weight_q")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.classifierScore(docs, "doc_id", "text", dup, numBuckets = 16)
+    }
+    assert(e.getMessage.contains("duplicate weight bucket 7"), e.getMessage)
+    // non-duplicate sparse models still load fine
+    val ok = Seq((7L, 1L), (8L, 3L)).toDF("bucket", "weight_q")
+    assert(TextAnalysis.classifierScore(docs, "doc_id", "text", ok, numBuckets = 16)
+      .filter(col("doc_id") === 1L).count() === 1L)
+  }
+
   test("tfidfKeywords: hand-computed scores, doc-local ranks, term tiebreak") {
     // N=3. df: common=3, rare=1, dup=1, solo=1
     val docs = Seq(
