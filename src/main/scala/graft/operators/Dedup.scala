@@ -342,14 +342,19 @@ object Dedup {
     * round takes the min over {self, neighbors' labels, label's
     * label}. The shortcut join halves label-chain depth per round, so
     * convergence is O(log diameter) rounds instead of O(diameter):
-    * maxIter = 20 covers diameters up to ~2^19, where plain
-    * propagation would silently truncate any chain longer than 20.
-    * All joins are equi-joins on id/label (hash-partitionable at any
-    * cluster size); labels never leave the executors — the driver only
-    * reads the convergence flag.
+    * maxIter = 32 covers diameters beyond 2^28 (a 300k-node CHAIN —
+    * the StressSpec power-law worst case — settles in ~21 rounds:
+    * ~log2 diameter doubling rounds plus the 2 doubling-free opening
+    * rounds and the final no-change round the convergence probe needs
+    * to observe). The early-exit makes the higher cap free for real
+    * dedup graphs, which converge in a handful of rounds; plain
+    * propagation would silently truncate any chain longer than
+    * maxIter. All joins are equi-joins on id/label (hash-partitionable
+    * at any cluster size); labels never leave the executors — the
+    * driver only reads the convergence flag.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 32): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
