@@ -146,6 +146,20 @@ object SparkEntry {
        SELECT id_a, id_b, ${roundToSql("jac", 6)} AS jaccard FROM mh_ver
        WHERE jac >= 0.3 ORDER BY id_a, id_b"""
 
+  /** Containment verify over the SAME shared MinHash chain: the only
+    * difference from the Jaccard oracle is the |A∩B|/min(|A|,|B|)
+    * denominator.
+    */
+  private def containmentOracleSql: String =
+    s"""WITH $minhashLshCtes,
+       ct_ver AS (SELECT id_a, id_b,
+           CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+             / CAST(least(len(sa.shingles), len(sb.shingles)) AS DOUBLE) AS cont
+         FROM mh_cand JOIN mh_sh sa ON sa.doc_id = mh_cand.id_a
+           JOIN mh_sh sb ON sb.doc_id = mh_cand.id_b)
+       SELECT id_a, id_b, ${roundToSql("cont", 6)} AS containment FROM ct_ver
+       WHERE cont >= 0.5 ORDER BY id_a, id_b"""
+
   /** DuckDB replication of [[Dedup.minhashDecontaminate]]: the corpus
     * (doc_id >= 20) and benchmark (doc_id < 20) each run the shared
     * MinHash chain, then a CROSS-corpus band join (corpus-side bucket
@@ -1089,6 +1103,15 @@ object SparkEntry {
           portableHash = true)
         .select(col("id_a"), col("id_b"), rd(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    "dedup_containment" -> ((s, dir) =>
+      // Same banded candidates as dedup_minhash_lsh, verified with
+      // MAX-CONTAINMENT |A∩B|/min(|A|,|B|) — the embeds-the-other
+      // metric (Gopher-style) symmetric Jaccard under-scores.
+      Dedup.containmentNearDups(t(s, dir, "documents"), "text", "doc_id",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5,
+          portableHash = true)
+        .select(col("id_a"), col("id_b"), rd(col("containment"), 6).as("containment"))
+        .orderBy("id_a", "id_b")),
     "txt_fuzzy_decontaminate" -> ((s, dir) => {
       // FUZZY decontamination: corpus docs (doc_id >= 20) whose n-gram
       // Jaccard vs any eval doc (doc_id < 20) reaches 0.3 are removed
@@ -1775,6 +1798,15 @@ object SparkEntry {
           sum("n").over(Window.partitionBy("from_event")).cast("double"), 6))
         .orderBy("from_event", "to_event")
     }),
+    "evt_attribution" -> ((s, dir) =>
+      // First/last-touch credit assignment: view/click touches within
+      // a 3-day lookback of each purchase; min/max-struct aggregation
+      // (window-free), event-id tie-break on both engines.
+      graft.operators.EventAnalytics.attribution(events(s, dir),
+          "user_id", "event_type", "ts_us", "event_id",
+          touchTypes = Seq("view", "click"), conversionType = "purchase",
+          lookbackUs = 3L * 86400000000L)
+        .orderBy("conversion_id")),
     "txt_pmi" -> ((s, dir) =>
       // PMI collocations: top-50 token pairs by pointwise mutual
       // information over per-doc co-occurrence; per-doc token cap 20
@@ -2321,6 +2353,7 @@ object SparkEntry {
          FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
          GROUP BY n.doc_id ORDER BY n.doc_id""",
     "dedup_minhash_lsh" -> minhashLshOracleSql,
+    "dedup_containment" -> containmentOracleSql,
     "dedup_incremental" -> {
       // Replays the two-batch incremental flow from raw documents:
       // batch1 = even ids (within-batch LSH dedup, jac >= 0.3), its
@@ -3185,6 +3218,24 @@ object SparkEntry {
            ${roundToSql(
              "CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_event) AS DOUBLE)", 6)} AS p
          FROM c ORDER BY from_event, to_event""",
+    "evt_attribution" ->
+      s"""WITH at_c AS (SELECT user_id, event_id AS conversion_id, epoch_us(ts) AS conv_ts
+           FROM events WHERE event_type = 'purchase'),
+         at_t AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+             epoch_us(ts) AS touch_ts
+           FROM events WHERE event_type IN ('view', 'click')),
+         at_j AS (SELECT c.conversion_id,
+             min({'ts': t.touch_ts, 'id': t.touch_id, 'ty': t.touch_type}) AS ft,
+             max({'ts': t.touch_ts, 'id': t.touch_id, 'ty': t.touch_type}) AS lt,
+             CAST(count(*) AS BIGINT) AS n
+           FROM at_c c JOIN at_t t ON t.user_id = c.user_id
+             AND t.touch_ts <= c.conv_ts AND c.conv_ts - t.touch_ts <= 259200000000
+           GROUP BY c.conversion_id)
+         SELECT c.conversion_id, c.user_id, struct_extract(j.ft, 'ty') AS first_touch,
+           struct_extract(j.lt, 'ty') AS last_touch,
+           coalesce(j.n, CAST(0 AS BIGINT)) AS n_touches
+         FROM at_c c LEFT JOIN at_j j USING (conversion_id)
+         ORDER BY conversion_id""",
     "txt_pmi" ->
       s"""WITH pm_t AS (SELECT doc_id,
            list_sort(list_distinct(list_filter(

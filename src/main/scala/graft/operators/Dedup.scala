@@ -102,6 +102,37 @@ object Dedup {
       struct(lit(j).as("band"), key.as("key"))
     }: _*)
 
+  /** Shared MinHash-LSH candidate generation over a (id, shingles)
+    * frame: signature → band keys → capped bucket equi-join →
+    * deduped (id_a, id_b) pairs with id_a < id_b. Buckets carry ONLY
+    * (id, band, key): the band explode multiplies rows by `bands`, so
+    * shuffling shingle arrays through it would multiply shuffle bytes
+    * 32×; shingles rejoin later, once per candidate id. Degenerate
+    * buckets are capped: a bucket of size m yields m² candidate pairs,
+    * so beyond `maxBucketSize` it is a skew bomb, and near-dup pairs
+    * in a mega-bucket are overwhelmingly re-found by other bands.
+    */
+  private def lshCandidatePairs(
+      base: DataFrame, numHashes: Int, bands: Int, seed: Long,
+      maxBucketSize: Int, portableHash: Boolean): DataFrame = {
+    val r = numHashes / bands
+    // portableHash: hash shingles with the engine-independent 60-bit
+    // md5 hash (natively, inside the signature expression's loop) so a
+    // DuckDB oracle can replicate the signature.
+    val sigs = base.withColumn("sig",
+      minhashSignature(col("shingles"), numHashes, seed, portableMd5 = portableHash))
+    val buckets = sigs
+      .select(col("id"), explode(bandKeys(col("sig"), bands, r, portableHash)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val counts = buckets.groupBy("band", "key").agg(count("*").as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val sized = buckets.join(counts, Seq("band", "key"))
+    val a = sized.select(col("band"), col("key"), col("id").as("id_a"))
+    val b = sized.select(col("band"), col("key"), col("id").as("id_b"))
+    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+  }
+
   /** Candidate pairs from LSH banding, verified with exact Jaccard over
     * the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b
     * and jaccard >= threshold.
@@ -115,32 +146,10 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes=$numHashes must be divisible by bands=$bands " +
         "(a remainder silently drops hashes from the band keys, degrading LSH recall)")
-    val r = numHashes / bands
     val base = df.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("shingles"))
-    // portableHash: hash shingles with the engine-independent 60-bit
-    // md5 hash (natively, inside the signature expression's loop) so a
-    // DuckDB oracle can replicate the signature.
-    val sigs = base.withColumn("sig",
-      minhashSignature(col("shingles"), numHashes, seed, portableMd5 = portableHash))
-    // Buckets carry ONLY (id, band, key): the band explode multiplies
-    // rows by `bands`, so shuffling shingle arrays through it would
-    // multiply shuffle bytes 32×. Shingles rejoin later, once per
-    // candidate id, not per bucket row.
-    val buckets = sigs
-      .select(col("id"), explode(bandKeys(col("sig"), bands, r, portableHash)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.key"))
-    // Cap degenerate buckets: a bucket of size m yields m^2 candidate
-    // pairs; beyond maxBucketSize that is a skew bomb, and near-dup
-    // pairs in a mega-bucket are overwhelmingly re-found by other bands.
-    val counts = buckets.groupBy("band", "key").agg(count("*").as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucketSize)
-    val sized = buckets.join(counts, Seq("band", "key"))
-    val a = sized.select(col("band"), col("key"), col("id").as("id_a"))
-    val b = sized.select(col("band"), col("key"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val cand = lshCandidatePairs(base, numHashes, bands, seed, maxBucketSize, portableHash)
     // Exact-Jaccard verification: join the slim shingle frame twice.
     val shA = base.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = base.select(col("id").as("id_b"), col("shingles").as("sh_b"))
@@ -149,6 +158,46 @@ object Dedup {
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("id_a"), col("id_b"), (col("inter") / col("uni")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Containment near-dups (Gopher/MassiveText-style): candidates from
+    * the SAME MinHash-LSH banding as [[minhashNearDups]], but verified
+    * with MAX-CONTAINMENT `|A∩B| / min(|A|, |B|)` over the shingle
+    * sets — the right metric when "duplicate" means one document
+    * EMBEDS the other (quoted articles, boilerplate-wrapped copies,
+    * template fills), which symmetric Jaccard under-scores as the
+    * size gap grows (a doc fully contained in one 3× its size caps at
+    * jaccard 1/3 but containment 1.0).
+    *
+    * Honest recall note: candidate generation is Jaccard-driven
+    * (MinHash bands collide with probability set by the SYMMETRIC
+    * overlap), so severe size asymmetry lowers band-collision odds —
+    * the standard practice this mirrors (containment verify over
+    * MinHash candidates) trades that tail for the same capped-bucket
+    * scale shape as every other LSH operator here; true asymmetric
+    * hashing would need a different candidate scheme.
+    * Returns (id_a, id_b, containment) with id_a < id_b.
+    */
+  def containmentNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, seed: Long = 42L,
+      maxBucketSize: Int = 1000,
+      portableHash: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes must be divisible by bands=$bands")
+    val base = df.select(
+      col(idCol).as("id"),
+      wordShingles(col(textCol), shingleSize).as("shingles"))
+    val cand = lshCandidatePairs(base, numHashes, bands, seed, maxBucketSize, portableHash)
+    val shA = base.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = base.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    cand.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
   }
 
   /** Edit-distance-verified near-dup pairs: MinHash-LSH banding

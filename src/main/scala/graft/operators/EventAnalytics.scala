@@ -172,4 +172,56 @@ object EventAnalytics {
       .withColumn("is_anomaly", when(col("z").isNotNull, abs(col("z")) >= zThreshold))
       .select("event_type", "day", "n_events", "z", "is_anomaly")
   }
+
+  /** First/last-touch attribution: for every `conversionType` event,
+    * find the user's touch events (`touchTypes`) at-or-before the
+    * conversion and within `lookbackUs` micros of it, and report the
+    * EARLIEST (first-touch) and LATEST (last-touch) touch type plus
+    * the touch count — the standard credit-assignment rollup over a
+    * telemetry/event warehouse.
+    *
+    * Determinism: first/last are min/max over (ts, event_id, type)
+    * STRUCTS — lexicographic, so simultaneous touches tie-break on
+    * the unique event id and both engines agree bit-for-bit; all
+    * window math is integer micros. Conversions with no qualifying
+    * touch keep a row with NULL touch types and n_touches = 0.
+    *
+    * Plan shape: conversions and touches are two slim projections of
+    * the same scan; ONE equi-join on the user key (the time predicate
+    * rides the join) feeds a per-conversion min/max-struct hash
+    * aggregation — map-side combined, no windows, no per-user sorted
+    * event lists. The join's per-user fan-out is touches × conversions
+    * for that user inside the lookback — bounded by the lookback for
+    * any realistic activity rate; a pathological single-user firehose
+    * is the `saltedJoin` case, not this operator's default.
+    */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+                  tsUsCol: String, idCol: String,
+                  touchTypes: Seq[String], conversionType: String,
+                  lookbackUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      s"conversion type $conversionType cannot also be a touch type")
+    require(lookbackUs > 0, s"lookbackUs must be positive, got $lookbackUs")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("user_id"), col(idCol).as("conversion_id"),
+        col(tsUsCol).cast("long").as("conv_ts"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__tu"), col(idCol).as("touch_id"),
+        col(typeCol).as("touch_type"), col(tsUsCol).cast("long").as("touch_ts"))
+    val attributed = conv.join(touch,
+        col("user_id") === col("__tu") &&
+          col("touch_ts") <= col("conv_ts") &&
+          col("conv_ts") - col("touch_ts") <= lit(lookbackUs))
+      .groupBy("conversion_id")
+      .agg(
+        min(struct(col("touch_ts"), col("touch_id"), col("touch_type"))).as("__ft"),
+        max(struct(col("touch_ts"), col("touch_id"), col("touch_type"))).as("__lt"),
+        count("*").as("__n"))
+    conv.join(attributed, Seq("conversion_id"), "left")
+      .select(col("conversion_id"), col("user_id"),
+        col("__ft.touch_type").as("first_touch"),
+        col("__lt.touch_type").as("last_touch"),
+        coalesce(col("__n"), lit(0L)).as("n_touches"))
+  }
 }

@@ -33,6 +33,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc not paired")
   }
 
+  test("containment near-dups: embedded doc scores 1.0 where jaccard under-scores") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " one two three four five six seven eight nine ten eleven twelve"
+    val other = "totally unrelated words about query planners and shuffles here"
+    val df = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentNearDups(df, "text", "doc_id", shingleSize = 2,
+        numHashes = 64, bands = 32, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(1.0),
+      s"every shingle of the small doc is in the big one → containment 1.0: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc not paired")
+    // the same pair under symmetric jaccard: far below the embed signal
+    val jac = Dedup.minhashNearDups(df, "text", "doc_id", shingleSize = 2,
+        numHashes = 64, bands = 32, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jac.get((1L, 2L)).exists(_ < 0.5), s"jaccard under-scores the embed: $jac")
+  }
+
   test("simhash near-dups: identical docs at hamming 0, near at small distance") {
     val sigs = planted.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -120,4 +120,40 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4)),
       s"undefined/zero sd → NULL z and NULL flag: ${out.mkString(",")}")
   }
+
+  test("attribution: first/last touch, lookback boundary, ties, zero-touch conversions") {
+    // (user, type, ts, id); lookback 100 us
+    val ev = Seq(
+      // user 1: view@0, click@50, purchase@100 — view is EXACTLY
+      // lookback away (in), click is last
+      (1L, "view", 0L, 10L), (1L, "click", 50L, 11L), (1L, "purchase", 100L, 12L),
+      // user 2: view@0 is one PAST the lookback of purchase@101 → only
+      // the click@60 attributes (first = last = click)
+      (2L, "view", 0L, 20L), (2L, "click", 60L, 21L), (2L, "purchase", 101L, 22L),
+      // user 3: no touches → NULL attribution row with n_touches 0
+      (3L, "purchase", 500L, 30L),
+      // user 4: SIMULTANEOUS view/click at ts 40 — unique event id
+      // breaks the tie (first = id 40 view, last = id 41 click); a
+      // touch AFTER the conversion never counts
+      (4L, "view", 40L, 40L), (4L, "click", 40L, 41L), (4L, "purchase", 90L, 42L),
+      (4L, "click", 95L, 43L),
+      // user 5: two conversions share the same touch history
+      (5L, "click", 10L, 50L), (5L, "purchase", 20L, 51L), (5L, "view", 30L, 52L),
+      (5L, "purchase", 40L, 53L)
+    ).toDF("u", "et", "ts", "eid")
+    val out = EventAnalytics.attribution(ev, "u", "et", "ts", "eid",
+        touchTypes = Seq("view", "click"), conversionType = "purchase",
+        lookbackUs = 100L)
+      .orderBy("conversion_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (12L, 1L, "view", "click", 2L),
+      (22L, 2L, "click", "click", 1L),
+      (30L, 3L, null, null, 0L),
+      (42L, 4L, "view", "click", 2L),
+      (51L, 5L, "click", "click", 1L),
+      (53L, 5L, "click", "view", 2L)))
+  }
 }
