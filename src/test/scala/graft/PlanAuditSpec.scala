@@ -616,6 +616,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("props#"), "payload columns pruned at the scan")
   }
 
+  test("dedup_containment: capped bucket path, shingles rejoin after candidates, no window") {
+    val p = plan("dedup_containment")
+    assert(p.contains("bucket_n"), "bucket-size cap aggregate present")
+    assert(p.contains("minhash_signature"), "native one-pass signature expression")
+    assert(!p.contains("Window"), s"window-free:\n$p")
+    // band-bucket exchanges are slim: shingle arrays rejoin per
+    // candidate id, never riding the 32× band explode
+    val shipsShingles = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(band") && l.contains("shingles#"))
+    assert(!shipsShingles, "bucket shuffle must not ship shingle arrays")
+  }
+
+  test("evt_attribution: window-free struct-min/max agg; payload columns pruned") {
+    val p = plan("evt_attribution")
+    assert(!p.contains("Window"), s"window-free:\n$p")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      "first/last-touch structs are map-side combined")
+    assert(!p.contains("props#"), "payload columns pruned at the scan")
+  }
+
   test("meta_diff: one full-outer key join; scan-side compare — no window, no cartesian") {
     val p = plan("meta_diff")
     assert(p.contains("FullOuter"), s"full-outer key join:\n$p")
