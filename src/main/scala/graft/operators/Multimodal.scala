@@ -308,8 +308,12 @@ object Multimodal {
       else if (tag(off, "SSND") && off + 16 <= b.length) {
         val dataOff = u32(off + 8) // offset INTO the sound data
         val start = off + 16 + dataOff
-        if (start >= 0 && start <= b.length)
-          ssnd = Some((start.toInt, b.length - start.toInt))
+        // bound by the SSND chunk's own extent (clamped to the real
+        // payload) — a trailing chunk after SSND must never be
+        // decoded as samples
+        val chunkEnd = math.min(off + 8 + size, b.length.toLong)
+        if (start >= 0 && start <= chunkEnd)
+          ssnd = Some((start.toInt, (chunkEnd - start).toInt))
       }
       offL += 8 + size + (size & 1)
     }

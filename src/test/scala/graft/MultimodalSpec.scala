@@ -180,6 +180,17 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("rms") - 0.25) < 1e-6, s"rms ${r.getAs[Double]("rms")}")
     assert(math.abs(r.getAs[Double]("peak") - 0.25) < 1e-6)
     assert(r.getAs[Double]("zero_cross_rate") == 0.0)
+    // a trailing chunk AFTER SSND must not be decoded as samples —
+    // full-scale junk would crater the measured rms if it leaked in
+    val junk = java.nio.ByteBuffer.allocate(8 + 64)
+    junk.put("ANNO".getBytes("US-ASCII")).putInt(64)
+    (0 until 32).foreach(_ => junk.putShort(0x7FFF))
+    val trailed = bb.array() ++ junk.array()
+    val r2 = Multimodal.withAudioFeatures(Seq((1L, trailed)).toDF("id", "payload"), "payload")
+      .select("audio_features.*").collect()(0)
+    assert(math.abs(r2.getAs[Double]("rms") - 0.25) < 1e-6,
+      s"SSND chunk bound respected: rms ${r2.getAs[Double]("rms")}")
+    assert(math.abs(r2.getAs[Double]("peak") - 0.25) < 1e-6)
   }
 
   /** Golden AIFF: FORM/AIFF with a COMM chunk — 44.1 kHz (the 80-bit
