@@ -394,6 +394,98 @@ object EventStream {
       }
   }
 
+  /** One closed (event_type, day) volume with its prequential
+    * z-score: NULL z until the type has >= 2 closed trailing days
+    * with nonzero variance. */
+  case class DayVolume(event_type: String, day: Long, n_events: Long,
+                       z: Option[Double], is_anomaly: Option[Boolean])
+
+  /** Per-type monitor state: counts of still-open days + the trailing
+    * closed (day, count) history the z-score baselines against. */
+  case class AnomalyState(open: Map[Long, Long], closed: Seq[(Long, Long)])
+
+  /** Streaming volume-anomaly monitor — the live twin of
+    * [[graft.operators.EventAnalytics.dailyAnomalies]]: per event
+    * type, count events per event-time day; when the watermark closes
+    * a day, z-score its count against the type's TRAILING `history`
+    * closed days and emit (Append mode) with `is_anomaly = |z| >=
+    * zThreshold`.
+    *
+    * Semantics note (the honest divergence from batch): the batch
+    * operator scores every day against the type's FULL day history —
+    * a retrospective sweep. A stream can only know the past, so this
+    * is the PREQUENTIAL form: each day scores against the trailing
+    * window of days closed BEFORE it, which is also what a live
+    * monitor wants (yesterday's incident must not inflate today's
+    * baseline forever — the rolling window ages it out). The first
+    * two closed days of a type emit NULL z (no baseline), exactly as
+    * batch does for single-day types.
+    *
+    * State per event type is O(open days + history) longs — bounded
+    * by the watermark (open days) and the `history` cap, never by
+    * event volume. Arithmetic: day indices are floor-divided epoch
+    * millis; counts are exact longs; moments fold in BigInt (a
+    * 100 TB ingest's per-day counts square past 2^63) and the z is
+    * ONE fixed-shape IEEE expression quantized at 1e-6 — the same
+    * shape as batch.
+    */
+  def anomalyStream(events: DataFrame, tsCol: String, typeCol: String,
+                    zThreshold: Double = 2.0, history: Int = 28,
+                    watermark: String = "1 hour"): Dataset[DayVolume] = {
+    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    require(history >= 2, s"history must be >= 2, got $history")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayMs = 86400000L
+    val keyed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(typeCol).cast("string").as("et"))
+    keyed.groupByKey((r: org.apache.spark.sql.Row) => r.getString(1))
+      .flatMapGroupsWithState[AnomalyState, DayVolume](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (eventType, rows, state: GroupState[AnomalyState]) =>
+          def armTimeout(open: Map[Long, Long]): Unit =
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max((open.keys.min + 1) * dayMs + 1,
+                         state.getCurrentWatermarkMs() + 1))
+          if (state.hasTimedOut) {
+            val s = state.get
+            val wm = state.getCurrentWatermarkMs()
+            val (closable, stillOpen) = s.open.partition { case (d, _) => (d + 1) * dayMs <= wm }
+            var closed = s.closed
+            val out = closable.toSeq.sortBy(_._1).map { case (day, c) =>
+              val z =
+                if (closed.size >= 2) {
+                  val n = closed.size
+                  val sum = closed.iterator.map(x => BigInt(x._2)).sum
+                  val sumSq = closed.iterator.map(x => BigInt(x._2) * BigInt(x._2)).sum
+                  val mean = sum.toDouble / n.toDouble
+                  val variance = (sumSq.toDouble - sum.toDouble * sum.toDouble / n.toDouble) /
+                    (n - 1).toDouble
+                  val sd = math.sqrt(variance)
+                  if (sd > 0.0) Some(math.floor((c - mean) / sd * 1e6 + 0.5) / 1e6) else None
+                } else None
+              closed = (closed :+ (day, c)).takeRight(history)
+              DayVolume(eventType, day, c, z, z.map(v => math.abs(v) >= zThreshold))
+            }
+            state.update(AnomalyState(stillOpen, closed))
+            armTimeout(stillOpen)
+            out.iterator
+          } else {
+            val s = state.getOption.getOrElse(AnomalyState(Map.empty, Seq.empty))
+            var open = s.open
+            rows.foreach { r =>
+              val day = Math.floorDiv(r.getTimestamp(0).getTime, dayMs)
+              open = open.updated(day, open.getOrElse(day, 0L) + 1L)
+            }
+            state.update(AnomalyState(open, s.closed))
+            armTimeout(open)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Final funnel standing for one user: the deepest step reached
     * and the event-time micros at which it was completed. */
   case class UserFunnel(user_id: Long, depth: Int, last_step_ts_us: Long)

@@ -310,4 +310,34 @@ class EventStreamSpec extends SparkSpec {
       Seq((t(3000), 1L, "purchase"))), horizonUs = 5000000L, sentinelMs = 60000L)
     assert(got === Seq((1L, 3, 3000000L)))
   }
+
+  test("streaming anomaly: days close in order, prequential z vs trailing history, spike flags") {
+    val dayMs = 86400000L
+    def ev(day: Long, k: Int) = // k events at that day's noon
+      (0 until k).map(i => Event(day * 100 + i, new Timestamp(day * dayMs + 43200000L + i),
+        1L, "click", 0.0))
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val q = EventStream.anomalyStream(stream.toDS().toDF(), "ts", "event_type",
+        zThreshold = 2.0, history = 28, watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("anom")
+      .start()
+    // day volumes: 3, 4, 5 (baseline), then... days close as the
+    // watermark (max event time − 1 h) passes each day end
+    Seq(ev(0, 3), ev(1, 4), ev(2, 5), ev(3, 3), ev(30, 1)).foreach { batch =>
+      stream.addData(batch); q.processAllAvailable()
+    }
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT * FROM anom ORDER BY day")
+      .as[EventStream.DayVolume].collect().toSeq
+    assert(got.map(d => (d.day, d.n_events)) === Seq((0L, 3L), (1L, 4L), (2L, 5L), (3L, 3L)),
+      s"all watermark-passed days closed in order: $got")
+    // first two closed days: no baseline yet → NULL z, NULL flag
+    assert(got(0).z.isEmpty && got(0).is_anomaly.isEmpty)
+    assert(got(1).z.isEmpty)
+    // day 2 scores against trailing {3, 4}: mean 3.5, sd √0.5 →
+    // z = 1.5/0.70710678… = 2.121320 (quantized 1e-6) → flags at 2.0
+    assert(got(2).z.contains(2.12132) && got(2).is_anomaly.contains(true), s"${got(2)}")
+    // day 3 against trailing {3, 4, 5}: mean 4, sd 1 → z = −1, no flag
+    assert(got(3).z.contains(-1.0) && got(3).is_anomaly.contains(false), s"${got(3)}")
+  }
 }
