@@ -51,7 +51,8 @@ object ScaleSmoke {
     "dedup_edit_distance", "txt_curation", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "txt_fuzzy_decontaminate", "txt_ccnet_buckets", "dedup_winnowing_clusters",
     "dedup_winnowing", "dedup_embed_lsh", "txt_pmi", "dedup_simhash", "txt_keywords",
-    "dedup_semantic", "dedup_hamming_pairs", "sketch_cms_topk", "ann_ivf_topk")
+    "dedup_semantic", "dedup_hamming_pairs", "sketch_cms_topk", "ann_ivf_topk",
+    "dedup_containment")
 
   /** Build the 10× dir (idempotent: skipped when already present). */
   def buildScaledDir(spark: SparkSession, baseDir: String, outDir: String): Unit = {

@@ -621,6 +621,63 @@ class DedupSpec extends SparkSpec {
     assert(a === b, "decimal integer moments make the result partitioning-independent")
   }
 
+  test("jacobiEigen: hand matrices, orthonormal basis, reconstruction, deterministic signs") {
+    import graft.operators.Similarity.jacobiEigen
+    // already-diagonal: eigenpairs read off directly, sorted desc
+    val (v1, e1) = jacobiEigen(Array(Array(1.0, 0.0), Array(0.0, 2.0)))
+    assert(v1.toSeq == Seq(2.0, 1.0))
+    assert(e1(0).toSeq == Seq(0.0, 1.0) && e1(1).toSeq == Seq(1.0, 0.0))
+    // [[2,1],[1,2]] → λ = 3, 1; eigvecs (1,1)/√2 and (1,-1)/√2 — the
+    // sign convention makes the largest-|x| (first on tie) positive
+    val (v2, e2) = jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(v2.zip(Seq(3.0, 1.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    val r2 = 1.0 / math.sqrt(2.0)
+    assert(e2(0).zip(Seq(r2, r2)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(e2(1).zip(Seq(r2, -r2)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // random symmetric 8x8: V orthonormal and V^T Λ V reconstructs A
+    val rng = new scala.util.Random(7)
+    val d = 8
+    val m = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) { val x = rng.nextGaussian(); m(i)(j) = x; m(j)(i) = x }
+    val (vals, vecs) = jacobiEigen(m)
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(r => vecs(i)(r) * vecs(j)(r)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"orthonormal ($i,$j): $dot")
+    }
+    for (r <- 0 until d; c <- 0 until d) {
+      val rec = (0 until d).map(i => vals(i) * vecs(i)(r) * vecs(i)(c)).sum
+      assert(math.abs(rec - m(r)(c)) < 1e-9, s"reconstruction ($r,$c)")
+    }
+  }
+
+  test("pcaProject: recovers a planted dominant direction; projections centered with variance = eigenvalue") {
+    import spark.implicits._
+    // 4-D corpus: mean + a·u + b·w, u ⟂ w, Var(a) >> Var(b) — the top
+    // PC must align with u and carry (almost) all the variance
+    val u = Array(0.5, 0.5, 0.5, 0.5)
+    val w = Array(0.5, -0.5, 0.5, -0.5)
+    val mu = Array(1.0, 2.0, -1.0, 0.5)
+    val rows = (0 until 400).map { i =>
+      val a = math.sin(i * 0.7) * 10.0
+      val b = math.cos(i * 1.3) * 0.5
+      (i.toLong, Array.tabulate(4)(j => (mu(j) + a * u(j) + b * w(j)).toFloat))
+    }
+    val df = rows.toDF("id", "v")
+    val (vals, vecs, mean) = graft.operators.Similarity.pcaBasis(df, "v", dim = 4, k = 2)
+    assert(mean.zip(mu).forall { case (m, e) => math.abs(m - e) < 0.5 }, mean.toSeq.toString)
+    val align = math.abs(vecs(0).zip(u).map { case (x, y) => x * y }.sum)
+    assert(align > 0.999, s"top PC aligns with the planted direction: $align")
+    assert(vals(0) > 20 * vals(1), s"dominant eigenvalue dominates: ${vals.toSeq}")
+    // projections: sample-mean ~0 (centered), sample variance ≈ λ1
+    val pcs = graft.operators.Similarity.pcaProject(df, "v", "id", dim = 4, k = 2)
+      .collect().map(_.getSeq[Double](1))
+    val p1 = pcs.map(_.head)
+    val pMean = p1.sum / p1.length
+    val pVar = p1.map(x => (x - pMean) * (x - pMean)).sum / (p1.length - 1)
+    assert(math.abs(pMean) < 1e-3, s"centered: $pMean")
+    assert(math.abs(pVar - vals(0)) / vals(0) < 1e-3, s"Var(pc1)=$pVar vs λ1=${vals(0)}")
+  }
+
   test("covarianceMatrix: empty and single-row input yield an EMPTY frame, never NaN rows") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "v")
