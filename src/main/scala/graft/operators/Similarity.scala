@@ -774,16 +774,26 @@ object Similarity {
     (vals.take(k), vecs.take(k), mean)
   }
 
+  /** `whiten = true` divides each component by √λ (PCA whitening —
+    * unit variance per output dimension, the normalization embedding
+    * pipelines apply before cosine/clustering); components whose
+    * eigenvalue is ≤ 0 (numerically degenerate directions) emit 0
+    * rather than dividing by ~0.
+    */
   def pcaProject(df: DataFrame, vecCol: String, idCol: String,
-                 dim: Int, k: Int): DataFrame = {
-    val (_, vecs, mean) = pcaBasis(df, vecCol, dim, k)
+                 dim: Int, k: Int, whiten: Boolean = false): DataFrame = {
+    val (vals, vecs, mean) = pcaBasis(df, vecCol, dim, k)
     val v = col(vecCol).cast("array<double>")
     val meanLit = array(mean.map(lit): _*)
     val centered = zip_with(v, meanLit, (x, mu) => x - mu)
-    val comps = vecs.map { e =>
+    val comps = vecs.zip(vals).map { case (e, lam) =>
       val elit = array(e.map(lit): _*)
-      graft.functions.MathFunctions.roundTo(
-        aggregate(zip_with(elit, centered, (w, x) => w * x), lit(0.0), (acc, p) => acc + p), 6)
+      val proj = aggregate(zip_with(elit, centered, (w, x) => w * x), lit(0.0), (acc, p) => acc + p)
+      val scaled =
+        if (!whiten) proj
+        else if (lam > 0.0) proj / lit(math.sqrt(lam))
+        else lit(0.0)
+      graft.functions.MathFunctions.roundTo(scaled, 6)
     }
     df.select(col(idCol), when(size(v) === dim, array(comps: _*)).as("pc"))
   }

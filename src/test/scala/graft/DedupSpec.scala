@@ -676,6 +676,16 @@ class DedupSpec extends SparkSpec {
     val pVar = p1.map(x => (x - pMean) * (x - pMean)).sum / (p1.length - 1)
     assert(math.abs(pMean) < 1e-3, s"centered: $pMean")
     assert(math.abs(pVar - vals(0)) / vals(0) < 1e-3, s"Var(pc1)=$pVar vs λ1=${vals(0)}")
+    // whitening: every output dimension reads unit sample variance
+    val white = graft.operators.Similarity.pcaProject(df, "v", "id", dim = 4, k = 2,
+        whiten = true)
+      .collect().map(_.getSeq[Double](1))
+    (0 until 2).foreach { j =>
+      val xs = white.map(_(j))
+      val m = xs.sum / xs.length
+      val varJ = xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+      assert(math.abs(varJ - 1.0) < 1e-2, s"whitened dim $j variance $varJ")
+    }
   }
 
   test("covarianceMatrix: empty and single-row input yield an EMPTY frame, never NaN rows") {
