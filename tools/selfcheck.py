@@ -23,10 +23,17 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# honor SPARK_GRAFT_ONLY on the COMPARE side too: a reused out dir may
+# hold stale results from an earlier run at a different SF, and those
+# must not masquerade as failures of the current subset
+only = os.environ.get("SPARK_GRAFT_ONLY")
+only_set = set(x.strip() for x in only.split(",")) if only else None
 fail, ok, noorc = [], [], []
 for name in sorted(os.listdir(OUT)):
     pdir = os.path.join(OUT, name)
     if not os.path.isdir(pdir):
+        continue
+    if only_set is not None and name not in only_set:
         continue
     files = glob.glob(f"{pdir}/*.parquet")
     if not files:
