@@ -160,6 +160,55 @@ class MultimodalSpec extends SparkSpec {
     assert(r8.getAs[Double]("rms") == 0.0 && r8.getAs[Double]("silence_ratio") == 1.0)
   }
 
+  test("PCM decode round-trip: random samples through every WAV sample format, bit-exact") {
+    val rng = new scala.util.Random(42)
+    def wav(fmt: Int, bits: Int, ch: Int, rate: Int, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(fmt.toShort).putShort(ch.toShort).putInt(rate)
+        .putInt(rate * ch * bits / 8).putShort((ch * bits / 8).toShort).putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    // 16-bit int: decode is exactly s/32768
+    val s16 = Array.fill(500)(rng.nextInt(65536) - 32768)
+    val d16 = java.nio.ByteBuffer.allocate(1000).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    s16.foreach(v => d16.putShort(v.toShort))
+    val p16 = Multimodal.decodePcm(wav(1, 16, 1, 8000, d16.array())).get
+    assert(p16.samples.length == 500)
+    assert(p16.samples.zip(s16).forall { case (d, v) => d == v / 32768.0 }, "16-bit exact")
+    // 24-bit int incl. negative extremes: s/2^23
+    val s24 = Array.fill(300)(rng.nextInt(1 << 24) - (1 << 23))
+    val d24 = new Array[Byte](900)
+    s24.zipWithIndex.foreach { case (v, i) =>
+      d24(3 * i) = (v & 0xFF).toByte; d24(3 * i + 1) = ((v >> 8) & 0xFF).toByte
+      d24(3 * i + 2) = ((v >> 16) & 0xFF).toByte
+    }
+    val p24 = Multimodal.decodePcm(wav(1, 24, 1, 8000, d24)).get
+    assert(p24.samples.zip(s24).forall { case (d, v) => d == v / 8388608.0 }, "24-bit exact")
+    // 32-bit IEEE float: bit-exact pass-through
+    val sf = Array.fill(400)(rng.nextFloat() * 2f - 1f)
+    val df32 = java.nio.ByteBuffer.allocate(1600).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    sf.foreach(df32.putFloat)
+    val pf = Multimodal.decodePcm(wav(3, 32, 1, 8000, df32.array())).get
+    assert(pf.samples.zip(sf).forall { case (d, v) => d == v.toDouble }, "float32 exact")
+    // 64-bit IEEE float stereo: mono mix is the exact average
+    val l = Array.fill(200)(rng.nextDouble() * 2 - 1)
+    val r = Array.fill(200)(rng.nextDouble() * 2 - 1)
+    val d64 = java.nio.ByteBuffer.allocate(3200).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 200).foreach { i => d64.putDouble(l(i)); d64.putDouble(r(i)) }
+    val pd = Multimodal.decodePcm(wav(3, 64, 2, 8000, d64.array())).get
+    assert(pd.samples.indices.forall(i => pd.samples(i) == (l(i) + r(i)) / 2), "float64 stereo mix")
+    // truncated data chunk: only whole frames decode, no exception
+    val trunc = wav(1, 16, 2, 8000, d16.array().take(999)) // 999 bytes = 249.75 frames
+    assert(Multimodal.decodePcm(trunc).get.samples.length == 249)
+    // compressed format (ADPCM fmt 2) refuses
+    assert(Multimodal.decodePcm(wav(2, 4, 1, 8000, Array.fill[Byte](100)(1))).isEmpty)
+  }
+
   test("audio features: AIFF SSND big-endian PCM decode") {
     // FORM/AIFF with COMM (8 kHz mono 16-bit, n frames) + SSND holding
     // a constant +0.25 level → rms 0.25, peak 0.25, zcr 0
