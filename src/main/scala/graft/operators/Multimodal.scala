@@ -226,10 +226,32 @@ object Multimodal {
     * by averaging; at most `maxSamples` frames are decoded (bounded
     * work per row — features over the first ~10 s are representative
     * and the cap keeps the UDF's cost independent of payload size).
-    * Compressed formats return None and stay on the header-only path.
+    * FLAC payloads decode too ([[FlacCodec]] — lossless, exact
+    * samples); lossy formats (MP3) return None and stay on the
+    * header-only path.
     */
   private[graft] def decodePcm(b: Array[Byte], maxSamples: Int = 480000): Option[PcmAudio] =
     decodeWavPcm(b, maxSamples).orElse(decodeAiffPcm(b, maxSamples))
+      .orElse(decodeFlacPcm(b, maxSamples))
+
+  /** FLAC → mono-mixed normalized samples via the from-scratch frame
+    * decoder ([[FlacCodec]]) — lossless, so the samples are exact.
+    */
+  private def decodeFlacPcm(b: Array[Byte], maxSamples: Int): Option[PcmAudio] =
+    FlacCodec.decode(b, maxSamples).map { case (rate, ch, bits, chans) =>
+      val n = math.min(chans.map(_.length).min, maxSamples)
+      val scale = (1L << (bits - 1)).toDouble
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) { acc += chans(c)(i) / scale; c += 1 }
+        out(i) = acc / ch
+        i += 1
+      }
+      PcmAudio(rate, ch, bits, out)
+    }
 
   private def decodeWavPcm(b: Array[Byte], maxSamples: Int): Option[PcmAudio] = {
     def u16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)

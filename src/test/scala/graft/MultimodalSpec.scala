@@ -318,6 +318,134 @@ class MultimodalSpec extends SparkSpec {
     Array[Byte]('f', 'L', 'a', 'C', 0x80.toByte, 0, 0, 34) ++ si
   }
 
+  // ---- hand-built FLAC streams (encoder side lives only in the test:
+  // the decoder is the product; these fixtures follow the public
+  // bitstream spec field-by-field) ----
+
+  private def crc8t(b: Array[Byte]): Int = {
+    var crc = 0
+    b.foreach { x =>
+      crc ^= x & 0xFF
+      (0 until 8).foreach { _ =>
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xFF else (crc << 1) & 0xFF
+      }
+    }
+    crc
+  }
+
+  private def flacContainer(rate: Int, ch: Int, bits: Int, total: Long,
+                            frames: Array[Byte]): Array[Byte] = {
+    val w = new BitWriter
+    w.u(0, 16).u(0, 16)          // min/max block size (unused by the decoder)
+    w.u(0, 24).u(0, 24)          // min/max frame size
+    w.u(rate, 20).u(ch - 1, 3).u(bits - 1, 5)
+    w.u(0, 4).u(total.toInt, 32) // 36-bit total sample count
+    (0 until 16).foreach(_ => w.u(0, 8)) // md5
+    Array[Byte]('f', 'L', 'a', 'C', 0x80.toByte, 0, 0, 34) ++ w.bytes ++ frames
+  }
+
+  private def flacFrameHeader(blockSize: Int, chanAsg: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.u(0x3FFE, 14).u(0, 1).u(0, 1)
+      .u(6, 4)       // 8-bit block-size-minus-1 follows
+      .u(0, 4)       // rate from STREAMINFO
+      .u(chanAsg, 4)
+      .u(4, 3)       // 16-bit samples
+      .u(0, 1)
+    w.u(0, 8)        // UTF-8 frame number 0
+    w.u(blockSize - 1, 8)
+    val hdr = w.bytes
+    hdr :+ crc8t(hdr).toByte
+  }
+
+  private def riceWrite(w: BitWriter, v: Long, param: Int): Unit = {
+    val u = if (v >= 0) v << 1 else ((-v) << 1) - 1
+    val q = (u >>> param).toInt
+    (0 until q).foreach(_ => w.u(0, 1))
+    w.u(1, 1)
+    if (param > 0) w.u((u & ((1L << param) - 1)).toInt, param)
+  }
+
+  private def finishSubframes(header: Array[Byte], w: BitWriter): Array[Byte] =
+    header ++ w.bytes ++ Array[Byte](0, 0) // CRC-16 consumed, not verified
+
+  test("FLAC decode: CONSTANT / VERBATIM / FIXED / LPC subframes, bit-exact samples") {
+    import graft.operators.Multimodal.decodePcm
+    // CONSTANT: 16 samples of -12345
+    val wc = new BitWriter
+    wc.u(0, 1).u(0, 6).u(0, 1).u(-12345 & 0xFFFF, 16)
+    val const = flacContainer(8000, 1, 16, 16,
+      finishSubframes(flacFrameHeader(16, 0), wc))
+    val pc = decodePcm(const).get
+    assert(pc.rate == 8000 && pc.samples.length == 16)
+    assert(pc.samples.forall(_ == -12345 / 32768.0), "constant decodes exactly")
+    // VERBATIM: known mixed-sign samples
+    val vs = Array[Int](0, 1, -1, 32767, -32768, 1000, -999, 5)
+    val wv = new BitWriter
+    wv.u(0, 1).u(1, 6).u(0, 1)
+    vs.foreach(v => wv.u(v & 0xFFFF, 16))
+    val verb = flacContainer(8000, 1, 16, 8,
+      finishSubframes(flacFrameHeader(8, 0), wv))
+    val pv = decodePcm(verb).get
+    assert(pv.samples.zip(vs).forall { case (d, v) => d == v / 32768.0 }, "verbatim exact")
+    // FIXED order 2 on a linear ramp: second difference ≡ 0 residuals
+    val ramp = Array.tabulate(16)(i => 100 + 7 * i)
+    val wf = new BitWriter
+    wf.u(0, 1).u(8 + 2, 6).u(0, 1)
+    wf.u(ramp(0) & 0xFFFF, 16).u(ramp(1) & 0xFFFF, 16) // warmup
+    wf.u(0, 2).u(0, 4).u(0, 4)                          // rice, 1 partition, param 0
+    (2 until 16).foreach(_ => riceWrite(wf, 0L, 0))
+    val fixed = flacContainer(8000, 1, 16, 16,
+      finishSubframes(flacFrameHeader(16, 0), wf))
+    val pf = decodePcm(fixed).get
+    assert(pf.samples.zip(ramp).forall { case (d, v) => d == v / 32768.0 }, "fixed-2 ramp exact")
+    // LPC order 1, coeff 1, shift 0: prediction = previous sample
+    val sig = Array[Int](100, 90, 95, 105, 80, 80, 60, 75)
+    val wl = new BitWriter
+    wl.u(0, 1).u(32, 6).u(0, 1)      // LPC order (32 & 31) + 1 = 1
+    wl.u(sig(0) & 0xFFFF, 16)        // warmup
+    wl.u(3, 4)                       // precision 4
+    wl.u(0, 5)                       // shift 0
+    wl.u(1, 4)                       // coefficient +1
+    wl.u(0, 2).u(0, 4).u(3, 4)       // rice, 1 partition, param 3
+    (1 until 8).foreach(i => riceWrite(wl, (sig(i) - sig(i - 1)).toLong, 3))
+    val lpc = flacContainer(8000, 1, 16, 8,
+      finishSubframes(flacFrameHeader(8, 0), wl))
+    val pl = decodePcm(lpc).get
+    assert(pl.samples.zip(sig).forall { case (d, v) => d == v / 32768.0 }, "lpc-1 exact")
+    // two frames concatenated: samples append across frames
+    val two = flacContainer(8000, 1, 16, 32,
+      finishSubframes(flacFrameHeader(16, 0), wc) ++
+        finishSubframes(flacFrameHeader(16, 0), wc))
+    assert(decodePcm(two).get.samples.length == 32, "multi-frame append")
+    // corrupted header CRC: no samples decode, falls back to None
+    val bad = const.clone()
+    val crcPos = bad.length - (wc.bytes.length + 2) - 1 // last frame-header byte
+    bad(crcPos) = (bad(crcPos) ^ 0x55).toByte
+    assert(decodePcm(bad).isEmpty, "bad header CRC rejected")
+  }
+
+  test("FLAC decode: mid/side stereo reconstruction and measured features") {
+    import graft.operators.Multimodal.decodePcm
+    // L = 1000, R = 500 constants → mid 750, side 500 (bps 17 on side)
+    val wm = new BitWriter
+    wm.u(0, 1).u(0, 6).u(0, 1).u(750, 16)  // mid channel, CONSTANT
+    wm.u(0, 1).u(0, 6).u(0, 1).u(500, 17)  // side channel, CONSTANT, 17-bit
+    val ms = flacContainer(8000, 2, 16, 12,
+      finishSubframes(flacFrameHeader(12, 10), wm))
+    val p = decodePcm(ms).get
+    // mono mix of (1000, 500) = 750
+    assert(p.samples.length == 12 && p.samples.forall(_ == 750 / 32768.0),
+      s"mid/side reconstructs L=1000 R=500: ${p.samples.take(3).toSeq}")
+    // end-to-end: withAudioFeatures measures REAL features from FLAC
+    val rows = Multimodal.withAudioFeatures(Seq((1L, ms)).toDF("id", "payload"), "payload")
+      .select("audio_features.*").collect()(0)
+    assert(!rows.getAs[Boolean]("stubbed"))
+    assert(math.abs(rows.getAs[Double]("rms") - 750 / 32768.0) < 1e-9,
+      "FLAC features are measured from decoded samples")
+    assert(rows.getAs[Double]("zero_cross_rate") == 0.0)
+  }
+
   test("audio features: FLAC STREAMINFO — exact duration, stubbed=false") {
     val df = Seq((1L, goldenFlac())).toDF("id", "payload")
     val r = Multimodal.withAudioFeatures(df, "payload")
