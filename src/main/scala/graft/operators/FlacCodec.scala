@@ -99,7 +99,8 @@ private[operators] object FlacCodec {
         var i = 0
         while (i < order) { out(i) = r.s(eff); i += 1 }
         val precision = r.u(4).toInt + 1
-        require(precision <= 16, s"invalid LPC precision $precision")
+        // field 0b1111 is the spec's INVALID code (RFC 9639 §9.2.2)
+        require(precision <= 15, s"invalid LPC precision code ${precision - 1}")
         val shift = r.s(5).toInt
         require(shift >= 0, s"negative LPC shift $shift")
         val coeffs = Array.fill(order)(r.s(precision))
@@ -238,6 +239,10 @@ private[operators] object FlacCodec {
         val expect = r.u(8).toInt
         if (crc8(b, frameStart, crcPos) != expect)
           return if (chans(0).nonEmpty) assemble(rate0, ch, bits, chans) else None
+        // 0-7: independent 1-8 ch; 8/9/10: stereo decorrelation;
+        // 11-15: RESERVED — reject like every other reserved code
+        // rather than decoding garbage as independent stereo
+        if (chanAsg > 10) throw new IllegalArgumentException(s"reserved channel assignment $chanAsg")
         val nCh = if (chanAsg < 8) chanAsg + 1 else 2
         if (nCh != ch) throw new IllegalArgumentException("channel count mismatch")
         val sub = Array.ofDim[Array[Long]](nCh)

@@ -378,6 +378,11 @@ object Multimodal {
     val n = s.length
     if (n == 0) return (0.0, 0.0, 0.0, None, 1.0)
     var sumSq = 0.0; var peak = 0.0; var crossings = 0; var silent = 0
+    // Zero-crossings are SIGN FLIPS between consecutive NONZERO
+    // samples — exact zeros are skipped entirely, so a
+    // positive→0→positive excursion (gated/zero-padded PCM, 8-bit
+    // 0x80 digital silence) counts 0 crossings, not 2.
+    var lastSign = 0
     var i = 0
     while (i < n) {
       val x = s(i)
@@ -385,7 +390,11 @@ object Multimodal {
       val ax = math.abs(x)
       if (ax > peak) peak = ax
       if (ax < 1e-3) silent += 1
-      if (i > 0 && (s(i - 1) > 0) != (x > 0) && (s(i - 1) != 0 || x != 0)) crossings += 1
+      if (x != 0) {
+        val sign = if (x > 0) 1 else -1
+        if (lastSign != 0 && sign != lastSign) crossings += 1
+        lastSign = sign
+      }
       i += 1
     }
     val rms = math.sqrt(sumSq / n)

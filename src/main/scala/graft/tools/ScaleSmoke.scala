@@ -3,8 +3,6 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.util.concurrent.{CountDownLatch, Executors, TimeUnit, TimeoutException}
-
 /** sf1 (10×) scale tier for the heavy queries — the check the 60 s
   * sf0.1 [[SmokeGate]] cannot do: a per-query budget catches
   * constant-factor bombs, but SUPERLINEAR creep (an uncapped bucket
@@ -54,10 +52,22 @@ object ScaleSmoke {
     "dedup_semantic", "dedup_hamming_pairs", "sketch_cms_topk", "ann_ivf_topk",
     "dedup_containment")
 
-  /** Build the 10× dir (idempotent: skipped when already present). */
+  /** Build the 10× dir. Idempotency is gated on a COMPLETION marker
+    * written after every table lands — a crashed partial build (or a
+    * manually pruned dir) rebuilds instead of being silently reused
+    * with missing tables. Delete the dir after changing the generator.
+    */
   def buildScaledDir(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val out = new java.io.File(outDir)
-    if (new java.io.File(out, "documents.parquet").exists()) return
+    val marker = new java.io.File(out, "_GRAFT_SCALED_COMPLETE")
+    if (marker.exists()) return
+    if (out.exists()) { // partial build from a crashed run: start clean
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(out)
+    }
     out.mkdirs()
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     (0 until 10).map { k =>
@@ -80,52 +90,25 @@ object ScaleSmoke {
     }.reduce(_ union _)
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    // remaining tables: byte-copy for schema parity
+    // remaining tables: byte-copy (recursive — partitioned parquet
+    // dirs copy their whole tree, not one level) for schema parity
+    def copyTree(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(p => copyTree(p, new java.io.File(dst, p.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
     val base = new java.io.File(baseDir)
     base.listFiles().filter(f => f.getName.endsWith(".parquet") &&
         f.getName != "documents.parquet" && f.getName != "embeddings.parquet")
-      .foreach { f =>
-        val dst = new java.io.File(out, f.getName)
-        if (!dst.exists()) {
-          if (f.isDirectory) {
-            dst.mkdirs()
-            f.listFiles().foreach(p => java.nio.file.Files.copy(p.toPath,
-              dst.toPath.resolve(p.getName)))
-          } else java.nio.file.Files.copy(f.toPath, dst.toPath)
-        }
-      }
+      .foreach(f => copyTree(f, new java.io.File(out, f.getName)))
+    marker.createNewFile()
   }
 
   private def timedRun(spark: SparkSession, name: String, fn: (SparkSession, String) => DataFrame,
-                       dir: String, timeoutSec: Int): (Double, String) = {
-    val group = s"scale-$name-${dir.hashCode}"
-    val pool = Executors.newSingleThreadExecutor()
-    val started = new CountDownLatch(1)
-    @volatile var t0 = 0L
-    val fut = pool.submit(new Runnable {
-      def run(): Unit = {
-        t0 = System.nanoTime()
-        started.countDown()
-        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-        try fn(spark, dir).write.format("noop").mode("overwrite").save()
-        finally spark.sparkContext.clearJobGroup()
-      }
-    })
-    started.await()
-    val status =
-      try { fut.get(timeoutSec.toLong, TimeUnit.SECONDS); "ok" }
-      catch {
-        case _: TimeoutException =>
-          spark.sparkContext.cancelJobGroup(group); fut.cancel(true); "TIMEOUT"
-        case e: Throwable =>
-          System.err.println(s"[scale] $name failed: ${Option(e.getCause).getOrElse(e).getMessage}")
-          "ERROR"
-      }
-    val sec = (System.nanoTime() - t0) / 1e9
-    pool.shutdownNow()
-    pool.awaitTermination(2, TimeUnit.SECONDS)
-    (sec, status)
-  }
+                       dir: String, timeoutSec: Int): (Double, String) =
+    QueryRunner.runWithBudget(spark, s"scale-$name-${dir.hashCode}", name, timeoutSec, "scale") {
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+    }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleSmoke <sf0.1 dir> <scaled out dir> [maxRatio] [timeoutSec]")

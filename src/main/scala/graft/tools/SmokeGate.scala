@@ -2,8 +2,6 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import java.util.concurrent.{CountDownLatch, Executors, TimeUnit, TimeoutException}
-
 /** Per-query wall-time smoke gate — the check that would have caught
   * round 7's winnowing regression (two queries green on correctness at
   * sf0.01 but 300× over budget at sf0.1, which timed out the whole
@@ -60,42 +58,10 @@ object SmokeGate {
           results += ((name, 0.0, "SKIPPED_BUDGET"))
           println(f"[smoke] $name%-28s ${0.0}%8.2f s  SKIPPED_BUDGET")
         } else {
-          val group = s"smoke-$name"
-          // Fresh executor per query: an abandoned (cancel-ignoring)
-          // task from a previous query can never occupy this worker.
-          val pool = Executors.newSingleThreadExecutor()
-          val started = new CountDownLatch(1)
-          @volatile var taskStartNanos = 0L
-          val fut = pool.submit(new Runnable {
-            def run(): Unit = {
-              taskStartNanos = System.nanoTime()
-              started.countDown()
-              spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-              try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              finally spark.sparkContext.clearJobGroup()
-            }
-          })
-          started.await() // fresh executor: the task begins immediately
-          val status =
-            try { fut.get(timeoutSec.toLong, TimeUnit.SECONDS); "ok" }
-            catch {
-              case _: TimeoutException =>
-                spark.sparkContext.cancelJobGroup(group)
-                fut.cancel(true)
-                "TIMEOUT"
-              case e: Throwable =>
-                val root = Option(e.getCause).getOrElse(e)
-                System.err.println(s"[smoke] $name failed: ${root.getMessage}")
-                "ERROR"
-            }
-          // Clock runs from task start, not submit.
-          val sec = (System.nanoTime() - taskStartNanos) / 1e9
-          pool.shutdownNow()
-          // Give the worker a moment to unwind after cancel; if it
-          // ignores the interrupt we abandon the executor (next query
-          // gets its own) and note the zombie for the operator.
-          if (!pool.awaitTermination(2, TimeUnit.SECONDS) && status == "TIMEOUT")
-            System.err.println(s"[smoke] $name: worker thread ignored cancellation (abandoned)")
+          val (sec, status) = QueryRunner.runWithBudget(
+              spark, s"smoke-$name", name, timeoutSec, "smoke") {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
           results += ((name, sec, status))
           println(f"[smoke] $name%-28s ${sec}%8.2f s  $status")
         }

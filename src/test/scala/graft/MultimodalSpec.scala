@@ -425,6 +425,38 @@ class MultimodalSpec extends SparkSpec {
     assert(decodePcm(bad).isEmpty, "bad header CRC rejected")
   }
 
+  test("zero-cross rate: exact zeros are skipped — gated PCM does not double-count") {
+    import graft.operators.Multimodal.{PcmAudio, pcmFeatures}
+    // +, 0, +, -, 0, - : ONE true sign flip; a >0-classifier would
+    // read the positive→0→positive excursion as two crossings
+    val p = PcmAudio(8000, 1, 16, Array(0.5, 0.0, 0.5, -0.5, 0.0, -0.5))
+    val (_, _, zcr, _, _) = pcmFeatures(p)
+    assert(zcr == 1.0 * 8000 / 6, s"one crossing across zeros, got $zcr")
+    // all-zero: no crossings at all
+    assert(pcmFeatures(PcmAudio(8000, 1, 16, Array(0.0, 0.0, 0.0)))._3 == 0.0)
+  }
+
+  test("FLAC decode: reserved channel assignments and LPC precision escape are rejected") {
+    import graft.operators.Multimodal.decodePcm
+    val wc = new BitWriter
+    wc.u(0, 1).u(0, 6).u(0, 1).u(750, 16)
+    wc.u(0, 1).u(0, 6).u(0, 1).u(500, 17)
+    // channel assignment 11 (reserved) instead of 10 (mid/side)
+    val reserved = flacContainer(8000, 2, 16, 12,
+      finishSubframes(flacFrameHeader(12, 11), wc))
+    assert(decodePcm(reserved).isEmpty, "reserved channel assignment must not decode")
+    // LPC precision field 0b1111 (spec-invalid)
+    val wl = new BitWriter
+    wl.u(0, 1).u(32, 6).u(0, 1).u(100, 16)
+      .u(15, 4) // INVALID precision code
+      .u(0, 5).u(1, 4)
+      .u(0, 2).u(0, 4).u(0, 4)
+    (1 until 8).foreach(_ => riceWrite(wl, 0L, 0))
+    val badLpc = flacContainer(8000, 1, 16, 8,
+      finishSubframes(flacFrameHeader(8, 0), wl))
+    assert(decodePcm(badLpc).isEmpty, "invalid LPC precision code must not decode")
+  }
+
   test("FLAC decode: mid/side stereo reconstruction and measured features") {
     import graft.operators.Multimodal.decodePcm
     // L = 1000, R = 500 constants → mid 750, side 500 (bps 17 on side)

@@ -78,9 +78,12 @@ class StressSpec extends SparkSpec {
     // diameter grows with the corpus (a CHAIN holding 50% of all
     // nodes; the other 50% are 2-node clusters). Plain min-label
     // propagation needs O(diameter) rounds — the doubling shortcut
-    // must keep it at O(log diameter) (30k-chain ≈ 15 rounds,
-    // 300k-chain ≈ 19, both inside maxIter = 20), and the converging
-    // hot label (every chain node ends up labeled 0) must not stall a
+    // must keep it at O(log diameter): a 300k chain settles in ~21
+    // rounds (log₂ diameter doubling rounds + the 2 doubling-free
+    // opening rounds + the final no-change probe round), which is why
+    // connectedComponents defaults maxIter = 32 — 20 produced correct
+    // labels here but no convergence confirmation. The converging hot
+    // label (every chain node ends up labeled 0) must not stall a
     // single task: labels are the PROBE side of the shortcut
     // equi-join, the unique-id side builds, so a hot key skews a
     // partition without exploding it.
