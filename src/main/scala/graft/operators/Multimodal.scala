@@ -1042,6 +1042,11 @@ object Multimodal {
     if (u(1) == 1) { cropL = ue(); cropR = ue(); cropT = ue(); cropB = ue() }
     if (!ok || widthMbs < 0 || heightMapUnits < 0 || frameMbsOnly < 0 ||
         cropL < 0 || cropR < 0 || cropT < 0 || cropB < 0) return None
+    // sanity bound: H.264 level 6.2 tops out near 2^13 MBs per side; a
+    // garbage exp-Golomb value must not overflow the ×16 multiply into
+    // a plausible-looking positive dimension
+    if (widthMbs >= 65536 || heightMapUnits >= 65536 ||
+        cropL >= 65536 || cropR >= 65536 || cropT >= 65536 || cropB >= 65536) return None
     val (subW, subH) = chromaIdc match {
       case 0 => (1, 1) // monochrome: crop units are 1 × (2 - fmof)
       case 1 => (2, 2) // 4:2:0
