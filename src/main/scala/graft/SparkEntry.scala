@@ -1807,6 +1807,13 @@ object SparkEntry {
           touchTypes = Seq("view", "click"), conversionType = "purchase",
           lookbackUs = 3L * 86400000000L)
         .orderBy("conversion_id")),
+    "txt_novelty" -> ((s, dir) =>
+      // N-gram novelty: fraction of a doc's distinct 3-gram shingles
+      // whose first corpus occurrence (min doc_id) is this doc — the
+      // aggregate contribution signal data-pruning runs beside
+      // pairwise dedup.
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id")),
     "txt_pmi" -> ((s, dir) =>
       // PMI collocations: top-50 token pairs by pointwise mutual
       // information over per-doc co-occurrence; per-doc token cap 20
@@ -3218,6 +3225,21 @@ object SparkEntry {
            ${roundToSql(
              "CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_event) AS DOUBLE)", 6)} AS p
          FROM c ORDER BY from_event, to_event""",
+    "txt_novelty" ->
+      s"""WITH nv_t AS (SELECT doc_id,
+           regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+         nv_sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shingles FROM nv_t),
+         nv_g AS (SELECT doc_id, unnest(shingles) AS g FROM nv_sh),
+         nv_first AS (SELECT g, min(doc_id) AS first_id FROM nv_g GROUP BY g),
+         nv_doc AS (SELECT nv_g.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN first_id = nv_g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+           FROM nv_g JOIN nv_first USING (g) GROUP BY nv_g.doc_id)
+         SELECT doc_id, n_grams, n_novel,
+           ${roundToSql("CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)", 6)} AS novelty
+         FROM nv_doc ORDER BY doc_id""",
     "evt_attribution" ->
       s"""WITH at_c AS (SELECT user_id, event_id AS conversion_id, epoch_us(ts) AS conv_ts
            FROM events WHERE event_type = 'purchase'),

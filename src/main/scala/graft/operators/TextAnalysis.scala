@@ -929,4 +929,34 @@ object TextAnalysis {
       .select(col("term"), col("df_count"),
         posexplode(col("__docs")).as(Seq("slot", "doc_id")))
   }
+
+  /** N-gram novelty scoring (data-selection signal): per document, the
+    * fraction of its distinct word n-grams whose FIRST corpus
+    * occurrence (minimum doc id) is this document — high-novelty docs
+    * contribute new content, near-zero-novelty docs are re-treads of
+    * earlier material even when no single pair crosses a near-dup
+    * threshold. The aggregate contribution measure used by
+    * data-pruning pipelines alongside pairwise dedup.
+    *
+    * Scale shape: ONE gram-keyed aggregation (map-side combined
+    * min-id) over slim (id, gram) rows, re-joined on the gram key —
+    * the same equi-join-on-content-key shape as every dedup operator;
+    * grams never ride a window and the per-doc rollup is a hash
+    * aggregation on the doc key. Ownership is deterministic (min id).
+    * Returns (id, n_grams, n_novel, novelty) with novelty quantized
+    * at 1e-6.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3): DataFrame = {
+    val g = df.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.wordShingles(col(textCol), shingleSize)).as("g"))
+    val first = g.groupBy("g").agg(min("id").as("first_id"))
+    g.join(first, "g")
+      .groupBy("id")
+      .agg(count("*").as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
+        graft.functions.MathFunctions.roundTo(
+          col("n_novel").cast("double") / col("n_grams").cast("double"), 6).as("novelty"))
+  }
 }

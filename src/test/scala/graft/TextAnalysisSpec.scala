@@ -152,6 +152,24 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("doc_id") === 1L).count() === 1L)
   }
 
+  test("ngramNovelty: min-id ownership, hand-computed fractions, full-overlap zero") {
+    // 2-gram shingles. doc 1: {a b, b c} — owns both (novelty 1).
+    // doc 2: {b c, c d} — owns only "c d" (novelty 0.5).
+    // doc 3: {a b, b c} — owns nothing (novelty 0).
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "b c d"),
+      (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", shingleSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, 1.0),
+      (2L, 2L, 1L, 0.5),
+      (3L, 2L, 0L, 0.0)))
+  }
+
   test("tfidfKeywords: hand-computed scores, doc-local ranks, term tiebreak") {
     // N=3. df: common=3, rare=1, dup=1, solo=1
     val docs = Seq(
