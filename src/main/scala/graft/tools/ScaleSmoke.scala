@@ -50,7 +50,7 @@ object ScaleSmoke {
     "txt_fuzzy_decontaminate", "txt_ccnet_buckets", "dedup_winnowing_clusters",
     "dedup_winnowing", "dedup_embed_lsh", "txt_pmi", "dedup_simhash", "txt_keywords",
     "dedup_semantic", "dedup_hamming_pairs", "sketch_cms_topk", "ann_ivf_topk",
-    "dedup_containment")
+    "dedup_containment", "txt_novelty")
 
   /** Build the 10× dir. Idempotency is gated on a COMPLETION marker
     * written after every table lands — a crashed partial build (or a
