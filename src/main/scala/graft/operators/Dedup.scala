@@ -115,22 +115,12 @@ object Dedup {
   private def lshCandidatePairs(
       base: DataFrame, numHashes: Int, bands: Int, seed: Long,
       maxBucketSize: Int, portableHash: Boolean): DataFrame = {
+    val r = numHashes / bands
     // portableHash: hash shingles with the engine-independent 60-bit
     // md5 hash (natively, inside the signature expression's loop) so a
     // DuckDB oracle can replicate the signature.
     val sigs = base.withColumn("sig",
       minhashSignature(col("shingles"), numHashes, seed, portableMd5 = portableHash))
-    lshCandidatePairsFromSigs(sigs, bands, numHashes / bands, maxBucketSize, portableHash)
-  }
-
-  /** The banding/bucketing half of [[lshCandidatePairs]] over a frame
-    * that ALREADY carries the `sig` column — lets callers that need
-    * the signatures for other work too (the incremental index flow)
-    * compute them exactly once.
-    */
-  private def lshCandidatePairsFromSigs(
-      sigs: DataFrame, bands: Int, r: Int,
-      maxBucketSize: Int, portableHash: Boolean): DataFrame = {
     val buckets = sigs
       .select(col("id"), explode(bandKeys(col("sig"), bands, r, portableHash)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
@@ -653,27 +643,10 @@ object Dedup {
         "(a remainder silently drops hashes from the band keys, degrading LSH recall)")
     val spark = newDocs.sparkSession
     val r = numHashes / bands
-    // ONE signature pass feeds both halves of the flow: the
-    // within-batch near-dup verify AND the against-index estimate —
-    // the persisted frame is the slim (id, shingles, sig) projection,
-    // never the full document row.
-    val base = newDocs.select(
-      col(idCol).as("id"),
-      wordShingles(col(textCol), shingleSize).as("shingles"))
-    val sigsAll = base.withColumn("sig",
-        minhashSignature(col("shingles"), numHashes, seed, portableMd5 = portableHash))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // within-batch near-dups: exact-verified pairs, keep the lowest id
-    // (identical semantics to minhashNearDups, sharing sigsAll)
-    val cand = lshCandidatePairsFromSigs(sigsAll, bands, r, maxBucketSize, portableHash)
-    val shA = sigsAll.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = sigsAll.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    val batchPairs = cand.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("inter") / col("uni") >= threshold)
-    val dropIds = batchPairs.select(col("id_b").as("id")).distinct()
-    val batchDrops = dropIds.select(col("id").as(idCol))
+    val batchPairs = minhashNearDups(newDocs, textCol, idCol,
+      shingleSize, numHashes, bands, threshold, seed, maxBucketSize, portableHash)
+    val batchDrops = batchPairs.select(col("id_b").as(idCol)).distinct()
     val batchSurvivors = newDocs.join(batchDrops, Seq(idCol), "left_anti")
 
     val bandsPath = s"$indexPath/bands"
@@ -685,10 +658,10 @@ object Dedup {
     val fresh =
       if (!indexExists) batchSurvivors
       else {
-        // survivors' signatures come from the SAME persisted frame —
-        // no second shingle/minhash pass over the batch text
-        val sigs = sigsAll.join(dropIds, Seq("id"), "left_anti")
-          .select(col("id"), col("sig"))
+        val sigs = batchSurvivors.select(
+          col(idCol).as("id"),
+          minhashSignature(wordShingles(col(textCol), shingleSize), numHashes, seed,
+            portableMd5 = portableHash).as("sig"))
         val newBuckets = sigs
           .select(col("id"), explode(bandKeys(col("sig"), bands, r, portable = portableHash)).as("bk"))
           .select(col("id"), col("bk.band"), col("bk.key"))
@@ -714,7 +687,7 @@ object Dedup {
         val indexDrops = est.select(col("id").as(idCol)).distinct()
         batchSurvivors.join(indexDrops, Seq(idCol), "left_anti")
       }
-    val out = stagingPath match {
+    stagingPath match {
       case Some(dir) =>
         fresh.write.mode("overwrite").parquet(dir)
         spark.read.parquet(dir)
@@ -722,8 +695,6 @@ object Dedup {
         org.apache.spark.sql.graftbridge.CheckpointBridge
           .localCheckpointFreshStats(fresh)
     }
-    sigsAll.unpersist() // out is durably staged / eagerly checkpointed
-    out
   }
 
   /** Record a durably-written batch in the MinHash index — the commit

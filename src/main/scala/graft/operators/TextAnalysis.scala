@@ -938,25 +938,28 @@ object TextAnalysis {
     * threshold. The aggregate contribution measure used by
     * data-pruning pipelines alongside pairwise dedup.
     *
-    * Scale shape: ONE gram-keyed aggregation (map-side combined
-    * min-id) over slim (id, gram) rows, re-joined on the gram key —
-    * the same equi-join-on-content-key shape as every dedup operator;
-    * grams never ride a window and the per-doc rollup is a hash
-    * aggregation on the doc key. Ownership is deterministic (min id).
-    * Returns (id, n_grams, n_novel, novelty) with novelty quantized
-    * at 1e-6.
+    * Scale shape: the gram-sized frame is aggregated twice and NEVER
+    * rejoined on the gram key — per-doc gram counts are one doc-keyed
+    * map-side-combined count, and per-doc NOVEL counts fall out of
+    * the (gram → min id) ownership aggregation rolled up by owner
+    * (both outputs are doc-cardinality, tiny next to the gram frame);
+    * one per-doc equi-join assembles them. Ownership is deterministic
+    * (min id). Returns (id, n_grams, n_novel, novelty) with novelty
+    * quantized at 1e-6.
     */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3): DataFrame = {
     val g = df.select(col(idCol).as("id"),
       explode(graft.functions.TextFunctions.wordShingles(col(textCol), shingleSize)).as("g"))
-    val first = g.groupBy("g").agg(min("id").as("first_id"))
-    g.join(first, "g")
-      .groupBy("id")
-      .agg(count("*").as("n_grams"),
-        sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("n_novel"))
-      .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
+    val perDoc = g.groupBy("id").agg(count("*").as("n_grams"))
+    val novel = g.groupBy("g").agg(min("id").as("first_id"))
+      .groupBy("first_id").agg(count("*").as("n_novel"))
+      .withColumnRenamed("first_id", "id")
+    perDoc.join(novel, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         graft.functions.MathFunctions.roundTo(
-          col("n_novel").cast("double") / col("n_grams").cast("double"), 6).as("novelty"))
+          coalesce(col("n_novel"), lit(0L)).cast("double") /
+            col("n_grams").cast("double"), 6).as("novelty"))
   }
 }
