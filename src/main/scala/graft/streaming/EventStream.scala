@@ -486,6 +486,100 @@ object EventStream {
       }
   }
 
+  /** One attributed conversion, emitted the moment it arrives. */
+  case class LiveAttribution(conversion_id: Long, user_id: Long,
+                             first_touch: Option[String], last_touch: Option[String],
+                             n_touches: Long)
+
+  /** Per-user touch history: (tsUs, eventId, type) triples inside the
+    * lookback of the newest event seen, oldest first. */
+  case class TouchState(touches: Seq[(Long, Long, String)])
+
+  /** Streaming first/last-touch attribution — the live twin of
+    * [[graft.operators.EventAnalytics.attribution]]: per user, keep
+    * the touch events within `lookbackUs` of the newest event seen;
+    * when a conversion arrives, emit its credit row IMMEDIATELY
+    * (Append mode) from the touches observed so far.
+    *
+    * State is BOUNDED: touches older than the lookback evict as event
+    * time advances, and `maxTouches` caps a hyperactive user (oldest
+    * evicted first — under cap pressure the reported first_touch can
+    * shift later; documented recall trade, the alternative is
+    * unbounded per-user retention). Ordering contract mirrors
+    * [[funnelStream]]: events are sorted within a micro-batch, so
+    * in-order delivery reproduces the batch operator exactly for
+    * conversions whose touches all arrived first; a touch arriving in
+    * a LATER batch than its conversion cannot retro-credit (the batch
+    * operator sees it, the stream already emitted — late completeness
+    * provably needs buffering conversions until the watermark, which
+    * trades latency for it). Users with state idle longer than the
+    * lookback past the watermark are purged via event-time timeout.
+    */
+  def attributionStream(events: DataFrame, tsCol: String, userCol: String,
+                        typeCol: String, idCol: String,
+                        touchTypes: Seq[String], conversionType: String,
+                        lookbackUs: Long, maxTouches: Int = 256,
+                        watermark: String = "10 minutes"): Dataset[LiveAttribution] = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      s"conversion type $conversionType cannot also be a touch type")
+    require(lookbackUs > 0 && maxTouches >= 2,
+      s"lookbackUs=$lookbackUs must be positive, maxTouches=$maxTouches >= 2")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touchSet = touchTypes.toSet
+    val keyed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(userCol).cast("long").as("u"),
+        col(typeCol).cast("string").as("et"), col(idCol).cast("long").as("eid"))
+    keyed.groupByKey((r: org.apache.spark.sql.Row) => r.getLong(1))
+      .flatMapGroupsWithState[TouchState, LiveAttribution](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state: GroupState[TouchState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle past lookback+watermark: nothing can attribute
+            Iterator.empty
+          } else {
+            val evs = rows.toArray
+              .map(r => (r.getTimestamp(0).getTime * 1000L, r.getLong(3), r.getString(2)))
+              .filter(_._3 != null)
+              .sortBy(e => (e._1, e._2))
+            var touches = state.getOption.map(_.touches.toVector).getOrElse(Vector.empty)
+            val out = scala.collection.mutable.ArrayBuffer.empty[LiveAttribution]
+            var maxTs = touches.lastOption.map(_._1).getOrElse(Long.MinValue)
+            evs.foreach { case (ts, eid, et) =>
+              maxTs = math.max(maxTs, ts)
+              // evict: outside the lookback of the newest event
+              while (touches.nonEmpty && maxTs - touches.head._1 > lookbackUs)
+                touches = touches.tail
+              if (touchSet.contains(et)) {
+                touches = touches :+ ((ts, eid, et))
+                if (touches.length > maxTouches) touches = touches.tail
+              } else if (et == conversionType) {
+                val eligible = touches.filter(t => t._1 <= ts && ts - t._1 <= lookbackUs)
+                if (eligible.isEmpty)
+                  out += LiveAttribution(eid, userId, None, None, 0L)
+                else
+                  out += LiveAttribution(eid, userId,
+                    Some(eligible.minBy(t => (t._1, t._2))._3),
+                    Some(eligible.maxBy(t => (t._1, t._2))._3),
+                    eligible.length.toLong)
+              }
+            }
+            if (touches.isEmpty) { if (state.exists) state.remove() }
+            else {
+              state.update(TouchState(touches))
+              // purge once nothing in state can credit a future
+              // in-order conversion: watermark past newest touch + lookback
+              state.setTimeoutTimestamp(
+                math.max((touches.last._1 + lookbackUs) / 1000L + 1,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Final funnel standing for one user: the deepest step reached
     * and the event-time micros at which it was completed. */
   case class UserFunnel(user_id: Long, depth: Int, last_step_ts_us: Long)

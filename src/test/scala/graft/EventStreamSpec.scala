@@ -311,6 +311,47 @@ class EventStreamSpec extends SparkSpec {
     assert(got === Seq((1L, 3, 3000000L)))
   }
 
+  test("streaming attribution: immediate credit, lookback eviction, tie-break, touch cap") {
+    // offset off epoch 0: a row whose event time sits AT the initial
+    // watermark (0) is dropped by the stateful late-row filter
+    val base = 1000000000L
+    def ev(id: Long, user: Long, us: Long, et: String) =
+      Event(id, new Timestamp((base + us) / 1000), user, et, 0.0)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val q = EventStream.attributionStream(stream.toDS().toDF(), "ts", "user_id",
+        "event_type", "event_id", touchTypes = Seq("view", "click"),
+        conversionType = "purchase", lookbackUs = 100000L, maxTouches = 2)
+      .writeStream.outputMode("append").format("memory").queryName("live_attr")
+      .start()
+    stream.addData(Seq(
+      // user 1: the batch-operator parity case (ts in micros via ms*1000)
+      ev(10, 1, 0L, "view"), ev(11, 1, 50000L, "click"), ev(12, 1, 100000L, "purchase"),
+      // user 2: touch outside the lookback at conversion time → zero-touch row
+      ev(20, 2, 0L, "view"), ev(22, 2, 150000L, "purchase"),
+      // user 4: simultaneous view/click — unique id breaks the tie
+      ev(40, 4, 40000L, "view"), ev(41, 4, 40000L, "click"), ev(42, 4, 90000L, "purchase")))
+    q.processAllAvailable()
+    // emission is IMMEDIATE — no watermark advance needed
+    val batch1 = spark.sql("SELECT * FROM live_attr ORDER BY conversion_id")
+      .as[EventStream.LiveAttribution].collect().toSeq
+    assert(batch1.map(a => (a.conversion_id, a.first_touch, a.last_touch, a.n_touches)) === Seq(
+      (12L, Some("view"), Some("click"), 2L),
+      (22L, None, None, 0L),
+      (42L, Some("view"), Some("click"), 2L)))
+    // cross-batch: user 5's touches arrive in an earlier batch than the
+    // conversion; maxTouches = 2 evicts the OLDEST of three touches, so
+    // first_touch shifts to the second (the documented cap trade)
+    stream.addData(Seq(ev(50, 5, 10000L, "view"), ev(51, 5, 20000L, "click"),
+      ev(52, 5, 30000L, "view")))
+    q.processAllAvailable()
+    stream.addData(Seq(ev(53, 5, 60000L, "purchase")))
+    q.processAllAvailable(); q.stop()
+    val u5 = spark.sql("SELECT * FROM live_attr WHERE conversion_id = 53")
+      .as[EventStream.LiveAttribution].collect()(0)
+    assert(u5.first_touch.contains("click") && u5.last_touch.contains("view") &&
+      u5.n_touches == 2L, s"cap evicts oldest: $u5")
+  }
+
   test("streaming anomaly: days close in order, prequential z vs trailing history, spike flags") {
     val dayMs = 86400000L
     def ev(day: Long, k: Int) = // k events at that day's noon
