@@ -55,7 +55,12 @@ object PlanDump {
     "evt_funnel" -> "chained slim per-user min-aggregations — no window over a user's event history",
     "evt_retention" -> "per-user first-day agg + same-key rejoin; distinct-by-aggregation; cohort sizes broadcast",
     "dedup_edit_distance" -> "LSH candidates with (id,len,band,key) rows; length pre-filter before text joins; bounded levenshtein",
-    "emb_pagerank" -> "per-iteration node-keyed equi-join + map-side-combined inflow sums; integer ranks, no window")
+    "emb_pagerank" -> "per-iteration node-keyed equi-join + map-side-combined inflow sums; integer ranks, no window",
+    "dedup_containment" -> "same capped LSH candidate frame as minhash; |A∩B|/min verify on the candidate pairs only",
+    "txt_novelty" -> "grams shuffle as 8-byte portable hashes; two aggregations, never rejoined on the gram key",
+    "evt_attribution" -> "one equi-join + min/max-struct hash agg — no window over a user's touch history",
+    "txt_canonical" -> "capped LSH → pointer-doubling CC → per-cluster row_number keyed by bounded cluster ids",
+    "dedup_clusters_lsh" -> "pointer-doubling CC over capped LSH edges; fresh-stats checkpoints; early-exit probe")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

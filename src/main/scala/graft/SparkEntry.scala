@@ -3232,11 +3232,12 @@ object SparkEntry {
          nv_sh AS (SELECT doc_id,
            list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
              i -> array_to_string(toks[i:i+2], ' '))) AS shingles FROM nv_t),
-         nv_g AS (SELECT doc_id, unnest(shingles) AS g FROM nv_sh),
-         nv_first AS (SELECT g, min(doc_id) AS first_id FROM nv_g GROUP BY g),
+         nv_g0 AS (SELECT doc_id, unnest(shingles) AS g FROM nv_sh),
+         nv_g AS (SELECT doc_id, ${duckHex60("g")} AS h FROM nv_g0),
+         nv_first AS (SELECT h, min(doc_id) AS first_id FROM nv_g GROUP BY h),
          nv_doc AS (SELECT nv_g.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
              CAST(sum(CASE WHEN first_id = nv_g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-           FROM nv_g JOIN nv_first USING (g) GROUP BY nv_g.doc_id)
+           FROM nv_g JOIN nv_first USING (h) GROUP BY nv_g.doc_id)
          SELECT doc_id, n_grams, n_novel,
            ${roundToSql("CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)", 6)} AS novelty
          FROM nv_doc ORDER BY doc_id""",

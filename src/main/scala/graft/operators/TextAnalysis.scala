@@ -943,16 +943,22 @@ object TextAnalysis {
     * map-side-combined count, and per-doc NOVEL counts fall out of
     * the (gram → min id) ownership aggregation rolled up by owner
     * (both outputs are doc-cardinality, tiny next to the gram frame);
-    * one per-doc equi-join assembles them. Ownership is deterministic
-    * (min id). Returns (id, n_grams, n_novel, novelty) with novelty
-    * quantized at 1e-6.
+    * one per-doc equi-join assembles them. The gram string is dropped
+    * at the scan: grams shuffle as 8-byte portable hashes
+    * ([[graft.operators.Dedup.portableHash60]], the same convention as
+    * [[tokenEntropy]]), so the dominant shuffle carries (long, long)
+    * rows instead of raw n-gram strings — a hash collision merges the
+    * same pair of grams on every engine, so the oracle is unaffected.
+    * Ownership is deterministic (min id). Returns
+    * (id, n_grams, n_novel, novelty) with novelty quantized at 1e-6.
     */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3): DataFrame = {
     val g = df.select(col(idCol).as("id"),
-      explode(graft.functions.TextFunctions.wordShingles(col(textCol), shingleSize)).as("g"))
+        explode(graft.functions.TextFunctions.wordShingles(col(textCol), shingleSize)).as("g"))
+      .select(col("id"), graft.operators.Dedup.portableHash60(col("g")).as("h"))
     val perDoc = g.groupBy("id").agg(count("*").as("n_grams"))
-    val novel = g.groupBy("g").agg(min("id").as("first_id"))
+    val novel = g.groupBy("h").agg(min("id").as("first_id"))
       .groupBy("first_id").agg(count("*").as("n_novel"))
       .withColumnRenamed("first_id", "id")
     perDoc.join(novel, Seq("id"), "left")
