@@ -617,6 +617,33 @@ object Multimodal {
     df.withColumn(out, f(col(binaryCol)))
   }
 
+  /** Bitstream-domain MP3 features — the struct [[Mp3Bitstream]] fills
+    * from the side-info parse + CRC verification. NULL fields for
+    * non-MP3 payloads (`is_mp3 = false`). These are REAL measured
+    * signals (gain trajectory = loudness proxy, short-block fraction =
+    * transient density, exact CBR/VBR, per-frame CRC verdicts); sample
+    * decode for lossy audio stays formally out of scope
+    * (DEVIATIONS #9 — the ISO constant tables have no trustworthy
+    * in-container source).
+    */
+  case class Mp3Features(is_mp3: Boolean, frames: Option[Int],
+                         crc_protected: Option[Int], crc_valid: Option[Int],
+                         gain_mean: Option[Double], gain_std: Option[Double],
+                         short_block_frac: Option[Double], vbr: Option[Boolean])
+
+  def withMp3Bitstream(df: DataFrame, binaryCol: String, out: String = "mp3_bitstream"): DataFrame = {
+    val f = udf((bytes: Array[Byte]) => {
+      val s = Option(bytes).flatMap(Mp3Bitstream.stats(_))
+      s match {
+        case Some(m) => Mp3Features(is_mp3 = true, Some(m.frames),
+          Some(m.crcProtected), Some(m.crcValid), Some(m.gainMean),
+          Some(m.gainStd), Some(m.shortBlockFrac), Some(m.vbr))
+        case None => Mp3Features(is_mp3 = false, None, None, None, None, None, None, None)
+      }
+    })
+    df.withColumn(out, f(col(binaryCol)))
+  }
+
   /** Video container metadata (real header parse, stub-free for MP4). */
   case class VideoMeta(n_bytes: Option[Int], container: Option[String],
                        duration_sec: Option[Double], timescale: Option[Int],

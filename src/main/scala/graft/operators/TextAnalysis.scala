@@ -968,4 +968,53 @@ object TextAnalysis {
           coalesce(col("n_novel"), lit(0L)).cast("double") /
             col("n_grams").cast("double"), 6).as("novelty"))
   }
+
+  /** Domain-level curation rollup (the RefinedWeb/DCLM-style source
+    * filter): a domain whose documents are mostly exact duplicates of
+    * each other or mostly near-empty is boilerplate/spam wholesale,
+    * and per-document filters miss it — each individual page can look
+    * fine. Per source: doc count, exact-dup fraction (1 − distinct
+    * fingerprints ÷ docs), short-doc fraction (n_tokens < minTokens);
+    * verdict `flag` when the domain has ≥ minDocs docs AND either
+    * fraction exceeds its threshold, else `keep`. Every document is
+    * tagged with its domain's verdict (tag-don't-drop, the house
+    * filter semantics).
+    *
+    * Scale shape: docs reduce to (src, fingerprint) 16-byte-keyed
+    * rows; ONE two-level aggregation — (src, fp) map-side-combined
+    * counts, then a src-keyed rollup — yields the domain table
+    * (domain-cardinality, tiny), which broadcasts back onto the doc
+    * scan. No windows, no self-joins; a 10^8-page domain costs one
+    * combined count like a 10-page one. Fractions are single IEEE
+    * divisions of exact longs; verdict compares the quantized value,
+    * so the tag is engine-portable.
+    */
+  def domainQuality(df: DataFrame, idCol: String, sourceCol: String, textCol: String,
+                    minTokens: Int = 20, minDocs: Int = 3,
+                    dupFracMax: Double = 0.5, shortFracMax: Double = 0.5): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val doc = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val byFp = doc.groupBy("src", "fp").agg(
+      count("*").as("cnt"),
+      sum(when(col("n_tokens") < minTokens, 1L).otherwise(0L)).as("short_cnt"))
+    val dom = byFp.groupBy("src").agg(
+        sum("cnt").as("n_docs"),
+        count("*").as("n_distinct"),
+        sum("short_cnt").as("n_short"))
+      .select(col("src"), col("n_docs"),
+        rd((col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_frac"),
+        rd(col("n_short").cast("double") / col("n_docs").cast("double"), 6)
+          .as("short_frac"))
+      .withColumn("domain_verdict",
+        when(col("n_docs") >= minDocs &&
+            (col("dup_frac") > dupFracMax || col("short_frac") > shortFracMax),
+          lit("flag")).otherwise(lit("keep")))
+    doc.join(broadcast(dom), Seq("src"))
+      .select(col("id").as(idCol), col("src").as(sourceCol), col("n_tokens"),
+        col("n_docs"), col("dup_frac"), col("short_frac"), col("domain_verdict"))
+  }
 }

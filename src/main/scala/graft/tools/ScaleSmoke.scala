@@ -50,7 +50,11 @@ object ScaleSmoke {
     "txt_fuzzy_decontaminate", "txt_ccnet_buckets", "dedup_winnowing_clusters",
     "dedup_winnowing", "dedup_embed_lsh", "txt_pmi", "dedup_simhash", "txt_keywords",
     "dedup_semantic", "dedup_hamming_pairs", "sketch_cms_topk", "ann_ivf_topk",
-    "dedup_containment", "txt_novelty")
+    "dedup_containment", "txt_novelty",
+    // graph class: iterative frames over the scaled embeddings-derived
+    // edges — their 10× points previously lived only in round-notes
+    // prose from GRAFT_STRESS runs; one committed JSON carries them now
+    "emb_pagerank", "emb_label_prop", "emb_knn_graph")
 
   /** Build the 10× dir. Idempotency is gated on a COMPLETION marker
     * written after every table lands — a crashed partial build (or a

@@ -133,6 +133,10 @@ class ParserFuzzSpec extends SparkSpec {
       Array.fill(3)(frame).flatten
     }
     total("parseMp3", mp3, (b: Array[Byte]) => Multimodal.parseMp3(b))
+    total("Mp3Bitstream.parseFrames", mp3,
+      (b: Array[Byte]) => graft.operators.Mp3Bitstream.parseFrames(b))
+    total("Mp3Bitstream.stats", mp3,
+      (b: Array[Byte]) => graft.operators.Mp3Bitstream.stats(b))
     val mkv = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte, 0x84.toByte, 0x42, 0x82.toByte, 0x84.toByte, 'w', 'e', 'b', 'm')
     total("parseMkvDuration", mkv, (b: Array[Byte]) => Multimodal.parseMkvDuration(b))
     total("parseFlacStreamInfo", Array[Byte]('f', 'L', 'a', 'C', 0x80.toByte, 0, 0, 34) ++ new Array[Byte](34),
