@@ -60,7 +60,9 @@ object PlanDump {
     "txt_novelty" -> "grams shuffle as 8-byte portable hashes; two aggregations, never rejoined on the gram key",
     "evt_attribution" -> "one equi-join + min/max-struct hash agg — no window over a user's touch history",
     "txt_canonical" -> "capped LSH → pointer-doubling CC → per-cluster row_number keyed by bounded cluster ids",
-    "dedup_clusters_lsh" -> "pointer-doubling CC over capped LSH edges; fresh-stats checkpoints; early-exit probe")
+    "dedup_clusters_lsh" -> "pointer-doubling CC over capped LSH edges; fresh-stats checkpoints; early-exit probe",
+    "txt_domain_quality" -> "two-level (src,fp)→src aggregation; tiny domain table broadcast back onto the doc scan",
+    "evt_cooccurrence" -> "distinct (user,type) before the user-keyed self-join — pair fan-out bounded by |types|² per user")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -1814,6 +1814,19 @@ object SparkEntry {
       // pairwise dedup.
       TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("doc_id")),
+    "txt_domain_quality" -> ((s, dir) =>
+      // Domain-level curation rollup (RefinedWeb/DCLM-style source
+      // filter): per-source dup/short fractions via one two-level
+      // aggregation, verdict broadcast back onto every doc
+      // (tag-don't-drop).
+      TextAnalysis.domainQuality(t(s, dir, "documents"), "doc_id", "source", "text")
+        .orderBy("doc_id")),
+    "evt_cooccurrence" -> ((s, dir) =>
+      // Market-basket lift over the event log: distinct (user, type)
+      // first, so the user-keyed self-join is |types|^2-bounded per
+      // user regardless of event volume.
+      graft.operators.EventAnalytics.cooccurrence(events(s, dir), "user_id", "event_type")
+        .orderBy("et_a", "et_b")),
     "txt_pmi" -> ((s, dir) =>
       // PMI collocations: top-50 token pairs by pointwise mutual
       // information over per-doc co-occurrence; per-doc token cap 20
@@ -3241,6 +3254,38 @@ object SparkEntry {
          SELECT doc_id, n_grams, n_novel,
            ${roundToSql("CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)", 6)} AS novelty
          FROM nv_doc ORDER BY doc_id""",
+    "txt_domain_quality" ->
+      s"""WITH dq AS (SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         FROM documents),
+         dg AS (SELECT source, fp, count(*) AS cnt,
+             sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS short_cnt
+           FROM dq GROUP BY source, fp),
+         dm AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(short_cnt) AS BIGINT) AS n_short FROM dg GROUP BY source),
+         dv AS (SELECT source, n_docs,
+             ${roundToSql("CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS dup_frac,
+             ${roundToSql("CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS short_frac
+           FROM dm),
+         dw AS (SELECT source, n_docs, dup_frac, short_frac,
+             CASE WHEN n_docs >= 3 AND (dup_frac > 0.5 OR short_frac > 0.5)
+                  THEN 'flag' ELSE 'keep' END AS domain_verdict FROM dv)
+         SELECT dq.doc_id, dq.source, dq.n_tokens, n_docs, dup_frac, short_frac, domain_verdict
+         FROM dq JOIN dw USING (source) ORDER BY dq.doc_id""",
+    "evt_cooccurrence" ->
+      s"""WITH co_ut AS (SELECT DISTINCT user_id AS u, event_type AS et FROM events),
+         co_m AS (SELECT et, CAST(count(*) AS BIGINT) AS n_users FROM co_ut GROUP BY et),
+         co_t AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_total FROM co_ut),
+         co_p AS (SELECT a.et AS et_a, b.et AS et_b, CAST(count(*) AS BIGINT) AS n_both
+           FROM co_ut a JOIN co_ut b ON a.u = b.u AND a.et < b.et GROUP BY a.et, b.et)
+         SELECT et_a, et_b, n_both, ma.n_users AS n_a, mb.n_users AS n_b,
+           ${roundToSql("CAST(n_both AS DOUBLE) * CAST(n_total AS DOUBLE) / " +
+             "(CAST(ma.n_users AS DOUBLE) * CAST(mb.n_users AS DOUBLE))", 6)} AS lift
+         FROM co_p JOIN co_m ma ON co_p.et_a = ma.et
+           JOIN co_m mb ON co_p.et_b = mb.et CROSS JOIN co_t
+         ORDER BY et_a, et_b""",
     "evt_attribution" ->
       s"""WITH at_c AS (SELECT user_id, event_id AS conversion_id, epoch_us(ts) AS conv_ts
            FROM events WHERE event_type = 'purchase'),

@@ -224,4 +224,41 @@ object EventAnalytics {
         col("__lt.touch_type").as("last_touch"),
         coalesce(col("__n"), lit(0L)).as("n_touches"))
   }
+
+  /** Per-user event-type co-occurrence with lift (market-basket over
+    * the event log): for every unordered type pair (a < b), the number
+    * of users exhibiting BOTH, each type's user count, and
+    * lift = P(a,b) / (P(a)·P(b)) over users — lift > 1 means the
+    * behaviors attract, < 1 means they repel. The companion signal to
+    * [[funnel]]/`transitions` when no step order is hypothesized.
+    *
+    * Scale shape: events reduce to DISTINCT (user, type) rows first —
+    * ONE map-side-combined aggregation — so the self-join on the user
+    * key fans out to at most |types|² rows per user regardless of how
+    * many events the user has (a 10^6-event power user costs the same
+    * as a 2-event one; the type DOMAIN is small by nature, it is the
+    * event VOLUME that scales). Marginals and the user total are
+    * type-cardinality / scalar frames broadcast onto the ≤ |types|²
+    * pair rows. Lift is computed on exact longs with single IEEE
+    * casts, quantized at 1e-6 — engine-portable.
+    */
+  def cooccurrence(events: DataFrame, userCol: String, typeCol: String): DataFrame = {
+    val rd = graft.functions.MathFunctions.roundTo _
+    val ut = events.select(col(userCol).as("u"), col(typeCol).as("et"))
+      .distinct()
+    val marg = ut.groupBy("et").agg(count("*").as("n_users"))
+    val total = ut.agg(countDistinct("u").as("n_total"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"),
+        col("a.u") === col("b.u") && col("a.et") < col("b.et"))
+      .groupBy(col("a.et").as("et_a"), col("b.et").as("et_b"))
+      .agg(count("*").as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("et").as("et_a"), col("n_users").as("n_a"))), Seq("et_a"))
+      .join(broadcast(marg.select(col("et").as("et_b"), col("n_users").as("n_b"))), Seq("et_b"))
+      .crossJoin(broadcast(total)) // one scalar row
+      .select(col("et_a"), col("et_b"), col("n_both"), col("n_a"), col("n_b"),
+        rd(col("n_both").cast("double") * col("n_total").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+  }
 }

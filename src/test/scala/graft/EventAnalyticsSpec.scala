@@ -156,4 +156,26 @@ class EventAnalyticsSpec extends SparkSpec {
       (51L, 5L, "click", "click", 1L),
       (53L, 5L, "click", "view", 2L)))
   }
+
+  test("cooccurrence: lift over users, volume-independent") {
+    // users by type set: u1 {view,click}, u2 {view,click}, u3 {view},
+    // u4 {click,purchase}, u5 {view,purchase}. u1's view fires 3 times
+    // — event VOLUME must not move any count (distinct user-type
+    // first). Marginals: view 4, click 3, purchase 2; total users 5.
+    val ev = Seq(
+      (1L, "view"), (1L, "view"), (1L, "view"), (1L, "click"),
+      (2L, "view"), (2L, "click"),
+      (3L, "view"),
+      (4L, "click"), (4L, "purchase"),
+      (5L, "view"), (5L, "purchase")).toDF("u", "et")
+    val out = EventAnalytics.cooccurrence(ev, "u", "et")
+      .orderBy("et_a", "et_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      // lift = n_both * n_total / (n_a * n_b), quantized 1e-6
+      ("click", "purchase", 1L, 3L, 2L, 0.833333), // 1*5/6
+      ("click", "view", 2L, 3L, 4L, 0.833333),     // 2*5/12
+      ("purchase", "view", 1L, 2L, 4L, 0.625)))    // 1*5/8
+  }
 }

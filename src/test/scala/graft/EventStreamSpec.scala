@@ -381,4 +381,63 @@ class EventStreamSpec extends SparkSpec {
     // day 3 against trailing {3, 4, 5}: mean 4, sd 1 → z = −1, no flag
     assert(got(3).z.contains(-1.0) && got(3).is_anomaly.contains(false), s"${got(3)}")
   }
+
+  test("streaming domain quality: per-(window, source) counts exact, distinct estimate equals the batch HLL bit-for-bit") {
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, String, String)](spark)
+    val out = EventStream.domainQualityStream(
+      stream.toDF().toDF("ts", "source", "text"), "ts", "source", "text",
+      windowMillis = 60000L, watermark = "0 seconds", minTokens = 20, p = 11)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("domq_win").start()
+    val longText = (1 to 25).map(i => s"w$i").mkString(" ")
+    // +1 ms offsets: a ts-0 row is late against the INITIAL watermark.
+    // window A: spam.com floods 40 copies of one short page (dup-heavy
+    // AND short); good.net sends 30 distinct long pages.
+    val winA =
+      (0 until 40).map(i => (new Timestamp(i * 100L + 1), "spam.com", "Buy   Now")) ++
+      (0 until 30).map(i => (new Timestamp(i * 100L + 1), "good.net", s"$longText uniq$i"))
+    // window B: spam.com reforms — 10 distinct long pages
+    val winB = (0 until 10).map(i =>
+      (new Timestamp(60000L + i * 100L), "spam.com", s"$longText b$i"))
+    stream.addData(winA ++ winB)
+    q.processAllAvailable()
+    stream.addData(Seq((new Timestamp(600000L), "sentinel", "x")))
+    q.processAllAvailable()
+    stream.addData(Seq((new Timestamp(1200000L), "sentinel2", "y")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM domq_win")
+      .as[EventStream.WindowDomainQuality].collect()
+      .map(r => (r.window_start.getTime, r.source) -> r).toMap
+    // hand-replicated yardstick: the same register occupancy + the
+    // small-range (linear-counting) correction the operator documents
+    // — exact equality, not tolerance
+    val m = 2048
+    def expectEst(texts: Seq[String]): Double = {
+      val buckets = texts.map { t =>
+        val fp = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          t.trim.toLowerCase.replaceAll("\\s+", " "))
+        val h = graft.plans.TextExprs.md5Hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(fp))
+        (h % m).toInt
+      }.toSet
+      val empty = m - buckets.size
+      math.floor(m * math.log(m.toDouble / empty) * 1e3 + 0.5) / 1e3
+    }
+    val spamA = got((0L, "spam.com"))
+    assert(spamA.n_docs == 40L && spamA.short_frac == 1.0)
+    // one distinct page → one occupied register → est 2048·ln(2048/2047)
+    assert(spamA.distinct_est == 1.0, s"corrected 1-distinct est: $spamA")
+    assert(spamA.dup_frac_est == 0.975, s"1 - 1/40: $spamA") // the alarm fires
+    val goodA = got((0L, "good.net"))
+    assert(goodA.n_docs == 30L && goodA.short_frac == 0.0)
+    val expGood = expectEst(winA.filter(_._2 == "good.net").map(_._3))
+    assert(goodA.distinct_est == expGood, s"${goodA.distinct_est} vs $expGood")
+    // healthy domain: estimate ≈ n → dup estimate near 0, far below spam
+    assert(goodA.dup_frac_est < 0.2 && spamA.dup_frac_est > 0.8,
+      s"good ${goodA.dup_frac_est} vs spam ${spamA.dup_frac_est}")
+    val spamB = got((60000L, "spam.com"))
+    assert(spamB.n_docs == 10L && spamB.short_frac == 0.0,
+      "window B is a fresh state: no carry-over from window A")
+  }
 }

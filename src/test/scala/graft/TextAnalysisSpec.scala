@@ -457,4 +457,36 @@ class TextAnalysisSpec extends SparkSpec {
     // bounded: 6 matching docs but only the 4 LOWEST ids survive
     assert(byTerm("common").sortBy(_._3).map(_._4) === Seq(1L, 2L, 3L, 4L))
   }
+
+  test("domainQuality: domain-level dup/short verdicts, tag-don't-drop") {
+    val longText = (1 to 25).map(i => s"w$i").mkString(" ") // 25 tokens
+    val docs = Seq(
+      // spam.com: 4 docs, all the same after normalization → dup_frac 0.75
+      (1L, "spam.com", "Buy   Now"), (2L, "spam.com", "buy now"),
+      (3L, "spam.com", "BUY NOW "), (4L, "spam.com", "buy now"),
+      // short.org: 3 distinct docs, all < 20 tokens → short_frac 1.0
+      (5L, "short.org", "tiny one"), (6L, "short.org", "tiny two"),
+      (7L, "short.org", "tiny three"),
+      // good.net: 3 distinct long docs → keep
+      (8L, "good.net", longText + " a"), (9L, "good.net", longText + " b"),
+      (10L, "good.net", longText + " c"),
+      // tiny.io: 2 identical docs but below minDocs → keep
+      (11L, "tiny.io", "same text"), (12L, "tiny.io", "same text")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.domainQuality(docs, "doc_id", "source", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getString(6)))
+    val bySrc = out.groupBy(_._2)
+    // spam.com flagged by dup fraction: (4 - 1 distinct) / 4
+    assert(bySrc("spam.com").forall(t => t._3 == 4L && t._4 == 0.75 && t._6 == "flag"))
+    // short.org flagged by short fraction despite zero dups
+    assert(bySrc("short.org").forall(t => t._4 == 0.0 && t._5 == 1.0 && t._6 == "flag"))
+    // healthy domain keeps
+    assert(bySrc("good.net").forall(t => t._4 == 0.0 && t._5 == 0.0 && t._6 == "keep"))
+    // 100% dup but n_docs < minDocs: evidence too thin to flag
+    assert(bySrc("tiny.io").forall(t => t._4 == 0.5 && t._6 == "keep"))
+    // every input doc is tagged, none dropped
+    assert(out.map(_._1).toSeq == (1L to 12L))
+  }
 }
