@@ -437,6 +437,104 @@ object Multimodal {
     if (den > 0) Some(num / den) else None
   }
 
+  /** Haitsma–Kalker-style perceptual audio fingerprint (the audio
+    * counterpart of [[imageDHash]]): per overlapping Hann-windowed
+    * frame, signal energy in 16 log-spaced bands (300–3000 Hz, the
+    * perceptually dominant range), one bit per band = the sign of the
+    * band-energy difference's TIME DELTA —
+    * `(E(f,b) − E(f,b+1)) − (E(f−1,b) − E(f−1,b+1)) > 0` — the
+    * classic robust-hash construction (Haitsma & Kalker 2002): signs
+    * of double differences survive volume changes exactly (scaling
+    * samples by c scales every energy by c², leaving every sign
+    * intact) and survive mild transcoding approximately. Returns the
+    * per-frame 16-bit words (≤ `maxFrames`, bounded work per row) plus
+    * a 64-bit summary (the first four words packed) whose Hamming
+    * distance feeds the existing banded near-dup machinery
+    * ([[Dedup]]'s hamming pairs work on any long signature).
+    * None when the payload is too short to frame or the rate too low
+    * for the band range.
+    */
+  private[graft] def audioFingerprint(p: PcmAudio,
+                                      maxFrames: Int = 96): Option[(Array[Int], Long)] = {
+    val s = p.samples
+    val win = math.min(2048, java.lang.Integer.highestOneBit(math.max(s.length / 2, 1)))
+    if (win < 256 || p.rate < 4000) return None
+    val hop = win / 2
+    val nFrames = math.min((s.length - win) / hop + 1, maxFrames)
+    if (nFrames < 2) return None
+    val nBands = 16
+    val lo = 300.0
+    val hi = math.min(3000.0, p.rate / 2.0 * 0.9)
+    if (hi <= lo * 1.5) return None
+    // log-spaced band edges → FFT bin indices (monotone, deduped by
+    // the max() guard so degenerate adjacent edges merge safely)
+    val edges = Array.tabulate(nBands + 1) { i =>
+      val f = lo * math.pow(hi / lo, i.toDouble / nBands)
+      math.max(1, math.min(win / 2 - 1, (f * win / p.rate).toInt))
+    }
+    val hann = Array.tabulate(win)(i => 0.5 - 0.5 * math.cos(2.0 * math.Pi * i / win))
+    val re = new Array[Double](win)
+    val im = new Array[Double](win)
+    var prev: Array[Double] = null
+    val words = new Array[Int](nFrames - 1)
+    var f = 0
+    while (f < nFrames) {
+      var i = 0
+      while (i < win) { re(i) = s(f * hop + i) * hann(i); im(i) = 0.0; i += 1 }
+      fftInPlace(re, im)
+      val e = new Array[Double](nBands)
+      var b = 0
+      while (b < nBands) {
+        var k = edges(b)
+        var acc = 0.0
+        while (k < math.max(edges(b + 1), edges(b) + 1) && k < win / 2) {
+          acc += re(k) * re(k) + im(k) * im(k); k += 1
+        }
+        e(b) = acc
+        b += 1
+      }
+      if (prev != null) {
+        var w = 0
+        var b2 = 0
+        while (b2 < nBands - 1) {
+          val d = (e(b2) - e(b2 + 1)) - (prev(b2) - prev(b2 + 1))
+          w = (w << 1) | (if (d > 0) 1 else 0)
+          b2 += 1
+        }
+        // 15 delta bits + 1 intra-frame bit keeps the word 16 wide
+        w = (w << 1) | (if (e(nBands - 1) > e(0)) 1 else 0)
+        words(f - 1) = w
+      }
+      prev = e
+      f += 1
+    }
+    var summary = 0L
+    var j = 0
+    while (j < math.min(4, words.length)) { summary = (summary << 16) | (words(j) & 0xFFFFL); j += 1 }
+    Some((words, summary))
+  }
+
+  /** Audio fingerprint plumbing: struct(fp_bits, n_frames,
+    * frame_words, stubbed) per row. `stubbed = true` when no PCM
+    * decode path exists for the payload (lossy audio, garbage) — the
+    * same honesty flag as the other multimodal kernels.
+    */
+  case class AudioFingerprint(fp_bits: Option[Long], n_frames: Option[Int],
+                              frame_words: Option[Seq[Int]], stubbed: Boolean)
+
+  def withAudioFingerprint(df: DataFrame, binaryCol: String,
+                           out: String = "audio_fp"): DataFrame = {
+    val f = udf((bytes: Array[Byte]) => {
+      val fp = Option(bytes).flatMap(decodePcm(_)).flatMap(audioFingerprint(_))
+      fp match {
+        case Some((words, bits)) =>
+          AudioFingerprint(Some(bits), Some(words.length + 1), Some(words.toSeq), stubbed = false)
+        case None => AudioFingerprint(None, None, None, stubbed = true)
+      }
+    })
+    df.withColumn(out, f(col(binaryCol)))
+  }
+
   /** Iterative in-place radix-2 FFT (bit-reversal permutation +
     * butterfly passes). `re.length` must be a power of two.
     */

@@ -841,4 +841,55 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("frame_time_sec")).toSeq == Seq(0.0, 1.0, 2.0, 3.0))
     assert(out.forall(!_.getAs[Boolean]("stubbed")))
   }
+
+  // ---- perceptual audio fingerprint (Haitsma–Kalker bits) ----
+
+  /** Non-stationary two-tone cross-fade: every frame's band energies
+    * move, so the delta signs are driven by signal, not numeric dust.
+    */
+  private def crossFade(rate: Int, n: Int, f1: Double, f2: Double): Array[Double] =
+    Array.tabulate(n) { i =>
+      val a = i.toDouble / n
+      (1 - a) * math.sin(2 * math.Pi * f1 * i / rate) +
+        a * math.sin(2 * math.Pi * f2 * i / rate)
+    }
+
+  test("audio fingerprint: exact amplitude invariance, content discrimination, determinism") {
+    import graft.operators.Multimodal.{PcmAudio, audioFingerprint}
+    val rate = 16000
+    val s = crossFade(rate, 16384, 440, 1200)
+    val (words, bits) = audioFingerprint(PcmAudio(rate, 1, 16, s)).get
+    assert(words.length >= 10, s"enough frames: ${words.length}")
+    // scaling every sample by c scales every band energy by c², so
+    // every double-difference keeps its strict sign: EXACT equality
+    val (wordsQ, bitsQ) = audioFingerprint(PcmAudio(rate, 1, 16, s.map(_ * 0.25))).get
+    assert(words.toSeq == wordsQ.toSeq && bits == bitsQ, "volume must not move one bit")
+    // determinism
+    val (words2, _) = audioFingerprint(PcmAudio(rate, 1, 16, s.clone())).get
+    assert(words.toSeq == words2.toSeq)
+    // different content (tones swapped = reversed spectral trajectory)
+    // must land far away in Hamming space
+    val (_, bitsB) = audioFingerprint(PcmAudio(rate, 1, 16, crossFade(rate, 16384, 1200, 440))).get
+    val dist = java.lang.Long.bitCount(bits ^ bitsB)
+    assert(dist >= 8, s"summary Hamming distance $dist for different content")
+  }
+
+  test("withAudioFingerprint: real WAV path vs stubbed fallback") {
+    val rate = 16000
+    val n = 16384
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes).putInt(n * 2)
+    crossFade(rate, n, 440, 1200).foreach(x => bb.putShort((x * 12000).toShort))
+    val df = Seq((1L, bb.array()), (2L, "not audio".getBytes)).toDF("id", "payload")
+    val rows = Multimodal.withAudioFingerprint(df, "payload")
+      .select(col("id"), col("audio_fp.*")).orderBy("id").collect()
+    assert(!rows(0).getAs[Boolean]("stubbed"))
+    assert(rows(0).getAs[Int]("n_frames") >= 10)
+    assert(rows(0).getAs[Long]("fp_bits") != 0L)
+    assert(rows(1).getAs[Boolean]("stubbed"), "no PCM path → honest stub flag")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("fp_bits")))
+  }
 }
