@@ -136,6 +136,66 @@ class Mp3BitstreamSpec extends SparkSpec {
     assert(Mp3Bitstream.parseFrames(Array.empty[Byte]).isEmpty)
   }
 
+  /** Parameterized side-info writer for the generative round-trip:
+    * tables/regions/scfsi pinned to zero (the parser skips them), the
+    * signal-bearing fields planted from the generator.
+    */
+  private def frameWith(grans: Seq[Mp3Bitstream.Granule], stereo: Boolean): Array[Byte] = {
+    val w = new BitWriter
+    w.put(0, 9)                           // main_data_begin
+    w.put(0, if (stereo) 3 else 5)        // private bits
+    w.put(0, if (stereo) 8 else 4)        // scfsi
+    grans.foreach { g =>
+      w.put(g.part23Length, 12).put(g.bigValues, 9).put(g.globalGain, 8)
+      w.put(0, 4)                         // scalefac_compress
+      w.put(if (g.windowSwitching) 1 else 0, 1)
+      if (g.windowSwitching) {
+        w.put(g.blockType, 2).put(if (g.mixedBlock) 1 else 0, 1)
+        w.put(0, 5).put(0, 5)             // table_select x2
+        w.put(0, 3).put(0, 3).put(0, 3)   // subblock gains
+      } else {
+        w.put(0, 5).put(0, 5).put(0, 5)   // table_select x3
+        w.put(0, 4).put(0, 3)             // region counts
+      }
+      w.put(0, 1).put(0, 1).put(0, 1)     // preflag, scalefac_scale, count1
+    }
+    val side = w.bytes
+    assert(side.length == (if (stereo) 32 else 17))
+    val f = new Array[Byte](417)
+    f(0) = 0xFF.toByte; f(1) = 0xFA.toByte; f(2) = 0x90.toByte
+    f(3) = (if (stereo) 0x00 else 0xC0).toByte
+    side.copyToArray(f, 6)
+    val crc = Mp3Bitstream.crc16(f, Seq((2, 4), (6, 6 + side.length)))
+    f(4) = (crc >> 8).toByte; f(5) = crc.toByte
+    f
+  }
+
+  test("generative round-trip: random granule fields survive write→parse, mono and stereo") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val granGen = for {
+      p23 <- Gen.choose(0, 4095)
+      bv <- Gen.choose(0, 511)
+      gg <- Gen.choose(0, 255)
+      ws <- Gen.oneOf(true, false)
+      bt <- Gen.choose(1, 3) // block_type 0 is reserved under switching
+      mixed <- Gen.oneOf(true, false)
+    } yield Mp3Bitstream.Granule(p23, bv, gg, ws,
+      if (ws) bt else 0, if (ws) mixed else false)
+    for (seed <- 1L to 20L) {
+      val stereo = seed % 2 == 0
+      val n = if (stereo) 4 else 2 // 2 granules × channels
+      val grans = sample(Gen.listOfN(n, granGen), seed)
+      val payload = frameWith(grans, stereo) ++ frameWith(grans, stereo)
+      val fs = Mp3Bitstream.parseFrames(payload).get
+      assert(fs.length == 2 && fs.head.channels == (if (stereo) 2 else 1))
+      assert(fs.head.granules == grans.toVector, s"seed $seed stereo=$stereo")
+      assert(fs.head.crcOk.contains(true), s"seed $seed CRC")
+    }
+  }
+
   test("withMp3Bitstream: struct plumbing over a binary column") {
     val mp3 = mpeg1Frame() ++ mpeg1Frame() ++ mpeg1Frame()
     val df = Seq((1L, mp3), (2L, "plain text".getBytes)).toDF("id", "payload")
