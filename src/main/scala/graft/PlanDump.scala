@@ -61,8 +61,11 @@ object PlanDump {
     "evt_attribution" -> "one equi-join + min/max-struct hash agg — no window over a user's touch history",
     "txt_canonical" -> "capped LSH → pointer-doubling CC → per-cluster row_number keyed by bounded cluster ids",
     "dedup_clusters_lsh" -> "pointer-doubling CC over capped LSH edges; fresh-stats checkpoints; early-exit probe",
-    "txt_domain_quality" -> "two-level (src,fp)→src aggregation; tiny domain table broadcast back onto the doc scan",
-    "evt_cooccurrence" -> "distinct (user,type) before the user-keyed self-join — pair fan-out bounded by |types|² per user")
+    "txt_domain_quality" -> "checkpointed result (one text scan via persisted slim frame); shape audited at the domainQualityImpl seam",
+    "evt_cooccurrence" -> "checkpointed result (one event scan via persisted distinct frame); shape audited at the cooccurrenceImpl seam",
+    "evt_paths" -> "one user-keyed lead window; share rolls up the tiny path table — events scanned exactly once",
+    "evt_rfm" -> "checkpointed result (one event scan via persisted per-user frame); shape audited at the rfmImpl seam",
+    "dedup_triangles" -> "degree-ordered wedge join over the capped LSH edge set — O(m^1.5); checkpointed, shape audited at the triangleStatsImpl seam")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

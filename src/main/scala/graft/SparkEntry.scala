@@ -1827,6 +1827,34 @@ object SparkEntry {
       // user regardless of event volume.
       graft.operators.EventAnalytics.cooccurrence(events(s, dir), "user_id", "event_type")
         .orderBy("et_a", "et_b")),
+    "evt_paths" -> ((s, dir) =>
+      // Ordered 3-step behavior paths: user-partitioned double-lead,
+      // rolled up to the <=|types|^3 path table with shares.
+      graft.operators.EventAnalytics.paths(events(s, dir),
+          "user_id", "event_type", "ts_us", "event_id")
+        .orderBy(desc("n"), col("e1"), col("e2"), col("e3"))),
+    "evt_rfm" -> ((s, dir) =>
+      // RFM user-value segmentation: one per-user aggregation, mean
+      // cutoffs compared as exact integers (r*n <= sum_r), monetary
+      // reported but kept out of the verdict.
+      graft.operators.EventAnalytics.rfm(events(s, dir), "user_id", "ts_us", "value")
+        .orderBy("user_id")),
+    "dedup_triangles" -> ((s, dir) => {
+      // Clique QA over the capped LSH near-dup graph: per-node
+      // triangle count + clustering coefficient. Clustering ~1 means
+      // a genuine mutual-duplicate clique; a big cluster of
+      // low-clustering nodes was merged by transitive chains — the
+      // LSH over-merge signature connectedComponents can't see.
+      // Degree-ordered node-iterator: O(m^1.5) exact, per-node counts
+      // orientation-invariant so the id-ordered oracle matches.
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.3,
+        portableHash = true)
+      graft.operators.Graphs.triangleStats(pairs)
+        .select(col("node").as("doc_id"), col("degree"),
+          col("n_triangles"), col("clustering"))
+        .orderBy("doc_id")
+    }),
     "txt_pmi" -> ((s, dir) =>
       // PMI collocations: top-50 token pairs by pointwise mutual
       // information over per-doc co-occurrence; per-doc token cap 20
@@ -1899,6 +1927,15 @@ object SparkEntry {
       Similarity.kmeansAssign(t(s, dir, "embeddings"), "embedding", "vec_id",
           nCells = 8, iters = 3)
         .orderBy("vec_id")),
+    "emb_drift" -> ((s, dir) =>
+      // Embedding-space drift between two snapshots (even/odd vec_id
+      // halves, the incremental convention): seeded-centroid cell
+      // histograms compared by +1-smoothed PSI; corpus never shuffles.
+      Similarity.embeddingDrift(
+          t(s, dir, "embeddings")
+            .withColumn("is_base", pmod(col("vec_id"), lit(2)) === 0),
+          "embedding", "vec_id", "is_base", nCells = 8)
+        .orderBy("cell_id")),
     "meta_zorder" -> ((s, dir) =>
       // Morton key over (custkey, orderkey): the clustering key
       // zOrderWrite range-partitions on; pure codegen'd bit math.
@@ -3286,6 +3323,54 @@ object SparkEntry {
          FROM co_p JOIN co_m ma ON co_p.et_a = ma.et
            JOIN co_m mb ON co_p.et_b = mb.et CROSS JOIN co_t
          ORDER BY et_a, et_b""",
+    "evt_paths" ->
+      s"""WITH pg AS (SELECT event_type AS e1,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+           lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+         FROM events),
+         pc AS (SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n FROM pg
+           WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY e1, e2, e3),
+         pt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM pc)
+         SELECT e1, e2, e3, n,
+           ${roundToSql("CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)", 6)} AS share
+         FROM pc CROSS JOIN pt ORDER BY n DESC, e1, e2, e3""",
+    "evt_rfm" ->
+      s"""WITH ru AS (SELECT user_id, max(epoch_us(ts)) AS last_ts,
+           CAST(count(*) AS BIGINT) AS frequency, sum(value) AS m_raw
+         FROM events GROUP BY user_id),
+         rc AS (SELECT max(epoch_us(ts)) AS corpus_max FROM events),
+         rr AS (SELECT user_id, (corpus_max - last_ts) // 86400000000 AS recency_days,
+           frequency, m_raw FROM ru CROSS JOIN rc),
+         rt AS (SELECT CAST(sum(recency_days) AS BIGINT) AS tot_r,
+           CAST(sum(frequency) AS BIGINT) AS tot_f,
+           CAST(count(*) AS BIGINT) AS n_users FROM rr)
+         SELECT user_id, recency_days, frequency,
+           ${roundToSql("m_raw", 4)} AS monetary,
+           CASE WHEN recency_days * n_users <= tot_r THEN
+             CASE WHEN frequency * n_users >= tot_f THEN 'core' ELSE 'casual' END
+           ELSE
+             CASE WHEN frequency * n_users >= tot_f THEN 'lapsed_heavy' ELSE 'dormant' END
+           END AS segment
+         FROM rr CROSS JOIN rt ORDER BY user_id""",
+    "dedup_triangles" ->
+      s"""WITH $minhashLshCtes,
+         tj AS (SELECT id_a, id_b FROM mh_ver WHERE jac >= 0.3),
+         ted AS (SELECT DISTINCT id_a AS u, id_b AS v FROM tj),
+         tdeg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+           (SELECT u AS node FROM ted UNION ALL SELECT v FROM ted) GROUP BY node),
+         ttri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+           FROM ted e1 JOIN ted e2 ON e2.u = e1.u AND e2.v > e1.v
+           JOIN ted e3 ON e3.u = e1.v AND e3.v = e2.v),
+         tpn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM
+           (SELECT x AS node FROM ttri UNION ALL SELECT y FROM ttri
+            UNION ALL SELECT z FROM ttri) GROUP BY node)
+         SELECT tdeg.node AS doc_id, tdeg.d AS degree,
+           CAST(coalesce(tpn.n_tri, 0) AS BIGINT) AS n_triangles,
+           ${roundToSql(
+             "CASE WHEN tdeg.d >= 2 THEN 2.0 * CAST(coalesce(tpn.n_tri, 0) AS DOUBLE)" +
+             " / (CAST(tdeg.d AS DOUBLE) * CAST(tdeg.d - 1 AS DOUBLE)) ELSE 0.0 END", 6)}
+           AS clustering
+         FROM tdeg LEFT JOIN tpn USING (node) ORDER BY doc_id""",
     "evt_attribution" ->
       s"""WITH at_c AS (SELECT user_id, event_id AS conversion_id, epoch_us(ts) AS conv_ts
            FROM events WHERE event_type = 'purchase'),
@@ -3447,6 +3532,41 @@ object SparkEntry {
          WHERE vec_id NOT IN (SELECT cid FROM bad) ORDER BY vec_id"""
     },
     "emb_kmeans" -> kmeansOracleSql,
+    "emb_drift" -> {
+      val pa = "(CAST(n_base + 1 AS DOUBLE) / CAST(tot_base + 8 AS DOUBLE))"
+      val pb = "(CAST(n_new + 1 AS DOUBLE) / CAST(tot_new + 8 AS DOUBLE))"
+      s"""WITH dr_qd AS (SELECT vec_id, (vec_id % 2 = 0) AS is_base,
+           list_transform(list_transform(embedding::DOUBLE[],
+             x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)), x -> CAST(x AS DOUBLE)) AS qd
+         FROM embeddings),
+         dr_seed AS (SELECT vec_id, qd FROM dr_qd
+           ORDER BY ((vec_id % 1000003) * 2654435761) % 2147483647 DESC, vec_id LIMIT 8),
+         dr_c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             qd AS m FROM dr_seed),
+         dr_cl AS (SELECT list(m ORDER BY cell) AS cl FROM dr_c0),
+         dr_a AS (SELECT vec_id, is_base, list_position(dl, list_min(dl)) - 1 AS cell
+           FROM (SELECT vec_id, is_base,
+             list_transform(range(0, 8), c -> list_reduce(list_transform(range(1, 65),
+               d -> (qd[d] - cl[c+1][d]) * (qd[d] - cl[c+1][d])), (x, y) -> x + y)) AS dl
+             FROM dr_qd CROSS JOIN dr_cl)),
+         dr_c AS (SELECT cell,
+             CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+           FROM dr_a GROUP BY cell),
+         dr_g AS (SELECT CAST(t.c AS INTEGER) AS cell_id,
+             CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+             CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+           FROM range(0, 8) t(c) LEFT JOIN dr_c ON dr_c.cell = t.c),
+         dr_t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tot_base,
+             CAST(sum(n_new) AS BIGINT) AS tot_new FROM dr_g),
+         dr_q AS (SELECT cell_id, n_base, n_new,
+             CAST(floor(($pa - $pb) * ln($pa / $pb) * 1e6 + 0.5) AS BIGINT) AS tq
+           FROM dr_g CROSS JOIN dr_t)
+         SELECT cell_id, n_base, n_new,
+           ${roundToSql("CAST(tq AS DOUBLE) / 1e6", 6)} AS psi_term,
+           ${roundToSql("CAST(sum(tq) OVER () AS DOUBLE) / 1e6", 6)} AS psi
+         FROM dr_q ORDER BY cell_id"""
+    },
     "meta_zorder" ->
       """SELECT o_orderkey, list_reduce(list_transform(range(0, 16), i ->
            (((o_custkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))

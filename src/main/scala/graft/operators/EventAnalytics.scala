@@ -242,10 +242,22 @@ object EventAnalytics {
     * pair rows. Lift is computed on exact longs with single IEEE
     * casts, quantized at 1e-6 — engine-portable.
     */
-  def cooccurrence(events: DataFrame, userCol: String, typeCol: String): DataFrame = {
+  def cooccurrence(events: DataFrame, userCol: String, typeCol: String): DataFrame =
+    cooccurrenceImpl(events, userCol, typeCol, materialize = true)
+
+  /** [[cooccurrence]] without the persist/checkpoint materialization —
+    * the plan-audit seam. */
+  private[graft] def cooccurrenceImpl(events: DataFrame, userCol: String,
+      typeCol: String, materialize: Boolean): DataFrame = {
     val rd = graft.functions.MathFunctions.roundTo _
-    val ut = events.select(col(userCol).as("u"), col(typeCol).as("et"))
+    // persisted: the distinct frame feeds four branches (marginals,
+    // total, both self-join sides) which column-prune it differently —
+    // without the cache their exchanges stop being identical,
+    // ReuseExchange misses, and the event log is re-scanned up to 4×
+    // (measured). Checkpoint the ≤ |types|² result, free the cache.
+    val ut0 = events.select(col(userCol).as("u"), col(typeCol).as("et"))
       .distinct()
+    val ut = if (materialize) ut0.persist() else ut0
     val marg = ut.groupBy("et").agg(count("*").as("n_users"))
     val total = ut.agg(countDistinct("u").as("n_total"))
     val pairs = ut.as("a")
@@ -253,12 +265,119 @@ object EventAnalytics {
         col("a.u") === col("b.u") && col("a.et") < col("b.et"))
       .groupBy(col("a.et").as("et_a"), col("b.et").as("et_b"))
       .agg(count("*").as("n_both"))
-    pairs
+    val raw = pairs
       .join(broadcast(marg.select(col("et").as("et_a"), col("n_users").as("n_a"))), Seq("et_a"))
       .join(broadcast(marg.select(col("et").as("et_b"), col("n_users").as("n_b"))), Seq("et_b"))
       .crossJoin(broadcast(total)) // one scalar row
       .select(col("et_a"), col("et_b"), col("n_both"), col("n_a"), col("n_b"),
         rd(col("n_both").cast("double") * col("n_total").cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+    if (!materialize) raw
+    else {
+      val out = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointFreshStats(raw)
+      ut.unpersist()
+      out
+    }
+  }
+
+  /** Ordered 3-step behavior paths (the length-3 extension of the
+    * Markov `transitions` matrix): every consecutive event triple per
+    * user, counted corpus-wide with its share of all triples — the
+    * "what do users actually DO in sequence" mining step run before a
+    * funnel hypothesis exists.
+    *
+    * Scale shape: the only data-sized operation is the user-keyed
+    * sort window producing the two leads — partitioned by user, never
+    * global — after which everything rolls up to the ≤ |types|³ path
+    * table, and the share denominator is a window over THAT table (the
+    * `transitions` precedent), so the events subtree executes exactly
+    * once — a scalar cross-join denominator would re-run the scan +
+    * window a second time. A path's existence needs its three events
+    * to sit consecutively in ONE user's timeline, so the window state
+    * per user is two lookahead rows.
+    */
+  def paths(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, eventIdCol: String): DataFrame = {
+    val rd = graft.functions.MathFunctions.roundTo _
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(tsUsCol, eventIdCol)
+    val triples = events
+      .select(col(userCol), col(tsUsCol), col(eventIdCol),
+        col(typeCol).as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .withColumn("e3", lead("e1", 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count("*").as("n"))
+    // single-partition window over <= |types|^3 aggregated rows only
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    triples.select(col("e1"), col("e2"), col("e3"), col("n"),
+      rd(col("n").cast("double") / sum("n").over(wAll).cast("double"), 6).as("share"))
+  }
+
+  /** RFM segmentation (recency / frequency / monetary) — the
+    * classic user-value rollup: per user, whole days since their last
+    * event (relative to the corpus' newest event), event count, and
+    * value sum, plus a four-way segment verdict against the corpus
+    * MEANS. The verdict compares INTEGERS only — `r · n_users ≤ Σr`
+    * is exactly `r ≤ mean(r)` without ever forming the IEEE quotient,
+    * so the boundary users land identically on any engine and any
+    * partitioning (the `monetary` double is reported, quantized, but
+    * deliberately kept OUT of the verdict).
+    *
+    * Scale shape: events are scanned ONCE — the map-side-combined
+    * per-user aggregation is persisted and every corpus scalar
+    * (max ts + Σf + user count, then Σr which needs the max first)
+    * is an aggregate over that cached user-sized frame, broadcast
+    * back as one-row cross-joins. Without the persist the three uses
+    * column-prune the per-user aggregate differently, the exchanges
+    * stop being identical, ReuseExchange no longer fires, and the
+    * plan re-scans the event log up to 4× (measured). The result is
+    * checkpointed so the cache can be freed before returning. No
+    * windows, no quantiles — mean cutoffs keep everything one pass.
+    */
+  def rfm(events: DataFrame, userCol: String, tsUsCol: String,
+      valueCol: String): DataFrame =
+    rfmImpl(events, userCol, tsUsCol, valueCol, materialize = true)
+
+  /** [[rfm]] without the persist/checkpoint materialization — the
+    * plan-audit seam. */
+  private[graft] def rfmImpl(events: DataFrame, userCol: String,
+      tsUsCol: String, valueCol: String, materialize: Boolean): DataFrame = {
+    val rd = graft.functions.MathFunctions.roundTo _
+    val perUser0 = events.groupBy(col(userCol).as("user_id"))
+      .agg(max(col(tsUsCol)).as("last_ts"),
+        count("*").as("frequency"),
+        sum(col(valueCol)).as("m_raw"))
+    val perUser = if (materialize) perUser0.persist() else perUser0
+    val scal = perUser.agg(max(col("last_ts")).as("corpus_max"),
+      sum("frequency").as("tot_f"), count("*").as("n_users"))
+    val withR = perUser.crossJoin(broadcast(scal)) // one scalar row
+      .select(col("user_id"),
+        // integer `div`, not `/`: the IEEE quotient of two ~1e15
+        // micros values can land one ulp under an exact day multiple
+        // and truncate to k−1 — the oracle's integer division never does
+        expr("(corpus_max - last_ts) div 86400000000").as("recency_days"),
+        col("frequency"), col("m_raw"), col("tot_f"), col("n_users"))
+    val totR = withR.agg(sum("recency_days").as("tot_r"))
+    val raw = withR.crossJoin(broadcast(totR)) // one scalar row
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        // 4 dp like every sum-of-double oracle column here: the wider
+        // quantum absorbs partition-order FP drift
+        rd(col("m_raw"), 4).as("monetary"),
+        when(col("recency_days") * col("n_users") <= col("tot_r"),
+          when(col("frequency") * col("n_users") >= col("tot_f"), "core")
+            .otherwise("casual"))
+          .otherwise(
+            when(col("frequency") * col("n_users") >= col("tot_f"), "lapsed_heavy")
+              .otherwise("dormant")).as("segment"))
+    if (!materialize) raw
+    else {
+      val out = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointFreshStats(raw)
+      perUser.unpersist()
+      out
+    }
   }
 }

@@ -145,15 +145,7 @@ object Similarity {
       transform(col(vecCol).cast("array<double>"),
         x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("q"))
       .withColumn("qd", col("q").cast("array<double>"))
-    val seedHash = pmod(pmod(col("id"), lit(1000003L)) * lit(2654435761L), lit(2147483647L))
-    val seedIds = base
-      .agg(graft.plans.TopKByScore.topKByScore(seedHash.cast("double"), col("id"), nCells).as("top"))
-      .select(explode(col("top.id")).as("id")).collect().map(_.getLong(0))
-    val seedDf = seedIds.toSeq.toDF("id")
-    var cents: Array[Array[Double]] = base
-      .join(broadcast(seedDf), Seq("id"), "left_semi")
-      .orderBy("id") // tiny frame (nCells rows): determinism only
-      .select("qd").collect().map(_.getSeq[Double](0).toArray)
+    var cents: Array[Array[Double]] = seededCentroids(base, nCells)
     for (_ <- 1 to iters) {
       val assigned = base.withColumn("cell",
         column(graft.plans.NearestCentroid(expression(col("qd")), cents.toSeq.map(_.toSeq))))
@@ -181,6 +173,88 @@ object Similarity {
     }
     assigned.select(col("id").as(idCol), col("cell_id"),
       graft.functions.MathFunctions.roundTo(distCol / lit(1e12), 6).as("dist"))
+  }
+
+  /** The deterministic hash-seeded initial centroids shared by
+    * [[kmeansAssign]] and [[embeddingDrift]]: the `nCells` rows with
+    * the highest multiplicative id hash, selected by the bounded-heap
+    * top-k (no corpus sort), their quantized coordinates collected —
+    * `nCells · dim` doubles on the driver, never data-sized. `base`
+    * must carry (id, qd).
+    */
+  private def seededCentroids(base: DataFrame, nCells: Int): Array[Array[Double]] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val seedHash = pmod(pmod(col("id"), lit(1000003L)) * lit(2654435761L), lit(2147483647L))
+    val seedIds = base
+      .agg(graft.plans.TopKByScore.topKByScore(seedHash.cast("double"), col("id"), nCells).as("top"))
+      .select(explode(col("top.id")).as("id")).collect().map(_.getLong(0))
+    val seedDf = seedIds.toSeq.toDF("id")
+    base.join(broadcast(seedDf), Seq("id"), "left_semi")
+      .orderBy("id") // tiny frame (nCells rows): determinism only
+      .select("qd").collect().map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Embedding-distribution drift between two corpus snapshots — the
+    * train/serve-skew monitor for retrieval and embedding models: a
+    * new crawl batch whose vectors pile into different regions of the
+    * space than the corpus they'll join is a model-refresh signal no
+    * per-value PSI ([[Sketches.psiMatrix]]) can see, because the shift
+    * lives in the joint geometry, not any scalar column.
+    *
+    * Method: every vector is assigned to its nearest of `nCells`
+    * deterministic hash-seeded centroids (the [[kmeansAssign]] seed
+    * rule and the same fixed-order [[graft.plans.NearestCentroid]]
+    * fold, so an external engine replays assignments bit-for-bit);
+    * the two snapshots' cell histograms are compared with the
+    * standard +1-smoothed PSI, per-cell terms quantized to 1e-6 and
+    * summed as exact integers — engine-portable, partitioning-immune.
+    *
+    * Scale shape: ONE narrow assignment pass (the centroid matrix is
+    * a plan literal) and one map-side-combined groupBy(cell) whose
+    * output is ≤ `nCells` rows; everything downstream (grid join,
+    * totals, PSI) is cell-count-sized with the totals broadcast as a
+    * one-row cross-join. The corpus never shuffles.
+    *
+    * Returns one row per cell (including empty ones):
+    * (cell_id, n_base, n_new, psi_term, psi) — `psi` is the corpus
+    * total, repeated per row so the frame is self-contained.
+    */
+  def embeddingDrift(df: DataFrame, vecCol: String, idCol: String,
+      baseCol: String, nCells: Int = 8): DataFrame = {
+    require(nCells > 0, s"nCells=$nCells must be positive")
+    val spark = df.sparkSession
+    val rd = graft.functions.MathFunctions.roundTo _
+    val base = df.select(col(idCol).as("id"),
+      col(baseCol).cast("boolean").as("is_base"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("q"))
+      .withColumn("qd", col("q").cast("array<double>"))
+    val cents = seededCentroids(base, nCells)
+    val counts = base
+      .withColumn("cell_id",
+        column(graft.plans.NearestCentroid(expression(col("qd")), cents.toSeq.map(_.toSeq))))
+      .groupBy("cell_id")
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_base"), 0L).otherwise(1L)).as("n_new"))
+    // full cell grid so empty cells still contribute their smoothed term
+    val grid = spark.range(nCells).select(col("id").cast("int").as("cell_id"))
+    val filled = grid.join(broadcast(counts), Seq("cell_id"), "left")
+      .select(col("cell_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val tot = filled.agg(sum("n_base").as("tot_base"), sum("n_new").as("tot_new"))
+    val nc = lit(nCells.toLong)
+    val pA = (col("n_base") + lit(1L)).cast("double") / (col("tot_base") + nc).cast("double")
+    val pB = (col("n_new") + lit(1L)).cast("double") / (col("tot_new") + nc).cast("double")
+    val termQ = floor((pA - pB) * log(pA / pB) * lit(1e6) + lit(0.5)).cast("long")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    filled.crossJoin(broadcast(tot)) // one scalar row
+      .withColumn("__tq", termQ)
+      // single-partition window over the nCells-row grid only
+      .select(col("cell_id"), col("n_base"), col("n_new"),
+        rd(col("__tq").cast("double") / lit(1e6), 6).as("psi_term"),
+        rd(sum(col("__tq")).over(wAll).cast("double") / lit(1e6), 6).as("psi"))
   }
 
   /** Exact sample covariance matrix of the embedding dimensions — the

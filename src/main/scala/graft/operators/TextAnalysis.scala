@@ -991,12 +991,27 @@ object TextAnalysis {
     */
   def domainQuality(df: DataFrame, idCol: String, sourceCol: String, textCol: String,
                     minTokens: Int = 20, minDocs: Int = 3,
-                    dupFracMax: Double = 0.5, shortFracMax: Double = 0.5): DataFrame = {
+                    dupFracMax: Double = 0.5, shortFracMax: Double = 0.5): DataFrame =
+    domainQualityImpl(df, idCol, sourceCol, textCol, minTokens, minDocs,
+      dupFracMax, shortFracMax, materialize = true)
+
+  /** [[domainQuality]] without the persist/checkpoint materialization —
+    * the plan-audit seam. */
+  private[graft] def domainQualityImpl(df: DataFrame, idCol: String,
+      sourceCol: String, textCol: String, minTokens: Int, minDocs: Int,
+      dupFracMax: Double, shortFracMax: Double,
+      materialize: Boolean): DataFrame = {
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
     val rd = graft.functions.MathFunctions.roundTo _
-    val doc = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
+    // persisted: the slim (id, src, n_tokens, fp) frame feeds both the
+    // domain aggregation and the tag-back probe side; without the
+    // cache each branch column-prunes its own parquet scan and the
+    // full TEXT column is read + fingerprinted twice. One scan, then
+    // the checkpointed doc-sized result frees the cache.
+    val doc0 = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
       graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
       graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val doc = if (materialize) doc0.persist() else doc0
     val byFp = doc.groupBy("src", "fp").agg(
       count("*").as("cnt"),
       sum(when(col("n_tokens") < minTokens, 1L).otherwise(0L)).as("short_cnt"))
@@ -1013,8 +1028,15 @@ object TextAnalysis {
         when(col("n_docs") >= minDocs &&
             (col("dup_frac") > dupFracMax || col("short_frac") > shortFracMax),
           lit("flag")).otherwise(lit("keep")))
-    doc.join(broadcast(dom), Seq("src"))
+    val raw = doc.join(broadcast(dom), Seq("src"))
       .select(col("id").as(idCol), col("src").as(sourceCol), col("n_tokens"),
         col("n_docs"), col("dup_frac"), col("short_frac"), col("domain_verdict"))
+    if (!materialize) raw
+    else {
+      val out = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointFreshStats(raw)
+      doc.unpersist()
+      out
+    }
   }
 }

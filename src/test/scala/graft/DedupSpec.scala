@@ -594,6 +594,48 @@ class DedupSpec extends SparkSpec {
       "seed rows have zero distance to their own centroid")
   }
 
+  test("embeddingDrift: identical snapshots read psi exactly 0 in every cell") {
+    import spark.implicits._
+    // every vector appears once per snapshot (even id = base twin of
+    // the next odd id) → cell histograms are equal → each smoothed
+    // term is floor(0·ln1·1e6 + 0.5) = 0, psi exactly 0.0
+    val rows = (0L until 40L).map { id =>
+      val v = Array.tabulate(6)(j => ((id / 2) * 3 % 7 + j).toFloat)
+      (id, id % 2 == 0, v)
+    }
+    val out = graft.operators.Similarity.embeddingDrift(
+        rows.toDF("id", "is_base", "v"), "v", "id", "is_base", nCells = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length === 4, "one row per cell, empty cells included")
+    assert(out.forall(r => r._2 === r._3), s"equal histograms: ${out.toSeq}")
+    assert(out.forall(r => r._4 === 0.0 && r._5 === 0.0), s"psi 0: ${out.toSeq}")
+  }
+
+  test("embeddingDrift: a planted snapshot shift yields a large psi; counts conserve") {
+    import spark.implicits._
+    // base snapshot lives near +e0, new snapshot near -e0 (far apart
+    // vs the seed spread) → disjoint cell histograms → psi >> 0
+    val rows = (0L until 60L).map { id =>
+      val base = id < 30
+      val v = Array.tabulate(6)(j =>
+        (if (j == 0) { if (base) 10f else -10f } else (id % 3).toFloat * 1e-2f))
+      (id, base, v)
+    }
+    val out = graft.operators.Similarity.embeddingDrift(
+        rows.toDF("id", "is_base", "v"), "v", "id", "is_base", nCells = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.map(_._2).sum === 30L && out.map(_._3).sum === 30L,
+      s"histograms conserve snapshot sizes: ${out.toSeq}")
+    // no cell holds rows from both snapshots
+    assert(out.forall(r => r._2 === 0L || r._3 === 0L), s"disjoint: ${out.toSeq}")
+    assert(out.forall(_._5 > 1.0), s"total psi large on a full shift: ${out.toSeq}")
+    // the total is the quantized sum of the per-cell terms
+    val sumTerms = math.floor(out.map(_._4).sum * 1e6 + 0.5) / 1e6
+    assert(math.abs(out.head._5 - sumTerms) < 1e-9, s"psi = Σ terms: ${out.toSeq}")
+  }
+
   test("covarianceMatrix: hand-computed 2x2 sample covariance, upper triangle only") {
     import spark.implicits._
     // vectors (1,2), (3,4), (5,12): means (3,6);

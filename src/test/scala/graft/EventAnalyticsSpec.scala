@@ -178,4 +178,84 @@ class EventAnalyticsSpec extends SparkSpec {
       ("click", "view", 2L, 3L, 4L, 0.833333),     // 2*5/12
       ("purchase", "view", 1L, 2L, 4L, 0.625)))    // 1*5/8
   }
+
+  // ---- paths ------------------------------------------------------------
+
+  private def pathsOn(rows: Seq[(Long, String, Long, Long)]) =
+    EventAnalytics.paths(rows.toDF("u", "et", "ts", "eid"), "u", "et", "ts", "eid")
+      .orderBy(org.apache.spark.sql.functions.desc("n"),
+        org.apache.spark.sql.functions.col("e1"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+
+  test("paths: consecutive triples per user, counted with shares") {
+    // u1: a b c d -> (a,b,c),(b,c,d);  u2: a b c -> (a,b,c)
+    val out = pathsOn(Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "c", 30L, 3L), (1L, "d", 40L, 4L),
+      (2L, "a", 10L, 5L), (2L, "b", 20L, 6L), (2L, "c", 30L, 7L)))
+    assert(out.toSeq === Seq(
+      ("a", "b", "c", 2L, 0.666667),
+      ("b", "c", "d", 1L, 0.333333)))
+  }
+
+  test("paths: same-timestamp events break ties by event id") {
+    val out = pathsOn(Seq(
+      (1L, "x", 10L, 3L), (1L, "y", 10L, 1L), (1L, "z", 10L, 2L)))
+    assert(out.toSeq === Seq(("y", "z", "x", 1L, 1.0)))
+  }
+
+  test("paths: a two-event user contributes nothing; triples never cross users") {
+    val out = pathsOn(Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L),
+      (2L, "c", 30L, 3L), (2L, "d", 40L, 4L)))
+    assert(out.isEmpty)
+  }
+
+  // ---- rfm --------------------------------------------------------------
+
+  private val Day = 86400000000L
+
+  private def rfmOn(rows: Seq[(Long, Long, Double)]) =
+    EventAnalytics.rfm(rows.toDF("u", "ts", "value"), "u", "ts", "value")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))).toMap
+
+  test("rfm: recency in whole days from the corpus max, exact counts and sums") {
+    // corpus max ts = 10*Day (user 3). r: u1 = 3 days (floor of 3.5),
+    // u2 = 0 (same-day fraction), u3 = 0.
+    val out = rfmOn(Seq(
+      (1L, 6 * Day + Day / 2, 1.5), (1L, 5 * Day, 2.0),
+      (2L, 10 * Day - 1L, 4.0),
+      (3L, 10 * Day, 0.25)))
+    // cutoffs: tot_r 3, tot_f 4, n 3. u1: r·3 = 9 > 3 (stale),
+    // f·3 = 6 ≥ 4 (frequent) → lapsed_heavy; u2/u3: recent, f·3 = 3 < 4 → casual.
+    assert(out(1L) === ((3L, 2L, 3.5, "lapsed_heavy")))
+    assert(out(2L) === ((0L, 1L, 4.0, "casual")))
+    assert(out(3L) === ((0L, 1L, 0.25, "casual")))
+  }
+
+  test("rfm: segment cutoffs are the exact means, boundary lands recent/frequent") {
+    // 2 users: r = {0, 2} → tot_r 2, n 2; mean 1. f = {1, 3} → tot 4.
+    // u1: r 2 > mean → not recent; f 1*2=2 < 4 → not frequent → dormant.
+    // u2: r 0 ≤ mean, f 3*2=6 ≥ 4 → core.
+    val out = rfmOn(Seq(
+      (1L, 8 * Day, 1.0),
+      (2L, 10 * Day, 1.0), (2L, 9 * Day, 1.0), (2L, 8 * Day, 1.0)))
+    assert(out(1L) === ((2L, 1L, 1.0, "dormant")))
+    assert(out(2L) === ((0L, 3L, 3.0, "core")))
+  }
+
+  test("rfm: a user exactly ON both mean cutoffs is core (<= and >= are inclusive)") {
+    // 3 users with r = {0, 1, 2} and f = {1, 2, 3}: means r̄ = 1, f̄ = 2.
+    // u2 sits exactly on both: r·n = 3 = tot_r, f·n = 6 = tot_f → core.
+    val out = rfmOn(Seq(
+      (1L, 10 * Day, 1.0),
+      (2L, 9 * Day, 1.0), (2L, 8 * Day, 1.0),
+      (3L, 8 * Day, 1.0), (3L, 7 * Day, 1.0), (3L, 6 * Day, 1.0)))
+    assert(out(2L)._4 === "core")
+    assert(out(1L)._4 === "casual")      // r 0 recent, f 1·3 < 6
+    assert(out(3L)._4 === "lapsed_heavy") // r 2·3 > 3, f 3·3 ≥ 6
+  }
 }

@@ -163,4 +163,73 @@ class GraphsSpec extends SparkSpec {
     assert(lpOn(edges, Seq((1L, 4)), 3) ===
       Map(1L -> Some(4), 2L -> Some(4), 3L -> Some(4)))
   }
+
+  // ---- triangleStats ----------------------------------------------------
+
+  private def triOn(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+    Graphs.triangleStats(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("triangles: K4 — every node in 3 triangles, clustering exactly 1") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val out = triOn(k4)
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    out.values.foreach { case (d, t, c) =>
+      assert(d === 3L); assert(t === 3L); assert(c === 1.0)
+    }
+  }
+
+  test("triangles: a chain has none — the LSH transitive-merge signature") {
+    // A~B~C without A~C: exactly the over-merged cluster shape the
+    // operator exists to expose — every clustering coefficient is 0.
+    val out = triOn(Seq((1L, 2L), (2L, 3L)))
+    assert(out(2L) === ((2L, 0L, 0.0)))
+    assert(out(1L) === ((1L, 0L, 0.0)))
+    assert(out(3L) === ((1L, 0L, 0.0)))
+  }
+
+  test("triangles: two triangles sharing an edge — shared nodes count both") {
+    val out = triOn(Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(out(1L) === ((2L, 1L, 1.0)))
+    assert(out(4L) === ((2L, 1L, 1.0)))
+    // nodes 2,3: degree 3, in both triangles, cc = 2·2/(3·2) = 2/3
+    assert(out(2L)._1 === 3L); assert(out(2L)._2 === 2L)
+    assert(out(2L)._3 === math.floor(2.0 / 3.0 * 1e6 + 0.5) / 1e6)
+    assert(out(3L) === out(2L))
+  }
+
+  test("triangles: duplicate and reversed input edges canonicalize to one") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 1L))
+    val out = triOn(noisy)
+    // self-loop dropped; one triangle {1,2,3}
+    out.values.foreach { case (d, t, c) => assert(d === 2L && t === 1L && c === 1.0) }
+  }
+
+  test("triangles: a star hub has zero — high degree alone is not cliquishness") {
+    val star = (2L to 9L).map(i => (1L, i))
+    val out = triOn(star)
+    assert(out(1L) === ((8L, 0L, 0.0)))
+    (2L to 9L).foreach(i => assert(out(i) === ((1L, 0L, 0.0))))
+  }
+
+  test("triangles: matches a serial brute-force count on an arbitrary graph") {
+    // deterministic pseudo-random graph on 12 nodes
+    val edges = (for {
+      a <- 1L to 12L; b <- (a + 1) to 12L
+      if ((a * 31 + b * 17) % 5) < 2
+    } yield (a, b)).toSeq
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val serialTri = adj.keys.map { v =>
+      val nb = adj(v).toSeq
+      v -> nb.combinations(2).count { case Seq(x, y) => adj(x).contains(y) }
+    }.toMap
+    val out = triOn(edges)
+    assert(out.keySet === adj.keySet)
+    adj.keys.foreach { v =>
+      assert(out(v)._1 === adj(v).size.toLong, s"degree of $v")
+      assert(out(v)._2 === serialTri(v).toLong, s"triangles of $v")
+    }
+  }
 }

@@ -684,4 +684,90 @@ class PlanAuditSpec extends SparkSpec {
       s"vectors must not cross bucket shuffles:\n${exch.mkString("\n")}")
     assert(p.contains("LeftAnti"), "survivors selected with an anti join")
   }
+
+  // The four operators below checkpoint their public result (the
+  // ExistingRDD-scan collapse emb_pagerank also shows), so the shape
+  // audits run on the package-private un-materialized seams over
+  // synthetic frames — the labelPropRound precedent.
+
+  import org.apache.spark.sql.functions._
+
+  test("domainQuality seam: domain table broadcasts back, no window, no text in exchanges") {
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      concat(lit("d"), col("id") % 20).as("source"),
+      concat(lit("body text number "), col("id") % 100).as("text"))
+    val p = graft.operators.TextAnalysis.domainQualityImpl(docs,
+        "doc_id", "source", "text", 20, 3, 0.5, 0.5, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"domain verdicts broadcast onto the doc scan:\n$p")
+    assert(p.contains("partial_"), s"(src,fp) counts map-side combined:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    // the raw text column must never ride a shuffle — docs reduce to
+    // (src, fingerprint, n_tokens) before any exchange
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.forall(!_.contains("text#")),
+      s"text must not cross exchanges:\n${exch.mkString("\n")}")
+  }
+
+  test("cooccurrence seam: distinct before the self-join, marginals broadcast, no window") {
+    val ev = spark.range(2000).select((col("id") % 300).as("u"),
+      (col("id") % 6).cast("string").as("et"))
+    val p = graft.operators.EventAnalytics.cooccurrenceImpl(ev, "u", "et",
+        materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"distinct (user,type) map-side combined:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"marginals broadcast onto pair rows:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge at this scale:\n$p")
+  }
+
+  test("evt_paths: one user-keyed lead window, events scanned once, share never re-runs the subtree") {
+    val p = plan("evt_paths")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"lead window keyed by user, never global over raw events:\n$p")
+    // the share denominator must roll up the tiny aggregated path
+    // table, not re-execute the scan+window subtree a second time
+    val scans = p.linesIterator.count(_.contains("events.parquet"))
+    assert(scans === 1, s"events scanned exactly once, got $scans:\n$p")
+    assert(p.contains("partial_"), s"path counts map-side combined:\n$p")
+  }
+
+  test("rfm seam: one per-user aggregation, scalar cutoffs broadcast, no window") {
+    val ev = spark.range(2000).select((col("id") % 300).as("u"),
+      (col("id") * 1000000L).as("ts"), (col("id") % 10).cast("double").as("v"))
+    val p = graft.operators.EventAnalytics.rfmImpl(ev, "u", "ts", "v",
+        materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"no window — mean cutoffs, not quantiles:\n$p")
+    assert(p.contains("partial_"), s"per-user agg map-side combined:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus scalars broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no data-sized join at all:\n$p")
+  }
+
+  test("emb_drift: corpus never shuffles — narrow assignment, cell-sized rollup, grid window only") {
+    val p = plan("emb_drift")
+    assert(p.contains("partial_"), s"cell counts map-side combined:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"grid/totals joins broadcast:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"counts + totals broadcast:\n$p")
+    // the only exchanges after the scan carry the <= nCells histogram,
+    // never the embedding column
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.forall(!_.contains("embedding#")),
+      s"vectors must not cross exchanges:\n${exch.mkString("\n")}")
+  }
+
+  test("triangleStats seam: long-keyed joins only, no window, no cartesian") {
+    val pairs = spark.range(3000).select((col("id") % 500).as("id_a"),
+      ((col("id") * 13 + 7) % 500).as("id_b"))
+    val p = graft.operators.Graphs.triangleStatsImpl(pairs, "id_a", "id_b",
+        materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every join an equi-join:\n$p")
+    assert(p.contains("partial_"), s"degree/per-node counts map-side combined:\n$p")
+  }
 }

@@ -548,4 +548,52 @@ class StressSpec extends SparkSpec {
     assert(ratio < 15.0,
       f"edit-distance dedup must scale near-linearly: 10x took $ratio%.1fx")
   }
+
+  test("domainQuality: one domain holding 50% of a 1M-doc corpus costs the same as a balanced one") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "skew stress point: set GRAFT_STRESS=1 (takes minutes)")
+    import graft.operators.TextAnalysis
+    // 1M docs: balanced = 1000 domains x 1000 docs; skewed = one hot
+    // domain owns 500k (half of them dups). The two-level aggregation
+    // map-side combines (src, fp) counts, so the hot domain must NOT
+    // cost a hot-key shuffle — near-equal wall time is the contract.
+    def corpus(hot: Boolean) = spark.range(0, 1000000).select(
+      col("id").as("doc_id"),
+      (if (hot) when(col("id") < 500000, lit("hot.com"))
+          .otherwise(concat(lit("d"), col("id") % 1000))
+       else concat(lit("d"), col("id") % 1000)).as("source"),
+      concat(lit("body text token stream number "), col("id") % 200000).as("text"))
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      TextAnalysis.domainQuality(df, "doc_id", "source", "text")
+        .agg(count("*")).collect()
+    run(corpus(hot = false)) // warm-up
+    val tBal = timeOf(run(corpus(hot = false)))
+    val tHot = timeOf(run(corpus(hot = true)))
+    info(f"balanced: $tBal%.1fs   hot-domain: $tHot%.1fs   ratio: ${tHot / tBal}%.2f")
+    assert(tHot < tBal * 3 + 2.0,
+      f"hot domain must not introduce a skew bottleneck: $tHot%.1fs vs $tBal%.1fs")
+  }
+
+  test("cooccurrence: a 1M-event power user costs the same as quiet users (distinct-first)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "skew stress point: set GRAFT_STRESS=1 (takes minutes)")
+    import graft.operators.EventAnalytics
+    // baseline: 2M events over 100k users x 4 types. skewed: same plus
+    // ONE user contributing 1M more events across the same 4 types —
+    // distinct (user,type) first means the power user adds 4 rows to
+    // the self-join, not 10^12 pairs.
+    val types = array(lit("a"), lit("b"), lit("c"), lit("d"))
+    def base = spark.range(0, 2000000).select(
+      (col("id") % 100000).as("u"), element_at(types, (col("id") % 4 + 1).cast("int")).as("et"))
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      EventAnalytics.cooccurrence(df, "u", "et").collect()
+    run(base) // warm-up
+    val tBase = timeOf(run(base))
+    val power = spark.range(0, 1000000).select(
+      lit(999999L).as("u"), element_at(types, (col("id") % 4 + 1).cast("int")).as("et"))
+    val tPower = timeOf(run(base.union(power)))
+    info(f"base: $tBase%.1fs   +1M-event power user: $tPower%.1fs   ratio: ${tPower / tBase}%.2f")
+    assert(tPower < tBase * 3 + 2.0,
+      f"power user must cost ~one distinct row per type: $tPower%.1fs vs $tBase%.1fs")
+  }
 }
