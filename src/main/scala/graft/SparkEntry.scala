@@ -1936,6 +1936,12 @@ object SparkEntry {
             .withColumn("is_base", pmod(col("vec_id"), lit(2)) === 0),
           "embedding", "vec_id", "is_base", nCells = 8)
         .orderBy("cell_id")),
+    "emb_kcenter" -> ((s, dir) =>
+      // Greedy k-center diversity selection: 8 farthest-first picks,
+      // integer-exact distances, every argmax tie-broken to the
+      // smallest id — the oracle unrolls the same 8 stages.
+      Similarity.kcenterSelect(t(s, dir, "embeddings"), "embedding", "vec_id", k = 8)
+        .orderBy("sel_rank")),
     "meta_zorder" -> ((s, dir) =>
       // Morton key over (custkey, orderkey): the clustering key
       // zOrderWrite range-partitions on; pure codegen'd bit math.
@@ -3532,6 +3538,36 @@ object SparkEntry {
          WHERE vec_id NOT IN (SELECT cid FROM bad) ORDER BY vec_id"""
     },
     "emb_kmeans" -> kmeansOracleSql,
+    "emb_kcenter" -> {
+      val k = 8
+      def dist(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, 65), i -> " +
+        s"($a.qd[i] - $b.qd[i]) * ($a.qd[i] - $b.qd[i])), (x, y) -> x + y)"
+      val stages = (1 until k).map { r =>
+        val m =
+          if (r == 1)
+            s"""kc_m1 AS (SELECT d.vec_id, d.qd, ${dist("d", "s")} AS md
+               FROM kc_d d CROSS JOIN kc_s0 s)"""
+          else
+            s"""kc_m$r AS (SELECT m.vec_id, m.qd, least(m.md, ${dist("m", "s")}) AS md
+               FROM kc_m${r - 1} m CROSS JOIN kc_s${r - 1} s)"""
+        s"""$m,
+           kc_s$r AS (SELECT vec_id, qd, md FROM kc_m$r ORDER BY md DESC, vec_id LIMIT 1)"""
+      }.mkString(",\n         ")
+      val rows = (s"SELECT CAST(0 AS INTEGER) AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS radius FROM kc_s0" +:
+        (1 until k).map(r =>
+          s"SELECT CAST($r AS INTEGER), vec_id, ${roundToSql("md / 1e12", 6)} FROM kc_s$r"))
+        .mkString("\n         UNION ALL ")
+      s"""WITH kc_d AS (SELECT vec_id,
+           list_transform(list_transform(embedding::DOUBLE[],
+             x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)), x -> CAST(x AS DOUBLE)) AS qd
+         FROM embeddings),
+         kc_s0 AS (SELECT vec_id, qd FROM kc_d
+           ORDER BY ((vec_id % 1000003) * 2654435761) % 2147483647 DESC, vec_id LIMIT 1),
+         $stages
+         $rows
+         ORDER BY sel_rank"""
+    },
     "emb_drift" -> {
       val pa = "(CAST(n_base + 1 AS DOUBLE) / CAST(tot_base + 8 AS DOUBLE))"
       val pb = "(CAST(n_new + 1 AS DOUBLE) / CAST(tot_new + 8 AS DOUBLE))"

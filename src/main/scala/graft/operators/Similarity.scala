@@ -195,6 +195,76 @@ object Similarity {
       .select("qd").collect().map(_.getSeq[Double](0).toArray)
   }
 
+  /** Greedy k-center selection (farthest-first traversal) — the
+    * coreset / diversity-selection primitive: pick `k` corpus points
+    * such that every point is close to some pick (2-approximation of
+    * the optimal k-center cover, the standard bound for this greedy).
+    * The data-selection use: choose maximally-diverse exemplars for
+    * fine-tuning budgets or cluster seeding, where random sampling
+    * over-represents dense regions.
+    *
+    * Determinism/portability: coordinates quantize to 1e-6 integers,
+    * squared distances are exact integer sums (< 2^53 for unit-norm
+    * 64-dim inputs, so the doubles are exact), the seed is the
+    * [[kmeansAssign]] hash rule, and every argmax tie-breaks to the
+    * smallest id via `max(struct(dist, -id, vec))` — an external
+    * engine unrolling the same k stages reproduces every pick.
+    *
+    * Scale shape: inherently k sequential passes (each pick depends
+    * on all previous); each pass is ONE narrow plan-literal distance
+    * map + ONE all-to-one max-struct aggregation over the PERSISTED
+    * slim (id, qd) frame — the corpus is read from storage once, no
+    * shuffles wider than the single aggregation row, and the driver
+    * holds k·dim doubles. The running min-distance column is a
+    * codegen'd `least` chain, never a join.
+    *
+    * Returns k rows (sel_rank, id, radius): `radius` is the point's
+    * min squared distance (unit coords, 6 dp) to the PREVIOUS picks
+    * at selection time — a non-increasing sequence whose last entry
+    * bounds the (k−1)-cover; NULL for the seed.
+    */
+  def kcenterSelect(df: DataFrame, vecCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("q"))
+      .withColumn("qd", col("q").cast("array<double>"))
+      .select("id", "qd")
+      .persist()
+    def pick(scoreCol: org.apache.spark.sql.Column,
+        from: DataFrame): (Long, Seq[Double], Double) = {
+      val r = from
+        .agg(max(struct(scoreCol.as("s"), (-col("id")).as("nid"), col("qd").as("v"))).as("m"))
+        .select(col("m.s"), col("m.nid"), col("m.v")).collect()(0)
+      (-r.getLong(1), r.getSeq[Double](2), r.getDouble(0))
+    }
+    val seedHash = pmod(pmod(col("id"), lit(1000003L)) * lit(2654435761L), lit(2147483647L))
+    val (seedId, seedVec, _) = pick(seedHash.cast("double"), base)
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])]()
+    picks += ((0, seedId, None))
+    var cur = base.withColumn("md",
+      column(graft.plans.SquaredDistance(expression(col("qd")),
+        expression(array(seedVec.map(lit): _*)))))
+    for (r <- 1 until k) {
+      val (id, vec, md) = pick(col("md"), cur)
+      picks += ((r, id, Some(md)))
+      if (r < k - 1)
+        cur = cur.withColumn("md", least(col("md"),
+          column(graft.plans.SquaredDistance(expression(col("qd")),
+            expression(array(vec.map(lit): _*))))))
+    }
+    base.unpersist()
+    // radius back to unit coordinates (quantized 1e-6 each axis → 1e12
+    // in the squared sum), same floor-form quantum as every oracle
+    picks.toSeq.map { case (r, id, md) =>
+      (r, id, md.map(d => math.floor(d / 1e12 * 1e6 + 0.5) / 1e6))
+    }.toDF("sel_rank", "id", "radius")
+      .select(col("sel_rank"), col("id").as(idCol), col("radius"))
+  }
+
   /** Embedding-distribution drift between two corpus snapshots — the
     * train/serve-skew monitor for retrieval and embedding models: a
     * new crawl batch whose vectors pile into different regions of the

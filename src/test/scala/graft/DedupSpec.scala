@@ -594,6 +594,46 @@ class DedupSpec extends SparkSpec {
       "seed rows have zero distance to their own centroid")
   }
 
+  test("kcenterSelect: farthest-first hits every planted cluster before densifying") {
+    import spark.implicits._
+    // three tight clusters at (10,0..), (0,10,0..), (0,0,10,..) plus
+    // jitter — with k=3 greedy k-center MUST pick one exemplar per
+    // cluster (a random sample of 3 usually would not)
+    val rows = (0L until 30L).map { id =>
+      val c = (id % 3).toInt
+      val v = Array.tabulate(6)(j => (if (j == c) 10f else 0f) + (id % 5).toFloat * 1e-3f)
+      (id, v)
+    }
+    val out = graft.operators.Similarity.kcenterSelect(
+        rows.toDF("id", "v"), "v", "id", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.length === 3)
+    assert(out.map(_._2 % 3).toSet === Set(0L, 1L, 2L),
+      s"one pick per planted cluster: ${out.toSeq}")
+    assert(out(0)._3.isEmpty, "seed has no previous centers")
+    // inter-cluster distance ~200 in unit coords; radii reflect it and
+    // never increase
+    val radii = out.flatMap(_._3)
+    assert(radii.forall(_ > 100.0), s"picks are far from previous centers: ${out.toSeq}")
+    assert(radii.sorted.reverse.toSeq === radii.toSeq, "radius sequence non-increasing")
+  }
+
+  test("kcenterSelect: deterministic; exact duplicate points tie-break to the smallest id") {
+    import spark.implicits._
+    // ids 100 and 101 are the SAME far-away point; the farthest-first
+    // argmax must pick 100 (smallest id wins the tie)
+    val near = (0L until 10L).map(id => (id, Array.tabulate(4)(j => (id % 2).toFloat * 1e-3f)))
+    val far = Seq(100L, 101L).map(id => (id, Array.tabulate(4)(j => if (j == 0) 50f else 0f)))
+    val df = (near ++ far).toDF("id", "v")
+    val a = graft.operators.Similarity.kcenterSelect(df, "v", "id", k = 2).collect()
+    val b = graft.operators.Similarity.kcenterSelect(df, "v", "id", k = 2).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq, "deterministic across runs")
+    val pickIds = a.map(_.getLong(1)).toSet
+    assert(pickIds.contains(100L) && !pickIds.contains(101L),
+      s"duplicate far point resolves to the smaller id: ${a.toSeq}")
+  }
+
   test("embeddingDrift: identical snapshots read psi exactly 0 in every cell") {
     import spark.implicits._
     // every vector appears once per snapshot (even id = base twin of
