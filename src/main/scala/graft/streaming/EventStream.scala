@@ -270,6 +270,86 @@ object EventStream {
       }
   }
 
+  case class WindowDrift(window_start: java.sql.Timestamp, n: Long,
+                         psi: Double, worst_cell: Int, worst_term: Double)
+
+  /** Live twin of [[graft.operators.Similarity.embeddingDrift]]: a
+    * per-window embedding-distribution monitor over a vector ingest
+    * stream — the serve-side half of the lambda pattern. The batch job
+    * owns the reference: it derives the seeded centroids and the
+    * reference cell histogram from the accepted corpus, and passes
+    * BOTH here as plan constants; the stream assigns each arriving
+    * vector to its cell with the same fixed-order
+    * [[graft.plans.NearestCentroid]] fold (scan-side, codegen'd —
+    * the vector never enters keyed state) and holds ONE
+    * `nCells`-long histogram per open window. When the watermark
+    * closes a window it emits the +1-smoothed PSI against the
+    * reference — bit-identical arithmetic to the batch operator
+    * (same IEEE op order, same 1e-6 term quantization, same floor
+    * rounding), asserted in EventStreamSpec — plus the worst cell
+    * and its signed term for triage. State is O(nCells) longs per
+    * open window regardless of stream volume; windows purge on emit
+    * (EventTimeTimeout, Append mode).
+    */
+  def driftStream(vecs: DataFrame, tsCol: String, vecCol: String,
+                  centroids: Seq[Seq[Double]], refCounts: Seq[Long],
+                  windowMillis: Long,
+                  watermark: String = "10 minutes"): Dataset[WindowDrift] = {
+    require(centroids.nonEmpty && centroids.size == refCounts.size,
+      s"need one reference count per centroid, got ${centroids.size} centroids / " +
+        s"${refCounts.size} counts")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val k = centroids.size
+    val totRef = refCounts.sum
+    val keyed = vecs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        window(col(tsCol), s"$windowMillis milliseconds")
+          .getField("start").as("wstart"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.plans.NearestCentroid(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              transform(col(vecCol).cast("array<double>"),
+                x => floor(x * lit(1e6) + lit(0.5)).cast("long")).cast("array<double>")),
+            centroids)).as("cell"))
+    keyed.groupByKey((r: org.apache.spark.sql.Row) => r.getTimestamp(1))
+      .flatMapGroupsWithState[Array[Long], WindowDrift](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wstart, rows, state: GroupState[Array[Long]]) =>
+          if (state.hasTimedOut) {
+            val hist = state.get
+            state.remove()
+            val n = hist.sum
+            var sumQ = 0L
+            var worstCell = 0
+            var worstQ = 0L
+            var c = 0
+            while (c < k) {
+              // EXACTLY the batch term: pA over the reference, pB over
+              // this window, +1 smoothing, 1e-6 floor quantization
+              val pA = (refCounts(c) + 1L).toDouble / (totRef + k).toDouble
+              val pB = (hist(c) + 1L).toDouble / (n + k).toDouble
+              val tq = math.floor((pA - pB) * math.log(pA / pB) * 1e6 + 0.5).toLong
+              sumQ += tq
+              if (math.abs(tq) > math.abs(worstQ)) { worstQ = tq; worstCell = c }
+              c += 1
+            }
+            def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+            Iterator.single(WindowDrift(wstart, n,
+              q6(sumQ.toDouble / 1e6), worstCell, q6(worstQ.toDouble / 1e6)))
+          } else {
+            val hist = state.getOption.getOrElse(new Array[Long](k))
+            rows.foreach { r => if (!r.isNullAt(2)) hist(r.getInt(2)) += 1 }
+            state.update(hist)
+            state.setTimeoutTimestamp(
+              math.max(wstart.getTime + windowMillis,
+                       state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   case class WindowQuantile(window_start: java.sql.Timestamp,
                             quantile: Double, estimate: Double, n: Long)
 

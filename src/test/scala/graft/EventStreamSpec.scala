@@ -440,4 +440,59 @@ class EventStreamSpec extends SparkSpec {
     assert(spamB.n_docs == 10L && spamB.short_frac == 0.0,
       "window B is a fresh state: no carry-over from window A")
   }
+
+  test("streaming drift: closed-window PSI matches the batch term arithmetic; fresh state per window") {
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, Array[Float])](spark)
+    // three unit-axis centroids in QUANTIZED coords (1.0 → 1e6); the
+    // reference corpus saw a balanced 10/10/10 histogram
+    val cents = Seq(
+      Seq(1e6, 0.0, 0.0, 0.0),
+      Seq(0.0, 1e6, 0.0, 0.0),
+      Seq(0.0, 0.0, 1e6, 0.0))
+    val ref = Seq(10L, 10L, 10L)
+    val out = EventStream.driftStream(
+      stream.toDF().toDF("ts", "v"), "ts", "v", cents, ref,
+      windowMillis = 60000L, watermark = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("drift_win").start()
+    def vec(c: Int) = Array.tabulate(4)(j => if (j == c) 1f else 0f)
+    // window A drifts hard toward cell 0: 6/3/0. window B is balanced.
+    val winA = (0 until 6).map(i => (new Timestamp(i * 100L + 1), vec(0))) ++
+      (0 until 3).map(i => (new Timestamp(i * 100L + 1), vec(1)))
+    val winB = (0 until 3).flatMap(c =>
+      (0 until 2).map(i => (new Timestamp(60000L + c * 1000L + i), vec(c))))
+    stream.addData(winA ++ winB)
+    q.processAllAvailable()
+    stream.addData(Seq((new Timestamp(600000L), vec(0))))
+    q.processAllAvailable()
+    stream.addData(Seq((new Timestamp(1200000L), vec(0))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM drift_win")
+      .as[EventStream.WindowDrift].collect()
+      .map(r => r.window_start.getTime -> r).toMap
+    // yardstick: the EXACT batch-term arithmetic replayed serially
+    def terms(hist: Seq[Long]): Seq[Long] = {
+      val n = hist.sum
+      (0 until 3).map { c =>
+        val pA = (ref(c) + 1L).toDouble / (ref.sum + 3).toDouble
+        val pB = (hist(c) + 1L).toDouble / (n + 3).toDouble
+        math.floor((pA - pB) * math.log(pA / pB) * 1e6 + 0.5).toLong
+      }
+    }
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val a = got(0L)
+    val tA = terms(Seq(6L, 3L, 0L))
+    assert(a.n == 9L)
+    assert(a.psi == q6(tA.sum.toDouble / 1e6), s"psi ≡ Σ quantized terms: $a vs $tA")
+    assert(a.psi > 0.1, s"hard drift reads large: $a")
+    val worst = tA.indices.maxBy(i => (math.abs(tA(i)), -i))
+    assert(a.worst_cell == worst && a.worst_term == q6(tA(worst).toDouble / 1e6),
+      s"worst cell triage: $a vs $tA")
+    val b = got(60000L)
+    assert(b.n == 6L, "window B is fresh state — no carry-over")
+    val tB = terms(Seq(2L, 2L, 2L))
+    assert(b.psi == q6(tB.sum.toDouble / 1e6), s"balanced window: $b vs $tB")
+    assert(b.psi < 0.05, s"balanced ingest reads near zero: $b")
+  }
 }
