@@ -65,7 +65,8 @@ object PlanDump {
     "evt_cooccurrence" -> "checkpointed result (one event scan via persisted distinct frame); shape audited at the cooccurrenceImpl seam",
     "evt_paths" -> "one user-keyed lead window; share rolls up the tiny path table — events scanned exactly once",
     "evt_rfm" -> "checkpointed result (one event scan via persisted per-user frame); shape audited at the rfmImpl seam",
-    "dedup_triangles" -> "degree-ordered wedge join over the capped LSH edge set — O(m^1.5); checkpointed, shape audited at the triangleStatsImpl seam")
+    "dedup_triangles" -> "degree-ordered wedge join over the capped LSH edge set — O(m^1.5); checkpointed, shape audited at the triangleStatsImpl seam",
+    "dedup_cluster_quality" -> "persisted pair set feeds CC + triangles once each; node-sized stats join, cluster-keyed rollup, integer-exact verdicts")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -1839,6 +1839,17 @@ object SparkEntry {
       // reported but kept out of the verdict.
       graft.operators.EventAnalytics.rfm(events(s, dir), "user_id", "ts_us", "value")
         .orderBy("user_id")),
+    "dedup_cluster_quality" -> ((s, dir) => {
+      // Actionable rollup of the triangle signal: per near-dup
+      // cluster, size/edges/density/mean-clustering and an
+      // integer-exact clique/chain/mixed verdict — "collapse this
+      // cluster" vs "re-verify before collapsing".
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.3,
+        portableHash = true)
+      graft.operators.Graphs.clusterQuality(pairs)
+        .orderBy("cluster_id")
+    }),
     "dedup_triangles" -> ((s, dir) => {
       // Clique QA over the capped LSH near-dup graph: per-node
       // triangle count + clustering coefficient. Clustering ~1 means
@@ -3358,6 +3369,50 @@ object SparkEntry {
              CASE WHEN frequency * n_users >= tot_f THEN 'lapsed_heavy' ELSE 'dormant' END
            END AS segment
          FROM rr CROSS JOIN rt ORDER BY user_id""",
+    "dedup_cluster_quality" ->
+      s"""WITH RECURSIVE $minhashLshCtes,
+         cj AS (SELECT id_a, id_b FROM mh_ver WHERE jac >= 0.3),
+         cedges AS (SELECT id_a AS src, id_b AS dst FROM cj
+                    UNION SELECT id_b, id_a FROM cj),
+         creach(src, dst) AS (
+           SELECT src, dst FROM cedges
+           UNION
+           SELECT r.src, e2.dst FROM creach r JOIN cedges e2 ON r.dst = e2.src),
+         cnodes AS (SELECT DISTINCT src AS doc_id FROM cedges),
+         ccq AS (SELECT n.doc_id, least(n.doc_id, min(r.dst)) AS cluster_id
+           FROM cnodes n LEFT JOIN creach r ON r.src = n.doc_id GROUP BY n.doc_id),
+         qed AS (SELECT DISTINCT id_a AS u, id_b AS v FROM cj),
+         qdeg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+           (SELECT u AS node FROM qed UNION ALL SELECT v FROM qed) GROUP BY node),
+         qtri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+           FROM qed e1 JOIN qed e2 ON e2.u = e1.u AND e2.v > e1.v
+           JOIN qed e3 ON e3.u = e1.v AND e3.v = e2.v),
+         qpn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM
+           (SELECT x AS node FROM qtri UNION ALL SELECT y FROM qtri
+            UNION ALL SELECT z FROM qtri) GROUP BY node),
+         qper AS (SELECT qdeg.node, qdeg.d,
+             CAST(coalesce(qpn.n_tri, 0) AS BIGINT) AS nt,
+             CASE WHEN qdeg.d >= 2 THEN ${roundToSql(
+               "2.0 * CAST(coalesce(qpn.n_tri, 0) AS DOUBLE) / " +
+               "(CAST(qdeg.d AS DOUBLE) * CAST(qdeg.d - 1 AS DOUBLE))", 6)}
+             ELSE 0.0 END AS clust
+           FROM qdeg LEFT JOIN qpn USING (node)),
+         qjn AS (SELECT ccq.cluster_id, qper.d, qper.nt, qper.clust
+           FROM ccq JOIN qper ON qper.node = ccq.doc_id),
+         qagg AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+             CAST(sum(nt) / 3 AS BIGINT) AS n_triangles,
+             ${roundToSql("avg(clust)", 4)} AS avg_clustering
+           FROM qjn GROUP BY cluster_id)
+         SELECT cluster_id, n_nodes, n_edges, n_triangles,
+           ${roundToSql(
+             "2.0 * CAST(n_edges AS DOUBLE) / " +
+             "(CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE))", 6)} AS density,
+           avg_clustering,
+           CASE WHEN 10 * n_edges >= 4 * n_nodes * (n_nodes - 1) THEN 'clique'
+                WHEN 20 * n_edges < 3 * n_nodes * (n_nodes - 1) THEN 'chain'
+                ELSE 'mixed' END AS verdict
+         FROM qagg ORDER BY cluster_id""",
     "dedup_triangles" ->
       s"""WITH $minhashLshCtes,
          tj AS (SELECT id_a, id_b FROM mh_ver WHERE jac >= 0.3),

@@ -286,6 +286,54 @@ object Graphs {
     }
   }
 
+  /** Per-cluster structural quality — the actionable rollup of
+    * [[triangleStats]]: for every near-dup connected component, its
+    * size, edge count, edge density, mean clustering coefficient, and
+    * a three-way verdict — `clique` (density ≥ 0.8: a genuine block
+    * of mutual duplicates, safe to keep one canonical doc), `chain`
+    * (density < 0.3: LSH transitive over-merge, the cluster should be
+    * re-verified before collapsing), `mixed` otherwise. The verdict
+    * thresholds compare EXACT INTEGERS (`5·E ≥ 2·n(n−1)` ⟺
+    * density ≥ 0.8 without forming the quotient), so boundary
+    * clusters land identically on any engine; the reported density is
+    * the one IEEE division of two exact integers, quantized.
+    *
+    * Scale shape: the candidate pair set is PERSISTED and feeds both
+    * [[Dedup.connectedComponents]] and [[triangleStats]] exactly once
+    * (both materialize eagerly via fresh-stats checkpoints, after
+    * which the cache is freed — the ReuseExchange-miss discipline);
+    * the stats join and the cluster rollup are node-sized equi-join +
+    * map-side-combined aggregation keyed by cluster id. `avgClustering`
+    * is a mean of 6-dp-quantized doubles rounded at 4 dp — the
+    * documented partition-order tolerance for sum-of-double columns.
+    */
+  def clusterQuality(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val rd = graft.functions.MathFunctions.roundTo _
+    val p = pairs.select(col(aCol).as("id_a"), col(bCol).as("id_b")).persist()
+    val cc = Dedup.connectedComponents(p) // (id, cluster_id), checkpointed
+    val tri = triangleStats(p)            // (node, degree, n_triangles, clustering)
+    p.unpersist()
+    val joined = cc.join(tri.withColumnRenamed("node", "id"), "id")
+    joined.groupBy("cluster_id")
+      .agg(count("*").as("n_nodes"),
+        (sum("degree") / 2).cast("long").as("n_edges"),
+        (sum("n_triangles") / 3).cast("long").as("n_triangles"),
+        rd(avg("clustering"), 4).as("avg_clustering"))
+      .select(col("cluster_id"), col("n_nodes"), col("n_edges"), col("n_triangles"),
+        rd(lit(2.0) * col("n_edges").cast("double") /
+          (col("n_nodes").cast("double") * (col("n_nodes") - 1).cast("double")), 6)
+          .as("density"),
+        col("avg_clustering"),
+        // integer-exact thresholds: 2E/(n(n-1)) >= 4/5  ⟺  5·2E >= 4·n(n-1)
+        //                           2E/(n(n-1)) <  3/10 ⟺ 10·2E < 3·n(n-1)
+        when(lit(10L) * col("n_edges") >= lit(4L) * col("n_nodes") * (col("n_nodes") - 1),
+          lit("clique"))
+          .when(lit(20L) * col("n_edges") < lit(3L) * col("n_nodes") * (col("n_nodes") - 1),
+            lit("chain"))
+          .otherwise(lit("mixed")).as("verdict"))
+  }
+
   /** One label-propagation round — the per-iteration plan the cluster
     * pays (the public entry checkpoints its result, so plan audits
     * must look HERE): source-keyed vote join, map-side-combined

@@ -51,7 +51,7 @@ object ScaleSmoke {
     "dedup_winnowing", "dedup_embed_lsh", "txt_pmi", "dedup_simhash", "txt_keywords",
     "dedup_semantic", "dedup_hamming_pairs", "sketch_cms_topk", "ann_ivf_topk",
     "dedup_containment", "txt_novelty", "txt_domain_quality",
-    "dedup_triangles", "emb_drift", "emb_kcenter",
+    "dedup_triangles", "emb_drift", "emb_kcenter", "dedup_cluster_quality",
     // graph class: iterative frames over the scaled embeddings-derived
     // edges — their 10× points previously lived only in round-notes
     // prose from GRAFT_STRESS runs; one committed JSON carries them now

@@ -213,6 +213,41 @@ class GraphsSpec extends SparkSpec {
     (2L to 9L).foreach(i => assert(out(i) === ((1L, 0L, 0.0))))
   }
 
+  test("clusterQuality: clique / chain / mixed verdicts on hand graphs, exact rollups") {
+    // three disconnected components in one pair set:
+    //  K4 on 1-4            → density 1,    verdict clique
+    //  path 10-17 (8 nodes) → density 0.25, verdict chain
+    //  triangle 20,21,22 + pendant 23 → density 2/3, verdict mixed
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val path = (10L until 17L).map(i => (i, i + 1))
+    val triPend = Seq((20L, 21L), (20L, 22L), (21L, 22L), (22L, 23L))
+    val out = Graphs.clusterQuality((k4 ++ path ++ triPend).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getString(6)))).toMap
+    assert(out.keySet === Set(1L, 10L, 20L), s"cluster ids are the min member: $out")
+    assert(out(1L) === ((4L, 6L, 4L, 1.0, 1.0, "clique")))
+    assert(out(10L) === ((8L, 7L, 0L, 0.25, 0.0, "chain")))
+    // triangle+pendant: clustering 1, 1, 1/3, 0 → avg 0.5833 at 4 dp
+    assert(out(20L) === ((4L, 4L, 1L, 0.666667, 0.5833, "mixed")))
+  }
+
+  test("clusterQuality: verdict boundaries are integer-exact (density exactly 0.8 and 0.3)") {
+    // density exactly 0.8: n=5, C(5,2)=10, E=8 → 10·8 ≥ 4·5·4 (80 ≥ 80) → clique
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val fiveMinus2 = k5.filterNot(e => e == ((1L, 2L)) || e == ((3L, 4L)))
+    // density exactly 0.3: n=16, C(16,2)=120, E=36 → 20·36 < 3·240
+    // is 720 < 720 = false → mixed, not chain (strict <)
+    val path16 = (30L until 45L).map(i => (i, i + 1))
+    val extra = (for { a <- 30L to 45L; b <- (a + 1) to 45L } yield (a, b))
+      .filterNot(path16.contains).take(36 - path16.size)
+    val g16 = path16 ++ extra
+    assert(g16.size === 36)
+    val out = Graphs.clusterQuality((fiveMinus2 ++ g16).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(6)))).toMap
+    assert(out(1L) === ((5L, 8L, "clique")), s"density 0.8 lands clique (>=): $out")
+    assert(out(30L) === ((16L, 36L, "mixed")), s"density 0.3 lands mixed (strict <): $out")
+  }
+
   test("triangles: matches a serial brute-force count on an arbitrary graph") {
     // deterministic pseudo-random graph on 12 nodes
     val edges = (for {

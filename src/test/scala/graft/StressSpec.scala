@@ -549,6 +549,30 @@ class StressSpec extends SparkSpec {
       f"edit-distance dedup must scale near-linearly: 10x took $ratio%.1fx")
   }
 
+  test("triangleStats: a hub owning 1/3 of all edges costs the same as a balanced graph (degree ordering)") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "hub stress point: set GRAFT_STRESS=1 (takes minutes)")
+    import graft.operators.Graphs
+    // 1.5M edges. balanced: random sparse graph on 500k nodes.
+    // hub: the same PLUS node 0 connected to 500k distinct nodes — the
+    // unordered node-iterator enumerates ~(500k)^2/2 wedges at the hub
+    // (plan death); degree orientation caps the hub's OUT-degree so
+    // near-equal wall time is the contract.
+    def sparse(n: Long) = spark.range(0, n).select(
+      (col("id") % 500000L).as("id_a"),
+      ((col("id") * 2654435761L + 13L) % 500000L).as("id_b"))
+    def hub = spark.range(0, 500000).select(
+      lit(0L).as("id_a"), (col("id") + 1L).as("id_b"))
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      Graphs.triangleStats(df).agg(count("*")).collect()
+    run(sparse(100000)) // warm-up
+    val tBal = timeOf(run(sparse(1500000)))
+    val tHub = timeOf(run(sparse(1000000).union(hub)))
+    info(f"balanced: $tBal%.1fs   hub: $tHub%.1fs   ratio: ${tHub / tBal}%.2f")
+    assert(tHub < tBal * 3 + 5.0,
+      f"degree ordering must neutralize the hub: $tHub%.1fs vs $tBal%.1fs")
+  }
+
   test("domainQuality: one domain holding 50% of a 1M-doc corpus costs the same as a balanced one") {
     assume(sys.env.contains("GRAFT_STRESS"),
       "skew stress point: set GRAFT_STRESS=1 (takes minutes)")
