@@ -66,7 +66,15 @@ object PlanDump {
     "evt_paths" -> "one user-keyed lead window; share rolls up the tiny path table — events scanned exactly once",
     "evt_rfm" -> "checkpointed result (one event scan via persisted per-user frame); shape audited at the rfmImpl seam",
     "dedup_triangles" -> "degree-ordered wedge join over the capped LSH edge set — O(m^1.5); checkpointed, shape audited at the triangleStatsImpl seam",
-    "dedup_cluster_quality" -> "persisted pair set feeds CC + triangles once each; node-sized stats join, cluster-keyed rollup, integer-exact verdicts")
+    "dedup_cluster_quality" -> "persisted pair set feeds CC + triangles once each; node-sized stats join, cluster-keyed rollup, integer-exact verdicts",
+    "evt_active_users" -> "checkpointed result (one event scan via persisted distinct (user,day) frame); shape audited at the activeUsersImpl seam",
+    "evt_conversion_lag" -> "type filters pushed to both scans; one user-keyed equi-join; window only over the bounded hour-bucket table",
+    "emb_silhouette" -> "plan-literal centroids; one narrow corpus pass, vectors never shuffle; cell-sized rollup + broadcast grid join",
+    "txt_zipf" -> "checkpointed result (tokens shuffle as 8-byte hashes, bounded-heap top-N); shape audited at the zipfStatsImpl seam",
+    "emb_diversity" -> "O(n²) pairwise semantic in one O(n·d) scan via the moment identity — single global agg, corpus never shuffles",
+    "evt_gini" -> "per-user counts map-side combined; global ranks via range-sort + zipWithIndex, never a single-partition window",
+    "evt_seasonality" -> "one 168-key map-side agg; broadcast grid + scalar cross join; chi terms vs uniform",
+    "evt_bots" -> "two stacked map-side aggs ((user,minute) then user); integer threshold compares; tag-don't-drop")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -2009,7 +2009,53 @@ object SparkEntry {
       // term via the k-bounded heap aggregate; no collect_list.
       TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
           maxPostings = 8, minDf = 5)
-        .orderBy("term", "slot"))
+        .orderBy("term", "slot")),
+    "evt_active_users" -> ((s, dir) =>
+      // DAU/WAU/stickiness board: events reduce once to the
+      // persisted distinct (user, day) frame; the trailing window is
+      // a broadcast interval join fanning <= 7 slim rows per
+      // (user, day) — event-volume-independent.
+      graft.operators.EventAnalytics.activeUsers(
+          events(s, dir), "user_id", "ts_us", windowDays = 7)
+        .orderBy("day")),
+    "evt_conversion_lag" -> ((s, dir) =>
+      // signup -> purchase time-to-convert histogram: two user-keyed
+      // min-aggs + one equi-join on slim rows, exact-hour buckets,
+      // windows only over the bounded bucket table.
+      graft.operators.EventAnalytics.conversionLag(
+          events(s, dir), "user_id", "event_type", "ts_us",
+          fromType = "signup", toType = "purchase")),
+    "emb_silhouette" -> ((s, dir) =>
+      // Simplified silhouette per hash-seeded cell: plan-literal
+      // centroids, one narrow scan, corpus never shuffles;
+      // integer-exact squared distances, 1e-6-quantized scores.
+      Similarity.silhouette(t(s, dir, "embeddings"), "embedding", "vec_id",
+        nCells = 8)),
+    "txt_zipf" -> ((s, dir) =>
+      // Corpus Zipf slope + vocabulary stats: tokens shuffle as
+      // 8-byte portable hashes, top-100 via bounded heaps,
+      // exact-integer regression sums.
+      TextAnalysis.zipfStats(t(s, dir, "documents"), "text", topN = 100)),
+    "evt_gini" -> ((s, dir) =>
+      // Activity concentration: per-user counts + distributed
+      // zipWithIndex ranks (no single-partition window); exact
+      // decimal rank-weighted sums.
+      graft.operators.EventAnalytics.activityConcentration(
+        events(s, dir), "user_id")),
+    "evt_seasonality" -> ((s, dir) =>
+      // 168-cell (dow, hour) temporal balance: one map-side agg,
+      // broadcast grid, chi-square terms vs uniform.
+      graft.operators.EventAnalytics.seasonality(events(s, dir), "ts_us")),
+    "evt_bots" -> ((s, dir) =>
+      // Rate-based bot flags over exact per-minute buckets: two
+      // map-side aggs, integer threshold compares, tag-don't-drop.
+      graft.operators.EventAnalytics.botDetect(
+        events(s, dir), "user_id", "ts_us",
+        burstPerMinute = 30, sustainedPerMinute = 2, minEvents = 50)),
+    "emb_diversity" -> ((s, dir) =>
+      // Exact mean pairwise squared distance via the moment identity
+      // (O(n^2) semantic, one O(n·d) scan; corpus never shuffles).
+      Similarity.embeddingDiversity(t(s, dir, "embeddings"), "embedding"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3747,6 +3793,140 @@ object SparkEntry {
          SELECT g.term, g.df_count, r.slot, r.doc AS doc_id
          FROM ii_g g JOIN ii_r r ON r.term = g.term
          WHERE g.df_count >= 5 AND r.slot < 8
-         ORDER BY g.term, r.slot"""
+         ORDER BY g.term, r.slot""",
+    "evt_active_users" ->
+      s"""WITH au AS (SELECT DISTINCT user_id AS u,
+           epoch_us(ts) // 86400000000 AS day FROM events),
+         ad AS (SELECT DISTINCT day AS anchor FROM au),
+         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM au GROUP BY day),
+         wau AS (SELECT anchor, CAST(count(DISTINCT u) AS BIGINT) AS wau
+           FROM au JOIN ad ON au.day <= ad.anchor AND au.day > ad.anchor - 7
+           GROUP BY anchor)
+         SELECT d.day, d.dau, w.wau,
+           ${roundToSql("CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)", 6)} AS stickiness
+         FROM dau d JOIN wau w ON d.day = w.anchor ORDER BY d.day""",
+    "evt_conversion_lag" ->
+      s"""WITH cl_a AS (SELECT user_id AS u, min(epoch_us(ts)) AS ta
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+         cl_b AS (SELECT e.user_id AS u, min(epoch_us(e.ts) - a.ta) AS lag_us
+           FROM events e JOIN cl_a a ON e.user_id = a.u
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= a.ta GROUP BY 1),
+         cl_h AS (SELECT lag_us // 3600000000 AS lag_hours,
+             CAST(count(*) AS BIGINT) AS n_users FROM cl_b GROUP BY 1)
+         SELECT lag_hours, n_users,
+           CAST(sum(n_users) OVER (ORDER BY lag_hours) AS BIGINT) AS cum_users,
+           ${roundToSql("CAST(n_users AS DOUBLE) / CAST(sum(n_users) OVER () AS DOUBLE)", 6)} AS share
+         FROM cl_h ORDER BY lag_hours""",
+    "emb_silhouette" ->
+      s"""WITH sl_qd AS (SELECT vec_id,
+           list_transform(list_transform(embedding::DOUBLE[],
+             x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)), x -> CAST(x AS DOUBLE)) AS qd
+         FROM embeddings),
+         sl_seed AS (SELECT vec_id, qd FROM sl_qd
+           ORDER BY ((vec_id % 1000003) * 2654435761) % 2147483647 DESC, vec_id LIMIT 8),
+         sl_c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             qd AS m FROM sl_seed),
+         sl_cl AS (SELECT list(m ORDER BY cell) AS cl FROM sl_c0),
+         sl_d AS (SELECT vec_id,
+             list_transform(range(0, 8), c -> list_reduce(list_transform(range(1, 65),
+               d -> (qd[d] - cl[c+1][d]) * (qd[d] - cl[c+1][d])), (x, y) -> x + y)) AS dl
+           FROM sl_qd CROSS JOIN sl_cl),
+         sl_s AS (SELECT vec_id, list_position(dl, list_min(dl)) - 1 AS cell,
+             list_sort(dl)[1] AS a, list_sort(dl)[2] AS b FROM sl_d),
+         sl_q AS (SELECT cell,
+             CASE WHEN b > 0 THEN CAST(floor((b - a) / b * 1e6 + 0.5) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS sq FROM sl_s),
+         sl_c AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(sq) AS BIGINT) AS sumq FROM sl_q GROUP BY cell)
+         SELECT CAST(t.c AS INTEGER) AS cell_id,
+           CAST(coalesce(n_points, 0) AS BIGINT) AS n_points,
+           ${roundToSql("CAST(sumq AS DOUBLE) / CAST(n_points AS DOUBLE) / 1e6", 6)} AS mean_silhouette
+         FROM range(0, 8) t(c) LEFT JOIN sl_c ON sl_c.cell = t.c
+         ORDER BY cell_id""",
+    "txt_zipf" ->
+      s"""WITH zt AS (SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+           END AS toks FROM documents),
+         zo AS (SELECT ${duckHex60("tok")} AS h
+           FROM (SELECT unnest(toks) AS tok FROM zt)),
+         zc AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM zo GROUP BY h),
+         ztot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(max(c) AS BIGINT) AS top1_count FROM zc),
+         ztop AS (SELECT c, row_number() OVER (ORDER BY c DESC, h ASC) AS r
+           FROM (SELECT h, c FROM zc ORDER BY c DESC, h ASC LIMIT 100)),
+         zxy AS (SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y FROM ztop),
+         zr AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx FROM zxy)
+         SELECT coalesce(n_tokens, 0) AS n_tokens, vocab_size, top1_count,
+           ${roundToSql("CAST(top1_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS top1_share,
+           CASE WHEN n * sxx - sx * sx <> 0
+             THEN ${roundToSql("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)", 6)}
+           END AS zipf_slope
+         FROM ztot CROSS JOIN zr""",
+    "evt_gini" ->
+      s"""WITH gc AS (SELECT user_id AS u, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         gr AS (SELECT c, CAST(row_number() OVER (ORDER BY c ASC, u ASC) AS BIGINT) AS r
+           FROM gc),
+         gm AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(c) AS tc,
+             sum(r * c) AS src FROM gr),
+         gk AS (SELECT n, tc, src, (n + 99) // 100 AS k FROM gm),
+         gt AS (SELECT sum(c) AS topc FROM gr, gk WHERE gr.r > gk.n - gk.k)
+         SELECT n AS n_users, CAST(tc AS BIGINT) AS n_events,
+           ${roundToSql("(CAST(src AS DOUBLE) * 2.0 - (CAST(n AS DOUBLE) + 1.0) * CAST(tc AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(tc AS DOUBLE))", 6)} AS gini,
+           CAST(k AS BIGINT) AS top1pct_users,
+           ${roundToSql("CAST(topc AS DOUBLE) / CAST(tc AS DOUBLE)", 6)} AS top1pct_share
+         FROM gk, gt""",
+    "evt_seasonality" ->
+      s"""WITH sc AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             (epoch_us(ts) // 3600000000) % 24 AS hour,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         st AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM sc),
+         sg AS (SELECT i // 24 AS dow, i % 24 AS hour FROM range(0, 168) t(i))
+         SELECT sg.dow, sg.hour, CAST(coalesce(c, 0) AS BIGINT) AS n_events,
+           ${roundToSql("CAST(coalesce(c, 0) AS DOUBLE) / CAST(tot AS DOUBLE)", 6)} AS share,
+           ${roundToSql("(CAST(coalesce(c, 0) AS DOUBLE) - CAST(tot AS DOUBLE) / 168.0) * (CAST(coalesce(c, 0) AS DOUBLE) - CAST(tot AS DOUBLE) / 168.0) / (CAST(tot AS DOUBLE) / 168.0)", 6)} AS chi_term
+         FROM sg LEFT JOIN sc ON sc.dow = sg.dow AND sc.hour = sg.hour
+           CROSS JOIN st
+         ORDER BY sg.dow, sg.hour""",
+    "evt_bots" ->
+      s"""WITH bm AS (SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         bu AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS active_minutes,
+             CAST(max(c) AS BIGINT) AS max_per_minute
+           FROM bm GROUP BY 1)
+         SELECT user_id, n_events, active_minutes, max_per_minute,
+           ${roundToSql("CAST(n_events AS DOUBLE) / CAST(active_minutes AS DOUBLE)", 6)} AS mean_rate,
+           CASE WHEN max_per_minute >= 30 THEN 'burst'
+             WHEN n_events >= 50 AND n_events >= active_minutes * 2 THEN 'sustained'
+             ELSE 'ok' END AS verdict
+         FROM bu ORDER BY user_id""",
+    "emb_diversity" -> {
+      // dim-sum aliases use a d-prefix: an s-prefix would collide with
+      // the norm-total alias s2 at dim index 2 (both engines resolve
+      // the duplicate silently and the centroid term explodes)
+      val sums = (0 until 64).map(d => s"sum(q[${d + 1}]) AS d$d").mkString(", ")
+      val tExpr = (0 until 64).map(d => s"d$d * d$d").mkString(" + ")
+      s"""WITH dvq AS (SELECT list_transform(embedding::DOUBLE[],
+             x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS q FROM embeddings),
+         dvm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b)) AS s2,
+             $sums
+           FROM dvq),
+         dvt AS (SELECT n, s2, ($tExpr) AS t FROM dvm)
+         SELECT n AS n_vectors,
+           ${roundToSql("CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12", 6)} AS mean_sq_norm,
+           ${roundToSql("CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12", 6)} AS centroid_sq_norm,
+           CASE WHEN n >= 2 THEN
+             ${roundToSql("CAST(n * s2 * 2 - t * 2 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e12", 6)}
+           END AS mean_pairwise_sqdist
+         FROM dvt"""
+    }
   )
 }

@@ -380,4 +380,268 @@ object EventAnalytics {
       out
     }
   }
+
+  /** Daily + rolling-window active users (the DAU/WAU board): for
+    * every day observed in the log, the count of distinct users
+    * active that day and the count of distinct users active in the
+    * trailing `windowDays`-day window ending that day, plus the
+    * stickiness ratio dau ÷ wau — the engagement rollup every event
+    * warehouse runs daily, and the one naive windowed
+    * `count_distinct` cannot express (distinct does not slide).
+    *
+    * Plan shape: events reduce ONCE to the distinct slim
+    * (user, day) frame — the only data-sized aggregation — which is
+    * persisted + checkpointed because it feeds two branches (the
+    * per-day count and the window fan-out) that would otherwise
+    * each re-scan the event log (the ReuseExchange differently-
+    * pruned-subtree miss, measured on `evt_rfm`). The trailing
+    * window is an interval join of that slim frame against the tiny
+    * broadcast day list — each (user, day) row fans out to at most
+    * `windowDays` anchors, independent of event volume — then one
+    * distinct-count keyed by anchor day. A 10^6-event power user
+    * costs exactly `active_days × windowDays` slim rows.
+    *
+    * Determinism: days are exact integer micros floor-division; the
+    * counts are longs; stickiness is one IEEE division of two exact
+    * longs, 1e-6-quantized. Days with zero events are absent by
+    * construction (no calendar densification — the wau of an
+    * observed day still looks back across unobserved gap days
+    * because the anchor list, not the activity list, defines the
+    * window).
+    */
+  def activeUsers(events: DataFrame, userCol: String, tsUsCol: String,
+      windowDays: Int = 7): DataFrame =
+    activeUsersImpl(events, userCol, tsUsCol, windowDays, materialize = true)
+
+  /** [[activeUsers]] without the persist/checkpoint materialization —
+    * the plan-audit seam. */
+  private[graft] def activeUsersImpl(events: DataFrame, userCol: String,
+      tsUsCol: String, windowDays: Int, materialize: Boolean): DataFrame = {
+    require(windowDays >= 1, s"windowDays=$windowDays must be >= 1")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val au0 = events.select(col(userCol).as("u"),
+        expr(s"(cast($tsUsCol as long) - pmod(cast($tsUsCol as long), 86400000000))" +
+          " div 86400000000").as("day"))
+      .distinct()
+    val au = if (materialize) au0.persist() else au0
+    val days = au.select(col("day").as("anchor")).distinct()
+    val dau = au.groupBy("day").agg(count("*").as("dau"))
+    val wau = au.join(broadcast(days),
+        col("day") <= col("anchor") && col("day") > col("anchor") - lit(windowDays.toLong))
+      .groupBy("anchor").agg(countDistinct("u").as("wau"))
+    val raw = dau.join(wau, col("day") === col("anchor"))
+      .select(col("day"), col("dau"), col("wau"),
+        rd(col("dau").cast("double") / col("wau").cast("double"), 6).as("stickiness"))
+    if (!materialize) raw
+    else {
+      val out = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointFreshStats(raw)
+      au.unpersist()
+      out
+    }
+  }
+
+  /** Time-to-convert distribution: for every user whose FIRST
+    * `fromType` event is followed (at or after it) by a `toType`
+    * event, the lag from that first `fromType` to the EARLIEST
+    * qualifying `toType`, bucketed to whole hours — the
+    * "how long does signup → purchase take" histogram that sizes a
+    * funnel's conversion window (`horizonUs` in [[funnel]]) from
+    * data instead of guesswork. Returns one row per non-empty hour
+    * bucket: (lag_hours, n_users, cum_users, share) ordered by
+    * lag_hours, where share = n_users ÷ total converters.
+    *
+    * Plan shape: one map-side-combined min per user over the
+    * `fromType` slice; one user-keyed equi-join of THAT slim
+    * (user, ts) frame against only the `toType` slice (both type
+    * filters sit in the scan); one min per user; one count per
+    * bucket. No windows over event history — the only window is the
+    * running sum over the AGGREGATED bucket table, whose row count
+    * is bounded by the corpus time span in hours, not by volume.
+    *
+    * Determinism: lag is exact integer micros; the bucket is integer
+    * floor-division (lags are non-negative by the `>=` filter);
+    * share is one IEEE division of exact longs, 1e-6-quantized.
+    */
+  def conversionLag(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, fromType: String, toType: String): DataFrame = {
+    val rd = graft.functions.MathFunctions.roundTo _
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsUsCol).cast("long").as("ts_us"))
+    val firstFrom = ev.filter(col("et") === fromType)
+      .groupBy("u").agg(min("ts_us").as("ta"))
+    val lags = ev.filter(col("et") === toType)
+      .join(firstFrom, Seq("u"))
+      .filter(col("ts_us") >= col("ta"))
+      .groupBy("u").agg(min(col("ts_us") - col("ta")).as("lag_us"))
+    val buckets = lags
+      .select(expr("lag_us div 3600000000").as("lag_hours"))
+      .groupBy("lag_hours").agg(count("*").as("n_users"))
+    // single-partition window over the bounded bucket table only
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("lag_hours")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    buckets
+      .select(col("lag_hours"), col("n_users"),
+        sum("n_users").over(w).as("cum_users"),
+        rd(col("n_users").cast("double") /
+          sum("n_users").over(wAll).cast("double"), 6).as("share"))
+      .orderBy("lag_hours")
+  }
+
+  /** Activity-concentration rollup: the Gini coefficient of per-user
+    * event counts plus the share of all events produced by the top 1%
+    * most active users — the "is this log a few bots talking to
+    * themselves" health scalar. A corpus whose gini drifts toward 1
+    * (or whose top-1% share explodes) is dominated by a handful of
+    * accounts and every downstream per-event statistic silently
+    * becomes a statistic about those accounts. Returns ONE row:
+    * (n_users, n_events, gini, top1pct_users, top1pct_share).
+    *
+    * Gini = (2·Σ rᵢcᵢ − (n+1)·Σc) / (n·Σc) with counts sorted
+    * ascending and ranked 1..n. Ties: within a block of equal counts
+    * Σ rᵢcᵢ = c·Σrᵢ and the rank-sum of a block is fixed regardless
+    * of intra-block order, so the coefficient is tie-order-invariant;
+    * the (count, user) total order exists only to make the ranked
+    * frame itself deterministic. All-equal counts ⇒ 0; one user owns
+    * everything ⇒ (n−1)/n.
+    *
+    * Scale shape: events reduce to per-user counts (ONE map-side
+    * combined aggregation — the only data-sized shuffle). Global
+    * ranks over the users-sized frame come from
+    * `orderBy + RDD.zipWithIndex` — the house R1 sharding pattern:
+    * a range-partitioned sort plus one count pass, NO single-partition
+    * window, so it holds at any user cardinality. The rank-weighted
+    * sums are exact decimal(38,0) (Σ rᵢcᵢ ≤ n²·max c overflows a
+    * long at ~10⁹ users; DuckDB's HUGEINT sums mirror it exactly);
+    * the two output ratios are fixed-shape IEEE over those exact
+    * integers, 1e-6-quantized.
+    */
+  def activityConcentration(events: DataFrame, userCol: String): DataFrame = {
+    val spark = events.sparkSession
+    val rd = graft.functions.MathFunctions.roundTo _
+    val uc = events.groupBy(col(userCol).as("u")).agg(count("*").as("c"))
+      .orderBy(col("c").asc, col("u").asc)
+    // distributed global ranks: range-partitioned sort + zipWithIndex
+    // (per-partition offsets) — never a single-partition window
+    val schema = org.apache.spark.sql.types.StructType(uc.schema.fields :+
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = spark.createDataFrame(
+      uc.rdd.zipWithIndex().map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+      }, schema)
+    val dec = "decimal(38,0)"
+    val m = ranked.agg(count("*").as("n"), sum("c").as("tc"),
+      sum(col("r").cast(dec) * col("c").cast(dec)).as("src"))
+    // top 1% = ceil(n/100) users = ascending ranks above n - k
+    val scal = m.select(col("n"), col("tc"), col("src"),
+      expr("(n + 99) div 100").as("k"))
+    val topc = ranked.crossJoin(broadcast(scal)) // one scalar row
+      .filter(col("r") > col("n") - col("k"))
+      .agg(sum("c").as("topc"))
+    scal.crossJoin(broadcast(topc)) // two one-row frames
+      .select(col("n").as("n_users"), col("tc").as("n_events"),
+        rd((col("src").cast("double") * 2.0 -
+            (col("n").cast("double") + 1.0) * col("tc").cast("double")) /
+          (col("n").cast("double") * col("tc").cast("double")), 6).as("gini"),
+        col("k").as("top1pct_users"),
+        rd(col("topc").cast("double") / col("tc").cast("double"), 6)
+          .as("top1pct_share"))
+  }
+
+  /** Temporal-balance profile: event counts per (day-of-week,
+    * hour-of-day) UTC cell — all 168 cells, zeros included — with each
+    * cell's corpus share and its chi-square term against the uniform
+    * expectation total/168. A training-data event log whose chi terms
+    * spike on one cell was collected through a scheduler artifact
+    * (cron bursts, backfill replays), not organic traffic, and
+    * time-based splits of it will leak. Returns 168 rows:
+    * (dow, hour, n_events, share, chi_term) — Σ chi_term is the
+    * uniformity statistic, left to the reader so the per-cell
+    * attribution stays visible.
+    *
+    * Epoch day 0 (1970-01-01) is a Thursday: dow = (day + 4) mod 7
+    * with 0 = Sunday.
+    *
+    * Scale shape: ONE map-side combined aggregation keyed by the
+    * 168-valued (dow, hour) pair — partials collapse to ≤ 168 rows
+    * per task before the shuffle regardless of event volume — then a
+    * broadcast join onto the static 168-row grid (empty cells keep
+    * their smoothed-free exact 0) and scalar total via a one-row
+    * cross join. Counts are exact longs; share and chi_term are
+    * fixed-shape IEEE over exact longs, 1e-6-quantized.
+    */
+  def seasonality(events: DataFrame, tsUsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    val rd = graft.functions.MathFunctions.roundTo _
+    val cells = events
+      .select(pmod(expr(s"cast($tsUsCol as long) div 86400000000") + 4L,
+          lit(7L)).as("dow"),
+        pmod(expr(s"cast($tsUsCol as long) div 3600000000"), lit(24L)).as("hour"))
+      .groupBy("dow", "hour").agg(count("*").as("c"))
+    val grid = spark.range(168).select(expr("id div 24").as("dow"),
+      pmod(col("id"), lit(24L)).as("hour"))
+    val tot = cells.agg(sum("c").as("tot"))
+    grid.join(broadcast(cells), Seq("dow", "hour"), "left")
+      .crossJoin(broadcast(tot)) // one scalar row
+      .select(col("dow"), col("hour"),
+        coalesce(col("c"), lit(0L)).as("n_events"),
+        rd(coalesce(col("c"), lit(0L)).cast("double") /
+          col("tot").cast("double"), 6).as("share"),
+        rd({
+          val obs = coalesce(col("c"), lit(0L)).cast("double")
+          val exp = col("tot").cast("double") / 168.0
+          (obs - exp) * (obs - exp) / exp
+        }, 6).as("chi_term"))
+      .orderBy("dow", "hour")
+  }
+
+  /** Rate-based bot detection: per-user activity-rate fingerprint
+    * over exact per-minute buckets, with a two-rule verdict —
+    * `burst` (any single minute at or above `burstPerMinute` events:
+    * superhuman instantaneous rate) and `sustained` (at least
+    * `minEvents` total AND a mean rate of `sustainedPerMinute`+
+    * events per ACTIVE minute: scripted steady traffic) — the
+    * account-level spam filter that per-event dedup can't express,
+    * run before any engagement statistic is trusted. Tag-don't-drop:
+    * every user is returned with
+    * (user_id, n_events, active_minutes, max_per_minute, mean_rate,
+    * verdict); the caller filters.
+    *
+    * Scale shape: two map-side combined aggregations — events reduce
+    * to slim (user, minute, count) rows keyed by the (long, long)
+    * pair, then to one row per user. A 10⁶-event burst in one minute
+    * collapses to a single bucket row in the partial aggregation;
+    * per-user state is four longs. No windows, no event-history
+    * sorting. Thresholds compare exact integers
+    * (`n ≥ rate·minutes` ⟺ `mean ≥ rate` without forming the IEEE
+    * quotient); the reported mean_rate is one IEEE division of exact
+    * longs, 1e-6-quantized.
+    */
+  def botDetect(events: DataFrame, userCol: String, tsUsCol: String,
+      burstPerMinute: Int = 30, sustainedPerMinute: Int = 2,
+      minEvents: Int = 50): DataFrame = {
+    require(burstPerMinute >= 1 && sustainedPerMinute >= 1 && minEvents >= 1,
+      s"thresholds must be >= 1: $burstPerMinute/$sustainedPerMinute/$minEvents")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val perMinute = events
+      .select(col(userCol).as("user_id"),
+        expr(s"cast($tsUsCol as long) div 60000000").as("minute"))
+      .groupBy("user_id", "minute").agg(count("*").as("c"))
+    perMinute.groupBy("user_id")
+      .agg(sum("c").as("n_events"), count("*").as("active_minutes"),
+        max("c").as("max_per_minute"))
+      .select(col("user_id"), col("n_events"), col("active_minutes"),
+        col("max_per_minute"),
+        rd(col("n_events").cast("double") /
+          col("active_minutes").cast("double"), 6).as("mean_rate"),
+        when(col("max_per_minute") >= burstPerMinute.toLong, "burst")
+          .when(col("n_events") >= minEvents.toLong &&
+            col("n_events") >= col("active_minutes") * sustainedPerMinute.toLong,
+            "sustained")
+          .otherwise("ok").as("verdict"))
+      .orderBy("user_id")
+  }
 }

@@ -327,6 +327,126 @@ object Similarity {
         rd(sum(col("__tq")).over(wAll).cast("double") / lit(1e6), 6).as("psi"))
   }
 
+  /** Per-cluster simplified silhouette over the deterministic
+    * hash-seeded centroids (the [[kmeansAssign]] seed rule): for each
+    * vector, a = squared distance to its assigned (nearest) centroid
+    * and b = squared distance to the runner-up centroid; the
+    * silhouette s = (b − a) / b ∈ [0, 1) measures how decisively the
+    * point belongs to its cell (0 = on the boundary between two
+    * cells). Averaged per cell, this is the cluster-quality monitor
+    * that tells a curation pipeline whether its embedding cells are
+    * real structure or arbitrary partitions — the geometry companion
+    * to [[embeddingDrift]]'s occupancy histogram.
+    *
+    * Deviation from the textbook: classic silhouette uses mean
+    * pairwise distances (O(n²)) and euclidean metric; this uses the
+    * centroid proxy (the standard "simplified silhouette") and keeps
+    * SQUARED distances — a monotone transform that preserves the
+    * assignment and the boundary-vs-core ordering while keeping every
+    * intermediate an exact integer (1e-6-quantized coordinates, exact
+    * integer squared sums < 2^53). Because assignment is argmin,
+    * a ≤ b always, so max(a, b) = b and s never goes negative.
+    *
+    * Determinism: per-row s quantizes to a 1e-6 integer before the
+    * sum; the per-cell mean is one IEEE division of exact longs,
+    * re-quantized at 1e-6 — an external engine replaying the seed
+    * rule reproduces every bit. A point equidistant from two
+    * centroids (b = a) scores 0; a degenerate b = 0 (duplicate
+    * centroids) scores 0 rather than 0/0.
+    *
+    * Scale shape: the centroid matrix is a plan literal, so the scan
+    * is ONE narrow codegen'd pass (nCells squared-distance folds +
+    * one array_sort of an nCells-long array per row); the only
+    * shuffle is the map-side-combined groupBy(cell) whose output is
+    * ≤ nCells rows. The corpus never shuffles. Returns one row per
+    * cell (empty cells included, null mean):
+    * (cell_id, n_points, mean_silhouette).
+    */
+  def silhouette(df: DataFrame, vecCol: String, idCol: String,
+      nCells: Int = 8): DataFrame = {
+    require(nCells >= 2, s"nCells=$nCells must be >= 2 (silhouette needs a runner-up)")
+    val spark = df.sparkSession
+    val rd = graft.functions.MathFunctions.roundTo _
+    val base = df.select(col(idCol).as("id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("q"))
+      .withColumn("qd", col("q").cast("array<double>"))
+      .select("id", "qd")
+    val cents = seededCentroids(base, nCells)
+    val dists = array(cents.map(c =>
+      column(graft.plans.SquaredDistance(expression(col("qd")),
+        expression(array(c.map(lit): _*))))): _*)
+    val silQ = {
+      val a = element_at(col("__sorted"), 1)
+      val b = element_at(col("__sorted"), 2)
+      when(b > lit(0.0),
+        floor((b - a) / b * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    val counts = base
+      .withColumn("cell_id",
+        column(graft.plans.NearestCentroid(expression(col("qd")), cents.toSeq.map(_.toSeq))))
+      .withColumn("__sorted", array_sort(dists))
+      .withColumn("__sq", silQ)
+      .groupBy("cell_id")
+      .agg(count("*").as("n_points"), sum("__sq").as("__sum_q"))
+    // full cell grid so empty cells still appear (null mean)
+    val grid = spark.range(nCells).select(col("id").cast("int").as("cell_id"))
+    grid.join(broadcast(counts), Seq("cell_id"), "left")
+      .select(col("cell_id"),
+        coalesce(col("n_points"), lit(0L)).as("n_points"),
+        rd(col("__sum_q").cast("double") / col("n_points").cast("double") / lit(1e6), 6)
+          .as("mean_silhouette"))
+      .orderBy("cell_id")
+  }
+
+  /** EXACT corpus diversity in one linear pass: the mean pairwise
+    * squared euclidean distance over all n·(n−1) ordered vector pairs
+    * — the scalar that distinguishes "10⁹ diverse embeddings" from
+    * "10⁹ copies of the same point" — computed WITHOUT forming any
+    * pair, via the moment identity
+    * Σᵢⱼ‖xᵢ−xⱼ‖² = 2n·Σᵢ‖xᵢ‖² − 2‖Σᵢxᵢ‖².
+    * An O(n²) semantic at O(n·d) cost; the companion scalars
+    * (mean squared norm, squared centroid norm) decompose it:
+    * mean_pairwise = 2·(mean_sq_norm − centroid_sq_norm). Returns ONE
+    * row: (n_vectors, mean_sq_norm, centroid_sq_norm,
+    * mean_pairwise_sqdist) — the last null when n < 2.
+    *
+    * Determinism/portability: coordinates quantize to 1e-6 integers;
+    * per-row ‖x‖² is an exact long fold (< 2⁵³ for unit-scale 64-dim
+    * inputs); the corpus sums accumulate as decimal(38,0) — Σ‖x‖²
+    * overflows a LONG near 10⁵ rows and the squared per-dimension
+    * sums near 10⁴, but stay < 10³² at 10⁹ rows, inside both Spark's
+    * decimal(38,0) and DuckDB's HUGEINT — so every integer is exact
+    * on both engines and the three output ratios are single
+    * fixed-shape IEEE divisions, 1e-6-quantized.
+    *
+    * Scale shape: ONE narrow corpus scan (a codegen'd long fold and
+    * `dim` element_at sums, all map-side combined into a single
+    * global-aggregate row). The corpus never shuffles — the only
+    * exchange carries one partial row per task.
+    */
+  def embeddingDiversity(df: DataFrame, vecCol: String, dim: Int = 64): DataFrame = {
+    require(dim >= 1, s"dim=$dim must be >= 1")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val dec = "decimal(38,0)"
+    val base = df.select(transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("q"))
+    val sqNorm = aggregate(col("q"), lit(0L), (acc, x) => acc + x * x)
+    val aggs = sum(sqNorm.cast(dec)).as("__s2") +: count("*").as("__n") +:
+      (0 until dim).map(d => sum(element_at(col("q"), d + 1).cast(dec)).as(s"__d$d"))
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    // ‖Σx‖² in exact decimal: `dim` squared per-dimension sums
+    val t = (0 until dim).map(d => col(s"__d$d") * col(s"__d$d")).reduce(_ + _)
+    val nD = col("__n").cast("double")
+    m.select(col("__n").as("n_vectors"),
+        rd(col("__s2").cast("double") / nD / lit(1e12), 6).as("mean_sq_norm"),
+        rd(t.cast("double") / (nD * nD) / lit(1e12), 6).as("centroid_sq_norm"),
+        when(col("__n") >= 2L,
+          rd((col("__n").cast(dec) * col("__s2") * 2 - t * 2).cast("double") /
+            (nD * (nD - 1.0)) / lit(1e12), 6)).as("mean_pairwise_sqdist"))
+  }
+
   /** Exact sample covariance matrix of the embedding dimensions — the
     * moment pass behind PCA/whitening/feature-correlation analysis —
     * from ONE corpus scan via the augmented-moment trick: append a

@@ -1039,4 +1039,88 @@ object TextAnalysis {
       out
     }
   }
+
+  /** Corpus-level Zipf / vocabulary statistics — the distributional
+    * health check run on a text corpus before training: natural
+    * language obeys a power law (token frequency ∝ rank^slope with
+    * slope ≈ −1), and a corpus whose slope collapses toward 0
+    * (near-uniform tokens: hashes, ids, boilerplate tables) or whose
+    * top-1 token share explodes (template spam) was mis-curated in a
+    * way no per-document filter can see. Returns ONE row:
+    * (n_tokens, vocab_size, top1_count, top1_share, zipf_slope)
+    * where zipf_slope is the least-squares slope of ln(count) on
+    * ln(rank) over the `topN` most frequent tokens (the head is
+    * where the power law lives; the tail is measurement noise).
+    *
+    * Determinism/portability: tokens shuffle as 8-byte portable
+    * hashes (the house `txt_entropy` convention — the accepted
+    * collision trade, identical on the oracle side); the top-N
+    * selection orders by (count desc, hash asc) — a total order, so
+    * ties are stable; both regression coordinates quantize to 1e-6
+    * integers BEFORE the sums, making Σx, Σy, Σxy, Σx² exact longs
+    * (topN ≤ 10^4 keeps Σxy < 2^53), and the slope is one
+    * fixed-shape IEEE expression over them, 1e-6-quantized.
+    *
+    * Scale shape: one explode + ONE map-side-combined count keyed by
+    * the 8-byte hash (the only data-sized shuffle); the top-N is a
+    * TakeOrderedAndProject (per-partition bounded heaps, never a
+    * full sort); vocabulary totals roll up the count table
+    * map-side; the regression runs over topN rows on one partition.
+    */
+  def zipfStats(df: DataFrame, textCol: String, topN: Int = 100): DataFrame =
+    zipfStatsImpl(df, textCol, topN, materialize = true)
+
+  /** [[zipfStats]] without the persist/checkpoint materialization —
+    * the plan-audit seam. */
+  private[graft] def zipfStatsImpl(df: DataFrame, textCol: String,
+      topN: Int, materialize: Boolean): DataFrame = {
+    require(topN >= 2, s"topN=$topN must be >= 2 (a slope needs two points)")
+    require(topN <= 10000, s"topN=$topN must be <= 10000 (exact-integer sum bound)")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val toks = split(normalizeText(col(textCol)), " ")
+    val toksSafe = when(length(trim(col(textCol))) === 0,
+      lit(Array.empty[String])).otherwise(toks)
+    val occ = df.select(explode(toksSafe).as("__t"))
+      .select(graft.operators.Dedup.portableHash60(col("__t")).as("__h"))
+    // persisted: the vocab-sized count table feeds both the totals
+    // and the top-N branches, which prune it differently — without
+    // the cache ReuseExchange misses and the corpus is tokenized
+    // twice (the evt_rfm re-scan class)
+    val cnt0 = occ.groupBy("__h").agg(count("*").as("__c"))
+    val cnt = if (materialize) cnt0.persist() else cnt0
+    val tot = cnt.agg(sum("__c").as("n_tokens"), count("*").as("vocab_size"),
+      max("__c").as("top1_count"))
+    // bounded-heap top-N, total order (count desc, hash asc)
+    val top = cnt.orderBy(col("__c").desc, col("__h").asc).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c").desc, col("__h").asc)
+    val reg = top
+      .select(col("__c"), row_number().over(w).as("__r"))
+      .select(
+        floor(log(col("__r").cast("double")) * lit(1e6) + lit(0.5)).cast("long").as("__x"),
+        floor(log(col("__c").cast("double")) * lit(1e6) + lit(0.5)).cast("long").as("__y"))
+      .agg(count("*").as("__n"), sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select({
+        val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+        // den = 0 ⟺ fewer than 2 regression points (degenerate corpus)
+        when(den =!= 0L,
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            den.cast("double")).as("__slope")
+      })
+    val raw = tot.crossJoin(reg) // two one-row frames
+      .select(coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("vocab_size"), col("top1_count"),
+        rd(col("top1_count").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("top1_share"),
+        rd(col("__slope"), 6).as("zipf_slope"))
+    if (!materialize) raw
+    else {
+      val out = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointFreshStats(raw)
+      cnt.unpersist()
+      out
+    }
+  }
 }

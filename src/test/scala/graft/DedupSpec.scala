@@ -836,4 +836,114 @@ class DedupSpec extends SparkSpec {
         .agg(momentMatrix(col("v"), 2)).collect()
     }
   }
+
+  // ---- silhouette -------------------------------------------------------
+
+  private def seedIds(ids: Seq[Long], n: Int): Seq[Long] = {
+    def phash(id: Long): Long = ((id % 1000003L) * 2654435761L) % 2147483647L
+    ids.sortBy(id => (-phash(id), id)).take(n).sorted // cell index = id order
+  }
+
+  test("silhouette: points exactly ON their centroid score 1, boundary point scores 0") {
+    import spark.implicits._
+    val ids = 0L until 10L
+    val Seq(sa, sb) = seedIds(ids, 2)
+    // every non-seed point sits EXACTLY on one of the two seed
+    // positions (±2 on axis 0) → a = 0, b = 16e12 > 0 → s = 1.0
+    // exactly; one extra point at the midpoint (0,0) is equidistant
+    // (b = a) → s = 0, assigned to cell 0 by the first-minimum rule.
+    def vec(id: Long): Array[Float] =
+      if (id == 100L) Array(0f, 0f)
+      else if (id == sa || (id != sb && id % 2 == 0)) Array(2f, 0f)
+      else Array(-2f, 0f)
+    val rows = (ids :+ 100L).map(id => (id, vec(id)))
+    val out = graft.operators.Similarity.silhouette(
+        rows.toDF("id", "v"), "v", "id", nCells = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.map(_._2).sum === rows.length.toLong, s"all points assigned: ${out.toSeq}")
+    // cell 0 holds the midpoint: its mean is (n0-1)·1.0 + 0.0 over n0;
+    // cell 1 is pure → mean exactly 1.0
+    val (c0n, c0m) = (out(0)._2, out(0)._3.get)
+    assert(out(1)._3.contains(1.0), s"pure cell mean exactly 1: ${out.toSeq}")
+    assert(c0m === math.floor((c0n - 1).toDouble / c0n * 1e6 + 0.5) / 1e6,
+      s"midpoint dilutes cell 0 exactly: ${out.toSeq}")
+  }
+
+  test("silhouette: all-identical points → degenerate b = 0 scores 0, empty cell is null") {
+    import spark.implicits._
+    // every vector identical → both centroids coincide → b = 0 → the
+    // 0/0 guard yields s = 0 (not NaN); the first-minimum rule sends
+    // everything to cell 0, cell 1 is empty (n 0, null mean).
+    val rows = (0L until 5L).map(id => (id, Array(1.5f, -0.5f)))
+    val out = graft.operators.Similarity.silhouette(
+        rows.toDF("id", "v"), "v", "id", nCells = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSeq === Seq((0, 5L, Some(0.0)), (1, 0L, None)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.silhouette(rows.toDF("id", "v"), "v", "id", nCells = 1)
+    }
+  }
+
+  test("silhouette: deterministic across runs; scores stay within [0, 1]") {
+    import spark.implicits._
+    val rows = (0L until 30L).map(id =>
+      (id, Array.tabulate(4)(j => ((id * 13 + j * 7) % 11).toFloat - 5f)))
+    val df = rows.toDF("id", "v")
+    val a = graft.operators.Similarity.silhouette(df, "v", "id", nCells = 3).collect()
+    val b = graft.operators.Similarity.silhouette(df, "v", "id", nCells = 3).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq, "deterministic")
+    val means = a.filterNot(_.isNullAt(2)).map(_.getDouble(2))
+    assert(means.forall(m => m >= 0.0 && m <= 1.0), s"s ∈ [0,1]: ${means.toSeq}")
+    assert(a.map(_.getLong(1)).sum === 30L, "every point assigned exactly once")
+  }
+
+  // ---- embeddingDiversity -------------------------------------------------
+
+  private def diversityOn(vs: Seq[Array[Float]], dim: Int) = {
+    import spark.implicits._
+    val r = graft.operators.Similarity.embeddingDiversity(
+      vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v"),
+      "v", dim = dim).collect().head
+    (r.getLong(0), r.getDouble(1), r.getDouble(2),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+  }
+
+  test("embeddingDiversity: two points — the identity IS the squared distance") {
+    // x = (3, 0), y = (0, 4): ‖x−y‖² = 25, and both ordered pairs share
+    // it, so mean_pairwise = 25 exactly. mean ‖·‖² = (9+16)/2 = 12.5;
+    // centroid (1.5, 2) → ‖c‖² = 6.25; identity: 2·(12.5 − 6.25)·(n/(n−1))
+    // with n = 2 → 25. Exact integers end-to-end at 1e-6 quantization.
+    val out = diversityOn(Seq(Array(3f, 0f), Array(0f, 4f)), dim = 2)
+    assert(out === ((2L, 12.5, 6.25, Some(25.0))))
+  }
+
+  test("embeddingDiversity: identical vectors → zero diversity; single row → null") {
+    val out = diversityOn(Seq.fill(7)(Array(1.25f, -2f, 0.5f)), dim = 3)
+    assert(out._1 === 7L)
+    assert(out._4 === Some(0.0), s"copies have zero pairwise distance: $out")
+    assert(out._2 === out._3, "mean_sq_norm == centroid_sq_norm for copies")
+    val one = diversityOn(Seq(Array(1f, 2f)), dim = 2)
+    assert(one === ((1L, 5.0, 5.0, None)))
+  }
+
+  test("embeddingDiversity: matches the explicit all-pairs mean on a random corpus") {
+    // serial brute force over every ordered pair on 1e-6-quantized
+    // coordinates — the O(n²) semantic the one-pass identity replaces.
+    val vs = (0 until 40).map(i =>
+      Array.tabulate(5)(j => (((i * 31 + j * 17) % 23) - 11) / 7.0f))
+    val q = vs.map(_.map(x => math.floor(x * 1e6 + 0.5).toLong))
+    val pairSum = (for (a <- q; b <- q if a ne b) yield
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum).sum // exact long
+    val expected = math.floor(
+      pairSum.toDouble / (40.0 * 39.0) / 1e12 * 1e6 + 0.5) / 1e6
+    val out = diversityOn(vs, dim = 5)
+    assert(out._1 === 40L)
+    assert(math.abs(out._4.get - expected) < 1e-9,
+      s"identity == brute force: ${out._4} vs $expected")
+    // decomposition: mean_pairwise = 2 (mean_sq_norm − centroid_sq_norm) · n/(n−1)
+    assert(math.abs(out._4.get - 2.0 * (out._2 - out._3) * 40.0 / 39.0) < 2e-6,
+      s"$out")
+  }
 }

@@ -247,6 +247,78 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(2L) === ((0L, 3L, 3.0, "core")))
   }
 
+  // ---- activeUsers ------------------------------------------------------
+
+  private def activeOn(rows: Seq[(Long, Long)], windowDays: Int = 7) =
+    EventAnalytics.activeUsers(rows.toDF("u", "ts"), "u", "ts", windowDays)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  test("activeUsers: trailing window boundary — day anchor-6 is in, anchor-7 is out") {
+    // u1 active day 0 only, u2 day 6, u3 day 7 (windowDays = 7).
+    // anchor 6 window is (−1, 6] → sees days 0..6 → users {1,2};
+    // anchor 7 window is (0, 7]  → day 0 ages out → users {2,3}.
+    val out = activeOn(Seq(
+      (1L, 0L * Day + 5L), (2L, 6L * Day + 1L), (3L, 7L * Day)))
+    assert(out.toSeq === Seq(
+      (0L, 1L, 1L, 1.0),
+      (6L, 1L, 2L, 0.5),
+      (7L, 1L, 2L, 0.5)))
+  }
+
+  test("activeUsers: event volume never moves a count; rows only for observed days") {
+    // u1 fires 5 events on day 2 (several hours apart) — dau/wau count
+    // the USER once; days 0,1,3.. with no events produce no rows.
+    val out = activeOn(Seq(
+      (1L, 2L * Day), (1L, 2L * Day + 3600000000L), (1L, 2L * Day + 2L),
+      (1L, 2L * Day + 7200000000L), (1L, 2L * Day + 9L),
+      (2L, 2L * Day + 100L)))
+    assert(out.toSeq === Seq((2L, 2L, 2L, 1.0)))
+  }
+
+  test("activeUsers: windowDays=1 degenerates to dau == wau, stickiness 1") {
+    val out = activeOn(Seq((1L, 0L), (2L, 0L), (1L, 3L * Day)), windowDays = 1)
+    assert(out.toSeq === Seq((0L, 2L, 2L, 1.0), (3L, 1L, 1L, 1.0)))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.activeUsers(Seq((1L, 0L)).toDF("u", "ts"), "u", "ts", 0)
+    }
+  }
+
+  // ---- conversionLag ----------------------------------------------------
+
+  private val HourUs = 3600000000L
+
+  private def lagOn(rows: Seq[(Long, String, Long)]) =
+    EventAnalytics.conversionLag(rows.toDF("u", "et", "ts"), "u", "et", "ts",
+        fromType = "signup", toType = "purchase")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  test("conversionLag: hour buckets, boundaries, cumulative counts and shares") {
+    // u1 converts at exactly 1 h → bucket 1; u2 one µs short → bucket 0;
+    // u3 never purchases → excluded; u4's pre-signup purchase is ignored
+    // but the later one counts (lag 10 µs); u5 converts at lag 0 (>= is
+    // inclusive). Buckets: h0 = {u2,u4,u5} = 3, h1 = {u1} = 1.
+    val out = lagOn(Seq(
+      (1L, "signup", 0L), (1L, "purchase", HourUs),
+      (2L, "signup", 0L), (2L, "purchase", HourUs - 1L),
+      (3L, "signup", 0L),
+      (4L, "purchase", -5L), (4L, "signup", 0L), (4L, "purchase", 10L),
+      (5L, "signup", 100L), (5L, "purchase", 100L)))
+    assert(out.toSeq === Seq(
+      (0L, 3L, 3L, 0.75),
+      (1L, 1L, 4L, 0.25)))
+  }
+
+  test("conversionLag: FIRST signup anchors; EARLIEST qualifying purchase counts") {
+    // u1 signs up twice (first at 0); its earliest purchase ≥ 0 is at
+    // 50 even though a later one lands at 2 h → lag 50 µs, bucket 0.
+    val out = lagOn(Seq(
+      (1L, "signup", 100L), (1L, "signup", 0L),
+      (1L, "purchase", 50L), (1L, "purchase", 2L * HourUs)))
+    assert(out.toSeq === Seq((0L, 1L, 1L, 1.0)))
+  }
+
   test("rfm: a user exactly ON both mean cutoffs is core (<= and >= are inclusive)") {
     // 3 users with r = {0, 1, 2} and f = {1, 2, 3}: means r̄ = 1, f̄ = 2.
     // u2 sits exactly on both: r·n = 3 = tot_r, f·n = 6 = tot_f → core.
@@ -257,5 +329,97 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(2L)._4 === "core")
     assert(out(1L)._4 === "casual")      // r 0 recent, f 1·3 < 6
     assert(out(3L)._4 === "lapsed_heavy") // r 2·3 > 3, f 3·3 ≥ 6
+  }
+
+  // ---- activityConcentration (gini) --------------------------------------
+
+  private def giniOn(rows: Seq[(Long, Long)]) = {
+    val r = EventAnalytics.activityConcentration(rows.toDF("u", "ts"), "u")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("gini: all-equal counts score exactly 0; one owner scores (n-1)/n") {
+    // 4 users × 2 events each: perfectly equal → gini ≡ 0; the top 1%
+    // is ceil(4/100) = 1 user owning exactly its 1/4 share.
+    val eq = giniOn((1L to 4L).flatMap(u => Seq((u, 0L), (u, 1L))))
+    assert(eq === ((4L, 8L, 0.0, 1L, 0.25)))
+    // 5 users; u5 owns 96 of 100 events. Ranked ascending (c, u):
+    // r=1..4 → c=1, r=5 → c=96. Σrc = 1+2+3+4+480 = 490.
+    // gini = (2·490 − 6·100) / (5·100) = 380/500 = 0.76.
+    val sk = giniOn((1L to 4L).map(u => (u, 0L)) ++
+      (1L to 96L).map(i => (5L, i)))
+    assert(sk === ((5L, 100L, 0.76, 1L, 0.96)))
+  }
+
+  test("gini: tie-order invariance — permuting equal-count users moves nothing") {
+    // 3 users with counts {2, 2, 1}: the two tied users may rank in
+    // either order; Σrc over the tied block is fixed (c·Σr).
+    // Ascending: r1→c1, r2,r3→c2 each. Σrc = 1 + 4 + 6 = 11.
+    // gini = (22 − 4·5) / (3·5) = 2/15.
+    val out = giniOn(Seq((7L, 0L), (7L, 1L), (3L, 0L), (3L, 1L), (9L, 0L)))
+    assert(out._3 === math.floor(2.0 / 15.0 * 1e6 + 0.5) / 1e6)
+    assert(out === ((3L, 5L, out._3, 1L, 0.4)))
+  }
+
+  // ---- seasonality --------------------------------------------------------
+
+  test("seasonality: planted UTC cells, full 168-row grid, chi terms vs uniform") {
+    // 3 events at hour 5 of epoch day 0 (a Thursday → dow 4) and 1 at
+    // hour 0 of day 3 (Sunday → dow 0). Grid stays 168 rows.
+    val rows = Seq(
+      (1L, 5L * HourUs), (2L, 5L * HourUs + 7L), (3L, 5L * HourUs + 99L),
+      (4L, 3L * Day))
+    val out = EventAnalytics.seasonality(rows.toDF("u", "ts"), "ts").collect()
+    assert(out.length === 168)
+    val byCell = out.map(r => ((r.getLong(0), r.getLong(1)),
+      (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(byCell((4L, 5L))._1 === 3L)
+    assert(byCell((0L, 0L))._1 === 1L)
+    assert(out.map(_.getLong(2)).sum === 4L, "counts conserve")
+    assert(byCell((4L, 5L))._2 === 0.75)
+    // empty cell: obs 0, exp = 4/168 → chi term = exp exactly
+    val exp = 4.0 / 168.0
+    assert(byCell((1L, 1L))._3 === math.floor((0.0 - exp) * (0.0 - exp) / exp * 1e6 + 0.5) / 1e6)
+    assert(byCell((4L, 5L))._3 === math.floor((3.0 - exp) * (3.0 - exp) / exp * 1e6 + 0.5) / 1e6)
+  }
+
+  // ---- botDetect ----------------------------------------------------------
+
+  private val MinUs = 60000000L
+
+  private def botsOn(rows: Seq[(Long, Long)], burst: Int = 30,
+      sustained: Int = 2, minEvents: Int = 50) =
+    EventAnalytics.botDetect(rows.toDF("u", "ts"), "u", "ts",
+        burstPerMinute = burst, sustainedPerMinute = sustained,
+        minEvents = minEvents)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))).toMap
+
+  test("botDetect: burst boundary — exactly the threshold in one minute flags") {
+    // u1: 3 events in one minute (threshold 3) → burst, even with
+    // tiny totals; u2: 2 in a minute → under threshold → ok.
+    val out = botsOn(
+      (1L to 3L).map(i => (1L, i)) ++ Seq((2L, 0L), (2L, 5L)),
+      burst = 3, minEvents = 100)
+    assert(out(1L) === ((3L, 1L, 3L, 3.0, "burst")))
+    assert(out(2L) === ((2L, 1L, 2L, 2.0, "ok")))
+  }
+
+  test("botDetect: sustained needs BOTH the floor and the exact mean-rate compare") {
+    // threshold: minEvents 4, sustained 2/minute.
+    // u1: 4 events over 2 minutes → mean exactly 2.0 → sustained
+    //     (n ≥ minutes·rate compares integers: 4 ≥ 4).
+    // u2: 4 events over 3 minutes → 4 < 6 → ok.
+    // u3: 3 events in 1 minute → under minEvents → ok (burst is 30).
+    val out = botsOn(Seq(
+      (1L, 0L), (1L, 1L), (1L, MinUs), (1L, MinUs + 1L),
+      (2L, 0L), (2L, MinUs), (2L, 2L * MinUs), (2L, 2L * MinUs + 9L),
+      (3L, 0L), (3L, 1L), (3L, 2L)),
+      sustained = 2, minEvents = 4)
+    assert(out(1L)._5 === "sustained")
+    assert(out(2L) === ((4L, 3L, 2L, math.floor(4.0 / 3.0 * 1e6 + 0.5) / 1e6, "ok")))
+    assert(out(3L)._5 === "ok")
   }
 }

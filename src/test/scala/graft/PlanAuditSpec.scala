@@ -759,6 +759,64 @@ class PlanAuditSpec extends SparkSpec {
       s"vectors must not cross exchanges:\n${exch.mkString("\n")}")
   }
 
+  test("activeUsers seam: events reduce to distinct (u, day) first; window fan-out broadcasts") {
+    val ev = spark.range(5000).select((col("id") % 400).as("u"),
+      ((col("id") % 30) * 86400000000L + col("id")).as("ts"))
+    val p = graft.operators.EventAnalytics.activeUsersImpl(ev, "u", "ts",
+        windowDays = 7, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"distinct (u,day) map-side combined:\n$p")
+    // the trailing-window fan-out is a non-equi interval join against
+    // the tiny broadcast anchor list — never a sort-merge over events
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"interval join broadcasts the day list:\n$p")
+    assert(!p.contains("Window"), s"no window — distinct cannot slide:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no data-sized sort-merge join:\n$p")
+  }
+
+  test("evt_conversion_lag: type filters pushed to both scans; window only over hour buckets") {
+    val p = plan("evt_conversion_lag")
+    // the two event-type slices each push their filter into the scan —
+    // two pruned scans beat one full scan + persist for source slices
+    val scans = p.linesIterator.filter(_.contains("events.parquet")).toSeq
+    assert(scans.size === 2, s"one pruned scan per type slice:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,"),
+      s"type filter reaches the parquet scan:\n$p")
+    assert(p.contains("partial_"), s"per-user mins map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"user join is an equi-join:\n$p")
+    // the only Window rolls up the AGGREGATED hour-bucket table (span-
+    // bounded), never a user's event history
+    assert(!p.contains("windowspecdefinition(u#") &&
+      !p.contains("windowspecdefinition(user_id"),
+      s"no window keyed by user over raw events:\n$p")
+  }
+
+  test("emb_silhouette: corpus never shuffles — narrow literal-matrix pass, cell-sized rollup") {
+    val p = plan("emb_silhouette")
+    assert(p.contains("partial_"), s"cell sums map-side combined:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"grid join broadcasts:\n$p")
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.forall(!_.contains("embedding#")),
+      s"vectors must not cross exchanges:\n${exch.mkString("\n")}")
+  }
+
+  test("zipfStats seam: tokens shuffle as 8-byte hashes; top-N is a bounded heap, not a sort") {
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta token"), col("id") % 50).as("text"))
+    val p = graft.operators.TextAnalysis.zipfStatsImpl(docs, "text",
+        topN = 100, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"hash counts map-side combined:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N via per-partition bounded heaps, never a global sort:\n$p")
+    // raw token strings must never ride a shuffle — only the 8-byte
+    // portable hash keys the count aggregation
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.nonEmpty && exch.forall(!_.contains("__t#")),
+      s"tokens cross exchanges only as hashes:\n${exch.mkString("\n")}")
+  }
+
   test("triangleStats seam: long-keyed joins only, no window, no cartesian") {
     val pairs = spark.range(3000).select((col("id") % 500).as("id_a"),
       ((col("id") * 13 + 7) % 500).as("id_b"))
@@ -769,5 +827,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"every join an equi-join:\n$p")
     assert(p.contains("partial_"), s"degree/per-node counts map-side combined:\n$p")
+  }
+
+  test("emb_diversity: one global agg, no joins, corpus never shuffles") {
+    val p = plan("emb_diversity")
+    assert(p.contains("partial_"), s"moment sums map-side combined:\n$p")
+    assert(!p.contains("Join"), s"no join of any kind:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    // the only exchange is the single-row partial-aggregate funnel —
+    // no hashpartitioning exchange carries vectors
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.isEmpty, s"no data-sized shuffle:\n${exch.mkString("\n")}")
+  }
+
+  test("evt_gini: per-user counts map-side combined; ranks are range-sorted, no single-partition window") {
+    val p = plan("evt_gini")
+    assert(p.contains("partial_"), s"per-user counts map-side combined:\n$p")
+    assert(!p.contains("Window"),
+      s"ranks come from zipWithIndex, never a global window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"scalar joins broadcast:\n$p")
+  }
+
+  test("evt_seasonality: one 168-key agg, grid join broadcasts, no window") {
+    val p = plan("evt_seasonality")
+    assert(p.contains("partial_"), s"cell counts map-side combined:\n$p")
+    assert(!p.contains("Window"), s"scalar total rides a cross join, not a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"grid and total joins broadcast:\n$p")
+  }
+
+  test("evt_bots: two stacked map-side aggs, no window, no join, no sort of events") {
+    val p = plan("evt_bots")
+    assert(p.contains("partial_"), s"per-minute buckets map-side combined:\n$p")
+    assert(!p.contains("Window"), s"no window over event history:\n$p")
+    assert(!p.contains("Join"), s"no join:\n$p")
   }
 }

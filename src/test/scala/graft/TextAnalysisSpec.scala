@@ -489,4 +489,64 @@ class TextAnalysisSpec extends SparkSpec {
     // every input doc is tagged, none dropped
     assert(out.map(_._1).toSeq == (1L to 12L))
   }
+
+  // ---- zipfStats ---------------------------------------------------------
+
+  /** The operator's exact regression arithmetic, replayed in Scala:
+    * both coordinates quantize to 1e-6 integers BEFORE the sums, the
+    * slope is one IEEE division, 1e-6-quantized.
+    */
+  private def zipfSlope(countsDesc: Seq[Long]): Double = {
+    val pts = countsDesc.zipWithIndex.map { case (c, i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1e6 + 0.5).toLong,
+       math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    math.floor(slope * 1e6 + 0.5) / 1e6
+  }
+
+  test("zipfStats: exact totals, top-1 share, and hand-replayed slope; empty docs are safe") {
+    // token counts: a×8, b×4, c×2, d×1 across three docs plus an
+    // empty and a whitespace-only doc (zero tokens, no null/[''] row)
+    val docs = Seq(
+      (1L, "a a a a b b c d"),
+      (2L, "A a\t a  B b"),      // normalization: case + whitespace
+      (3L, "a c"),
+      (4L, ""), (5L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfStats(docs, "text", topN = 100).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((15L, 4L, 8L)))
+    assert(r.getDouble(3) === math.floor(8.0 / 15.0 * 1e6 + 0.5) / 1e6)
+    assert(r.getDouble(4) === zipfSlope(Seq(8L, 4L, 2L, 1L)))
+  }
+
+  test("zipfStats: an exact power-law corpus reads slope ≈ −1; topN truncates the head") {
+    // counts 12/r for ranks 1..4: ln c = ln 12 − ln r → slope −1 up to
+    // the 1e-6 coordinate quantization
+    val words = Seq("w1" -> 12, "w2" -> 6, "w3" -> 4, "w4" -> 3)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val full = TextAnalysis.zipfStats(df, "text", topN = 100).collect()(0)
+    assert(math.abs(full.getDouble(4) + 1.0) < 1e-3, s"slope ${full.getDouble(4)}")
+    assert(full.getDouble(4) === zipfSlope(Seq(12L, 6L, 4L, 3L)))
+    // topN = 2 regresses over the two head points only
+    val head = TextAnalysis.zipfStats(df, "text", topN = 2).collect()(0)
+    assert(head.getDouble(4) === zipfSlope(Seq(12L, 6L)))
+    assert(head.getLong(0) === 25L && head.getLong(1) === 4L,
+      "totals stay corpus-wide when topN truncates the regression")
+  }
+
+  test("zipfStats: single-token vocabulary has no slope (null), share 1; bad topN rejected") {
+    val df = Seq((1L, "same same same")).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfStats(df, "text", topN = 100).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 1L, 3L)))
+    assert(r.getDouble(3) === 1.0)
+    assert(r.isNullAt(4), "one regression point → degenerate denominator → null")
+    intercept[IllegalArgumentException] { TextAnalysis.zipfStats(df, "text", topN = 1) }
+    intercept[IllegalArgumentException] { TextAnalysis.zipfStats(df, "text", topN = 10001) }
+  }
 }
