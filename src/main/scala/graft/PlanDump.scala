@@ -74,7 +74,10 @@ object PlanDump {
     "emb_diversity" -> "O(n²) pairwise semantic in one O(n·d) scan via the moment identity — single global agg, corpus never shuffles",
     "evt_gini" -> "per-user counts map-side combined; global ranks via range-sort + zipWithIndex, never a single-partition window",
     "evt_seasonality" -> "one 168-key map-side agg; broadcast grid + scalar cross join; chi terms vs uniform",
-    "evt_bots" -> "two stacked map-side aggs ((user,minute) then user); integer threshold compares; tag-don't-drop")
+    "evt_bots" -> "two stacked map-side aggs ((user,minute) then user); integer threshold compares; tag-don't-drop",
+    "emb_recall_eval" -> "both ANN arms broadcast queries; overlap join broadcasts the k·|Q|-row approx arm; count map-side combined",
+    "txt_readability" -> "pure scan-side regex counters + fixed IEEE arithmetic — no keyed shuffle, no join, no window",
+    "txt_code_detect" -> "pure scan-side line/char signals, integer-exact thresholds — no keyed shuffle, no join, no window")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -2055,7 +2055,23 @@ object SparkEntry {
     "emb_diversity" -> ((s, dir) =>
       // Exact mean pairwise squared distance via the moment identity
       // (O(n^2) semantic, one O(n·d) scan; corpus never shuffles).
-      Similarity.embeddingDiversity(t(s, dir, "embeddings"), "embedding"))
+      Similarity.embeddingDiversity(t(s, dir, "embeddings"), "embedding")),
+    "emb_recall_eval" -> ((s, dir) => {
+      // ANN self-QA: recall@10 of the deterministic IVF index vs the
+      // exact brute-force top-10 on the same query split.
+      val e = t(s, dir, "embeddings")
+      Similarity.recallEval(e.filter(col("vec_id") >= 5),
+        e.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 10, nCells = 16, nProbe = 4)
+    }),
+    "txt_readability" -> ((s, dir) =>
+      // Flesch reading ease per document: scan-side regex counters +
+      // fixed IEEE arithmetic, banded on the quantized score.
+      TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")),
+    "txt_code_detect" -> ((s, dir) =>
+      // Code-vs-prose router: line/char signals with integer-exact
+      // thresholds, tag-don't-drop.
+      TextAnalysis.codeDetect(t(s, dir, "documents"), "doc_id", "text"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3927,6 +3943,60 @@ object SparkEntry {
              ${roundToSql("CAST(n * s2 * 2 - t * 2 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e12", 6)}
            END AS mean_pairwise_sqdist
          FROM dvt"""
-    }
+    },
+    "emb_recall_eval" ->
+      s"""WITH rex AS (SELECT query_id, corpus_id FROM (
+           WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+             sc AS (SELECT query_id, corpus_id, ${duckCos("qv", "cv")} AS c FROM c CROSS JOIN q)
+           SELECT query_id, corpus_id FROM (
+             SELECT query_id, corpus_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY c DESC, corpus_id) AS rank
+             FROM sc) WHERE rank <= 10)),
+         rap AS (SELECT query_id, corpus_id FROM ($annIvfOracleSql)),
+         rov AS (SELECT e.query_id, CAST(count(a.corpus_id) AS BIGINT) AS n_overlap
+           FROM rex e LEFT JOIN rap a
+             ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+           GROUP BY 1)
+         SELECT query_id, 10 AS k, n_overlap,
+           ${roundToSql("CAST(n_overlap AS DOUBLE) / 10.0", 6)} AS recall
+         FROM rov ORDER BY query_id""",
+    "txt_readability" ->
+      s"""WITH rb AS (SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(len(regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT)
+           END AS w,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl
+         FROM documents),
+         rb2 AS (SELECT doc_id, w, s, syl,
+           CASE WHEN w > 0 THEN
+             ${roundToSql("206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))", 6)}
+           END AS flesch FROM rb)
+         SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables, flesch,
+           CASE WHEN w = 0 THEN 'empty'
+             WHEN flesch >= 60.0 THEN 'easy'
+             WHEN flesch >= 30.0 THEN 'medium'
+             ELSE 'hard' END AS band
+         FROM rb2 ORDER BY doc_id""",
+    "txt_code_detect" ->
+      s"""WITH cd AS (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(regexp_extract_all(text, '[{}();=<>\\[\\]]')) AS BIGINT) AS sym_count,
+           CAST(len(list_filter(string_split(text, chr(10)),
+             l -> l LIKE '  %' OR l LIKE chr(9) || '%')) AS BIGINT) AS indent_lines,
+           CAST(len(list_filter(string_split(text, chr(10)),
+             l -> rtrim(l) LIKE '%;' OR rtrim(l) LIKE '%{' OR rtrim(l) LIKE '%}')) AS BIGINT) AS eol_code_lines,
+           CAST(len(regexp_extract_all(lower(text),
+             '\\b(def|class|return|import|function|void|int)\\b')) AS BIGINT) AS kw_hits,
+           length(trim(text)) = 0 AS is_empty
+         FROM documents)
+         SELECT doc_id, n_chars, n_lines, sym_count, indent_lines, eol_code_lines, kw_hits,
+           CASE WHEN is_empty THEN 'empty'
+             WHEN sym_count * 1000 >= n_chars * 30 THEN 'code'
+             WHEN indent_lines * 10 >= n_lines * 3 AND eol_code_lines * 10 >= n_lines * 2 THEN 'code'
+             ELSE 'prose' END AS verdict
+         FROM cd ORDER BY doc_id"""
   )
 }

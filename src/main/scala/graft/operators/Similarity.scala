@@ -400,6 +400,50 @@ object Similarity {
       .orderBy("cell_id")
   }
 
+  /** ANN self-evaluation: recall@k of the IVF index against the exact
+    * brute-force top-k on the SAME query set — the QA loop every
+    * vector-search deployment runs before trusting its approximate
+    * index (a probe setting that silently drops recall from 0.98 to
+    * 0.6 is invisible without this). Returns one row per query:
+    * (query_id, k, n_overlap, recall) where n_overlap counts the
+    * exact top-k ids the IVF result also returned and
+    * recall = n_overlap ÷ k.
+    *
+    * Uses the deterministic IVF variant (portable-hash seed cells,
+    * lloydIters = 0) so the whole evaluation — both arms — is
+    * bit-replicable by an external engine; the k-means production
+    * path keeps its separate recall gate in DedupSpec.
+    *
+    * Scale shape: composes the two audited ANN plans (corpus never
+    * shuffles in either; queries broadcast) plus ONE query-keyed
+    * left join of two k·|Q|-row frames and a map-side combined
+    * count — every post-ANN row set is queries-sized, never
+    * corpus-sized. Recall is one IEEE division of exact longs,
+    * 1e-6-quantized.
+    */
+  def recallEval(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val exact = bruteForceTopK(corpus, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("corpus_id"))
+    // the approx arm is ≤ k·|queries| slim rows by construction —
+    // broadcast it so the overlap join never sorts the exact arm
+    val approx = broadcast(
+      ivfTopK(corpus, queries, vecCol, idCol, k,
+          nCells = nCells, nProbe = nProbe, lloydIters = 0, portableSeed = true)
+        .select(col("query_id").as("__qi"), col("corpus_id").as("__ci")))
+    exact.join(approx,
+        col("query_id") === col("__qi") && col("corpus_id") === col("__ci"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(col("__ci")).as("n_overlap"))
+      .select(col("query_id"), lit(k).as("k"), col("n_overlap"),
+        rd(col("n_overlap").cast("double") / lit(k.toDouble), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** EXACT corpus diversity in one linear pass: the mean pairwise
     * squared euclidean distance over all n·(n−1) ordered vector pairs
     * — the scalar that distinguishes "10⁹ diverse embeddings" from

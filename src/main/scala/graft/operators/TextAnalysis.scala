@@ -1040,6 +1040,85 @@ object TextAnalysis {
     }
   }
 
+  /** Per-document readability scoring — the Flesch reading-ease
+    * variant every text-curation stack runs to bucket corpora by
+    * audience (a "legal boilerplate vs children's stories" axis the
+    * length/stopword quality filters can't see). Heuristic inputs,
+    * stated exactly so an external engine replays them:
+    * words = house whitespace tokens over the normalized text;
+    * sentences = runs of `[.!?]` (min 1); syllables = runs of
+    * `[aeiouy]` in the lowercased text (the standard vowel-group
+    * approximation). flesch = 206.835 − 1.015·(w/s) − 84.6·(syl/w),
+    * null for empty documents. The band thresholds (60/30 —
+    * easy/medium/hard) compare the 1e-6-QUANTIZED score, so both
+    * engines band the same value and the cut is reproducible.
+    *
+    * Scale shape: pure scan-side expressions (three regex counters +
+    * fixed IEEE arithmetic), zero shuffles beyond the output order —
+    * pipelines into any downstream filter at scan speed.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rd = graft.functions.MathFunctions.roundTo _
+    val toks = split(normalizeText(col(textCol)), " ")
+    val w = when(length(trim(col(textCol))) === 0, lit(0L))
+      .otherwise(size(toks).cast("long"))
+    val s = greatest(regexp_count(col(textCol), lit("[.!?]+")).cast("long"), lit(1L))
+    val syl = regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+    val flesch = rd(lit(206.835) -
+      lit(1.015) * (w.cast("double") / s.cast("double")) -
+      lit(84.6) * (syl.cast("double") / w.cast("double")), 6)
+    df.select(col(idCol).as("doc_id"), w.as("n_words"), s.as("n_sentences"),
+        syl.as("n_syllables"),
+        when(w > 0L, flesch).as("flesch"),
+        when(w === 0L, "empty")
+          .when(flesch >= 60.0, "easy")
+          .when(flesch >= 30.0, "medium")
+          .otherwise("hard").as("band"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document code-vs-prose detection — the curation router that
+    * keeps source code out of a prose corpus (and vice versa), where
+    * a misrouted 10% of code silently reshapes a language model's
+    * token distribution. Counts four line/character signals and
+    * applies integer-exact threshold rules, tag-don't-drop:
+    *  - symbol density: `{}();=<>[]` characters per char;
+    *  - indented lines: leading two spaces or a tab;
+    *  - code line endings: rtrimmed line ends with `;`, `{` or `}`;
+    *  - keyword hits: `\b(def|class|return|import|function|void|int)\b`
+    *    in the lowercased text.
+    * verdict = `code` when symbols ≥ 3% of chars (compared as
+    * `sym·1000 ≥ chars·30` — exact longs, no IEEE quotient) OR when
+    * ≥30% of lines are indented AND ≥20% end like statements;
+    * otherwise `prose`. Empty docs are `empty`.
+    *
+    * Scale shape: pure scan-side expressions (regex counter, one
+    * split + two list filters, integer compares) — zero shuffles
+    * beyond the output order.
+    */
+  def codeDetect(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val nChars = length(col(textCol)).cast("long")
+    val nLines = size(lines).cast("long")
+    val sym = regexp_count(col(textCol), lit("[{}();=<>\\[\\]]")).cast("long")
+    val indent = size(filter(lines,
+      l => l.startsWith("  ") || l.startsWith("\t"))).cast("long")
+    val eol = size(filter(lines, l => {
+      val r = rtrim(l)
+      r.endsWith(";") || r.endsWith("{") || r.endsWith("}")
+    })).cast("long")
+    val kw = regexp_count(lower(col(textCol)),
+      lit("\\b(def|class|return|import|function|void|int)\\b")).cast("long")
+    df.select(col(idCol).as("doc_id"), nChars.as("n_chars"), nLines.as("n_lines"),
+        sym.as("sym_count"), indent.as("indent_lines"), eol.as("eol_code_lines"),
+        kw.as("kw_hits"),
+        when(length(trim(col(textCol))) === 0, "empty")
+          .when(sym * 1000L >= nChars * 30L, "code")
+          .when(indent * 10L >= nLines * 3L && eol * 10L >= nLines * 2L, "code")
+          .otherwise("prose").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level Zipf / vocabulary statistics — the distributional
     * health check run on a text corpus before training: natural
     * language obeys a power law (token frequency ∝ rank^slope with

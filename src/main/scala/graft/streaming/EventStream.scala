@@ -569,6 +569,101 @@ object EventStream {
       }
   }
 
+  /** One bot verdict crossing: emitted AT MOST ONCE per (user,
+    * verdict) the moment the rule becomes true. */
+  case class BotFlag(user_id: Long, verdict: String, minute: Long,
+                     n_events: Long, active_minutes: Long, max_per_minute: Long)
+
+  /** Per-user monitor state: still-open minute counts + three
+    * watermark-final scalars + the two once-only emission latches. */
+  case class BotState(open: Map[Long, Long], maxClosed: Long,
+                      totalClosed: Long, activeClosed: Long,
+                      burstFlagged: Boolean, sustainedFlagged: Boolean)
+
+  /** Streaming rate-based bot detection — the live twin of
+    * [[graft.operators.EventAnalytics.botDetect]]: per user, count
+    * events into event-time minute buckets; emit a `burst` flag the
+    * INSTANT any single minute's count reaches `burstPerMinute`
+    * (within-minute counts only grow, so the crossing is monotone and
+    * safe to emit early), and a `sustained` flag when the
+    * watermark-CLOSED history first satisfies both
+    * `total ≥ minEvents` and `total ≥ activeMinutes ·
+    * sustainedPerMinute` (exact integer compares, same rule as
+    * batch). Each verdict fires at most once per user — this is a
+    * pager, not a ledger; the batch operator owns the full roster.
+    *
+    * Semantics note (the honest divergence from batch): `burst`
+    * reports the LIVE totals at crossing time (that is the point of a
+    * live monitor); `sustained` is evaluated only over minutes the
+    * watermark has closed, so its numbers are final and replay
+    * identically. A flood arriving entirely inside one not-yet-closed
+    * minute still pages — via the burst rule — immediately.
+    *
+    * State per user is O(open minutes + 5) longs — bounded by the
+    * watermark horizon, never by event volume (a 10⁶-event minute is
+    * ONE map entry).
+    */
+  def botStream(events: DataFrame, tsCol: String, userCol: String,
+                burstPerMinute: Int = 30, sustainedPerMinute: Int = 2,
+                minEvents: Int = 50,
+                watermark: String = "10 minutes"): Dataset[BotFlag] = {
+    require(burstPerMinute >= 1 && sustainedPerMinute >= 1 && minEvents >= 1,
+      s"thresholds must be >= 1: $burstPerMinute/$sustainedPerMinute/$minEvents")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val minMs = 60000L
+    val keyed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(userCol).cast("long").as("u"))
+    keyed.groupByKey((r: org.apache.spark.sql.Row) => r.getLong(1))
+      .flatMapGroupsWithState[BotState, BotFlag](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state: GroupState[BotState]) =>
+          def armTimeout(open: Map[Long, Long]): Unit =
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max((open.keys.min + 1) * minMs + 1,
+                         state.getCurrentWatermarkMs() + 1))
+          if (state.hasTimedOut) {
+            val s = state.get
+            val wm = state.getCurrentWatermarkMs()
+            val (closable, stillOpen) = s.open.partition { case (m, _) => (m + 1) * minMs <= wm }
+            val total = s.totalClosed + closable.valuesIterator.sum
+            val active = s.activeClosed + closable.size
+            val mx = (s.maxClosed +: closable.values.toSeq).max
+            val out =
+              if (closable.nonEmpty && !s.sustainedFlagged &&
+                  total >= minEvents.toLong &&
+                  total >= active * sustainedPerMinute.toLong)
+                Seq(BotFlag(user, "sustained", closable.keys.max, total, active, mx))
+              else Seq.empty
+            state.update(BotState(stillOpen, mx, total, active,
+              s.burstFlagged, s.sustainedFlagged || out.nonEmpty))
+            armTimeout(stillOpen)
+            out.iterator
+          } else {
+            val s = state.getOption.getOrElse(
+              BotState(Map.empty, 0L, 0L, 0L, burstFlagged = false, sustainedFlagged = false))
+            var open = s.open
+            var burstEmit: Option[BotFlag] = None
+            rows.foreach { r =>
+              val m = Math.floorDiv(r.getTimestamp(0).getTime, minMs)
+              val c = open.getOrElse(m, 0L) + 1L
+              open = open.updated(m, c)
+              if (!s.burstFlagged && burstEmit.isEmpty && c >= burstPerMinute.toLong) {
+                val liveTotal = s.totalClosed + open.valuesIterator.sum
+                val liveActive = s.activeClosed + open.size.toLong
+                burstEmit = Some(BotFlag(user, "burst", m, liveTotal, liveActive, c))
+              }
+            }
+            state.update(BotState(open, s.maxClosed, s.totalClosed, s.activeClosed,
+              s.burstFlagged || burstEmit.nonEmpty, s.sustainedFlagged))
+            armTimeout(open)
+            burstEmit.iterator
+          }
+      }
+  }
+
   /** One closed (event_type, day) volume with its prequential
     * z-score: NULL z until the type has >= 2 closed trailing days
     * with nonzero variance. */

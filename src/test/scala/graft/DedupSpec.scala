@@ -946,4 +946,37 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out._4.get - 2.0 * (out._2 - out._3) * 40.0 / 39.0) < 2e-6,
       s"$out")
   }
+
+  // ---- recallEval ---------------------------------------------------------
+
+  test("recallEval: probing every cell makes IVF exact — recall ≡ 1.0") {
+    import spark.implicits._
+    val rows = (0L until 24L).map(i =>
+      (i, Array.tabulate(4)(j => (((i * 7 + j * 3) % 13) - 6).toFloat)))
+    val df = rows.toDF("id", "v")
+    val out = graft.operators.Similarity.recallEval(
+        df.filter(col("id") >= 4), df.filter(col("id") < 4), "v", "id",
+        k = 5, nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 4, "one row per query")
+    assert(out.forall { case (_, k, n, rec) => k == 5 && n == 5L && rec == 1.0 },
+      s"full probe = exact: ${out.toSeq}")
+  }
+
+  test("recallEval: partial probe recall stays in [0,1], deterministic, overlap ≤ k") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(j => (((i * 11 + j * 5) % 17) - 8).toFloat)))
+    val df = rows.toDF("id", "v")
+    def run() = graft.operators.Similarity.recallEval(
+        df.filter(col("id") >= 5), df.filter(col("id") < 5), "v", "id",
+        k = 5, nCells = 8, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val a = run()
+    assert(a.toSeq === run().toSeq, "deterministic")
+    assert(a.forall { case (_, n, rec) =>
+      n >= 0L && n <= 5L && rec >= 0.0 && rec <= 1.0 }, s"${a.toSeq}")
+    assert(a.forall { case (_, n, rec) =>
+      rec === math.floor(n / 5.0 * 1e6 + 0.5) / 1e6 }, "recall = overlap/k")
+  }
 }

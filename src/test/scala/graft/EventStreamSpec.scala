@@ -382,6 +382,47 @@ class EventStreamSpec extends SparkSpec {
     assert(got(3).z.contains(-1.0) && got(3).is_anomaly.contains(false), s"${got(3)}")
   }
 
+  test("streaming bots: burst pages instantly, sustained waits for watermark-final minutes, latches once") {
+    val minMs = 60000L
+    val base = 1000L // minute index offset dodges the epoch-0 watermark gotcha
+    def ev(id: Long, u: Long, minute: Long, offMs: Long) =
+      Event(id, new Timestamp((base + minute) * minMs + offMs), u, "click", 0.0)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val q = EventStream.botStream(stream.toDS().toDF(), "ts", "user_id",
+        burstPerMinute = 30, sustainedPerMinute = 2, minEvents = 50,
+        watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("bots").start()
+    // u1: 30 events inside ONE minute → burst, emitted from the very
+    // batch that crosses the threshold (no watermark wait).
+    // u2: exactly 2 events/minute over 25 minutes (50 total) — the
+    // sustained rule becomes true only once ALL 25 minutes close.
+    // u3: 10 events over 5 minutes — rate 2 but under minEvents.
+    val batch1 =
+      (0 until 30).map(i => ev(100 + i, 1L, 0L, i * 100L)) ++
+      (0 until 25).flatMap(m => Seq(ev(200 + 2 * m, 2L, m.toLong, 10L),
+                                    ev(201 + 2 * m, 2L, m.toLong, 20L))) ++
+      (0 until 10).map(i => ev(300 + i, 3L, (i / 2).toLong, i * 50L))
+    stream.addData(batch1)
+    q.processAllAvailable()
+    val afterB1 = spark.sql("SELECT * FROM bots").as[EventStream.BotFlag].collect()
+    assert(afterB1.toSeq === Seq(EventStream.BotFlag(1L, "burst", base, 30L, 1L, 30L)),
+      s"burst pages from its own batch, live totals: ${afterB1.toSeq}")
+    // u1 floods again → the latch must NOT re-page; sentinels advance
+    // the watermark so u2's minutes close (0..23 first, then 24).
+    stream.addData((0 until 30).map(i => ev(400 + i, 1L, 6L, i * 100L)) :+
+      ev(500, 99L, 30L, 0L))
+    q.processAllAvailable()
+    stream.addData(Seq(ev(501, 99L, 40L, 0L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM bots ORDER BY user_id")
+      .as[EventStream.BotFlag].collect().toSeq
+    assert(got === Seq(
+      EventStream.BotFlag(1L, "burst", base, 30L, 1L, 30L),
+      EventStream.BotFlag(2L, "sustained", base + 24L, 50L, 25L, 2L)),
+      s"one flag per (user, verdict); sustained numbers watermark-final: $got")
+  }
+
   test("streaming domain quality: per-(window, source) counts exact, distinct estimate equals the batch HLL bit-for-bit") {
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, String, String)](spark)
     val out = EventStream.domainQualityStream(

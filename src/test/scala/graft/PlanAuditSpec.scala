@@ -863,4 +863,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window over event history:\n$p")
     assert(!p.contains("Join"), s"no join:\n$p")
   }
+
+  test("txt_readability / txt_code_detect: pure scan-side — no shuffle beyond the output sort") {
+    for (name <- Seq("txt_readability", "txt_code_detect")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name: scan-speed expressions, no keyed shuffle:\n$p")
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$name: no join, no window:\n$p")
+    }
+  }
+
+  test("emb_recall_eval: corpus vectors never keyed into an exchange; overlap join on slim ids") {
+    val p = plan("emb_recall_eval")
+    // both ANN arms broadcast the query side; the only hash exchanges
+    // carry (query_id, corpus_id) longs or bounded top-k buffers
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.forall(l => !l.contains("cv#") && !l.contains("embedding#")),
+      s"corpus never shuffles:\n${exch.mkString("\n")}")
+    assert(!p.contains("SortMergeJoin"), s"overlap join broadcasts:\n$p")
+    assert(p.contains("partial_"), s"overlap count map-side combined:\n$p")
+  }
 }

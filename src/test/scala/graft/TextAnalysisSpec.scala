@@ -549,4 +549,74 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TextAnalysis.zipfStats(df, "text", topN = 1) }
     intercept[IllegalArgumentException] { TextAnalysis.zipfStats(df, "text", topN = 10001) }
   }
+
+  // ---- readability --------------------------------------------------------
+
+  test("readability: hand-computed Flesch — words, sentence runs, vowel groups") {
+    // "the cat sat. it ran!" → 5 words; sentence runs [.] [!] → 2;
+    // vowel groups: the(1) cat(1) sat(1) it(1) ran(1) → 5.
+    // flesch = 206.835 − 1.015·(5/2) − 84.6·(5/5) = 206.835 − 2.5375 − 84.6
+    val df = Seq((1L, "the cat sat. it ran!"), (2L, "   "),
+      (3L, "no terminal punctuation here")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df, "doc_id", "text").collect()
+    val r1 = out(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) === ((5L, 2L, 5L)))
+    val expected = 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0)
+    assert(r1.getDouble(4) === math.floor(expected * 1e6 + 0.5) / 1e6)
+    assert(r1.getString(5) === "easy", s"119.7 ≥ 60: $r1")
+    // whitespace-only doc: zero words, null score, 'empty' band
+    assert(out(1).getLong(1) === 0L && out(1).isNullAt(4)
+      && out(1).getString(5) === "empty")
+    // no [.!?] at all → sentence floor of 1, score still defined
+    assert(out(2).getLong(2) === 1L && !out(2).isNullAt(4))
+  }
+
+  test("readability: band cuts applied to the QUANTIZED score") {
+    // dense polysyllables push the score far below the 30 cut:
+    // 3 words / 1 sentence / 15 vowel groups
+    // → 206.835 − 3.045 − 84.6·5 = −219.21 → hard
+    val hardText = "onomatopoeia encyclopaedia audiovisualia"
+    val out = TextAnalysis.readability(
+      Seq((1L, hardText)).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    assert(out.getString(5) === "hard", s"$out")
+    assert(out.getDouble(4) < 30.0)
+  }
+
+  // ---- codeDetect ---------------------------------------------------------
+
+  test("codeDetect: symbol density routes code; indentation+EOL route code; prose stays prose") {
+    val code1 = "int main() { return f(x); }" // 7 symbols / 27 chars > 3%
+    val code2 = "def f:\n  a\n  b\n  c{\nx;"    // indent+EOL route, no density
+    val prose = "It was the best of times and nothing more was said about it"
+    val df = Seq((1L, code1), (2L, code2), (3L, prose), (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.codeDetect(df, "doc_id", "text").collect()
+    assert(out(0).getString(7) === "code", s"${out(0)}")
+    assert(out(1).getString(7) === "code", s"${out(1)}")
+    assert(out(2).getString(7) === "prose", s"${out(2)}")
+    assert(out(3).getString(7) === "empty", s"${out(3)}")
+    // exact counters on code1: 27 chars, 1 line, symbols ( ) { ( ) ; }
+    val r1 = out(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) === ((27L, 1L, 7L)))
+    assert(r1.getLong(6) === 2L, s"int + return keywords: $r1")
+  }
+
+  test("codeDetect: the indent/EOL rule fires below symbol density; thresholds are exact") {
+    // 10 lines: 3 indented (exactly 30%), 2 ending with ';' (exactly
+    // 20%) — both boundaries inclusive via integer cross-multiply.
+    // Lines are padded with prose so the 2 semicolons stay under the
+    // 3% density rule and ONLY the indent/EOL rule decides.
+    val lines = Seq("  alpha beta gamma", "  delta epsilon zeta",
+      "  eta theta iota", "kappa lambda mu;", "nu xi omicron;",
+      "pi rho", "sigma tau", "upsilon phi", "chi psi", "omega end")
+    val df = Seq((1L, lines.mkString("\n"))).toDF("doc_id", "text")
+    val r = TextAnalysis.codeDetect(df, "doc_id", "text").collect()(0)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((10L, 2L, 3L, 2L)))
+    assert(r.getLong(3) * 1000L < r.getLong(1) * 30L, "density rule stays off")
+    assert(r.getString(7) === "code", s"inclusive boundary: $r")
+    // one fewer indented line → 2/10 < 30% → prose
+    val df2 = Seq((1L, ("kappa pad" +: lines.tail).mkString("\n"))).toDF("doc_id", "text")
+    assert(TextAnalysis.codeDetect(df2, "doc_id", "text")
+      .collect()(0).getString(7) === "prose")
+  }
 }
