@@ -77,7 +77,10 @@ object PlanDump {
     "evt_bots" -> "two stacked map-side aggs ((user,minute) then user); integer threshold compares; tag-don't-drop",
     "emb_recall_eval" -> "both ANN arms broadcast queries; overlap join broadcasts the k·|Q|-row approx arm; count map-side combined",
     "txt_readability" -> "pure scan-side regex counters + fixed IEEE arithmetic — no keyed shuffle, no join, no window",
-    "txt_code_detect" -> "pure scan-side line/char signals, integer-exact thresholds — no keyed shuffle, no join, no window")
+    "txt_code_detect" -> "pure scan-side line/char signals, integer-exact thresholds — no keyed shuffle, no join, no window",
+    "evt_lifecycle" -> "checkpointed result (one user-keyed window over persisted distinct active days); shape audited at the lifecycleImpl seam",
+    "emb_dims_health" -> "one global agg (4·dim map-side moments) + inline unpivot — corpus never shuffles, no join",
+    "txt_boilerplate" -> "lines shuffle as 8-byte hashes; distinct-before-count doc frequency; indexed array reassembly, no second text shuffle")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -2071,7 +2071,28 @@ object SparkEntry {
     "txt_code_detect" -> ((s, dir) =>
       // Code-vs-prose router: line/char signals with integer-exact
       // thresholds, tag-don't-drop.
-      TextAnalysis.codeDetect(t(s, dir, "documents"), "doc_id", "text"))
+      TextAnalysis.codeDetect(t(s, dir, "documents"), "doc_id", "text")),
+    "evt_lifecycle" -> ((s, dir) =>
+      // Daily growth accounting (new/retained/resurrected/churned):
+      // one user-keyed window over distinct active days, persisted
+      // against the two-branch re-scan, day-keyed rollups.
+      graft.operators.EventAnalytics.lifecycle(events(s, dir), "user_id", "ts_us")),
+    "emb_dims_health" -> ((s, dir) =>
+      // Per-dimension mean/var/min/max + dead-dim flag: one global
+      // agg (4·dim map-side combined), inline unpivot, no corpus shuffle.
+      Similarity.dimsHealth(t(s, dir, "embeddings"), "embedding")),
+    "txt_boilerplate" -> ((s, dir) =>
+      // Cross-document line-frequency boilerplate: lines shuffle as
+      // 8-byte hashes, distinct-before-count, indexed array
+      // reassembly. The synthetic corpus is single-line, so the query
+      // views each page as nav-header + body (the web shape the
+      // operator exists for): the per-source header is shared
+      // template furniture → flagged; every body line is unique →
+      // kept, and cleaned_md5 must equal md5(body).
+      TextAnalysis.boilerplateLines(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("NAV "), col("source"), lit("\n"), col("text")).as("text")),
+        "doc_id", "text", minDocs = 3))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3997,6 +4018,65 @@ object SparkEntry {
              WHEN sym_count * 1000 >= n_chars * 30 THEN 'code'
              WHEN indent_lines * 10 >= n_lines * 3 AND eol_code_lines * 10 >= n_lines * 2 THEN 'code'
              ELSE 'prose' END AS verdict
-         FROM cd ORDER BY doc_id"""
+         FROM cd ORDER BY doc_id""",
+    "evt_lifecycle" ->
+      s"""WITH lau AS (SELECT DISTINCT user_id AS u,
+           epoch_us(ts) // 86400000000 AS day FROM events),
+         lm AS (SELECT u, day,
+             lag(day) OVER (PARTITION BY u ORDER BY day) AS prev,
+             lead(day) OVER (PARTITION BY u ORDER BY day) AS next
+           FROM lau),
+         lc AS (SELECT day,
+             CAST(count(*) FILTER (WHERE prev IS NULL) AS BIGINT) AS n_new,
+             CAST(count(*) FILTER (WHERE day - prev = 1) AS BIGINT) AS n_retained,
+             CAST(count(*) FILTER (WHERE prev IS NOT NULL AND day - prev > 1) AS BIGINT) AS n_resurrected
+           FROM lm GROUP BY day),
+         lch AS (SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS n_churned
+           FROM lm WHERE next IS NULL OR next > day + 1 GROUP BY 1)
+         SELECT lc.day, n_new, n_retained, n_resurrected,
+           CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+         FROM lc LEFT JOIN lch ON lch.day = lc.day ORDER BY lc.day""",
+    "emb_dims_health" ->
+      s"""WITH dhq AS (SELECT list_transform(embedding::DOUBLE[],
+             x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS q FROM embeddings),
+         dhx AS (SELECT CAST(t.i - 1 AS INTEGER) AS dim, q[CAST(t.i AS INTEGER)] AS v
+           FROM dhq CROSS JOIN range(1, 65) t(i)),
+         dhm AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
+             sum(v * v) AS sq, min(v) AS lo, max(v) AS hi
+           FROM dhx GROUP BY dim)
+         SELECT dim,
+           ${roundToSql("CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6", 6)} AS mean,
+           CASE WHEN n >= 2 THEN
+             ${roundToSql("CAST(n * sq - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e12", 6)}
+           END AS variance,
+           ${roundToSql("CAST(lo AS DOUBLE) / 1e6", 6)} AS min_val,
+           ${roundToSql("CAST(hi AS DOUBLE) / 1e6", 6)} AS max_val,
+           lo = hi AS dead
+         FROM dhm ORDER BY dim""",
+    "txt_boilerplate" ->
+      s"""WITH bl AS (SELECT doc_id,
+           string_split('NAV ' || source || chr(10) || text, chr(10)) AS ls
+           FROM documents),
+         bocc AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+             i -> {'pos': i - 1, 'l': ls[CAST(i AS INTEGER)]})) AS e FROM bl),
+         bo2 AS (SELECT doc_id, CAST(e.pos AS INTEGER) AS pos,
+             trim(e.l, ' ' || chr(9)) AS tl
+           FROM bocc WHERE trim(e.l, ' ' || chr(9)) <> ''),
+         bh AS (SELECT doc_id, pos, ${duckHex60("tl")} AS h FROM bo2),
+         bdc AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM
+           (SELECT DISTINCT doc_id, h FROM bh) GROUP BY h),
+         bfl AS (SELECT h FROM bdc WHERE c >= 3),
+         bps AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS bp
+           FROM bh JOIN bfl USING (h) GROUP BY doc_id),
+         bout AS (SELECT bl.doc_id, len(ls) AS n_lines, coalesce(len(bp), 0) AS nb,
+             list_filter(list_transform(range(1, len(ls) + 1),
+               i -> CASE WHEN list_contains(coalesce(bp, CAST([] AS INTEGER[])), i - 1)
+                 THEN NULL ELSE ls[CAST(i AS INTEGER)] END), x -> x IS NOT NULL) AS kept
+           FROM bl LEFT JOIN bps ON bps.doc_id = bl.doc_id)
+         SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(nb AS BIGINT) AS n_boilerplate,
+           ${roundToSql("CAST(nb AS DOUBLE) / CAST(n_lines AS DOUBLE)", 6)} AS boilerplate_frac,
+           md5(array_to_string(kept, chr(10))) AS cleaned_md5
+         FROM bout ORDER BY doc_id"""
   )
 }

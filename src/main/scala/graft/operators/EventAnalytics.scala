@@ -598,6 +598,66 @@ object EventAnalytics {
       .orderBy("dow", "hour")
   }
 
+  /** Daily growth accounting — the new / retained / resurrected /
+    * churned user rollup every engagement dashboard leads with, and
+    * the decomposition DAU alone can't give (flat DAU can be healthy
+    * retention or a churn-for-new treadmill; only this split tells
+    * them apart). Per observed activity day:
+    *  - n_new: users whose FIRST active day is this day;
+    *  - n_retained: users also active the previous calendar day;
+    *  - n_resurrected: users returning after a gap of 2+ days;
+    *  - n_churned: users active the previous day but not this day
+    *    (credited to the first inactive day; churn landing on a day
+    *    with no corpus activity at all has no output row to land on
+    *    and is dropped with it — documented, deterministic).
+    *
+    * Plan shape: events reduce ONCE to the distinct slim (user, day)
+    * frame; ONE user-keyed window computes lag/lead over each user's
+    * ACTIVE DAYS (bounded by the corpus day span, event-volume
+    * independent — a 10⁶-event day is one row). The windowed frame is
+    * persisted because the classification and churn branches prune it
+    * differently (the ReuseExchange miss class), then two day-keyed
+    * counts join on the observed-day grid. All day arithmetic is
+    * exact integer micros floor-division; counts are longs.
+    */
+  def lifecycle(events: DataFrame, userCol: String, tsUsCol: String): DataFrame =
+    lifecycleImpl(events, userCol, tsUsCol, materialize = true)
+
+  /** [[lifecycle]] without the persist/checkpoint materialization —
+    * the plan-audit seam. */
+  private[graft] def lifecycleImpl(events: DataFrame, userCol: String,
+      tsUsCol: String, materialize: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val au = events.select(col(userCol).as("u"),
+        expr(s"cast($tsUsCol as long) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("u").orderBy("day")
+    val marked0 = au.select(col("u"), col("day"),
+      lag("day", 1).over(w).as("prev"),
+      lead("day", 1).over(w).as("next"))
+    val marked = if (materialize) marked0.persist() else marked0
+    val classes = marked.groupBy("day").agg(
+      count(when(col("prev").isNull, 1)).as("n_new"),
+      count(when(col("day") - col("prev") === 1L, 1)).as("n_retained"),
+      count(when(col("prev").isNotNull && col("day") - col("prev") > 1L, 1))
+        .as("n_resurrected"))
+    val churn = marked
+      .filter(col("next").isNull || col("next") > col("day") + 1L)
+      .select((col("day") + 1L).as("day"))
+      .groupBy("day").agg(count("*").as("n_churned"))
+    val raw = classes.join(churn, Seq("day"), "left")
+      .select(col("day"), col("n_new"), col("n_retained"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("day")
+    if (!materialize) raw
+    else {
+      val out = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointFreshStats(raw)
+      marked.unpersist()
+      out
+    }
+  }
+
   /** Rate-based bot detection: per-user activity-rate fingerprint
     * over exact per-minute buckets, with a two-rule verdict —
     * `burst` (any single minute at or above `burstPerMinute` events:

@@ -444,6 +444,56 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Per-dimension embedding health: mean, sample variance, min and
+    * max of every coordinate plus a `dead` flag (a dimension whose
+    * min equals its max carries zero information — the classic
+    * symptom of a truncated export or an untrained projection row).
+    * The cheap per-axis rollup next to [[covarianceMatrix]]'s full
+    * matrix: 64 rows a dashboard can watch, not 64×64.
+    *
+    * Determinism/portability: coordinates quantize to 1e-6 integers;
+    * per-dimension sums and squared sums accumulate as decimal(38,0)
+    * (exact at 10⁹ rows; DuckDB HUGEINT mirrors them); mean and
+    * variance are single fixed-shape IEEE divisions, 1e-6-quantized;
+    * `dead` compares exact longs. Variance is null when n < 2.
+    *
+    * Scale shape: ONE narrow corpus scan into a single global
+    * aggregate row (4·dim map-side combined aggregates — the corpus
+    * never shuffles; the only exchange carries one partial row per
+    * task), then a driver-free inline unpivot of that row into `dim`
+    * output rows.
+    */
+  def dimsHealth(df: DataFrame, vecCol: String, dim: Int = 64): DataFrame = {
+    require(dim >= 1, s"dim=$dim must be >= 1")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val dec = "decimal(38,0)"
+    val base = df.select(transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("q"))
+    def qd(d: Int) = element_at(col("q"), d + 1)
+    val aggs = count("*").as("__n") +: (0 until dim).flatMap(d => Seq(
+      sum(qd(d).cast(dec)).as(s"__s$d"),
+      sum((qd(d) * qd(d)).cast(dec)).as(s"__q$d"),
+      min(qd(d)).as(s"__lo$d"),
+      max(qd(d)).as(s"__hi$d")))
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val nD = col("__n").cast("double")
+    val rows = (0 until dim).map { d =>
+      val s = col(s"__s$d"); val q = col(s"__q$d")
+      struct(lit(d).as("dim"),
+        rd(s.cast("double") / nD / lit(1e6), 6).as("mean"),
+        when(col("__n") >= 2L,
+          rd((col("__n").cast(dec) * q - s * s).cast("double") /
+            (nD * (nD - 1.0)) / lit(1e12), 6)).as("variance"),
+        rd(col(s"__lo$d").cast("double") / lit(1e6), 6).as("min_val"),
+        rd(col(s"__hi$d").cast("double") / lit(1e6), 6).as("max_val"),
+        (col(s"__lo$d") === col(s"__hi$d")).as("dead"))
+    }
+    m.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.dim"), col("r.mean"), col("r.variance"),
+        col("r.min_val"), col("r.max_val"), col("r.dead"))
+      .orderBy("dim")
+  }
+
   /** EXACT corpus diversity in one linear pass: the mean pairwise
     * squared euclidean distance over all n·(n−1) ordered vector pairs
     * — the scalar that distinguishes "10⁹ diverse embeddings" from

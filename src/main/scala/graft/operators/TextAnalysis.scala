@@ -1119,6 +1119,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Cross-document line-level boilerplate detection — the
+    * CCNet/RefinedWeb line-dedup step: a LINE whose (trimmed) content
+    * appears in at least `minDocs` DISTINCT documents is template
+    * furniture (nav bars, cookie banners, footers), not content, and
+    * per-document or token-gram filters can't see it. Returns one row
+    * per document: line counts, the boilerplate fraction, and the md5
+    * of the text with flagged lines removed (kept lines joined by
+    * `\n` in original order) — the narrow fingerprint downstream
+    * exact-dedup runs on instead of the full cleaned payload.
+    * Blank (whitespace-only) lines are structure, never counted or
+    * stripped.
+    *
+    * Scale shape: lines shuffle as 8-byte portable hashes (house
+    * convention); the docs-per-line count is DISTINCT (doc, hash)
+    * first, then a map-side combined count, so a line repeated 10⁶
+    * times inside one page costs one row; flagged hashes join back to
+    * the slim (doc, pos, hash) occurrence frame and collapse to one
+    * bounded position set per document (≤ the document's own line
+    * count — the same per-doc boundedness as the text itself). The
+    * reassembly is a scan-side indexed array filter, no second text
+    * shuffle.
+    */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val lines = split(col(textCol), "\n")
+    // trim spaces AND tabs for the line identity — plain trim() strips
+    // only 0x20 on both engines and an indented-with-tabs nav bar
+    // would silently stop matching its space-indented twin
+    val occ = df.select(col(idCol).as("__id"), posexplode(lines).as(Seq("__pos", "__l")))
+      .filter(length(trim(col("__l"), " \t")) > 0)
+      .select(col("__id"), col("__pos"),
+        graft.operators.Dedup.portableHash60(trim(col("__l"), " \t")).as("__h"))
+    // distinct (doc, hash) BEFORE counting: within-doc repetition of a
+    // line must not inflate its document frequency
+    val flagged = occ.select("__id", "__h").distinct()
+      .groupBy("__h").agg(count("*").as("__c"))
+      .filter(col("__c") >= minDocs.toLong).select("__h")
+    val bp = occ.join(flagged, "__h")
+      .groupBy("__id").agg(sort_array(collect_set(col("__pos"))).as("__bp"))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .join(bp, col("doc_id") === col("__id"), "left")
+      .select(col("doc_id"),
+        size(split(col("__t"), "\n")).cast("long").as("n_lines"),
+        coalesce(size(col("__bp")), lit(0)).cast("long").as("n_boilerplate"),
+        rd(coalesce(size(col("__bp")), lit(0)).cast("double") /
+          size(split(col("__t"), "\n")).cast("double"), 6).as("boilerplate_frac"),
+        md5(array_join(filter(split(col("__t"), "\n"),
+          (l, i) => !array_contains(coalesce(col("__bp"), lit(Array.empty[Int])), i)),
+          "\n")).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level Zipf / vocabulary statistics — the distributional
     * health check run on a text corpus before training: natural
     * language obeys a power law (token frequency ∝ rank^slope with

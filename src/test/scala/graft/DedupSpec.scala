@@ -947,6 +947,32 @@ class DedupSpec extends SparkSpec {
       s"$out")
   }
 
+  // ---- dimsHealth ---------------------------------------------------------
+
+  test("dimsHealth: hand-computed mean/var/min/max; a constant dimension reads dead") {
+    import spark.implicits._
+    val rows = Seq((1L, Array(1f, 5f)), (2L, Array(3f, 5f)), (3L, Array(5f, 5f)))
+    val out = graft.operators.Similarity.dimsHealth(
+        rows.toDF("id", "v"), "v", dim = 2)
+      .collect().map(r => (r.getInt(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    // dim 0: mean 3, sample var ((−2)² + 0 + 2²)/2 = 4, span [1, 5]
+    assert(out(0) === ((0, 3.0, Some(4.0), 1.0, 5.0, false)))
+    // dim 1: constant 5 → var 0, min == max → dead
+    assert(out(1) === ((1, 5.0, Some(0.0), 5.0, 5.0, true)))
+  }
+
+  test("dimsHealth: single-row corpus — null variance, trivially dead dims") {
+    import spark.implicits._
+    val out = graft.operators.Similarity.dimsHealth(
+        Seq((1L, Array(0.25f, -1f))).toDF("id", "v"), "v", dim = 2)
+      .collect()
+    assert(out.forall(_.isNullAt(2)), "n < 2 → no sample variance")
+    assert(out.forall(_.getBoolean(5)), "one point: every dim constant")
+    assert(out(0).getDouble(1) === 0.25 && out(1).getDouble(1) === -1.0)
+  }
+
   // ---- recallEval ---------------------------------------------------------
 
   test("recallEval: probing every cell makes IVF exact — recall ≡ 1.0") {

@@ -384,6 +384,36 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(byCell((4L, 5L))._3 === math.floor((3.0 - exp) * (3.0 - exp) / exp * 1e6 + 0.5) / 1e6)
   }
 
+  // ---- lifecycle ----------------------------------------------------------
+
+  private def lifecycleOn(rows: Seq[(Long, Long)]) =
+    EventAnalytics.lifecycle(rows.toDF("u", "ts"), "u", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+  test("lifecycle: new / retained / resurrected / churned decompose each day exactly") {
+    // u1 active days 0,1,3 — new@0, retained@1, churn lands on day 2,
+    //   resurrected@3, final churn lands on day 4 (no corpus activity → dropped).
+    // u2 active days 1,2 — new@1, retained@2, churn on day 3.
+    // u3 active day 3 only — new@3, churn on day 4 (dropped with u1's).
+    val out = lifecycleOn(Seq(
+      (1L, 0L * Day), (1L, 1L * Day + 5L), (1L, 3L * Day),
+      (2L, 1L * Day), (2L, 2L * Day + 9L),
+      (3L, 3L * Day + 1L)))
+    assert(out.toSeq === Seq(
+      (0L, 1L, 0L, 0L, 0L),  // u1 new
+      (1L, 1L, 1L, 0L, 0L),  // u2 new, u1 retained
+      (2L, 0L, 1L, 0L, 1L),  // u2 retained, u1 churned (gap day)
+      (3L, 1L, 0L, 1L, 1L))) // u3 new, u1 resurrected, u2 churned
+  }
+
+  test("lifecycle: event volume inside a day never moves a count; single-day corpus") {
+    // u1 fires 6 events on day 5: one 'new', nothing else; no churn
+    // row (day 6 unobserved).
+    val out = lifecycleOn((0L until 6L).map(i => (1L, 5L * Day + i)))
+    assert(out.toSeq === Seq((5L, 1L, 0L, 0L, 0L)))
+  }
+
   // ---- botDetect ----------------------------------------------------------
 
   private val MinUs = 60000000L

@@ -874,6 +874,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("lifecycle seam: one user-keyed window over distinct active days, day rollups map-side") {
+    val ev = spark.range(4000).select((col("id") % 300).as("u"),
+      ((col("id") % 20) * 86400000000L + col("id")).as("ts"))
+    val p = graft.operators.EventAnalytics.lifecycleImpl(ev, "u", "ts",
+        materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"distinct + day counts map-side combined:\n$p")
+    // every window is keyed by the user over DISTINCT active days —
+    // never over raw event history (the un-materialized seam shows the
+    // classification/churn branches each with their own copy; the
+    // public path persists the windowed frame so one copy executes)
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(u#")),
+      s"windows keyed by user over active days:\n${specs.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("emb_dims_health: one global agg, inline unpivot — corpus never shuffles, no join") {
+    val p = plan("emb_dims_health")
+    assert(p.contains("partial_"), s"4·dim moments map-side combined:\n$p")
+    assert(!p.contains("Join"), s"no join:\n$p")
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.isEmpty, s"no data-sized shuffle:\n${exch.mkString("\n")}")
+  }
+
+  test("txt_boilerplate: lines cross exchanges only as 8-byte hashes, distinct before count") {
+    val p = plan("txt_boilerplate")
+    assert(p.contains("partial_"), s"doc-frequency count map-side combined:\n$p")
+    // raw line text must never key a shuffle — only the hash column
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.nonEmpty && exch.forall(!_.contains("__l#")),
+      s"line text never rides an exchange key:\n${exch.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("emb_recall_eval: corpus vectors never keyed into an exchange; overlap join on slim ids") {
     val p = plan("emb_recall_eval")
     // both ANN arms broadcast the query side; the only hash exchanges

@@ -550,6 +550,48 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TextAnalysis.zipfStats(df, "text", topN = 10001) }
   }
 
+  // ---- boilerplateLines ---------------------------------------------------
+
+  test("boilerplateLines: cross-doc frequency flags; within-doc repeats and blanks never count") {
+    // "FOOTER" rides in docs 1-3 (3 distinct docs = minDocs) → flagged.
+    // Doc 4 repeats its own line 3 times in ONE doc → distinct-before-
+    // count keeps it at document frequency 1 → NOT flagged.
+    // Blank lines are structure: never counted, never stripped.
+    val df = Seq(
+      (1L, "alpha\nFOOTER\n\nbravo"),
+      (2L, "charlie\nFOOTER"),
+      (3L, "FOOTER\ndelta"),
+      (4L, "echo\necho\necho")).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateLines(df, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    def md5(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out(1L) === ((4L, 1L, 0.25, md5("alpha\n\nbravo"))),
+      s"FOOTER stripped, blank kept: ${out(1L)}")
+    assert(out(2L) === ((2L, 1L, 0.5, md5("charlie"))))
+    assert(out(3L) === ((2L, 1L, 0.5, md5("delta"))))
+    assert(out(4L) === ((3L, 0L, 0.0, md5("echo\necho\necho"))),
+      s"within-doc repetition is not boilerplate: ${out(4L)}")
+  }
+
+  test("boilerplateLines: trimmed matching — indentation variants of one line share a flag") {
+    // the same trimmed content under different indentation counts as
+    // one line identity across 3 docs; stripping removes each doc's
+    // RAW variant (reassembly is positional, not textual)
+    val df = Seq(
+      (1L, "  menu\nbody1"),
+      (2L, "menu\nbody2"),
+      (3L, "\tmenu\nbody3")).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateLines(df, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    def md5(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out === Map(1L -> md5("body1"), 2L -> md5("body2"), 3L -> md5("body3")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.boilerplateLines(df, "doc_id", "text", minDocs = 1)
+    }
+  }
+
   // ---- readability --------------------------------------------------------
 
   test("readability: hand-computed Flesch — words, sentence runs, vowel groups") {
