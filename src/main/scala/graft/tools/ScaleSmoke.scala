@@ -55,7 +55,10 @@ object ScaleSmoke {
     // graph class: iterative frames over the scaled embeddings-derived
     // edges — their 10× points previously lived only in round-notes
     // prose from GRAFT_STRESS runs; one committed JSON carries them now
-    "emb_pagerank", "emb_label_prop", "emb_knn_graph")
+    "emb_pagerank", "emb_label_prop", "emb_knn_graph",
+    // round-10 additions over documents/embeddings
+    "txt_zipf", "txt_boilerplate", "txt_readability", "txt_code_detect",
+    "emb_diversity", "emb_silhouette", "emb_dims_health", "emb_recall_eval")
 
   /** Build the 10× dir. Idempotency is gated on a COMPLETION marker
     * written after every table lands — a crashed partial build (or a
