@@ -80,7 +80,8 @@ object PlanDump {
     "txt_code_detect" -> "pure scan-side line/char signals, integer-exact thresholds — no keyed shuffle, no join, no window",
     "evt_lifecycle" -> "checkpointed result (one user-keyed window over persisted distinct active days); shape audited at the lifecycleImpl seam",
     "emb_dims_health" -> "one global agg (4·dim map-side moments) + inline unpivot — corpus never shuffles, no join",
-    "txt_boilerplate" -> "lines shuffle as 8-byte hashes; distinct-before-count doc frequency; indexed array reassembly, no second text shuffle")
+    "txt_boilerplate" -> "lines shuffle as 8-byte hashes; distinct-before-count doc frequency; indexed array reassembly, no second text shuffle",
+    "evt_cohort_ltv" -> "checkpointed result (persisted per-user first day feeds the age join and cohort sizes); shape audited at the cohortLtvImpl seam")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -2081,6 +2081,12 @@ object SparkEntry {
       // Per-dimension mean/var/min/max + dead-dim flag: one global
       // agg (4·dim map-side combined), inline unpivot, no corpus shuffle.
       Similarity.dimsHealth(t(s, dir, "embeddings"), "embedding")),
+    "evt_cohort_ltv" -> ((s, dir) =>
+      // Cohort LTV curves: persisted per-user first day feeds the age
+      // join and the cohort-size count; cumulative window over the
+      // span-bounded (cohort, age) table only.
+      graft.operators.EventAnalytics.cohortLtv(
+        events(s, dir), "user_id", "ts_us", "value")),
     "txt_boilerplate" -> ((s, dir) =>
       // Cross-document line-frequency boilerplate: lines shuffle as
       // 8-byte hashes, distinct-before-count, indexed array
@@ -4053,6 +4059,21 @@ object SparkEntry {
            ${roundToSql("CAST(hi AS DOUBLE) / 1e6", 6)} AS max_val,
            lo = hi AS dead
          FROM dhm ORDER BY dim""",
+    "evt_cohort_ltv" ->
+      s"""WITH cle AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS day,
+           value AS v FROM events),
+         clf AS (SELECT u, min(day) AS cohort FROM cle GROUP BY u),
+         cls AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+           FROM clf GROUP BY cohort),
+         clc AS (SELECT f.cohort, e.day - f.cohort AS age,
+             CAST(count(DISTINCT e.u) AS BIGINT) AS n_active_users,
+             ${roundToSql("sum(v)", 4)} AS revenue
+           FROM cle e JOIN clf f ON e.u = f.u GROUP BY f.cohort, e.day - f.cohort)
+         SELECT c.cohort, c.age, s.cohort_users, c.n_active_users, c.revenue,
+           ${roundToSql("sum(revenue) OVER (PARTITION BY c.cohort ORDER BY c.age)", 4)} AS cum_revenue,
+           ${roundToSql("sum(revenue) OVER (PARTITION BY c.cohort ORDER BY c.age) / CAST(cohort_users AS DOUBLE)", 6)} AS ltv
+         FROM clc c JOIN cls s ON s.cohort = c.cohort
+         ORDER BY c.cohort, c.age""",
     "txt_boilerplate" ->
       s"""WITH bl AS (SELECT doc_id,
            string_split('NAV ' || source || chr(10) || text, chr(10)) AS ls

@@ -598,6 +598,67 @@ object EventAnalytics {
       .orderBy("dow", "hour")
   }
 
+  /** Cohort LTV curves — revenue by (signup cohort × age): for every
+    * acquisition-day cohort, the per-age active-user count, the day's
+    * revenue, the running cumulative revenue, and LTV = cumulative
+    * revenue ÷ cohort size. The companion to [[retention]]'s
+    * user-count triangle when the question is "when does a cohort
+    * pay back", and the standard way to compare acquisition batches
+    * without waiting for them to finish maturing.
+    *
+    * Plan shape: per-user first day is ONE map-side-combined min,
+    * persisted because it feeds two branches (the age join and the
+    * cohort-size count — the ReuseExchange miss class); the event
+    * join carries slim (user, day, value) rows keyed by user; the
+    * (cohort, age) rollup is map-side combined; the cumulative
+    * window runs over the span-bounded (cohort, age) table only,
+    * never event history.
+    *
+    * Determinism: days and ages are exact integer micros
+    * floor-division; counts are longs; revenue is the house
+    * sum-of-double convention (1e-4-quantized — the wider quantum
+    * absorbs partition-order FP drift); the cumulative sum folds the
+    * ALREADY-quantized per-age revenues in age order (same sequence
+    * on any engine) and LTV is one IEEE division, 1e-6-quantized.
+    */
+  def cohortLtv(events: DataFrame, userCol: String, tsUsCol: String,
+      valueCol: String): DataFrame =
+    cohortLtvImpl(events, userCol, tsUsCol, valueCol, materialize = true)
+
+  /** [[cohortLtv]] without the persist/checkpoint materialization —
+    * the plan-audit seam. */
+  private[graft] def cohortLtvImpl(events: DataFrame, userCol: String,
+      tsUsCol: String, valueCol: String, materialize: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rd = graft.functions.MathFunctions.roundTo _
+    val ev = events.select(col(userCol).as("u"),
+      expr(s"cast($tsUsCol as long) div 86400000000").as("day"),
+      col(valueCol).cast("double").as("v"))
+    val first0 = ev.groupBy("u").agg(min("day").as("cohort"))
+    val first = if (materialize) first0.persist() else first0
+    val sizes = first.groupBy("cohort").agg(count("*").as("cohort_users"))
+    val cells = ev.join(first, Seq("u"))
+      .select(col("cohort"), (col("day") - col("cohort")).as("age"), col("u"), col("v"))
+      .groupBy("cohort", "age")
+      .agg(countDistinct("u").as("n_active_users"),
+        rd(sum("v"), 4).as("revenue"))
+    val w = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val raw = cells.join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("age"), col("cohort_users"),
+        col("n_active_users"), col("revenue"),
+        rd(sum("revenue").over(w), 4).as("cum_revenue"),
+        rd(sum("revenue").over(w) / col("cohort_users").cast("double"), 6).as("ltv"))
+      .orderBy("cohort", "age")
+    if (!materialize) raw
+    else {
+      val out = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointFreshStats(raw)
+      first.unpersist()
+      out
+    }
+  }
+
   /** Daily growth accounting — the new / retained / resurrected /
     * churned user rollup every engagement dashboard leads with, and
     * the decomposition DAU alone can't give (flat DAU can be healthy

@@ -569,6 +569,92 @@ object EventStream {
       }
   }
 
+  /** One user lifecycle transition: new / retained / resurrected on
+    * the user's active day, churned on their first inactive day. */
+  case class LifecycleEvent(user_id: Long, day: Long, transition: String)
+
+  /** Per-user lifecycle state: last active day + whether the churn
+    * row for lastDay + 1 has already been emitted. */
+  case class LifecycleState(lastDay: Long, churnEmitted: Boolean)
+
+  /** Streaming growth accounting — the live twin of
+    * [[graft.operators.EventAnalytics.lifecycle]]: a per-user
+    * transition FEED (this user just came back; that cohort is
+    * churning) instead of the batch per-day rollup — sum the feed by
+    * (day, transition) and you have the batch counts. Per user:
+    * first-ever active day emits `new`; a day adjacent to the last
+    * active day emits `retained`; a gap emits `resurrected` (after
+    * the gap's `churned` row, emitted inline if the watermark timeout
+    * has not fired yet — in-order delivery reproduces the batch
+    * classification exactly); an idle user's `churned` row emits when
+    * the watermark passes the end of lastDay + 1.
+    *
+    * Honest contracts: days older than the user's last active day
+    * are ignored (the past is not reclassified — same as batch,
+    * where only the distinct-day sequence matters), and a day whose
+    * END the watermark has already passed is LATE and dropped — its
+    * churn verdict may already be emitted, and retroactively
+    * contradicting an emitted row is worse than honoring the
+    * watermark contract the caller chose. State is ONE (long, bool)
+    * per user EVER seen and is deliberately never expired — lifetime
+    * semantics need lifetime identity (expiring state would re-emit
+    * `new` for a returning veteran), and the batch operator pays the
+    * same O(users) cost in its distinct frame. Event volume inside a
+    * day never emits twice.
+    */
+  def lifecycleStream(events: DataFrame, tsCol: String, userCol: String,
+                      watermark: String = "1 hour"): Dataset[LifecycleEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayMs = 86400000L
+    val keyed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(userCol).cast("long").as("u"))
+    keyed.groupByKey((r: org.apache.spark.sql.Row) => r.getLong(1))
+      .flatMapGroupsWithState[LifecycleState, LifecycleEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state: GroupState[LifecycleState]) =>
+          def armTimeout(s: LifecycleState): Unit =
+            if (!s.churnEmitted)
+              state.setTimeoutTimestamp(
+                math.max((s.lastDay + 2) * dayMs + 1,
+                         state.getCurrentWatermarkMs() + 1))
+          if (state.hasTimedOut) {
+            val s = state.get
+            val wm = state.getCurrentWatermarkMs()
+            if (!s.churnEmitted && (s.lastDay + 2) * dayMs <= wm) {
+              state.update(LifecycleState(s.lastDay, churnEmitted = true))
+              // no re-arm: nothing further can happen without activity
+              Iterator.single(LifecycleEvent(user, s.lastDay + 1, "churned"))
+            } else { armTimeout(s); Iterator.empty }
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val days = rows.map(r =>
+                Math.floorDiv(r.getTimestamp(0).getTime, dayMs))
+              .filter(d => (d + 1) * dayMs > wm) // late day: already closed
+              .toSeq.distinct.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[LifecycleEvent]
+            var s = state.getOption.orNull
+            days.foreach { d =>
+              if (s == null) {
+                out += LifecycleEvent(user, d, "new")
+                s = LifecycleState(d, churnEmitted = false)
+              } else if (d == s.lastDay + 1) {
+                out += LifecycleEvent(user, d, "retained")
+                s = LifecycleState(d, churnEmitted = false)
+              } else if (d > s.lastDay + 1) {
+                if (!s.churnEmitted)
+                  out += LifecycleEvent(user, s.lastDay + 1, "churned")
+                out += LifecycleEvent(user, d, "resurrected")
+                s = LifecycleState(d, churnEmitted = false)
+              } // d <= lastDay: same-day volume or an old day — no-op
+            }
+            if (s != null) { state.update(s); armTimeout(s) }
+            out.iterator
+          }
+      }
+  }
+
   /** One bot verdict crossing: emitted AT MOST ONCE per (user,
     * verdict) the moment the rule becomes true. */
   case class BotFlag(user_id: Long, verdict: String, minute: Long,

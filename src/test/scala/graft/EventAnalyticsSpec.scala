@@ -384,6 +384,35 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(byCell((4L, 5L))._3 === math.floor((3.0 - exp) * (3.0 - exp) / exp * 1e6 + 0.5) / 1e6)
   }
 
+  // ---- cohortLtv ----------------------------------------------------------
+
+  test("cohortLtv: hand-computed cohort curves — ages, actives, cumulative revenue, LTV") {
+    // cohort 0 = {u1, u2} (size 2): age 0 revenue 10+2, age 1 revenue 5
+    // cohort 1 = {u3} (size 1): age 0 revenue 1.5, age 2 revenue 0.5
+    val out = EventAnalytics.cohortLtv(Seq(
+        (1L, 0L * Day, 10.0), (1L, 1L * Day + 7L, 5.0),
+        (2L, 0L * Day + 3L, 2.0),
+        (3L, 1L * Day, 1.5), (3L, 3L * Day, 0.5))
+      .toDF("u", "ts", "v"), "u", "ts", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 2L, 2L, 12.0, 12.0, 6.0),
+      (0L, 1L, 2L, 1L, 5.0, 17.0, 8.5),
+      (1L, 0L, 1L, 1L, 1.5, 1.5, 1.5),
+      (1L, 2L, 1L, 1L, 0.5, 2.0, 2.0)))
+  }
+
+  test("cohortLtv: a user's repeat events in one day collapse to one cell; actives are distinct") {
+    // u1: 3 events age 0 → n_active_users 1, revenue summed
+    val out = EventAnalytics.cohortLtv(Seq(
+        (1L, 0L, 1.0), (1L, 5L, 2.0), (1L, 9L, 4.0))
+      .toDF("u", "ts", "v"), "u", "ts", "v")
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getDouble(4), r.getDouble(6)))
+    assert(out.toSeq === Seq((0L, 1L, 7.0, 7.0)))
+  }
+
   // ---- lifecycle ----------------------------------------------------------
 
   private def lifecycleOn(rows: Seq[(Long, Long)]) =

@@ -382,6 +382,58 @@ class EventStreamSpec extends SparkSpec {
     assert(got(3).z.contains(-1.0) && got(3).is_anomaly.contains(false), s"${got(3)}")
   }
 
+  test("streaming lifecycle: new/retained/resurrected live, churn by watermark or inline on a gap") {
+    val dayMs = 86400000L
+    def ev(id: Long, u: Long, day: Long, offMs: Long = 43200000L) =
+      Event(id, new Timestamp(day * dayMs + offMs), u, "click", 0.0)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val q = EventStream.lifecycleStream(stream.toDS().toDF(), "ts", "user_id",
+        watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("lifec").start()
+    // batch 1: u1 new on day 1 (5 events — volume never re-emits);
+    // u2 new on day 1. Watermark stays at day 1 — nothing ages.
+    stream.addData((0 until 5).map(i => ev(100 + i, 1L, 1L, 1000L + i)) :+
+      ev(200, 2L, 1L))
+    q.processAllAvailable()
+    val b1 = spark.sql("SELECT * FROM lifec").as[EventStream.LifecycleEvent]
+      .collect().toSet
+    assert(b1 === Set(
+      EventStream.LifecycleEvent(1L, 1L, "new"),
+      EventStream.LifecycleEvent(2L, 1L, "new")), s"$b1")
+    // batch 2: u1 day 2 → retained; u2 jumps to day 4 in-order → the
+    // gap's churned@2 emits INLINE plus resurrected@4
+    stream.addData(Seq(ev(300, 1L, 2L), ev(201, 2L, 4L)))
+    q.processAllAvailable()
+    // sentinels push the watermark → u1's churned@3 and u2's
+    // churned@5 fire by timeout
+    stream.addData(Seq(ev(400, 99L, 10L)))
+    q.processAllAvailable()
+    stream.addData(Seq(ev(401, 99L, 20L)))
+    q.processAllAvailable()
+    // u1 returns on day 30 (ahead of the day-20 watermark — a return
+    // BEHIND the watermark is a late event and is honestly dropped)
+    // → resurrected, and the timeout-emitted churn is NOT duplicated
+    stream.addData(Seq(ev(500, 1L, 30L)))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.sql("SELECT * FROM lifec").as[EventStream.LifecycleEvent]
+      .collect().toSeq
+    val u1 = all.filter(_.user_id == 1L).sortBy(e => (e.day, e.transition))
+    assert(u1 === Seq(
+      EventStream.LifecycleEvent(1L, 1L, "new"),
+      EventStream.LifecycleEvent(1L, 2L, "retained"),
+      EventStream.LifecycleEvent(1L, 3L, "churned"),
+      EventStream.LifecycleEvent(1L, 30L, "resurrected")), s"$u1")
+    val u2 = all.filter(_.user_id == 2L).sortBy(e => (e.day, e.transition))
+    assert(u2 === Seq(
+      EventStream.LifecycleEvent(2L, 1L, "new"),
+      EventStream.LifecycleEvent(2L, 2L, "churned"),
+      EventStream.LifecycleEvent(2L, 4L, "resurrected"),
+      EventStream.LifecycleEvent(2L, 5L, "churned")), s"$u2")
+    assert(all.count(_.transition == "churned") === 5,
+      s"u1@3, u2@2, u2@5, u99@11 inline + u99@21 by timeout: $all")
+  }
+
   test("streaming bots: burst pages instantly, sustained waits for watermark-final minutes, latches once") {
     val minMs = 60000L
     val base = 1000L // minute index offset dodges the epoch-0 watermark gotcha

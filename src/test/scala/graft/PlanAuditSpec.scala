@@ -891,6 +891,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("cohortLtv seam: per-user min map-side; window only over the (cohort, age) table") {
+    val ev = spark.range(5000).select((col("id") % 400).as("u"),
+      ((col("id") % 15) * 86400000000L + col("id")).as("ts"),
+      (col("id") % 7).cast("double").as("v"))
+    val p = graft.operators.EventAnalytics.cohortLtvImpl(ev, "u", "ts", "v",
+        materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"first-day min map-side combined:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(cohort#")),
+      s"the only window rolls up the bounded (cohort, age) table:\n${specs.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("emb_dims_health: one global agg, inline unpivot — corpus never shuffles, no join") {
     val p = plan("emb_dims_health")
     assert(p.contains("partial_"), s"4·dim moments map-side combined:\n$p")
