@@ -40,9 +40,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  /** Heaviest sf0.1 bench queries driven by documents/embeddings —
-    * the tables the 10× tier scales. (Queries reading the TPC-H
-    * tables would measure a 1× ratio here and are left to SmokeGate.)
+  /** Heaviest sf0.1 bench queries driven by documents/embeddings/
+    * events — the tables the 10× tier scales. (Queries reading the
+    * TPC-H tables would measure a 1× ratio here and are left to
+    * SmokeGate.)
     */
   val ScaledQueries: Seq[String] = Seq(
     "dedup_incremental", "txt_canonical", "dedup_clusters_lsh", "dedup_clusters",
@@ -58,7 +59,12 @@ object ScaleSmoke {
     "emb_pagerank", "emb_label_prop", "emb_knn_graph",
     // round-10 additions over documents/embeddings
     "txt_zipf", "txt_boilerplate", "txt_readability", "txt_code_detect",
-    "emb_diversity", "emb_silhouette", "emb_dims_health", "emb_recall_eval")
+    "emb_diversity", "emb_silhouette", "emb_dims_health", "emb_recall_eval",
+    // event-analytics class: events scale on the USER axis (10× users,
+    // same per-user behavior and calendar span — how a real log grows)
+    "evt_active_users", "evt_attribution", "evt_paths", "evt_rfm",
+    "evt_lifecycle", "evt_cohort_ltv", "evt_gini", "evt_bots",
+    "evt_cooccurrence", "evt_funnel")
 
   /** Build the 10× dir. Idempotency is gated on a COMPLETION marker
     * written after every table lands — a crashed partial build (or a
@@ -98,6 +104,22 @@ object ScaleSmoke {
     }.reduce(_ union _)
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events ×10 on the USER axis: same per-user event sequence and
+    // calendar span, 10× distinct users — the realistic growth axis
+    // (per-user density growth would instead hit the bounded-state
+    // contracts those operators already spec). `ts` may ship as
+    // TIMESTAMP(NANOS); the legacy conf reads it as a raw long and the
+    // rewritten long column round-trips through SparkEntry.events'
+    // LongType normalization branch.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    (0 until 10).map { k =>
+      ev.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(k * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ union _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     // remaining tables: byte-copy (recursive — partitioned parquet
     // dirs copy their whole tree, not one level) for schema parity
     def copyTree(src: java.io.File, dst: java.io.File): Unit =
@@ -107,7 +129,8 @@ object ScaleSmoke {
       } else java.nio.file.Files.copy(src.toPath, dst.toPath)
     val base = new java.io.File(baseDir)
     base.listFiles().filter(f => f.getName.endsWith(".parquet") &&
-        f.getName != "documents.parquet" && f.getName != "embeddings.parquet")
+        f.getName != "documents.parquet" && f.getName != "embeddings.parquet" &&
+        f.getName != "events.parquet")
       .foreach(f => copyTree(f, new java.io.File(out, f.getName)))
     marker.createNewFile()
   }

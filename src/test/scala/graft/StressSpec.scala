@@ -620,4 +620,24 @@ class StressSpec extends SparkSpec {
     assert(tPower < tBase * 3 + 2.0,
       f"power user must cost ~one distinct row per type: $tPower%.1fs vs $tBase%.1fs")
   }
+
+  test("activity Gini: sort+zipWithIndex rank path near-linear from 300k to 3M users") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x stress point: set GRAFT_STRESS=1 (takes minutes)")
+    import graft.operators.EventAnalytics
+    // power-law activity (count ~ 1 + id % 97 spread) so the ranked
+    // frame has heavy ties AND a long tail; the rank path must stay a
+    // range-partitioned sort + one offset pass — never a
+    // single-partition window — so 10x users costs ~10x.
+    def corpus(users: Long) = spark.range(0, users * 3).select(
+      pmod(col("id") * 2654435761L, lit(users)).as("u"), col("id").as("ts"))
+    def run(users: Long): Unit =
+      EventAnalytics.activityConcentration(corpus(users), "u").collect()
+    run(300000L) // warm-up
+    val t1 = timeOf(run(300000L))
+    val t10 = timeOf(run(3000000L))
+    info(f"300k users: $t1%.1fs   3M users: $t10%.1fs   ratio: ${t10 / t1}%.1f")
+    assert(t10 / t1 < 15.0,
+      f"distributed ranks must scale near-linearly: ${t10 / t1}%.1fx for 10x users")
+  }
 }
