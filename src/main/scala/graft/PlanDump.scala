@@ -81,7 +81,9 @@ object PlanDump {
     "evt_lifecycle" -> "checkpointed result (one user-keyed window over persisted distinct active days); shape audited at the lifecycleImpl seam",
     "emb_dims_health" -> "one global agg (4·dim map-side moments) + inline unpivot — corpus never shuffles, no join",
     "txt_boilerplate" -> "lines shuffle as 8-byte hashes; distinct-before-count doc frequency; indexed array reassembly, no second text shuffle",
-    "evt_cohort_ltv" -> "checkpointed result (persisted per-user first day feeds the age join and cohort sizes); shape audited at the cohortLtvImpl seam")
+    "evt_cohort_ltv" -> "checkpointed result (persisted per-user first day feeds the age join and cohort sizes); shape audited at the cohortLtvImpl seam",
+    "evt_trend" -> "two stacked map-side aggs over (type, day) counts; exact decimal regression sums, no window, no join",
+    "evt_regularity" -> "one user-keyed lag window over slim (user, ts) rows; exact gap moments map-side combined")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -2081,6 +2081,16 @@ object SparkEntry {
       // Per-dimension mean/var/min/max + dead-dim flag: one global
       // agg (4·dim map-side combined), inline unpivot, no corpus shuffle.
       Similarity.dimsHealth(t(s, dir, "embeddings"), "embedding")),
+    "evt_trend" -> ((s, dir) =>
+      // Per-type daily-volume linear trend: exact decimal regression
+      // sums over the bounded (type, day) count table; no windows.
+      graft.operators.EventAnalytics.volumeTrend(
+        events(s, dir), "event_type", "ts_us")),
+    "evt_regularity" -> ((s, dir) =>
+      // Inter-event gap CV (metronomic-bot signal): one user-keyed
+      // lag window over slim rows, exact gap moments, quantized CV.
+      graft.operators.EventAnalytics.regularity(
+        events(s, dir), "user_id", "ts_us", minEvents = 5, cvThreshold = 0.1)),
     "evt_cohort_ltv" -> ((s, dir) =>
       // Cohort LTV curves: persisted per-user first day feeds the age
       // join and the cohort-size count; cumulative window over the
@@ -4059,6 +4069,39 @@ object SparkEntry {
            ${roundToSql("CAST(hi AS DOUBLE) / 1e6", 6)} AS max_val,
            lo = hi AS dead
          FROM dhm ORDER BY dim""",
+    "evt_trend" ->
+      s"""WITH trd AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+         trm AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS total_events,
+             sum(day) AS sx, sum(c) AS sy, sum(day * c) AS sxy,
+             sum(day * day) AS sxx
+           FROM trd GROUP BY 1)
+         SELECT event_type, n_days, total_events,
+           CASE WHEN n_days >= 2 AND n_days * sxx - sx * sx <> 0 THEN
+             ${roundToSql("CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * sxx - sx * sx AS DOUBLE)", 6)}
+           END AS slope_per_day,
+           ${roundToSql("CAST(total_events AS DOUBLE) / CAST(n_days AS DOUBLE)", 6)} AS mean_per_day
+         FROM trm ORDER BY event_type""",
+    "evt_regularity" -> {
+      val mean = "CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)"
+      val cv = roundToSql(
+        s"sqrt(greatest(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE) - ($mean) * ($mean), 0.0)) / ($mean)", 6)
+      s"""WITH rge AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         rgg AS (SELECT user_id,
+             ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS gap
+           FROM rge),
+         rgm AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS sg,
+             sum(CAST(gap AS HUGEINT) * gap) AS sgg
+           FROM rgg WHERE gap IS NOT NULL GROUP BY user_id)
+         SELECT user_id, n_gaps,
+           ${roundToSql(mean, 6)} AS mean_gap_us,
+           CASE WHEN sg > 0 THEN $cv ELSE 0.0 END AS gap_cv,
+           CASE WHEN sg = 0 OR (CASE WHEN sg > 0 THEN $cv ELSE 0.0 END) < 0.1
+             THEN 'metronomic' ELSE 'organic' END AS verdict
+         FROM rgm WHERE n_gaps >= 4 ORDER BY user_id"""
+    },
     "evt_cohort_ltv" ->
       s"""WITH cle AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS day,
            value AS v FROM events),

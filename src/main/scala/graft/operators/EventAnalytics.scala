@@ -598,6 +598,105 @@ object EventAnalytics {
       .orderBy("dow", "hour")
   }
 
+  /** Per-type volume trend — the least-squares slope of daily event
+    * counts over the calendar, per event type: the growth/decay
+    * scalar [[dailyAnomalies]]' z-scores can't give (a type can be
+    * anomaly-free while quietly decaying 3% a day — exactly the drift
+    * a collection pipeline wants paged on). Returns one row per type:
+    * (event_type, n_days, total_events, slope_per_day, mean_per_day)
+    * with slope null when fewer than 2 active days.
+    *
+    * Determinism/portability: days are exact integer micros
+    * floor-division; the regression runs on (day, count) pairs with
+    * both coordinates exact longs, accumulated as decimal(38,0)
+    * (Σxy at 10⁹-scale day indices squares past 2⁵³; DuckDB HUGEINT
+    * mirrors); the slope is one fixed-shape IEEE expression over the
+    * exact sums, 1e-6-quantized — the [[TextAnalysis.zipfStats]]
+    * regression convention without the log transform.
+    *
+    * Scale shape: ONE map-side combined (type, day) count — partials
+    * collapse to ≤ types·days rows per task — then a second
+    * aggregation per type over the bounded count table. No windows,
+    * no joins.
+    */
+  def volumeTrend(events: DataFrame, typeCol: String, tsUsCol: String): DataFrame = {
+    val rd = graft.functions.MathFunctions.roundTo _
+    val dec = "decimal(38,0)"
+    val daily = events.select(col(typeCol).as("event_type"),
+        expr(s"cast($tsUsCol as long) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count("*").as("c"))
+    val m = daily.groupBy("event_type").agg(
+      count("*").as("n_days"), sum("c").as("total_events"),
+      sum(col("day").cast(dec)).as("__sx"),
+      sum(col("c").cast(dec)).as("__sy"),
+      sum(col("day").cast(dec) * col("c").cast(dec)).as("__sxy"),
+      sum(col("day").cast(dec) * col("day").cast(dec)).as("__sxx"))
+    val n = col("n_days").cast(dec)
+    val den = n * col("__sxx") - col("__sx") * col("__sx")
+    m.select(col("event_type"), col("n_days"), col("total_events"),
+        when(col("n_days") >= 2L && den =!= 0,
+          rd((n * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            den.cast("double"), 6)).as("slope_per_day"),
+        rd(col("total_events").cast("double") / col("n_days").cast("double"), 6)
+          .as("mean_per_day"))
+      .orderBy("event_type")
+  }
+
+  /** Per-user inter-event regularity — the metronomic-bot signal
+    * [[botDetect]]'s rate rules can't see: a scripted account firing
+    * every 60.0 s has a gap coefficient-of-variation near 0, while a
+    * human's gaps are wildly dispersed (CV ≳ 1). Returns one row per
+    * user with ≥ `minEvents` events:
+    * (user_id, n_gaps, mean_gap_us, gap_cv, verdict) where verdict is
+    * `metronomic` when the 1e-6-quantized CV < `cvThreshold`, else
+    * `organic`. Tag-don't-drop; the caller filters.
+    *
+    * Plan shape: ONE user-keyed lag window over the event times (the
+    * [[paths]] precedent — the shuffle carries slim (user, ts) rows,
+    * payload columns pruned), then one map-side combined per-user
+    * moment aggregation. Gap moments are exact integers — Σgap fits
+    * a long, Σgap² rides decimal(38,0) — and CV is one fixed-shape
+    * IEEE expression over them (population variance), 1e-6-quantized,
+    * so the threshold compares the same value on every engine.
+    * Simultaneous events (gap 0) are real data and kept: a burst
+    * dump reads CV 0 and flags, which is the point.
+    */
+  def regularity(events: DataFrame, userCol: String, tsUsCol: String,
+      minEvents: Int = 5, cvThreshold: Double = 0.1): DataFrame = {
+    require(minEvents >= 3, s"minEvents=$minEvents must be >= 3 (CV needs >= 2 gaps)")
+    import org.apache.spark.sql.expressions.Window
+    val rd = graft.functions.MathFunctions.roundTo _
+    val dec = "decimal(38,0)"
+    // ties in ts need no tie-breaker: consecutive diffs of a sorted
+    // MULTISET are invariant under tie permutation (equal values
+    // contribute gap 0 wherever they land), so the gap moments are
+    // engine- and partitioning-immune
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    val gaps = events.select(col(userCol).as("user_id"),
+        col(tsUsCol).cast("long").as("ts_us"))
+      .select(col("user_id"),
+        (col("ts_us") - lag("ts_us", 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+    val m = gaps.groupBy("user_id").agg(
+      count("*").as("n_gaps"), sum("gap").as("__sg"),
+      sum(col("gap").cast(dec) * col("gap").cast(dec)).as("__sgg"))
+    val nD = col("n_gaps").cast("double")
+    // population variance over exact sums; CV = sd / mean. greatest(,0)
+    // guards the near-zero-variance case where the two IEEE paths to
+    // the same exact value differ by one ulp and sqrt would read NaN
+    val mean = col("__sg").cast("double") / nD
+    val cv = rd(sqrt(greatest(col("__sgg").cast("double") / nD - mean * mean,
+      lit(0.0))) / mean, 6)
+    m.filter(col("n_gaps") >= (minEvents - 1).toLong)
+      .select(col("user_id"), col("n_gaps"),
+        rd(mean, 6).as("mean_gap_us"),
+        when(col("__sg") > 0L, cv).otherwise(lit(0.0)).as("gap_cv"),
+        when(col("__sg") === 0L ||
+            (when(col("__sg") > 0L, cv).otherwise(lit(0.0)) < cvThreshold),
+          "metronomic").otherwise("organic").as("verdict"))
+      .orderBy("user_id")
+  }
+
   /** Cohort LTV curves — revenue by (signup cohort × age): for every
     * acquisition-day cohort, the per-age active-user count, the day's
     * revenue, the running cumulative revenue, and LTV = cumulative

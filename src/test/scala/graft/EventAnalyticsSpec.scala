@@ -384,6 +384,59 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(byCell((4L, 5L))._3 === math.floor((3.0 - exp) * (3.0 - exp) / exp * 1e6 + 0.5) / 1e6)
   }
 
+  // ---- volumeTrend --------------------------------------------------------
+
+  test("volumeTrend: exact slope on a linear ramp; flat type reads 0; single day null") {
+    // type a: counts 2,4,6 on days 0,1,2 → slope exactly 2/day.
+    // type b: 3,3 on days 5,6 → slope 0. type c: one day → null.
+    val rows =
+      (0 until 2).map(i => ("a", 0L * Day + i)) ++
+      (0 until 4).map(i => ("a", 1L * Day + i)) ++
+      (0 until 6).map(i => ("a", 2L * Day + i)) ++
+      (0 until 3).map(i => ("b", 5L * Day + i)) ++
+      (0 until 3).map(i => ("b", 6L * Day + i)) ++
+      Seq(("c", 9L * Day))
+    val out = EventAnalytics.volumeTrend(rows.toDF("et", "ts"), "et", "ts")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getDouble(4)))).toMap
+    assert(out("a") === ((3L, 12L, Some(2.0), 4.0)))
+    assert(out("b") === ((2L, 6L, Some(0.0), 3.0)))
+    assert(out("c") === ((1L, 1L, None, 1.0)))
+  }
+
+  // ---- regularity ---------------------------------------------------------
+
+  test("regularity: a metronome reads CV 0; dispersed gaps read organic; minEvents gates") {
+    val MinGap = 60000000L
+    // u1: 6 events exactly 60 s apart → gaps all equal → CV 0 → metronomic.
+    // u2: gaps {1s, 1s, 1s, 100s} → CV >> 0.1 → organic.
+    // u3: 3 events (2 gaps) → under minEvents 5 → absent.
+    val rows =
+      (0 until 6).map(i => (1L, i * MinGap)) ++
+      Seq((2L, 0L), (2L, 1000000L), (2L, 2000000L), (2L, 3000000L), (2L, 103000000L)) ++
+      (0 until 3).map(i => (3L, i * MinGap))
+    val out = EventAnalytics.regularity(rows.toDF("u", "ts"), "u", "ts",
+        minEvents = 5, cvThreshold = 0.1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getString(4)))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((5L, 60000000.0, 0.0, "metronomic")))
+    val (n2, mean2, cv2, v2) = out(2L)
+    assert(n2 === 4L && mean2 === 25750000.0 && v2 === "organic")
+    // hand CV: gaps {1,1,1,100}s → mean 25.75, var = Σg²/4 − mean²
+    val g = Seq(1.0, 1.0, 1.0, 100.0).map(_ * 1e6)
+    val m = g.sum / 4; val varP = g.map(x => x * x).sum / 4 - m * m
+    assert(cv2 === math.floor(math.sqrt(varP) / m * 1e6 + 0.5) / 1e6)
+  }
+
+  test("regularity: simultaneous-event burst (all gaps 0) flags metronomic, never NaN") {
+    val rows = (0 until 6).map(_ => (1L, 42L))
+    val out = EventAnalytics.regularity(rows.toDF("u", "ts"), "u", "ts",
+      minEvents = 5).collect()
+    assert(out.length === 1)
+    assert(out(0).getDouble(3) === 0.0 && out(0).getString(4) === "metronomic")
+  }
+
   // ---- cohortLtv ----------------------------------------------------------
 
   test("cohortLtv: hand-computed cohort curves — ages, actives, cumulative revenue, LTV") {

@@ -891,6 +891,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("evt_trend: two stacked map-side aggs over (type, day) counts — no window, no join") {
+    val p = plan("evt_trend")
+    assert(p.contains("partial_"), s"daily counts map-side combined:\n$p")
+    assert(!p.contains("Window"), s"regression over exact sums, no window:\n$p")
+    assert(!p.contains("Join"), s"no join:\n$p")
+  }
+
+  test("evt_regularity: the only window lags slim (user, ts) rows; moments map-side") {
+    val p = plan("evt_regularity")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(user_id#")),
+      s"lag keyed by user only:\n${specs.mkString("\n")}")
+    assert(p.contains("partial_"), s"gap moments map-side combined:\n$p")
+    assert(!p.contains("event_type") && !p.contains("props"),
+      s"payload columns pruned before the shuffle:\n$p")
+  }
+
   test("cohortLtv seam: per-user min map-side; window only over the (cohort, age) table") {
     val ev = spark.range(5000).select((col("id") % 400).as("u"),
       ((col("id") % 15) * 86400000000L + col("id")).as("ts"),
