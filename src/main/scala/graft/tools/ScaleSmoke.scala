@@ -64,7 +64,7 @@ object ScaleSmoke {
     // same per-user behavior and calendar span — how a real log grows)
     "evt_active_users", "evt_attribution", "evt_paths", "evt_rfm",
     "evt_lifecycle", "evt_cohort_ltv", "evt_gini", "evt_bots",
-    "evt_cooccurrence", "evt_funnel")
+    "evt_cooccurrence", "evt_funnel", "evt_trend", "evt_regularity")
 
   /** Build the 10× dir. Idempotency is gated on a COMPLETION marker
     * written after every table lands — a crashed partial build (or a
