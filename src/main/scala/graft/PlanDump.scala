@@ -83,7 +83,8 @@ object PlanDump {
     "txt_boilerplate" -> "lines shuffle as 8-byte hashes; distinct-before-count doc frequency; indexed array reassembly, no second text shuffle",
     "evt_cohort_ltv" -> "checkpointed result (persisted per-user first day feeds the age join and cohort sizes); shape audited at the cohortLtvImpl seam",
     "evt_trend" -> "two stacked map-side aggs over (type, day) counts; exact decimal regression sums, no window, no join",
-    "evt_regularity" -> "one user-keyed lag window over slim (user, ts) rows; exact gap moments map-side combined")
+    "evt_regularity" -> "one user-keyed lag window over slim (user, ts) rows; exact gap moments map-side combined",
+    "meta_integrity" -> "distinct parent keys → LeftAnti orphan counts per relation; scalar one-row cross joins broadcast")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -2081,6 +2081,18 @@ object SparkEntry {
       // Per-dimension mean/var/min/max + dead-dim flag: one global
       // agg (4·dim map-side combined), inline unpivot, no corpus shuffle.
       Similarity.dimsHealth(t(s, dir, "embeddings"), "embedding")),
+    "meta_integrity" -> ((s, dir) => {
+      // Referential-integrity audit over three FK relations: distinct
+      // parent keys → anti-join orphan counts → coverage per relation.
+      import graft.operators.Maintenance.integrityAudit
+      integrityAudit(t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey", "orders->customer")
+        .unionAll(integrityAudit(t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey", "lineitem->orders"))
+        .unionAll(integrityAudit(t(s, dir, "nation"), "n_regionkey",
+          t(s, dir, "region"), "r_regionkey", "nation->region"))
+        .orderBy("relation")
+    }),
     "evt_trend" -> ((s, dir) =>
       // Per-type daily-volume linear trend: exact decimal regression
       // sums over the bounded (type, day) count table; no windows.
@@ -4069,6 +4081,20 @@ object SparkEntry {
            ${roundToSql("CAST(hi AS DOUBLE) / 1e6", 6)} AS max_val,
            lo = hi AS dead
          FROM dhm ORDER BY dim""",
+    "meta_integrity" -> {
+      def rel(child: String, ck: String, parent: String, pk: String, name: String) =
+        s"""SELECT '$name' AS relation,
+           CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM $child WHERE $ck IS NULL) AS BIGINT) AS n_null_keys,
+           CAST((SELECT count(*) FROM $child c WHERE c.$ck IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) AS BIGINT) AS n_orphans,
+           ${roundToSql(
+             s"CAST((SELECT count(*) FROM $child) - (SELECT count(*) FROM $child WHERE $ck IS NULL) - (SELECT count(*) FROM $child c WHERE c.$ck IS NOT NULL AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) AS DOUBLE) / CAST((SELECT count(*) FROM $child) AS DOUBLE)", 6)} AS coverage"""
+      s"""${rel("orders", "o_custkey", "customer", "c_custkey", "orders->customer")}
+         UNION ALL ${rel("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders")}
+         UNION ALL ${rel("nation", "n_regionkey", "region", "r_regionkey", "nation->region")}
+         ORDER BY relation"""
+    },
     "evt_trend" ->
       s"""WITH trd AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
            CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),

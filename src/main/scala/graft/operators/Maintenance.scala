@@ -429,4 +429,38 @@ object Maintenance {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Referential-integrity audit for one child→parent relation — the
+    * warehouse FK check a lakehouse has to run itself (plain parquet
+    * enforces nothing): one row of
+    * (relation, n_child, n_null_keys, n_orphans, coverage) where
+    * orphans are child rows whose non-null key matches NO parent key
+    * and coverage = (n_child − n_null − n_orphans) ÷ n_child. A
+    * coverage dip after an ingest is the earliest signal a partial
+    * load or a key-renumbering broke a join downstream.
+    *
+    * Scale shape: the parent side reduces to DISTINCT keys before
+    * the anti-join (map-side combined — a billion-row parent with a
+    * million keys ships a million); the anti-join is a key equi-join
+    * Catalyst broadcasts when the key set is small; the three counts
+    * are one map-side-combined pass each. Coverage is one IEEE
+    * division of exact longs, 1e-6-quantized.
+    */
+  def integrityAudit(child: org.apache.spark.sql.DataFrame, childKey: String,
+      parent: org.apache.spark.sql.DataFrame, parentKey: String,
+      relation: String): org.apache.spark.sql.DataFrame = {
+    val rd = graft.functions.MathFunctions.roundTo _
+    val keys = parent.select(col(parentKey).as("__pk")).distinct()
+    val base = child.select(col(childKey).as("__ck"))
+    val totals = base.agg(count("*").as("n_child"),
+      count(when(col("__ck").isNull, 1)).as("n_null_keys"))
+    val orphans = base.filter(col("__ck").isNotNull)
+      .join(keys, col("__ck") === col("__pk"), "left_anti")
+      .agg(count("*").as("n_orphans"))
+    totals.crossJoin(broadcast(orphans)) // two one-row frames
+      .select(lit(relation).as("relation"), col("n_child"), col("n_null_keys"),
+        col("n_orphans"),
+        rd((col("n_child") - col("n_null_keys") - col("n_orphans")).cast("double") /
+          col("n_child").cast("double"), 6).as("coverage"))
+  }
 }

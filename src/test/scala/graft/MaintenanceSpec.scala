@@ -317,4 +317,21 @@ class MaintenanceSpec extends SparkSpec {
       "exact decimal moments ⇒ identical under any partitioning")
     assert(r1.head.getLong(2) === 90L, "null-bearing rows excluded from n")
   }
+
+  test("integrityAudit: planted orphans and null keys decompose coverage exactly") {
+    // parent keys {1, 2, 3}; child: 4 valid, 2 orphans (keys 7, 8 —
+    // one key repeated is still two orphan ROWS), 2 nulls
+    // → coverage = 4/8 = 0.5. Duplicate parent keys must not double
+    // anything (distinct-before-anti-join).
+    val parent = Seq(1L, 2L, 3L, 3L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(1L),
+      Some(7L), Some(8L), None, None).toDF("ck")
+    val r = Maintenance.integrityAudit(child, "ck", parent, "pk", "c->p")
+      .collect().head
+    assert(r.toSeq === Seq("c->p", 8L, 2L, 2L, 0.5))
+    // clean relation reads coverage exactly 1.0
+    val clean = Maintenance.integrityAudit(
+      Seq(1L, 2L).toDF("ck"), "ck", parent, "pk", "ok").collect().head
+    assert(clean.toSeq === Seq("ok", 2L, 0L, 0L, 1.0))
+  }
 }

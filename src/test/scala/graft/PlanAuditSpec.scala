@@ -891,6 +891,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("meta_integrity: distinct parent keys before a LeftAnti key join; no window, no cartesian") {
+    val p = plan("meta_integrity")
+    assert(p.contains("LeftAnti"), s"orphans via anti-join:\n$p")
+    assert(p.contains("partial_"), s"counts and key distinct map-side combined:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"scalar joins broadcast:\n$p")
+  }
+
   test("evt_trend: two stacked map-side aggs over (type, day) counts — no window, no join") {
     val p = plan("evt_trend")
     assert(p.contains("partial_"), s"daily counts map-side combined:\n$p")
