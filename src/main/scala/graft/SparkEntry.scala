@@ -4070,7 +4070,7 @@ object SparkEntry {
          dhx AS (SELECT CAST(t.i - 1 AS INTEGER) AS dim, q[CAST(t.i AS INTEGER)] AS v
            FROM dhq CROSS JOIN range(1, 65) t(i)),
          dhm AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
-             sum(v * v) AS sq, min(v) AS lo, max(v) AS hi
+             sum(CAST(v AS HUGEINT) * v) AS sq, min(v) AS lo, max(v) AS hi
            FROM dhx GROUP BY dim)
          SELECT dim,
            ${roundToSql("CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6", 6)} AS mean,

@@ -131,10 +131,12 @@ object EventAnalytics {
     * catches a collapsed ingest, a bot burst, or a broken tracker in
     * a 100 TB event stream.
     *
-    * Determinism: days are pure integer micros FLOOR-division (no
-    * calendar engine; floor — not truncate-toward-zero — so
-    * pre-epoch timestamps bucket identically to the oracle's `//`
-    * and days −1/0 stay distinct); the per-type moments (n, Σc, Σc²)
+    * Determinism: days are pure integer micros TRUNCATING division
+    * (Spark `div` ≡ DuckDB `//` — both truncate toward zero, the
+    * house day-bucket convention; identical to floor for the
+    * non-negative epoch timestamps real event logs carry, and
+    * pre-epoch timestamps bucket identically on both engines by
+    * construction); the per-type moments (n, Σc, Σc²)
     * are exact integer aggregates of exact integer counts — Σc² in
     * DECIMAL(38,0), summation-order-immune and exact far beyond the
     * 2^53 double mantissa — and mean/variance/z are ONE fixed-shape
@@ -150,11 +152,8 @@ object EventAnalytics {
   def dailyAnomalies(events: DataFrame, typeCol: String, tsUsCol: String,
                      zThreshold: Double = 2.0): DataFrame = {
     require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
-    // Floor division via the always-positive pmod: ts − pmod(ts, d)
-    // is the largest multiple of d ≤ ts, so the `div` is exact.
     val counts = events.select(col(typeCol).as("event_type"),
-        expr(s"(cast($tsUsCol as long) - pmod(cast($tsUsCol as long), 86400000000))" +
-          " div 86400000000").as("day"))
+        expr(s"cast($tsUsCol as long) div 86400000000").as("day"))
       .groupBy("event_type", "day").agg(count("*").as("n_events"))
     val stats = counts.groupBy("event_type").agg(
       count("*").as("__nd"), sum("n_events").as("__s"),
@@ -401,7 +400,8 @@ object EventAnalytics {
     * distinct-count keyed by anchor day. A 10^6-event power user
     * costs exactly `active_days × windowDays` slim rows.
     *
-    * Determinism: days are exact integer micros floor-division; the
+    * Determinism: days are exact integer micros truncating division
+    * (Spark `div` ≡ DuckDB `//`, the house day-bucket convention);
     * counts are longs; stickiness is one IEEE division of two exact
     * longs, 1e-6-quantized. Days with zero events are absent by
     * construction (no calendar densification — the wau of an
@@ -420,8 +420,7 @@ object EventAnalytics {
     require(windowDays >= 1, s"windowDays=$windowDays must be >= 1")
     val rd = graft.functions.MathFunctions.roundTo _
     val au0 = events.select(col(userCol).as("u"),
-        expr(s"(cast($tsUsCol as long) - pmod(cast($tsUsCol as long), 86400000000))" +
-          " div 86400000000").as("day"))
+        expr(s"cast($tsUsCol as long) div 86400000000").as("day"))
       .distinct()
     val au = if (materialize) au0.persist() else au0
     val days = au.select(col("day").as("anchor")).distinct()
@@ -460,7 +459,8 @@ object EventAnalytics {
     * is bounded by the corpus time span in hours, not by volume.
     *
     * Determinism: lag is exact integer micros; the bucket is integer
-    * floor-division (lags are non-negative by the `>=` filter);
+    * truncating division (≡ floor here — lags are non-negative by
+    * the `>=` filter);
     * share is one IEEE division of exact longs, 1e-6-quantized.
     */
   def conversionLag(events: DataFrame, userCol: String, typeCol: String,
@@ -607,7 +607,8 @@ object EventAnalytics {
     * with slope null when fewer than 2 active days.
     *
     * Determinism/portability: days are exact integer micros
-    * floor-division; the regression runs on (day, count) pairs with
+    * truncating division (Spark `div` ≡ DuckDB `//`, the house
+    * day-bucket convention); the regression runs on (day, count) pairs with
     * both coordinates exact longs, accumulated as decimal(38,0)
     * (Σxy at 10⁹-scale day indices squares past 2⁵³; DuckDB HUGEINT
     * mirrors); the slope is one fixed-shape IEEE expression over the
@@ -713,8 +714,8 @@ object EventAnalytics {
     * window runs over the span-bounded (cohort, age) table only,
     * never event history.
     *
-    * Determinism: days and ages are exact integer micros
-    * floor-division; counts are longs; revenue is the house
+    * Determinism: days and ages are exact integer micros truncating
+    * division (Spark `div` ≡ DuckDB `//`); counts are longs; revenue is the house
     * sum-of-double convention (1e-4-quantized — the wider quantum
     * absorbs partition-order FP drift); the cumulative sum folds the
     * ALREADY-quantized per-age revenues in age order (same sequence
@@ -778,7 +779,8 @@ object EventAnalytics {
     * persisted because the classification and churn branches prune it
     * differently (the ReuseExchange miss class), then two day-keyed
     * counts join on the observed-day grid. All day arithmetic is
-    * exact integer micros floor-division; counts are longs.
+    * exact integer micros truncating division (Spark `div` ≡ DuckDB
+    * `//`, the house day-bucket convention); counts are longs.
     */
   def lifecycle(events: DataFrame, userCol: String, tsUsCol: String): DataFrame =
     lifecycleImpl(events, userCol, tsUsCol, materialize = true)

@@ -444,7 +444,11 @@ object Maintenance {
     * million keys ships a million); the anti-join is a key equi-join
     * Catalyst broadcasts when the key set is small; the three counts
     * are one map-side-combined pass each. Coverage is one IEEE
-    * division of exact longs, 1e-6-quantized.
+    * division of exact longs, 1e-6-quantized; an EMPTY child table
+    * (the fully-failed-ingest case this audit exists to page on)
+    * yields coverage NULL — matching the oracle's NULL on 0/0 —
+    * rather than Spark's NaN, which would poison downstream
+    * comparisons.
     */
   def integrityAudit(child: org.apache.spark.sql.DataFrame, childKey: String,
       parent: org.apache.spark.sql.DataFrame, parentKey: String,
@@ -460,7 +464,8 @@ object Maintenance {
     totals.crossJoin(broadcast(orphans)) // two one-row frames
       .select(lit(relation).as("relation"), col("n_child"), col("n_null_keys"),
         col("n_orphans"),
-        rd((col("n_child") - col("n_null_keys") - col("n_orphans")).cast("double") /
-          col("n_child").cast("double"), 6).as("coverage"))
+        when(col("n_child") > 0L,
+          rd((col("n_child") - col("n_null_keys") - col("n_orphans")).cast("double") /
+            col("n_child").cast("double"), 6)).as("coverage"))
   }
 }

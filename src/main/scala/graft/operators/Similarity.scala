@@ -453,7 +453,9 @@ object Similarity {
     *
     * Determinism/portability: coordinates quantize to 1e-6 integers;
     * per-dimension sums and squared sums accumulate as decimal(38,0)
-    * (exact at 10⁹ rows; DuckDB HUGEINT mirrors them); mean and
+    * with the square taken AFTER the decimal cast, so arbitrary
+    * coordinate magnitudes never wrap a LONG (exact at 10⁹ rows;
+    * DuckDB HUGEINT mirrors them); mean and
     * variance are single fixed-shape IEEE divisions, 1e-6-quantized;
     * `dead` compares exact longs. Variance is null when n < 2.
     *
@@ -472,7 +474,9 @@ object Similarity {
     def qd(d: Int) = element_at(col("q"), d + 1)
     val aggs = count("*").as("__n") +: (0 until dim).flatMap(d => Seq(
       sum(qd(d).cast(dec)).as(s"__s$d"),
-      sum((qd(d) * qd(d)).cast(dec)).as(s"__q$d"),
+      // decimal BEFORE multiply (the regularity pattern): a LONG
+      // square wraps silently past |coord| ≈ 3.0e3 (q² ≥ 2⁶³)
+      sum(qd(d).cast(dec) * qd(d).cast(dec)).as(s"__q$d"),
       min(qd(d)).as(s"__lo$d"),
       max(qd(d)).as(s"__hi$d")))
     val m = base.agg(aggs.head, aggs.tail: _*)

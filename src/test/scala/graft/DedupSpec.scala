@@ -963,6 +963,20 @@ class DedupSpec extends SparkSpec {
     assert(out(1) === ((1, 5.0, Some(0.0), 5.0, 5.0, true)))
   }
 
+  test("dimsHealth: large coordinate magnitudes don't wrap the squared sum") {
+    import spark.implicits._
+    // |q| = 4e9 after 1e-6 quantization → q² = 1.6e19 > 2⁶³ ≈ 9.2e18:
+    // a LONG square wraps silently; the decimal-before-multiply path
+    // must read sample variance ((4e3)² + (−4e3)²)/1 = 3.2e7 exactly.
+    val rows = Seq((1L, Array(4000f, 0f)), (2L, Array(-4000f, 0f)))
+    val out = graft.operators.Similarity.dimsHealth(
+        rows.toDF("id", "v"), "v", dim = 2).collect()
+    assert(out(0).getDouble(1) === 0.0)
+    assert(out(0).getDouble(2) === 3.2e7,
+      s"wrapped square would corrupt variance: ${out(0)}")
+    assert(out(0).getDouble(3) === -4000.0 && out(0).getDouble(4) === 4000.0)
+  }
+
   test("dimsHealth: single-row corpus — null variance, trivially dead dims") {
     import spark.implicits._
     val out = graft.operators.Similarity.dimsHealth(

@@ -111,6 +111,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.count(_._4) === 1, "exactly the spike day flags")
   }
 
+  test("day bucketing: pre-epoch timestamps truncate toward zero (DuckDB // parity)") {
+    val DayUs = 86400000000L
+    // The house convention: Spark `div` ≡ DuckDB `//`, both truncate
+    // toward zero. Discriminating cases: ts = −1 µs → day 0 (floor
+    // would give −1); ts = −DayUs−1 → day −1 (floor would give −2).
+    val ev = Seq(("a", -1L), ("a", 0L), ("a", -DayUs - 1L)).toDF("et", "ts")
+    val days = EventAnalytics.dailyAnomalies(ev, "et", "ts")
+      .select("day").as[Long].collect().sorted
+    assert(days.toSeq === Seq(-1L, 0L),
+      "truncation must merge −1 µs into day 0 and put −DayUs−1 in day −1")
+    val au = EventAnalytics.activeUsers(
+        Seq((1L, -1L), (1L, -DayUs - 1L)).toDF("u", "ts"), "u", "ts")
+      .select("day").as[Long].collect().sorted
+    assert(au.toSeq === Seq(-1L, 0L), "activeUsers shares the convention")
+  }
+
   test("dailyAnomalies: single-day and zero-variance types yield NULL z, never flag") {
     val DayUs = 86400000000L
     val ev = (Seq(("single", 0L)) ++

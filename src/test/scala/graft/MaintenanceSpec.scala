@@ -334,4 +334,16 @@ class MaintenanceSpec extends SparkSpec {
       Seq(1L, 2L).toDF("ck"), "ck", parent, "pk", "ok").collect().head
     assert(clean.toSeq === Seq("ok", 2L, 0L, 0L, 1.0))
   }
+
+  test("integrityAudit: empty child — coverage NULL (oracle parity), never NaN") {
+    // An empty child is the fully-failed-ingest case the audit pages
+    // on; 0/0 must surface as NULL like the DuckDB oracle, not as a
+    // NaN that poisons downstream comparisons.
+    val parent = Seq(1L, 2L).toDF("pk")
+    val empty = Seq.empty[Long].toDF("ck")
+    val r = Maintenance.integrityAudit(empty, "ck", parent, "pk", "none")
+      .collect().head
+    assert(r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L)
+    assert(r.isNullAt(4), s"coverage must be NULL on empty child, got $r")
+  }
 }
