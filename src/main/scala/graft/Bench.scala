@@ -136,18 +136,27 @@ object Bench {
           val tmp = java.nio.file.Files.createTempDirectory("graft_bench_pipe")
           val urlFile = tmp.resolve("urls.txt")
           java.nio.file.Files.write(urlFile, urls.mkString("\n").getBytes("UTF-8"))
-          case class PipeRun(images: Long, successes: Long, secs: Double) {
+          // Machine-independent accounting alongside the throttle-prone
+          // wall numbers: per-image CPU (process + task-thread) and
+          // output bytes — the PipelineGate metrics, recorded here so
+          // every bench artifact carries its own adjudication evidence
+          // (a throttled host inflates `sec` but not `*_cpu_us_per_img`).
+          val execCpuRead = graft.tools.PipelineMeter.attachExecutorCpu(spark)
+          case class PipeRun(images: Long, successes: Long, secs: Double,
+                             m: graft.tools.PipelineMeter.PipeMeasure) {
             def rate: Double = images / secs
             def successRate: Double = successes / secs
           }
           def runOnce(fmt: String, out: String): PipeRun = {
-            val t0 = System.nanoTime()
-            val res = Pipeline.download(spark, urlFile.toString, tmp.resolve(out).toString,
-              graft.config.DownloadConfig(outputFormat = fmt, samplesPerShard = 250,
-                threadCount = 64, resizeMode = "border", imageSize = 256,
-                computeHashCol = Some("sha256"), incrementalMode = "overwrite"))
-            val secs = (System.nanoTime() - t0) / 1e9
-            val r = PipeRun(res.count, res.successes, secs)
+            val dir = tmp.resolve(out).toString
+            val m = graft.tools.PipelineMeter.measure(spark, execCpuRead, dir) {
+              val res = Pipeline.download(spark, urlFile.toString, dir,
+                graft.config.DownloadConfig(outputFormat = fmt, samplesPerShard = 250,
+                  threadCount = 64, resizeMode = "border", imageSize = 256,
+                  computeHashCol = Some("sha256"), incrementalMode = "overwrite"))
+              (res.count, res.successes)
+            }
+            val r = PipeRun(m.images, m.successes, m.wallSecs, m)
             bestRate = math.max(bestRate, r.rate)
             r
           }
@@ -171,6 +180,9 @@ object Bench {
                 s"${best.images} failures — img/s not comparable to clean runs")
             s"""{"images":${best.images},"successes":${best.successes},"sec":${f3(best.secs)},""" +
               s""""img_per_sec":${f1(best.rate)},"success_per_sec":${f1(best.successRate)},""" +
+              s""""proc_cpu_us_per_img":${best.m.procCpuUsPerImg},""" +
+              s""""exec_cpu_us_per_img":${best.m.execCpuUsPerImg},""" +
+              s""""out_bytes_per_img":${best.m.outBytesPerImg},""" +
               s""""failures":$failures,"retried":${best ne first}}"""
           }
           // untimed FULL-SIZE pipeline warm-up: the first pipeline run

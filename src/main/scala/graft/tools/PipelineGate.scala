@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone pipeline regression gate (the [[SmokeGate]] analog for
+  * the download→resize→package pipeline): runs the loopback-server
+  * pipeline in the reference's published configuration, measures
+  * per-image CPU and output bytes ([[PipelineMeter]]), and fails
+  * (exit 1) on any metric breaching the committed
+  * `tools/pipeline_baseline.json`.
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.PipelineGate"            # gate
+  *   SPARK_GRAFT_WRITE_PIPELINE_BASELINE=1 \
+  *     sbt "runMain graft.tools.PipelineGate"          # (re)write baseline
+  *
+  * `SPARK_GRAFT_PIPELINE_GATE_N` (default 6000) sizes the run — large
+  * enough that JIT/page-cache warm-up (absorbed by an untimed dummy
+  * warm-up run first) stops moving the per-image numbers.
+  *
+  * Why CPU and not wall: see [[PipelineMeter]] — a stolen core
+  * stretches wall but charges the same cycles per image, so this gate
+  * stays quiet through host throttle windows and trips on genuine
+  * regressions (extra encode pass, hot-loop listener, double hash).
+  */
+object PipelineGate {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt
+      else sys.env.getOrElse("SPARK_GRAFT_PIPELINE_GATE_N", "6000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val execCpu = PipelineMeter.attachExecutorCpu(spark)
+    val server = new graft.util.HttpImageServer
+    var exitCode = 0
+    try {
+      val urls = (0 until n).map { i =>
+        val (w, h) = server.sizes(i % server.sizes.length)
+        server.url(s"/allowed/${w}_$h.jpg")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pipe_gate")
+      val urlFile = tmp.resolve("urls.txt")
+      java.nio.file.Files.write(urlFile, urls.mkString("\n").getBytes("UTF-8"))
+      def cfg(fmt: String) = graft.config.DownloadConfig(
+        outputFormat = fmt, samplesPerShard = 250, threadCount = 64,
+        resizeMode = "border", imageSize = 256,
+        computeHashCol = Some("sha256"), incrementalMode = "overwrite")
+      def once(fmt: String, out: String): PipelineMeter.PipeMeasure = {
+        val dir = tmp.resolve(out).toString
+        PipelineMeter.measure(spark, execCpu, dir) {
+          val r = graft.Pipeline.download(spark, urlFile.toString, dir, cfg(fmt))
+          (r.count, r.successes)
+        }
+      }
+      // untimed warm-up: JIT/ImageIO/HTTP-client warm-up is progressive
+      // and must not be charged to the first gated run
+      once("dummy", "out_warm")
+      val batch = once("parquet", "out_parquet")
+      val wds = once("webdataset", "out_wds")
+      def metrics(tag: String, m: PipelineMeter.PipeMeasure) = Map(
+        s"${tag}_proc_cpu_us_per_img" -> m.procCpuUsPerImg,
+        s"${tag}_exec_cpu_us_per_img" -> m.execCpuUsPerImg,
+        s"${tag}_out_bytes_per_img" -> m.outBytesPerImg)
+      val measured = metrics("batch", batch) ++ metrics("wds", wds)
+      def f1(d: Double) = BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+      println(measured.toSeq.sorted
+        .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}"))
+      println(s"[pipeline-gate] batch ${f1(batch.imgPerSec)} img/s wall " +
+        s"(${batch.successes}/${batch.images} ok), wds ${f1(wds.imgPerSec)} img/s " +
+        s"(${wds.successes}/${wds.images} ok) — wall is context, CPU is the gate")
+      val failures = (batch.images - batch.successes) + (wds.images - wds.successes)
+      if (failures > (batch.images + wds.images) / 100) {
+        // >1% loopback failures: the per-image denominators are off —
+        // report, don't gate (a starved host can time out loopback)
+        println(s"[pipeline-gate] SKIPPED: $failures failures — rerun on a quieter host")
+      } else if (sys.env.contains("SPARK_GRAFT_WRITE_PIPELINE_BASELINE")) {
+        ShuffleMeter.writeBaseline(PipelineMeter.BaselinePath, measured)
+        println(s"[pipeline-gate] baseline written: ${PipelineMeter.BaselinePath}")
+      } else ShuffleMeter.loadBaseline(PipelineMeter.BaselinePath) match {
+        case None =>
+          println("[pipeline-gate] no committed baseline — report-only run")
+        case Some(base) =>
+          val (breaches, newM) = PipelineMeter.check(measured, base)
+          newM.foreach(m => println(s"[pipeline-gate] NEW metric (no baseline): $m"))
+          breaches.foreach { b =>
+            println(f"[pipeline-gate] BREACH ${b.name}: ${b.bytes} vs baseline " +
+              f"${b.baseline} (${b.bytes.toDouble / math.max(1, b.baseline)}%.2fx)")
+          }
+          if (breaches.isEmpty) println("[pipeline-gate] PASS: all metrics within gate")
+          else exitCode = 1
+      }
+    } finally {
+      server.stop()
+      spark.stop()
+    }
+    if (exitCode != 0) sys.exit(exitCode)
+  }
+}

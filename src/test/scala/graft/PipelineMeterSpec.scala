@@ -1,0 +1,95 @@
+package graft
+
+import graft.config.DownloadConfig
+import graft.tools.{PipelineMeter, ShuffleMeter}
+
+/** End-to-end proof that the pipeline CPU gate trips on a genuine
+  * per-image work regression and stays quiet on a healthy re-run —
+  * the [[ShuffleMeterSpec]] pattern applied to the pipeline surface.
+  *
+  * The "regression" is real extra hot-path work, not a mock: the
+  * baseline run is T9 passthrough (no decode, no resize, no hash) and
+  * the regressed run decodes + border-resizes to 256 + re-encodes +
+  * sha256s every image — strictly more cycles per image on any host.
+  * Run order (warm-up → baseline → regressed → healthy re-run) puts
+  * JIT warm-up bias AGAINST the trip, so a pass here is conservative.
+  */
+class PipelineMeterSpec extends SparkSpec {
+
+  private def withServer[A](f: graft.util.HttpImageServer => A): A = {
+    val server = new graft.util.HttpImageServer
+    try f(server) finally server.stop()
+  }
+
+  test("gate trips on real extra per-image CPU work; healthy re-run passes") {
+    withServer { server =>
+      val n = 210
+      val urls = (0 until n).map { i =>
+        val (w, h) = server.sizes(i % server.sizes.length)
+        server.url(s"/allowed/${w}_$h.jpg")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_meter_spec")
+      val urlFile = tmp.resolve("urls.txt")
+      java.nio.file.Files.write(urlFile, urls.mkString("\n").getBytes("UTF-8"))
+      val execCpu = PipelineMeter.attachExecutorCpu(spark)
+      val light = DownloadConfig(outputFormat = "dummy", samplesPerShard = 70,
+        threadCount = 8, disableAllReencoding = true, computeHashCol = None,
+        incrementalMode = "overwrite")
+      val heavy = light.copy(disableAllReencoding = false, resizeMode = "border",
+        imageSize = 256, computeHashCol = Some("sha256"))
+      def run(cfg: DownloadConfig, out: String): PipelineMeter.PipeMeasure =
+        PipelineMeter.measure(spark, execCpu, tmp.resolve(out).toString) {
+          val r = Pipeline.download(spark, urlFile.toString,
+            tmp.resolve(out).toString, cfg)
+          (r.count, r.successes)
+        }
+      run(light, "warm") // untimed JIT/HTTP warm-up
+      val base = run(light, "base")
+      val regressed = run(heavy, "heavy")
+      val rerun = run(light, "rerun")
+      assert(base.successes === n && regressed.successes === n && rerun.successes === n)
+      assert(base.execCpuNs > 0 && base.procCpuNs > 0,
+        s"CPU counters must move: $base")
+
+      val baseline = Map("batch_exec_cpu_us_per_img" -> base.execCpuUsPerImg)
+      val (trip, _) = PipelineMeter.check(
+        Map("batch_exec_cpu_us_per_img" -> regressed.execCpuUsPerImg), baseline)
+      assert(trip.nonEmpty,
+        s"decode+resize+encode+sha per image must breach the 1.4x gate over " +
+          s"passthrough: base=${base.execCpuUsPerImg}us regressed=${regressed.execCpuUsPerImg}us")
+
+      val (quiet, _) = PipelineMeter.check(
+        Map("batch_exec_cpu_us_per_img" -> rerun.execCpuUsPerImg), baseline)
+      assert(quiet.isEmpty,
+        s"healthy re-run (warmer JIT) must stay inside the gate: " +
+          s"base=${base.execCpuUsPerImg}us rerun=${rerun.execCpuUsPerImg}us")
+    }
+  }
+
+  test("check: CPU gates upward only; out-bytes gates both ways; floor and new metrics") {
+    val base = Map(
+      "batch_proc_cpu_us_per_img" -> 10000L,
+      "batch_out_bytes_per_img" -> 20000L,
+      "tiny_out_bytes_per_img" -> 10L)
+    // CPU: 1.5x up breaches, 2x down does not (improvement)
+    val (up, _) = PipelineMeter.check(Map("batch_proc_cpu_us_per_img" -> 15000L), base)
+    assert(up.map(_.name) === Seq("batch_proc_cpu_us_per_img"))
+    val (down, _) = PipelineMeter.check(Map("batch_proc_cpu_us_per_img" -> 5000L), base)
+    assert(down.isEmpty, "less CPU per image is an improvement, not a breach")
+    // out bytes: both directions breach
+    val (grow, _) = PipelineMeter.check(Map("batch_out_bytes_per_img" -> 30000L), base)
+    assert(grow.nonEmpty, "ballooning output breaches")
+    val (shrink, _) = PipelineMeter.check(Map("batch_out_bytes_per_img" -> 9000L), base)
+    assert(shrink.nonEmpty, "silently shrunken output breaches")
+    val (inBand, _) = PipelineMeter.check(Map("batch_out_bytes_per_img" -> 21000L), base)
+    assert(inBand.isEmpty)
+    // floor: a near-zero baseline cannot trip on jitter
+    val (jitter, _) = PipelineMeter.check(Map("tiny_out_bytes_per_img" -> 60L), base)
+    assert(jitter.isEmpty, "64-unit floor silences degenerate baselines")
+    // new metric: reported, never failed
+    val (none, fresh) = PipelineMeter.check(Map("new_metric" -> 999L), base)
+    assert(none.isEmpty && fresh === Seq("new_metric"))
+    // breach payload carries the evidence
+    assert(up.head === ShuffleMeter.Breach("batch_proc_cpu_us_per_img", 15000L, 10000L))
+  }
+}
