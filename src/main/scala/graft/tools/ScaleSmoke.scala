@@ -66,12 +66,15 @@ object ScaleSmoke {
     "evt_lifecycle", "evt_cohort_ltv", "evt_gini", "evt_bots",
     "evt_cooccurrence", "evt_funnel", "evt_trend", "evt_regularity")
 
-  /** Build the 10× dir. Idempotency is gated on a COMPLETION marker
+  /** Build the `factor`× dir (default 10 — the committed tier;
+    * [[ScaleCurve]] reuses it for 30× spot checks). Idempotency is
+    * gated on a COMPLETION marker
     * written after every table lands — a crashed partial build (or a
     * manually pruned dir) rebuilds instead of being silently reused
     * with missing tables. Delete the dir after changing the generator.
     */
-  def buildScaledDir(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+  def buildScaledDir(spark: SparkSession, baseDir: String, outDir: String,
+                     factor: Int = 10): Unit = {
     val out = new java.io.File(outDir)
     val marker = new java.io.File(out, "_GRAFT_SCALED_COMPLETE")
     if (marker.exists()) return
@@ -84,7 +87,7 @@ object ScaleSmoke {
     }
     out.mkdirs()
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-    (0 until 10).map { k =>
+    (0 until factor).map { k =>
       docs.select(
         (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
         array_join(
@@ -94,7 +97,7 @@ object ScaleSmoke {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
-    (0 until 10).map { k =>
+    (0 until factor).map { k =>
       emb.select(
         (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
         transform(col("embedding"),
@@ -113,7 +116,7 @@ object ScaleSmoke {
     // LongType normalization branch.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$baseDir/events.parquet")
-    (0 until 10).map { k =>
+    (0 until factor).map { k =>
       ev.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
         col("ts"), (col("user_id") + lit(k * 10000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))

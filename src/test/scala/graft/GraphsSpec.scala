@@ -267,4 +267,70 @@ class GraphsSpec extends SparkSpec {
       assert(out(v)._2 === serialTri(v).toLong, s"triangles of $v")
     }
   }
+
+  test("graphSuite: per-node CC + triangle composition on hand graphs") {
+    // triangle 1-2-3 with pendant 4, plus a disjoint edge 10-11
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val out = Graphs.graphSuite(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 10L, 11L))
+    // (cluster_id, degree, n_triangles, clustering)
+    assert(out(1L) === ((1L, 2L, 1L, 1.0)))
+    assert(out(2L) === ((1L, 2L, 1L, 1.0)))
+    assert(out(3L) === ((1L, 3L, 1L, 0.333333)))
+    assert(out(4L) === ((1L, 1L, 0L, 0.0)))
+    assert(out(10L) === ((10L, 1L, 0L, 0.0)))
+    assert(out(11L) === ((10L, 1L, 0L, 0.0)))
+  }
+
+  test("graphSuite composition equals its standalone parts") {
+    val edges = (for {
+      a <- 1L to 12L; b <- (a + 1) to 12L
+      if ((a * 31 + b * 17) % 5) < 2
+    } yield (a, b)).toDF("id_a", "id_b")
+    val suite = Graphs.graphSuite(edges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val cc = graft.operators.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tri = Graphs.triangleStats(edges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(suite.keySet === cc.keySet && suite.keySet === tri.keySet)
+    suite.foreach { case (n, (cid, d, t, c)) =>
+      assert(cid === cc(n) && (d, t, c) === tri(n), s"node $n")
+    }
+  }
+
+  test("embeddingGraphSuite: composition equals standalone pageRank + labelPropagation") {
+    // small deterministic embedding corpus; same params both paths
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 13 + j * 7) % 19) - 9).toFloat / 9f),
+        (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val suite = Graphs.embeddingGraphSuite(emb, "embedding", "vec_id", "label",
+        dim = 8, k = 3, nPlanes = 4, nTables = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getInt(3)))))
+      .toMap
+    val edges = graft.operators.Similarity
+      .knnGraph(emb, "embedding", "vec_id", dim = 8, k = 3, nPlanes = 4, nTables = 2)
+      .select(org.apache.spark.sql.functions.col("src_id"),
+        org.apache.spark.sql.functions.col("nbr_id"))
+    val pr = Graphs.pageRank(edges, "src_id", "nbr_id", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lp = Graphs.labelPropagation(edges,
+        emb.filter($"vec_id" % 5 === 0).select($"vec_id", $"label"),
+        "src_id", "nbr_id", "vec_id", "label", 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    val deg = edges.groupBy("src_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(suite.nonEmpty && suite.keySet === pr.keySet)
+    suite.foreach { case (n, (d, rank, label)) =>
+      assert(rank === pr(n) && label === lp(n), s"node $n")
+      assert(d === deg.getOrElse(n, 0L), s"out-degree of $n (dangling → 0)")
+    }
+  }
 }

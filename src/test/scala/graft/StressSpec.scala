@@ -640,4 +640,51 @@ class StressSpec extends SparkSpec {
     assert(t10 / t1 < 15.0,
       f"distributed ranks must scale near-linearly: ${t10 / t1}%.1fx for 10x users")
   }
+
+  test("streaming bots: state stays O(users)·O(1) and wall near-linear at 10x users") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "10x-user streaming stress point: set GRAFT_STRESS=1 (takes minutes)")
+    // The streaming twins had bit-parity specs but no committed scale
+    // point (VERDICT r10 #5): drive botStream at 1x and 10x users and
+    // assert (a) the state store holds EXACTLY one row per user —
+    // per-user state is O(open minutes + 5) longs regardless of event
+    // volume — and (b) wall grows near-linearly in users.
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val minMs = 60000L
+    val base = 1000L // dodge the epoch-0 watermark gotcha
+    def run(users: Int): (Double, Long) = {
+      var stateRows = 0L
+      val t = timeOf {
+        val stream = MemoryStream[(Timestamp, Long)](spark)
+        val q = graft.streaming.EventStream.botStream(
+            stream.toDF().toDF("ts", "user_id"), "ts", "user_id",
+            burstPerMinute = 30, sustainedPerMinute = 2, minEvents = 50,
+            watermark = "10 minutes")
+          .writeStream.outputMode("append").format("memory")
+          .queryName(s"bot_stress_$users").start()
+        try {
+          // three batches, one event per user per minute — every user
+          // stays under both thresholds so the run measures pure state
+          // bookkeeping, not emission volume
+          for (m <- 0 until 3) {
+            stream.addData((0 until users).map(u =>
+              (new Timestamp((base + m) * minMs + u % 997), u.toLong)))
+            q.processAllAvailable()
+          }
+          stateRows = q.lastProgress.stateOperators.apply(0).numRowsTotal
+        } finally q.stop()
+      }
+      (t, stateRows)
+    }
+    run(500) // warm-up
+    val (t1, s1) = run(2000)
+    val (t10, s10) = run(20000)
+    info(f"2k users: $t1%.1fs/$s1 state rows   20k users: $t10%.1fs/$s10 rows   ratio: ${t10 / t1}%.1f")
+    assert(s1 === 2000L && s10 === 20000L,
+      s"state rows must equal users (one bounded entry each): $s1 / $s10")
+    assert(t10 / t1 < 20.0,
+      f"10x users must stay near-linear: ${t10 / t1}%.1fx")
+  }
 }
