@@ -93,11 +93,18 @@ object SparkEntry {
 
   /** DuckDB replication of [[Dedup.portableHash60]]: first 15 hex
     * chars of md5 parsed as a 60-bit integer (fits BIGINT, < 2^60).
+    * Under [[graft.config.PortableSalt]] the salt prefixes the md5
+    * input, exactly as the Spark-side hash does — unsalted, the SQL
+    * is byte-identical to the committed baseline's.
     */
-  private def duckHex60(s: String): String =
+  private def duckHex60(s: String): String = {
+    val input =
+      if (graft.config.PortableSalt.isDefault) s
+      else s"'${graft.config.PortableSalt.hashPrefix}' || ($s)"
     s"list_reduce(list_transform(range(1, 16), i -> " +
-    s"CAST(strpos('0123456789abcdef', substr(md5($s), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)), " +
+    s"CAST(strpos('0123456789abcdef', substr(md5($input), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)), " +
     s"(a, b) -> a * 16 + b)"
+  }
 
   /** Shared DuckDB CTE chain replicating the FULL portable MinHash+LSH
     * pipeline (signature with the same baked (a,b) coefficient
@@ -114,7 +121,7 @@ object SparkEntry {
     * SEVERAL document subsets (the incremental two-batch flow).
     */
   private def minhashChain(p: String, where: String): String = {
-    val coeffs = Dedup.minhashCoeffs(128)
+    val coeffs = Dedup.minhashCoeffs(128, Dedup.DefaultSeed)
       .map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
     s"""${p}t AS (SELECT doc_id,
          regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
@@ -214,7 +221,7 @@ object SparkEntry {
     s"""WITH cor AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
        seed AS (SELECT corpus_id, cv FROM cor
-         ORDER BY ((corpus_id % 1000003) * 2654435761) % 2147483647 DESC, corpus_id LIMIT 16),
+         ORDER BY ((corpus_id % 1000003) * ${graft.config.PortableSalt.seedMul}) % 2147483647 DESC, corpus_id LIMIT 16),
        cents AS (SELECT CAST(row_number() OVER (ORDER BY corpus_id) - 1 AS INTEGER) AS cell_id,
            cv AS centroid FROM seed),
        ad AS (SELECT cor.corpus_id, cor.cv, cents.cell_id,
@@ -253,7 +260,7 @@ object SparkEntry {
     s"""WITH cor AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
        seed AS (SELECT corpus_id, cv FROM cor
-         ORDER BY ((corpus_id % 1000003) * 2654435761) % 2147483647 DESC, corpus_id LIMIT 16),
+         ORDER BY ((corpus_id % 1000003) * ${graft.config.PortableSalt.seedMul}) % 2147483647 DESC, corpus_id LIMIT 16),
        cents AS (SELECT CAST(row_number() OVER (ORDER BY corpus_id) - 1 AS INTEGER) AS cell_id,
            cv AS centroid FROM seed),
        cbl AS (SELECT list(centroid ORDER BY cell_id) AS cb FROM cents),
@@ -303,7 +310,7 @@ object SparkEntry {
            x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)), x -> CAST(x AS DOUBLE)) AS qd
        FROM embeddings),
        km_seed AS (SELECT vec_id, qd FROM km_data
-         ORDER BY ((vec_id % 1000003) * 2654435761) % 2147483647 DESC, vec_id LIMIT $k),
+         ORDER BY ((vec_id % 1000003) * ${graft.config.PortableSalt.seedMul}) % 2147483647 DESC, vec_id LIMIT $k),
        km_c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
            qd AS m FROM km_seed),
        km_cl0 AS (SELECT list(m ORDER BY cell) AS cl FROM km_c0),
@@ -325,7 +332,7 @@ object SparkEntry {
     */
   private def duckPlaneTables: String =
     (0 until 8).map { t =>
-      val planes = Dedup.randomPlanes(8, 64, 42L + t)
+      val planes = Dedup.randomPlanes(8, 64, Dedup.DefaultSeed + t)
       val bits = planes.zipWithIndex.map { case (p, pi) =>
         val lits = p.map(_.toString).mkString("[", ",", "]")
         s"(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * ($lits)[i]), (x, y) -> x + y) >= 0.0 " +
@@ -443,6 +450,62 @@ object SparkEntry {
        SELECT id AS vec_id, label FROM lp_it$iters ORDER BY vec_id"""
   }
 
+  /** DuckDB replication of [[graft.operators.Graphs.embeddingGraphSuite]]:
+    * the pageRank and labelPropagation iteration chains of
+    * [[pageRankOracleSql]] / [[labelPropOracleSql]] composed over ONE
+    * shared k-NN CTE (the same sharing the Spark side's checkpointed
+    * edge frame provides), plus the out-degree rollup, joined
+    * per node.
+    */
+  private def embGraphSuiteOracleSql: String = {
+    val prIters = 5
+    def prIter(i: Int): String = {
+      val prev = if (i == 1) "pr_it0" else s"pr_it${i - 1}"
+      s"""pr_it$i AS (SELECT n.id,
+           CAST(150000000 + COALESCE(s.inflow, 0) AS BIGINT) AS r
+         FROM pr_nodes n LEFT JOIN (
+           SELECT e.dst AS id,
+             CAST(SUM((85 * p.r) // (100 * e.outdeg)) AS BIGINT) AS inflow
+           FROM pr_e e JOIN $prev p ON p.id = e.src GROUP BY e.dst) s
+         ON n.id = s.id)"""
+    }
+    val lpIters = 3
+    def lpIter(i: Int): String = {
+      val prev = if (i == 1) "lp_it0" else s"lp_it${i - 1}"
+      s"""lp_vt$i AS (SELECT e.dst AS id, p.label, count(*) AS cnt
+           FROM pr_e e JOIN $prev p ON p.id = e.src
+           WHERE p.label IS NOT NULL GROUP BY e.dst, p.label),
+         lp_md$i AS (SELECT id, label AS mode_label FROM (
+           SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+           FROM lp_vt$i) WHERE rn = 1),
+         lp_it$i AS (SELECT p.id,
+             CAST(COALESCE(s.seed_label, m.mode_label, p.label) AS INTEGER) AS label
+           FROM $prev p LEFT JOIN lp_md$i m ON p.id = m.id
+           LEFT JOIN lp_seed s ON p.id = s.id)"""
+    }
+    s"""WITH $knnGraphCtes,
+       pr_raw AS (SELECT DISTINCT src_id AS src, nbr_id AS dst FROM rk WHERE rank <= 10),
+       pr_deg AS (SELECT src, count(*) AS outdeg FROM pr_raw GROUP BY src),
+       pr_e AS (SELECT r.src, r.dst, d.outdeg FROM pr_raw r JOIN pr_deg d ON r.src = d.src),
+       pr_nodes AS (SELECT DISTINCT id FROM
+         (SELECT src AS id FROM pr_raw UNION ALL SELECT dst FROM pr_raw)),
+       pr_it0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM pr_nodes),
+       ${(1 to prIters).map(prIter).mkString(",\n       ")},
+       lp_seed AS (SELECT vec_id AS id, CAST(label AS INTEGER) AS seed_label
+         FROM embeddings WHERE vec_id % 5 = 0),
+       lp_it0 AS (SELECT n.id, s.seed_label AS label
+         FROM pr_nodes n LEFT JOIN lp_seed s ON n.id = s.id),
+       ${(1 to lpIters).map(lpIter).mkString(",\n       ")},
+       gs_deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS out_degree
+         FROM pr_raw GROUP BY src)
+       SELECT p.id AS vec_id,
+         CAST(COALESCE(d.out_degree, 0) AS BIGINT) AS out_degree,
+         p.r AS rank_nanos, l.label
+       FROM pr_it$prIters p JOIN lp_it$lpIters l ON l.id = p.id
+       LEFT JOIN gs_deg d ON d.id = p.id
+       ORDER BY vec_id"""
+  }
+
   /** DuckDB replication of [[Dedup.semanticDedup]] (SemDeDup): the
     * same portable-hash seed cells as the IVF oracle, nearest-centroid
     * assignment with the same (distance asc, cell asc) tie-break,
@@ -454,7 +517,7 @@ object SparkEntry {
       s"list_reduce(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
     s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        seed AS (SELECT id, v FROM base
-         ORDER BY ((id % 1000003) * 2654435761) % 2147483647 DESC, id LIMIT 8),
+         ORDER BY ((id % 1000003) * ${graft.config.PortableSalt.seedMul}) % 2147483647 DESC, id LIMIT 8),
        cents AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell_id,
            v AS centroid FROM seed),
        ad AS (SELECT base.id, base.v, cents.cell_id,
@@ -483,7 +546,7 @@ object SparkEntry {
     * drift between them.
     */
   private def signBits48Sql: String = {
-    val planes = Dedup.randomPlanes(48, 64, 42L)
+    val planes = Dedup.randomPlanes(48, 64, Dedup.DefaultSeed)
     planes.zipWithIndex.map { case (p, pi) =>
       val lits = p.map(_.toString).mkString("[", ",", "]")
       s"(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * ($lits)[i]), (x, y) -> x + y) >= 0.0 " +
@@ -627,7 +690,7 @@ object SparkEntry {
       s"list_reduce(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
     s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        seed AS (SELECT id, v FROM base
-         ORDER BY ((id % 1000003) * 2654435761) % 2147483647 DESC, id LIMIT 8),
+         ORDER BY ((id % 1000003) * ${graft.config.PortableSalt.seedMul}) % 2147483647 DESC, id LIMIT 8),
        cents AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell_id,
            v AS centroid FROM seed),
        ad AS (SELECT base.id, cents.cell_id,
@@ -1509,7 +1572,7 @@ object SparkEntry {
       // The image front-end (Multimodal.imageDHash) feeds the SAME
       // operator and is spec-tested on real decoded pixels.
       import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-      val planes = Seq(Dedup.randomPlanes(48, 64, 42L))
+      val planes = Seq(Dedup.randomPlanes(48, 64, Dedup.DefaultSeed))
       val sigs = t(s, dir, "embeddings").select(col("vec_id").as("id"),
         element_at(column(graft.plans.HyperplaneBuckets(
           expression(col("embedding").cast("array<double>")), planes)), 1).as("sig"))
@@ -1742,6 +1805,16 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("label"))
         .orderBy("vec_id")
     }),
+    "emb_graph_suite" -> ((s, dir) =>
+      // One-build-many-queries for the embedding graph class: the
+      // capped-LSH k-NN edge list is built and checkpointed ONCE,
+      // then feeds out-degree + PageRank + label propagation —
+      // centrality and label from a single edge build, where the
+      // three standalone queries each pay the bucket/top-k build.
+      graft.operators.Graphs.embeddingGraphSuite(t(s, dir, "embeddings"),
+          "embedding", "vec_id", "label", dim = 64, k = 10,
+          nPlanes = 8, nTables = 8)
+        .orderBy("vec_id")),
     "samp_winsorize" -> ((s, dir) =>
       // Per-group winsorization: clamp prices to each return flag's
       // [p01, p99] sketch-quantile band. Thresholds shuffle as bin
@@ -1866,6 +1939,20 @@ object SparkEntry {
           col("n_triangles"), col("clustering"))
         .orderBy("doc_id")
     }),
+    "graph_suite" -> ((s, dir) => {
+      // One-build-many-queries composition: the capped-LSH pair set
+      // (the dominant cost) is built ONCE and feeds connected
+      // components AND per-node triangle stats — the per-node
+      // keep/collapse/re-verify frame, where running dedup_clusters_lsh
+      // + dedup_triangles separately pays the candidate build twice.
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.3,
+        portableHash = true)
+      graft.operators.Graphs.graphSuite(pairs)
+        .select(col("node").as("doc_id"), col("cluster_id"), col("degree"),
+          col("n_triangles"), col("clustering"))
+        .orderBy("doc_id")
+    }),
     "txt_pmi" -> ((s, dir) =>
       // PMI collocations: top-50 token pairs by pointwise mutual
       // information over per-doc co-occurrence; per-doc token cap 20
@@ -1928,7 +2015,7 @@ object SparkEntry {
       val corpus = v.filter(col("vec_id") % 20 =!= 0)
       Dedup.embeddingDecontaminate(corpus, bench, "embedding", "vec_id",
           dim = 64, threshold = 0.35, nPlanes = 8, nTables = 8,
-          seed = 42L, maxBucketSize = 1000)
+          seed = Dedup.DefaultSeed, maxBucketSize = 1000)
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")
     }),
@@ -3338,6 +3425,7 @@ object SparkEntry {
          WHERE dist <= 32 ORDER BY id_a, id_b""",
     "emb_pagerank" -> pageRankOracleSql,
     "emb_label_prop" -> labelPropOracleSql,
+    "emb_graph_suite" -> embGraphSuiteOracleSql,
     "samp_winsorize" ->
       s"""WITH wz_b AS (SELECT l_returnflag,
            least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
@@ -3543,6 +3631,35 @@ object SparkEntry {
              " / (CAST(tdeg.d AS DOUBLE) * CAST(tdeg.d - 1 AS DOUBLE)) ELSE 0.0 END", 6)}
            AS clustering
          FROM tdeg LEFT JOIN tpn USING (node) ORDER BY doc_id""",
+    "graph_suite" ->
+      s"""WITH RECURSIVE $minhashLshCtes,
+         gj AS (SELECT id_a, id_b FROM mh_ver WHERE jac >= 0.3),
+         gedges AS (SELECT id_a AS src, id_b AS dst FROM gj
+                    UNION SELECT id_b, id_a FROM gj),
+         greach(src, dst) AS (
+           SELECT src, dst FROM gedges
+           UNION
+           SELECT r.src, e2.dst FROM greach r JOIN gedges e2 ON r.dst = e2.src),
+         gnodes AS (SELECT DISTINCT src AS node FROM gedges),
+         gcc AS (SELECT n.node, least(n.node, min(r.dst)) AS cluster_id
+           FROM gnodes n LEFT JOIN greach r ON r.src = n.node GROUP BY n.node),
+         ged AS (SELECT DISTINCT id_a AS u, id_b AS v FROM gj),
+         gdeg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+           (SELECT u AS node FROM ged UNION ALL SELECT v FROM ged) GROUP BY node),
+         gtri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+           FROM ged e1 JOIN ged e2 ON e2.u = e1.u AND e2.v > e1.v
+           JOIN ged e3 ON e3.u = e1.v AND e3.v = e2.v),
+         gpn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM
+           (SELECT x AS node FROM gtri UNION ALL SELECT y FROM gtri
+            UNION ALL SELECT z FROM gtri) GROUP BY node)
+         SELECT gcc.node AS doc_id, gcc.cluster_id, gdeg.d AS degree,
+           CAST(coalesce(gpn.n_tri, 0) AS BIGINT) AS n_triangles,
+           ${roundToSql(
+             "CASE WHEN gdeg.d >= 2 THEN 2.0 * CAST(coalesce(gpn.n_tri, 0) AS DOUBLE)" +
+             " / (CAST(gdeg.d AS DOUBLE) * CAST(gdeg.d - 1 AS DOUBLE)) ELSE 0.0 END", 6)}
+           AS clustering
+         FROM gcc JOIN gdeg USING (node) LEFT JOIN gpn USING (node)
+         ORDER BY doc_id""",
     "evt_attribution" ->
       s"""WITH at_c AS (SELECT user_id, event_id AS conversion_id, epoch_us(ts) AS conv_ts
            FROM events WHERE event_type = 'purchase'),
@@ -3729,7 +3846,7 @@ object SparkEntry {
              x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)), x -> CAST(x AS DOUBLE)) AS qd
          FROM embeddings),
          kc_s0 AS (SELECT vec_id, qd FROM kc_d
-           ORDER BY ((vec_id % 1000003) * 2654435761) % 2147483647 DESC, vec_id LIMIT 1),
+           ORDER BY ((vec_id % 1000003) * ${graft.config.PortableSalt.seedMul}) % 2147483647 DESC, vec_id LIMIT 1),
          $stages
          $rows
          ORDER BY sel_rank"""
@@ -3742,7 +3859,7 @@ object SparkEntry {
              x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)), x -> CAST(x AS DOUBLE)) AS qd
          FROM embeddings),
          dr_seed AS (SELECT vec_id, qd FROM dr_qd
-           ORDER BY ((vec_id % 1000003) * 2654435761) % 2147483647 DESC, vec_id LIMIT 8),
+           ORDER BY ((vec_id % 1000003) * ${graft.config.PortableSalt.seedMul}) % 2147483647 DESC, vec_id LIMIT 8),
          dr_c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
              qd AS m FROM dr_seed),
          dr_cl AS (SELECT list(m ORDER BY cell) AS cl FROM dr_c0),
@@ -3888,7 +4005,7 @@ object SparkEntry {
              x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)), x -> CAST(x AS DOUBLE)) AS qd
          FROM embeddings),
          sl_seed AS (SELECT vec_id, qd FROM sl_qd
-           ORDER BY ((vec_id % 1000003) * 2654435761) % 2147483647 DESC, vec_id LIMIT 8),
+           ORDER BY ((vec_id % 1000003) * ${graft.config.PortableSalt.seedMul}) % 2147483647 DESC, vec_id LIMIT 8),
          sl_c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
              qd AS m FROM sl_seed),
          sl_cl AS (SELECT list(m ORDER BY cell) AS cl FROM sl_c0),

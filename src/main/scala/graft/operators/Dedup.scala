@@ -56,10 +56,17 @@ object Dedup {
     * Public so the oracle SQL generator can bake the SAME pairs into
     * the DuckDB replication of the signature.
     */
-  def minhashCoeffs(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+  def minhashCoeffs(numHashes: Int, seed: Long = graft.operators.Dedup.DefaultSeed): Seq[(Long, Long)] = {
     val rng = new Random(seed)
     Seq.fill(numHashes)((math.abs(rng.nextLong()) % Prime + 1, math.abs(rng.nextLong()) % Prime))
   }
+
+  /** Default seed for the portable LSH chains (MinHash coefficients,
+    * hyperplanes): 42 unless [[graft.config.PortableSalt]] is set —
+    * the oracle-robustness knob that re-derives the whole constant
+    * family on both engines.
+    */
+  val DefaultSeed: Long = graft.config.PortableSalt.seed
 
   /** Cross-engine 60-bit string hash: the first 15 hex chars of md5,
     * parsed as an integer. Any engine with md5 reproduces it exactly
@@ -67,9 +74,16 @@ object Dedup {
     * Production defaults keep the faster native xxh64; the
     * oracle-checked LSH queries pass `portableHash = true` so the
     * whole approximate pipeline is independently recomputable.
+    * Under [[graft.config.PortableSalt]] the salt prefixes the md5
+    * input (on both engines); unsalted, the expression is exactly the
+    * committed baseline's.
     */
   def portableHash60(s: Column): Column =
-    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+    if (graft.config.PortableSalt.isDefault)
+      conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+    else
+      conv(substring(md5(concat(lit(graft.config.PortableSalt.hashPrefix),
+        s.cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** MinHash signature of the shingle set as `array<bigint>`:
     * min over shingles of `(a·(xxh64(s) mod P) + b) mod P` per hash
@@ -77,7 +91,7 @@ object Dedup {
     * ([[graft.plans.MinHashSignatureExpr]]); all K mins computed in a
     * single compiled loop over the shingle array.
     */
-  def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = 42L,
+  def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = graft.operators.Dedup.DefaultSeed,
                        portableMd5: Boolean = false): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     column(graft.plans.MinHashSignatureExpr(
@@ -140,7 +154,7 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.7, seed: Long = 42L,
+      threshold: Double = 0.7, seed: Long = graft.operators.Dedup.DefaultSeed,
       maxBucketSize: Int = 1000,
       portableHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0,
@@ -181,7 +195,7 @@ object Dedup {
   def containmentNearDups(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8, seed: Long = 42L,
+      threshold: Double = 0.8, seed: Long = graft.operators.Dedup.DefaultSeed,
       maxBucketSize: Int = 1000,
       portableHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0,
@@ -225,7 +239,7 @@ object Dedup {
   def editDistanceNearDups(
       df: DataFrame, textCol: String, idCol: String,
       maxDist: Int, shingleSize: Int = 3, numHashes: Int = 128,
-      bands: Int = 32, seed: Long = 42L, maxBucketSize: Int = 1000,
+      bands: Int = 32, seed: Long = graft.operators.Dedup.DefaultSeed, maxBucketSize: Int = 1000,
       portableHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes=$numHashes must be divisible by bands=$bands")
@@ -494,7 +508,7 @@ object Dedup {
       df: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.5, seed: Long = 42L,
+      threshold: Double = 0.5, seed: Long = graft.operators.Dedup.DefaultSeed,
       maxBucketSize: Int = 1000,
       portableHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0,
@@ -635,7 +649,7 @@ object Dedup {
                          indexPath: String,
                          shingleSize: Int = 5, numHashes: Int = 128,
                          bands: Int = 32, threshold: Double = 0.7,
-                         seed: Long = 42L, maxBucketSize: Int = 1000,
+                         seed: Long = graft.operators.Dedup.DefaultSeed, maxBucketSize: Int = 1000,
                          stagingPath: Option[String] = None,
                          portableHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0,
@@ -705,7 +719,7 @@ object Dedup {
   def commitMinhash(docs: DataFrame, textCol: String, idCol: String,
                     indexPath: String,
                     shingleSize: Int = 5, numHashes: Int = 128,
-                    bands: Int = 32, seed: Long = 42L,
+                    bands: Int = 32, seed: Long = graft.operators.Dedup.DefaultSeed,
                     portableHash: Boolean = false): Unit = {
     require(numHashes % bands == 0,
       s"numHashes=$numHashes must be divisible by bands=$bands (must match the query half)")
@@ -722,7 +736,7 @@ object Dedup {
   }
 
   /** Seeded random hyperplanes for cosine LSH, baked as plan literals. */
-  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = graft.operators.Dedup.DefaultSeed): Seq[Seq[Double]] = {
     val rng = new Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
@@ -735,7 +749,7 @@ object Dedup {
   def embeddingNearDups(
       df: DataFrame, vecCol: String, idCol: String, dim: Int,
       threshold: Double = 0.95, nPlanes: Int = 12, nTables: Int = 4,
-      seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
+      seed: Long = graft.operators.Dedup.DefaultSeed, maxBucketSize: Int = 1000): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val planes = (0 until nTables).map(t => randomPlanes(nPlanes, dim, seed + t))
@@ -788,7 +802,7 @@ object Dedup {
       corpus: DataFrame, benchmark: DataFrame,
       vecCol: String, idCol: String, dim: Int,
       threshold: Double = 0.8, nPlanes: Int = 8, nTables: Int = 8,
-      seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
+      seed: Long = graft.operators.Dedup.DefaultSeed, maxBucketSize: Int = 1000): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val planes = (0 until nTables).map(t => randomPlanes(nPlanes, dim, seed + t))
     def toBuckets(df: DataFrame, idName: String): DataFrame = df

@@ -75,7 +75,7 @@ object Similarity {
     // seed set; default is the faster xxhash64.
     val seedHash =
       if (portableSeed)
-        pmod(pmod(col("corpus_id"), lit(1000003L)) * lit(2654435761L), lit(2147483647L))
+        pmod(pmod(col("corpus_id"), lit(1000003L)) * lit(graft.config.PortableSalt.seedMul), lit(2147483647L))
       else xxhash64(col("corpus_id"))
     val seedIds = c
       .agg(graft.plans.TopKByScore.topKByScore(
@@ -185,7 +185,7 @@ object Similarity {
   private def seededCentroids(base: DataFrame, nCells: Int): Array[Array[Double]] = {
     val spark = base.sparkSession
     import spark.implicits._
-    val seedHash = pmod(pmod(col("id"), lit(1000003L)) * lit(2654435761L), lit(2147483647L))
+    val seedHash = pmod(pmod(col("id"), lit(1000003L)) * lit(graft.config.PortableSalt.seedMul), lit(2147483647L))
     val seedIds = base
       .agg(graft.plans.TopKByScore.topKByScore(seedHash.cast("double"), col("id"), nCells).as("top"))
       .select(explode(col("top.id")).as("id")).collect().map(_.getLong(0))
@@ -241,7 +241,7 @@ object Similarity {
         .select(col("m.s"), col("m.nid"), col("m.v")).collect()(0)
       (-r.getLong(1), r.getSeq[Double](2), r.getDouble(0))
     }
-    val seedHash = pmod(pmod(col("id"), lit(1000003L)) * lit(2654435761L), lit(2147483647L))
+    val seedHash = pmod(pmod(col("id"), lit(1000003L)) * lit(graft.config.PortableSalt.seedMul), lit(2147483647L))
     val (seedId, seedVec, _) = pick(seedHash.cast("double"), base)
     val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])]()
     picks += ((0, seedId, None))
@@ -771,7 +771,7 @@ object Similarity {
     */
   def hammingTopK(corpus: DataFrame, queries: DataFrame,
                   vecCol: String, idCol: String, dim: Int, k: Int,
-                  nBits: Int = 48, seed: Long = 42L): DataFrame = {
+                  nBits: Int = 48, seed: Long = graft.operators.Dedup.DefaultSeed): DataFrame = {
     require(nBits >= 1 && nBits <= 62, s"nBits=$nBits must fit a positive long")
     val planes = Seq(Dedup.randomPlanes(nBits, dim, seed))
     def sig(df: DataFrame, outId: String, outSig: String): DataFrame =
@@ -856,7 +856,7 @@ object Similarity {
     */
   def knnGraph(df: DataFrame, vecCol: String, idCol: String, dim: Int,
                k: Int = 10, nPlanes: Int = 8, nTables: Int = 8,
-               seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
+               seed: Long = graft.operators.Dedup.DefaultSeed, maxBucketSize: Int = 1000): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val planes = (0 until nTables).map(t => Dedup.randomPlanes(nPlanes, dim, seed + t))

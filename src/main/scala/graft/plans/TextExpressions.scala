@@ -42,9 +42,16 @@ object TextExprs {
     * lambda (the HOF `transform` formulation benchmarked 5× slower on
     * the simhash query).
     */
+  // Oracle-robustness salt (empty by default — bit-identical to the
+  // committed baseline). Prepended to every md5Hash60 input, matching
+  // the salted duckHex60 and Dedup.portableHash60 forms.
+  private val saltBytes: Array[Byte] =
+    graft.config.PortableSalt.hashPrefix.getBytes("UTF-8")
+
   def md5Hash60(s: UTF8String): Long = {
     val d = md5Local.get()
     d.reset()
+    if (saltBytes.length != 0) d.update(saltBytes)
     val dig = d.digest(s.getBytes)
     var acc = 0L
     var i = 0
