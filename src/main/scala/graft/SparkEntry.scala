@@ -554,6 +554,24 @@ object SparkEntry {
     }.mkString(" + ")
   }
 
+  /** DuckDB replication of [[graft.operators.Similarity.lshBucketProfile]]:
+    * the same plane-literal bucket keys rolled up per table with the
+    * identical exact-integer occupancy/pair arithmetic.
+    */
+  private def embBucketProfileOracleSql: String = {
+    val tables = duckPlaneTables
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       bp_bk AS (SELECT vec_id, unnest($tables) AS u FROM v),
+       bp_b AS (SELECT vec_id, u.tbl AS tbl, u.key AS key FROM bp_bk),
+       bp_c AS (SELECT tbl, key, CAST(count(*) AS BIGINT) AS m FROM bp_b GROUP BY tbl, key)
+       SELECT CAST(tbl AS INTEGER) AS tbl, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(m) AS BIGINT) AS n_vectors, max(m) AS max_occupancy,
+         ${roundToSql("CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS avg_occupancy,
+         CAST(sum(CASE WHEN m > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+         CAST(sum(CASE WHEN m <= 1000 THEN m * (m - 1) // 2 ELSE 0 END) AS BIGINT) AS candidate_pairs
+       FROM bp_c GROUP BY tbl ORDER BY tbl"""
+  }
+
   private def annHammingOracleSql: String = {
     val bits = signBits48Sql
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1805,6 +1823,13 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("label"))
         .orderBy("vec_id")
     }),
+    "emb_bucket_profile" -> ((s, dir) =>
+      // LSH key-depth advisor: per-table bucket occupancy + the exact
+      // candidate-pair work the bucketed build will pay — the one-scan
+      // check that catches quadratic density creep (the 30x-curve
+      // emb_knn_graph finding) BEFORE a big build.
+      graft.operators.Similarity.lshBucketProfile(t(s, dir, "embeddings"),
+        "embedding", "vec_id", dim = 64, nPlanes = 8, nTables = 8)),
     "emb_graph_suite" -> ((s, dir) =>
       // One-build-many-queries for the embedding graph class: the
       // capped-LSH k-NN edge list is built and checkpointed ONCE,
@@ -3426,6 +3451,7 @@ object SparkEntry {
     "emb_pagerank" -> pageRankOracleSql,
     "emb_label_prop" -> labelPropOracleSql,
     "emb_graph_suite" -> embGraphSuiteOracleSql,
+    "emb_bucket_profile" -> embBucketProfileOracleSql,
     "samp_winsorize" ->
       s"""WITH wz_b AS (SELECT l_returnflag,
            least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)

@@ -853,6 +853,19 @@ object Similarity {
     * bomb on degenerate buckets); the per-node top-k is the map-side
     * -combinable bounded heap, so no window ever sorts a node's full
     * candidate list.
+    *
+    * SIZE `nPlanes` WITH THE CORPUS. Candidate work is Σ m² over
+    * buckets (m = occupancy): at FIXED key depth it grows
+    * quadratically with corpus density until occupancies hit the cap
+    * — measured on the 30× curve: 480k vectors at nPlanes = 8
+    * (256 keys/table) profile Σm² = 144.1M (9× the 10× point's 16.0M
+    * for 3× the rows, every bucket still under the 1000 cap) and the
+    * build took 30× the 10× wall; the SAME corpus at nPlanes = 12
+    * profiles Σm² = 23.8M and builds 16× faster. Keep expected
+    * occupancy n / 2^nPlanes near your verify budget:
+    * nPlanes ≈ log2(n / targetOccupancy). [[lshBucketProfile]] is
+    * the one-scan advisor that measures exactly this before a big
+    * build.
     */
   def knnGraph(df: DataFrame, vecCol: String, idCol: String, dim: Int,
                k: Int = 10, nPlanes: Int = 8, nTables: Int = 8,
@@ -879,6 +892,57 @@ object Similarity {
       .select(col("src_id"), posexplode(col("top")).as(Seq("r", "t")))
       .select(col("src_id"), (col("r") + 1).as("rank"), col("t.id").as("nbr_id"),
         graft.functions.MathFunctions.roundTo(col("t.score"), 6).as("cosine"))
+  }
+
+  /** LSH bucket-occupancy profile — the "are my keys deep enough?"
+    * advisor for every hyperplane-bucketed operator ([[knnGraph]],
+    * [[graft.operators.Dedup.embeddingNearDups]], decontamination):
+    * run it BEFORE a big build to see whether the candidate stage
+    * will be linear or density-quadratic. Returns one row per table:
+    * (table, n_buckets, n_vectors, max_occupancy, avg_occupancy,
+    * n_over_cap, candidate_pairs) where candidate_pairs =
+    * Σ m·(m−1)/2 over buckets with m ≤ `maxBucketSize` — exactly the
+    * per-table candidate-join work the build will pay (over-cap
+    * buckets are dropped by the build, so they are excluded here and
+    * counted in n_over_cap). A profile whose avg_occupancy is within
+    * an order of magnitude of the cap means the key space is
+    * saturating: deepen `nPlanes` (≈ log2(n / targetOccupancy))
+    * before building — the 30× curve measured a 16× build-time
+    * difference between nPlanes 8 and 12 on the same corpus.
+    *
+    * Determinism/portability: bucket keys are the same plan-literal
+    * sign bits as the build; counts/max/pairs are exact longs
+    * (per-bucket pairs ≤ cap²/2 and over-cap buckets are excluded, so
+    * the per-table sum stays far under 2⁶³ at any corpus size);
+    * avg_occupancy is one IEEE division of exact longs,
+    * 1e-6-quantized.
+    *
+    * Scale shape: ONE corpus scan into slim (id, table, key) rows,
+    * one map-side-combined (table, key) count, then a rollup of the
+    * ≤ nTables·2^nPlanes-row count table. The corpus never joins.
+    */
+  def lshBucketProfile(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+      nPlanes: Int = 8, nTables: Int = 8,
+      seed: Long = graft.operators.Dedup.DefaultSeed,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rd = graft.functions.MathFunctions.roundTo _
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val planes = (0 until nTables).map(t => Dedup.randomPlanes(nPlanes, dim, seed + t))
+    val keyed = base.withColumn("buckets",
+      column(graft.plans.HyperplaneBuckets(expression(col("v")), planes)))
+    val counts = keyed
+      .select(col("id"), posexplode(col("buckets")).as(Seq("table", "key")))
+      .groupBy("table", "key").agg(count("*").as("m"))
+    counts.groupBy("table")
+      .agg(count("*").as("n_buckets"),
+        sum("m").as("n_vectors"),
+        max("m").as("max_occupancy"),
+        rd(sum("m").cast("double") / count("*").cast("double"), 6).as("avg_occupancy"),
+        sum(when(col("m") > maxBucketSize.toLong, 1L).otherwise(0L)).as("n_over_cap"),
+        sum(when(col("m") <= maxBucketSize.toLong,
+          expr("m * (m - 1) div 2")).otherwise(0L)).as("candidate_pairs"))
+      .withColumnRenamed("table", "tbl") // "table" is reserved in SQL oracles
+      .orderBy("tbl")
   }
 
   /** Symmetric per-vector int8 scalar quantization: q_i =

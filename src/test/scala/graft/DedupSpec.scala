@@ -987,6 +987,56 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getDouble(1) === 0.25 && out(1).getDouble(1) === -1.0)
   }
 
+  // ---- lshBucketProfile ---------------------------------------------------
+
+  test("lshBucketProfile: identical vectors collapse to one bucket; cap excludes them") {
+    import spark.implicits._
+    // 6 identical vectors → exactly ONE bucket per table with m = 6:
+    // pairs = 6·5/2 = 15; with cap 5 the bucket is over-cap instead.
+    val rows = (1L to 6L).map(i => (i, Array.fill(4)(1f)))
+    val out = graft.operators.Similarity.lshBucketProfile(
+        rows.toDF("id", "v"), "v", "id", dim = 4, nPlanes = 4, nTables = 2)
+      .collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getLong(1) === 1L && r.getLong(2) === 6L && r.getLong(3) === 6L,
+        s"one bucket of 6: $r")
+      assert(r.getDouble(4) === 6.0 && r.getLong(5) === 0L && r.getLong(6) === 15L, s"$r")
+    }
+    val capped = graft.operators.Similarity.lshBucketProfile(
+        rows.toDF("id", "v"), "v", "id", dim = 4, nPlanes = 4, nTables = 2,
+        maxBucketSize = 5)
+      .collect()
+    capped.foreach { r =>
+      assert(r.getLong(5) === 1L && r.getLong(6) === 0L,
+        s"over-cap bucket counted, its pairs excluded: $r")
+    }
+  }
+
+  test("lshBucketProfile: occupancy conserves the corpus; pairs match the direct sum") {
+    import spark.implicits._
+    val rows = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 17) - 8).toFloat)))
+    val df = rows.toDF("id", "v")
+    val out = graft.operators.Similarity.lshBucketProfile(
+        df, "v", "id", dim = 8, nPlanes = 3, nTables = 4).collect()
+    assert(out.length === 4)
+    out.foreach(r => assert(r.getLong(2) === 60L, s"every vector lands once per table: $r"))
+    // cross-check candidate_pairs against the knnGraph bucket frame
+    // semantics: recompute m per (table, key) via the same expression
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val planes = (0 until 4).map(t =>
+      graft.operators.Dedup.randomPlanes(3, 8, graft.operators.Dedup.DefaultSeed + t))
+    val m = df.withColumn("b", column(graft.plans.HyperplaneBuckets(
+        expression(org.apache.spark.sql.functions.col("v").cast("array<double>")), planes)))
+      .select(org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.col("b")).as(Seq("t", "k")))
+      .groupBy("t", "k").count().collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.map(r => { val c = r.getLong(2); c * (c - 1) / 2 }).sum).toMap
+    out.foreach(r => assert(r.getLong(6) === m(r.getInt(0)), s"pairs of table $r"))
+  }
+
   // ---- recallEval ---------------------------------------------------------
 
   test("recallEval: probing every cell makes IVF exact — recall ≡ 1.0") {
