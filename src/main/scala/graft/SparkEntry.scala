@@ -1964,6 +1964,13 @@ object SparkEntry {
           col("n_triangles"), col("clustering"))
         .orderBy("doc_id")
     }),
+    "dedup_band_profile" -> ((s, dir) =>
+      // Text-side LSH advisor: per-band bucket occupancy + the exact
+      // candidate work the minhash dedup's candidate join will pay —
+      // shows which bands carry hot (degenerate/boilerplate) buckets
+      // and what the cap is dropping, before the corpus-scale run.
+      Dedup.minhashBandProfile(t(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, numHashes = 128, bands = 32, portableHash = true)),
     "graph_suite" -> ((s, dir) => {
       // One-build-many-queries composition: the capped-LSH pair set
       // (the dominant cost) is built ONCE and feeds connected
@@ -3452,6 +3459,16 @@ object SparkEntry {
     "emb_label_prop" -> labelPropOracleSql,
     "emb_graph_suite" -> embGraphSuiteOracleSql,
     "emb_bucket_profile" -> embBucketProfileOracleSql,
+    "dedup_band_profile" ->
+      s"""WITH $minhashLshCtes,
+         bpf AS (SELECT band, key, CAST(count(*) AS BIGINT) AS m
+           FROM mh_buckets GROUP BY band, key)
+         SELECT CAST(band AS INTEGER) AS band, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(m) AS BIGINT) AS n_docs, max(m) AS max_occupancy,
+           ${roundToSql("CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS avg_occupancy,
+           CAST(sum(CASE WHEN m > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+           CAST(sum(CASE WHEN m <= 1000 THEN m * (m - 1) // 2 ELSE 0 END) AS BIGINT) AS candidate_pairs
+         FROM bpf GROUP BY band ORDER BY band""",
     "samp_winsorize" ->
       s"""WITH wz_b AS (SELECT l_returnflag,
            least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)

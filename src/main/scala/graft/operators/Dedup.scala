@@ -147,6 +147,56 @@ object Dedup {
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
   }
 
+  /** MinHash band-bucket occupancy profile — the text-side twin of
+    * [[Similarity.lshBucketProfile]]: per band, the bucket count,
+    * max/avg occupancy, buckets over the cap, and the EXACT
+    * candidate-pair work Σ m·(m−1)/2 under the cap that
+    * [[minhashNearDups]]' candidate join will pay. Run it before a
+    * corpus-scale dedup to see which bands carry hot buckets
+    * (degenerate shingles, boilerplate) and how much the cap is
+    * actually dropping. Unlike the hyperplane key space (fixed
+    * 2^nPlanes — density-quadratic, see the knnGraph guidance), band
+    * keys hash full signature slices, so occupancy here tracks true
+    * near-dup structure plus degenerate content, not corpus density —
+    * the profile tells you which.
+    *
+    * Determinism/portability: identical signature/band chain as the
+    * build (same seed, same portable-hash toggle); counts/max/pairs
+    * exact longs; avg one quantized IEEE division.
+    *
+    * Scale shape: one corpus scan into slim (id, band, key) rows, one
+    * map-side-combined (band, key) count, one tiny per-band rollup;
+    * shingles never leave the scan, text never shuffles.
+    */
+  def minhashBandProfile(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      seed: Long = graft.operators.Dedup.DefaultSeed,
+      maxBucketSize: Int = 1000,
+      portableHash: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes must be divisible by bands=$bands")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val r = numHashes / bands
+    val base = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleSize).as("shingles"))
+    val sigs = base.withColumn("sig",
+      minhashSignature(col("shingles"), numHashes, seed, portableMd5 = portableHash))
+    val counts = sigs
+      .select(col("id"), explode(bandKeys(col("sig"), bands, r, portableHash)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+      .groupBy("band", "key").agg(count("*").as("m"))
+    counts.groupBy("band")
+      .agg(count("*").as("n_buckets"),
+        sum("m").as("n_docs"),
+        max("m").as("max_occupancy"),
+        rd(sum("m").cast("double") / count("*").cast("double"), 6).as("avg_occupancy"),
+        sum(when(col("m") > maxBucketSize.toLong, 1L).otherwise(0L)).as("n_over_cap"),
+        sum(when(col("m") <= maxBucketSize.toLong,
+          expr("m * (m - 1) div 2")).otherwise(0L)).as("candidate_pairs"))
+      .orderBy("band")
+  }
+
   /** Candidate pairs from LSH banding, verified with exact Jaccard over
     * the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b
     * and jaccard >= threshold.

@@ -57,6 +57,8 @@ object ScaleSmoke {
     // edges — their 10× points previously lived only in round-notes
     // prose from GRAFT_STRESS runs; one committed JSON carries them now
     "emb_pagerank", "emb_label_prop", "emb_knn_graph",
+    // round-11 one-build-many-queries suites + the key-depth advisor
+    "graph_suite", "emb_graph_suite", "emb_bucket_profile",
     // round-10 additions over documents/embeddings
     "txt_zipf", "txt_boilerplate", "txt_readability", "txt_code_detect",
     "emb_diversity", "emb_silhouette", "emb_dims_health", "emb_recall_eval",

@@ -987,6 +987,38 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getDouble(1) === 0.25 && out(1).getDouble(1) === -1.0)
   }
 
+  // ---- minhashBandProfile -------------------------------------------------
+
+  test("minhashBandProfile: identical docs share every band bucket; cap excludes them") {
+    import spark.implicits._
+    // 5 identical texts → identical signatures → each band holds ONE
+    // bucket of 5: pairs = 10 per band; cap 4 → over-cap, pairs 0.
+    val rows = (1L to 5L).map(i => (i, "the quick brown fox jumps over the dog"))
+    val out = graft.operators.Dedup.minhashBandProfile(
+        rows.toDF("id", "text"), "text", "id",
+        shingleSize = 3, numHashes = 8, bands = 4).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getLong(1) === 1L && r.getLong(2) === 5L && r.getLong(3) === 5L, s"$r")
+      assert(r.getLong(5) === 0L && r.getLong(6) === 10L, s"$r")
+    }
+    val capped = graft.operators.Dedup.minhashBandProfile(
+        rows.toDF("id", "text"), "text", "id",
+        shingleSize = 3, numHashes = 8, bands = 4, maxBucketSize = 4).collect()
+    capped.foreach(r => assert(r.getLong(5) === 1L && r.getLong(6) === 0L, s"$r"))
+  }
+
+  test("minhashBandProfile: per-band doc conservation on a mixed corpus") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (i, s"doc $i has words w${i % 7} w${i % 5} w${i % 3} tail"))
+    val out = graft.operators.Dedup.minhashBandProfile(
+        rows.toDF("id", "text"), "text", "id",
+        shingleSize = 2, numHashes = 16, bands = 8, portableHash = true).collect()
+    assert(out.length === 8)
+    out.foreach(r => assert(r.getLong(2) === 40L, s"every doc lands once per band: $r"))
+    out.foreach(r => assert(r.getLong(6) >= 0L && r.getLong(3) >= 1L))
+  }
+
   // ---- lshBucketProfile ---------------------------------------------------
 
   test("lshBucketProfile: identical vectors collapse to one bucket; cap excludes them") {
