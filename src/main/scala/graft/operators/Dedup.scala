@@ -48,8 +48,12 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("canonical_id"), count("*").as("n_docs"))
 
-  /** Default coefficients for the SQL-registered `minhash_signature`. */
-  def defaultCoeffs(numHashes: Int): Seq[(Long, Long)] = minhashCoeffs(numHashes, 42L)
+  /** Default coefficients for the SQL-registered `minhash_signature`
+    * — same [[DefaultSeed]] family as the operator surface, so the
+    * SQL function and the DataFrame operators agree under the
+    * oracle-robustness salt too.
+    */
+  def defaultCoeffs(numHashes: Int): Seq[(Long, Long)] = minhashCoeffs(numHashes, DefaultSeed)
 
   /** Seeded MinHash coefficient pairs (a, b), identical on every
     * executor because they are baked into the plan as literals.
