@@ -18,16 +18,48 @@ package graft.config
   * With the variable unset (the default), every value below equals
   * the committed baseline exactly — zero behavior change.
   */
+/** Init-safe companion for [[PortableSalt]]: tool entry points call
+  * [[SaltEnv.validate]] / [[SaltEnv.requireUnsalted]] BEFORE anything
+  * touches `PortableSalt` — an invalid env value then fails with a
+  * clear IllegalArgumentException at startup instead of an opaque
+  * ExceptionInInitializerError at the first salted expression deep
+  * inside a query. Holds no derived state, so touching it never
+  * forces `PortableSalt`'s initialization.
+  */
+object SaltEnv {
+  def raw: String = sys.env.getOrElse("SPARK_GRAFT_PORTABLE_SALT", "")
+
+  /** Fail fast, with the variable named, on a non-alphanumeric salt. */
+  def validate(): Unit =
+    if (!raw.matches("[A-Za-z0-9]*"))
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_PORTABLE_SALT must be alphanumeric (it is interpolated " +
+          s"into oracle SQL literals), got '$raw' — unset it or fix the value")
+
+  /** Baseline-gated tools (SmokeGate, PipelineGate, baseline-writing
+    * ShuffleMeter runs) compare against artifacts generated UNSALTED;
+    * a salted run reseeds every operator's production defaults
+    * process-wide and would spuriously breach — or worse, poison a
+    * regenerated baseline. Those entry points call this first.
+    */
+  def requireUnsalted(tool: String): Unit = {
+    validate()
+    if (raw.nonEmpty)
+      throw new IllegalStateException(
+        s"$tool compares against committed baselines generated without a salt; " +
+          s"unset SPARK_GRAFT_PORTABLE_SALT (currently '$raw') — the salt knob " +
+          s"is for oracle-robustness correctness sweeps (selfcheck), not gates")
+  }
+}
+
 object PortableSalt {
 
   /** Alphanumeric only: the salt is interpolated into oracle SQL
     * string literals.
     */
   val salt: String = {
-    val s = sys.env.getOrElse("SPARK_GRAFT_PORTABLE_SALT", "")
-    require(s.matches("[A-Za-z0-9]*"),
-      s"SPARK_GRAFT_PORTABLE_SALT must be alphanumeric, got '$s'")
-    s
+    SaltEnv.validate()
+    SaltEnv.raw
   }
 
   val isDefault: Boolean = salt.isEmpty

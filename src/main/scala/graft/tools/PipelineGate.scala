@@ -26,6 +26,7 @@ import org.apache.spark.sql.SparkSession
 object PipelineGate {
 
   def main(args: Array[String]): Unit = {
+    graft.config.SaltEnv.requireUnsalted("PipelineGate")
     val n = if (args.nonEmpty) args(0).toInt
       else sys.env.getOrElse("SPARK_GRAFT_PIPELINE_GATE_N", "6000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,7 +67,13 @@ object PipelineGate {
         s"${tag}_proc_cpu_us_per_img" -> m.procCpuUsPerImg,
         s"${tag}_exec_cpu_us_per_img" -> m.execCpuUsPerImg,
         s"${tag}_out_bytes_per_img" -> m.outBytesPerImg)
-      val measured = metrics("batch", batch) ++ metrics("wds", wds)
+      // −1 = platform bean unavailable: drop the metric LOUDLY so it is
+      // neither gated against nor persisted as a degenerate baseline
+      val measured = (metrics("batch", batch) ++ metrics("wds", wds)).filter {
+        case (k, v) =>
+          if (v < 0) println(s"[pipeline-gate] $k UNAVAILABLE on this JVM — omitted")
+          v >= 0
+      }
       def f1(d: Double) = BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP)
       println(measured.toSeq.sorted
         .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}"))

@@ -36,8 +36,12 @@ object PipelineMeter {
 
   /** Gate: breach above baseline × 1.4 (CPU and bytes), and below
     * baseline ÷ 1.4 for the two-sided out-bytes metrics. The small
-    * absolute floor only silences degenerate near-zero baselines —
-    * per-image metrics are O(10³..10⁵), so this is a ratio gate.
+    * absolute floor only silences degenerate near-zero baselines on
+    * the HIGH side — applying it low would let a sub-floor baseline
+    * (the parquet path's 66 bytes/img) shrink to near zero without
+    * tripping, which is exactly the "images silently not written"
+    * case the low side exists for; output bytes are deterministic
+    * per image, so the ratio alone gates shrinkage.
     */
   val RatioTolerance = 1.4
   val AbsFloor: Long = 64
@@ -50,7 +54,12 @@ object PipelineMeter {
       execCpuNs: Long, procCpuNs: Long, outBytes: Long) {
     private def per(v: Long): Long = if (successes <= 0) 0L else v / successes
     def execCpuUsPerImg: Long = per(execCpuNs / 1000)
-    def procCpuUsPerImg: Long = per(procCpuNs / 1000)
+    /** −1 when the platform CPU bean was unavailable ([[processCpuNs]])
+      * — a loud sentinel, NOT 0: a 0 here would silently pass the
+      * upward-only CPU gate and could be persisted as a degenerate
+      * baseline that never trips again.
+      */
+    def procCpuUsPerImg: Long = if (procCpuNs < 0) -1L else per(procCpuNs / 1000)
     def outBytesPerImg: Long = per(outBytes)
     def imgPerSec: Double = if (wallSecs <= 0) 0.0 else images / wallSecs
   }
@@ -106,26 +115,33 @@ object PipelineMeter {
     val (images, successes) = run
     val wall = (System.nanoTime() - t0) / 1e9
     drain()
+    val p1 = processCpuNs()
+    // metric-unavailable propagates as −1, never as a 0 delta
+    val procDelta = if (p0 < 0 || p1 < 0) -1L else p1 - p0
     PipeMeasure(images, successes, wall,
-      execCpuRead() - e0, processCpuNs() - p0, dirBytes(outDir))
+      execCpuRead() - e0, procDelta, dirBytes(outDir))
   }
 
   /** The pure gate. CPU metrics breach only UPWARD (less CPU per
     * image is an improvement); `*_out_bytes_per_img` metrics breach
     * in BOTH directions (shrunken output = images silently dropped).
-    * Returns (breaches, newMetrics) with [[ShuffleMeter.Breach]]'s
-    * shape — for a low-side breach `ratio` < 1.
+    * The absolute floor applies to the HIGH side only: a low-side
+    * floor would disarm the shrink gate for any baseline under ~10×
+    * the floor (66 bytes/img parquet meta could drop to 1 silently).
+    * Unavailable metrics (−1 sentinel) are skipped, never gated or
+    * baselined. Returns (breaches, newMetrics) with
+    * [[ShuffleMeter.Breach]]'s shape — for a low-side breach
+    * `ratio` < 1.
     */
   def check(measured: Map[String, Long], baseline: Map[String, Long],
             ratio: Double = RatioTolerance,
             floor: Long = AbsFloor): (Seq[ShuffleMeter.Breach], Seq[String]) = {
     val newM = measured.keys.filterNot(baseline.contains).toSeq.sorted
     val breaches = measured.toSeq.collect {
-      case (name, v) if baseline.contains(name) && {
+      case (name, v) if v >= 0 && baseline.contains(name) && baseline(name) >= 0 && {
         val b = baseline(name)
         val high = v > b * ratio && v > b + floor
-        val low = name.endsWith("out_bytes_per_img") &&
-          v < b / ratio && v < b - floor
+        val low = name.endsWith("out_bytes_per_img") && v < b / ratio
         high || low
       } => ShuffleMeter.Breach(name, v, baseline(name))
     }.sortBy(b => -math.max(b.ratio, if (b.bytes == 0) Double.PositiveInfinity

@@ -41,6 +41,7 @@ import org.apache.spark.sql.SparkSession
   */
 object SmokeGate {
   def main(args: Array[String]): Unit = {
+    graft.config.SaltEnv.requireUnsalted("SmokeGate")
     require(args.nonEmpty, "usage: SmokeGate <sfDir> [timeoutSec] [totalBudgetSec]")
     val sfDir = args(0)
     val timeoutSec = if (args.length > 1) args(1).toInt else 60

@@ -83,13 +83,32 @@ class PipelineMeterSpec extends SparkSpec {
     assert(shrink.nonEmpty, "silently shrunken output breaches")
     val (inBand, _) = PipelineMeter.check(Map("batch_out_bytes_per_img" -> 21000L), base)
     assert(inBand.isEmpty)
-    // floor: a near-zero baseline cannot trip on jitter
+    // floor: a near-zero baseline cannot trip UPWARD on jitter
     val (jitter, _) = PipelineMeter.check(Map("tiny_out_bytes_per_img" -> 60L), base)
-    assert(jitter.isEmpty, "64-unit floor silences degenerate baselines")
+    assert(jitter.isEmpty, "64-unit floor silences degenerate baselines (high side)")
+    // ...but the floor does NOT apply low: a sub-floor byte baseline
+    // shrinking to near zero IS "images silently not written" — the
+    // committed parquet path baseline is 66 bytes/img, so a low-side
+    // floor would permanently disarm that gate (ADVICE r11)
+    val (vanish, _) = PipelineMeter.check(Map("tiny_out_bytes_per_img" -> 1L), base)
+    assert(vanish.map(_.name) === Seq("tiny_out_bytes_per_img"),
+      "shrunken output must trip on ratio alone, even under the high-side floor")
+    // −1 sentinel (platform CPU bean unavailable) is skipped, never
+    // gated — and a −1 accidentally persisted as baseline gates nothing
+    val (unavail, _) = PipelineMeter.check(Map("batch_proc_cpu_us_per_img" -> -1L), base)
+    assert(unavail.isEmpty, "unavailable metric must not gate")
+    val (badBase, _) = PipelineMeter.check(Map("x_out_bytes_per_img" -> 100L),
+      Map("x_out_bytes_per_img" -> -1L))
+    assert(badBase.isEmpty, "a sentinel baseline gates nothing")
     // new metric: reported, never failed
     val (none, fresh) = PipelineMeter.check(Map("new_metric" -> 999L), base)
     assert(none.isEmpty && fresh === Seq("new_metric"))
     // breach payload carries the evidence
     assert(up.head === ShuffleMeter.Breach("batch_proc_cpu_us_per_img", 15000L, 10000L))
+    // PipeMeasure propagates bean-unavailable as −1 per-image, not 0
+    val noBean = PipelineMeter.PipeMeasure(10, 10, 1.0, 1000000L, -1L, 100L)
+    assert(noBean.procCpuUsPerImg === -1L,
+      "unavailable process CPU must surface as the −1 sentinel, never a passable 0")
+    assert(noBean.execCpuUsPerImg === 100L && noBean.outBytesPerImg === 10L)
   }
 }
