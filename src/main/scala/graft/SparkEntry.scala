@@ -327,19 +327,28 @@ object SparkEntry {
     * sign-bit bucket fold in the same order, exact-cosine verification
     * with the bit-identical sequential fold.
     */
-  /** The 8×8 seeded plane tables as one DuckDB struct-list literal —
-    * shared by the embed-LSH and knn-graph oracles (same buckets).
+  /** Seeded plane tables at an arbitrary key depth as one DuckDB
+    * struct-list literal — the SQL twin of
+    * `HyperplaneBuckets(randomPlanes(nPlanes, dim, seed + t))` with
+    * the identical MSB-first sign-bit packing. Parameterized so the
+    * recall-profile oracle can replay SEVERAL candidate depths in one
+    * statement.
     */
-  private def duckPlaneTables: String =
-    (0 until 8).map { t =>
-      val planes = Dedup.randomPlanes(8, 64, Dedup.DefaultSeed + t)
+  private def duckPlaneTablesFor(nPlanes: Int, nTables: Int = 8, dim: Int = 64): String =
+    (0 until nTables).map { t =>
+      val planes = Dedup.randomPlanes(nPlanes, dim, Dedup.DefaultSeed + t)
       val bits = planes.zipWithIndex.map { case (p, pi) =>
         val lits = p.map(_.toString).mkString("[", ",", "]")
-        s"(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * ($lits)[i]), (x, y) -> x + y) >= 0.0 " +
-        s"THEN ${1L << (7 - pi)} ELSE 0 END)"
+        s"(CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}), i -> v[i] * ($lits)[i]), (x, y) -> x + y) >= 0.0 " +
+        s"THEN ${1L << (nPlanes - 1 - pi)} ELSE 0 END)"
       }.mkString(" + ")
       s"{'tbl': $t, 'key': ($bits)}"
     }.mkString("[", ", ", "]")
+
+  /** The 8×8 seeded plane tables as one DuckDB struct-list literal —
+    * shared by the embed-LSH and knn-graph oracles (same buckets).
+    */
+  private def duckPlaneTables: String = duckPlaneTablesFor(8)
 
   private def embedLshOracleSql: String = {
     val tables = duckPlaneTables
@@ -570,6 +579,53 @@ object SparkEntry {
          CAST(sum(CASE WHEN m > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
          CAST(sum(CASE WHEN m <= 1000 THEN m * (m - 1) // 2 ELSE 0 END) AS BIGINT) AS candidate_pairs
        FROM bp_c GROUP BY tbl ORDER BY tbl"""
+  }
+
+  /** DuckDB replication of
+    * [[graft.operators.Similarity.lshRecallProfile]]: the same
+    * portable-hash sample, the same exact-cosine (c desc, id asc)
+    * ground truth, then per candidate depth the same plane-literal
+    * buckets, capped candidate sets, and exact hit/work counts.
+    */
+  private def embRecallProfileOracleSql(depths: Seq[Int], k: Int, sampleQ: Int): String = {
+    def depthCtes(d: Int): String = {
+      val tables = duckPlaneTablesFor(d)
+      s"""rp_bk_$d AS (SELECT vec_id, unnest($tables) AS u FROM v),
+         rp_b_$d AS (SELECT vec_id, u.tbl AS tbl, u.key AS key FROM rp_bk_$d),
+         rp_c_$d AS (SELECT tbl, key, CAST(count(*) AS BIGINT) AS m
+           FROM rp_b_$d GROUP BY tbl, key),
+         rp_w_$d AS (SELECT CAST(coalesce(sum(CASE WHEN m <= 1000
+             THEN m * (m - 1) // 2 ELSE 0 END), 0) AS BIGINT) AS candidate_pairs
+           FROM rp_c_$d),
+         rp_qb_$d AS (SELECT s.query_id, b.tbl, b.key
+           FROM rp_b_$d b JOIN rp_smp s ON b.vec_id = s.query_id),
+         rp_cand_$d AS (SELECT DISTINCT q.query_id, b.vec_id AS corpus_id
+           FROM rp_b_$d b JOIN rp_c_$d c USING (tbl, key)
+           JOIN rp_qb_$d q USING (tbl, key)
+           WHERE c.m <= 1000 AND b.vec_id <> q.query_id),
+         rp_h_$d AS (SELECT CAST(count(*) AS BIGINT) AS hits
+           FROM rp_cand_$d JOIN rp_truth USING (query_id, corpus_id)),
+         rp_row_$d AS (SELECT CAST($d AS INTEGER) AS n_planes, w.candidate_pairs,
+             h.hits, CAST(t.tn AS BIGINT) AS truth_n,
+             CASE WHEN t.tn = 0 THEN 1.0
+               ELSE ${roundToSql("CAST(h.hits AS DOUBLE) / CAST(t.tn AS DOUBLE)", 6)}
+             END AS recall_at_k
+           FROM rp_w_$d w CROSS JOIN rp_h_$d h CROSS JOIN rp_tn t)"""
+    }
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       rp_smp AS (SELECT vec_id AS query_id, v AS qv FROM v
+         ORDER BY ((vec_id % 1000003) * ${graft.config.PortableSalt.seedMul}) % 2147483647 DESC,
+           vec_id LIMIT $sampleQ),
+       rp_sc AS (SELECT s.query_id, v.vec_id AS corpus_id, ${duckCos("s.qv", "v.v")} AS c
+         FROM v CROSS JOIN rp_smp s WHERE v.vec_id <> s.query_id),
+       rp_truth AS (SELECT query_id, corpus_id FROM (
+         SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, corpus_id ASC) AS rn
+         FROM rp_sc) WHERE rn <= $k),
+       rp_tn AS (SELECT count(*) AS tn FROM rp_truth),
+       ${depths.map(depthCtes).mkString(",\n       ")}
+       ${depths.map(d => s"SELECT * FROM rp_row_$d").mkString("\n       UNION ALL ")}
+       ORDER BY n_planes"""
   }
 
   private def annHammingOracleSql: String = {
@@ -1245,6 +1301,17 @@ object SparkEntry {
       graft.operators.Similarity.knnGraph(t(s, dir, "embeddings"), "embedding",
           "vec_id", dim = 64, k = 10, nPlanes = 8, nTables = 8)
         .orderBy("src_id", "rank")),
+    "emb_knn_graph_auto" -> ((s, dir) =>
+      // the DEFAULT-parameter build: nPlanes is DERIVED from one corpus
+      // count (Dedup.derivedPlanes — the r12 fix for the fixed-depth
+      // density-quadratic scale trap). At oracle scale (≤ 4096 vectors)
+      // the derivation lands exactly on the committed floor 8, so this
+      // shares emb_knn_graph's depth-8 oracle bit-for-bit — while the
+      // same call at the 30x curve's 60k vectors derives depth 12 and
+      // builds ~16x faster than pinned-8 (SCALE_CURVE_r12).
+      graft.operators.Similarity.knnGraph(t(s, dir, "embeddings"), "embedding",
+          "vec_id", dim = 64, k = 10, nTables = 8)
+        .orderBy("src_id", "rank")),
     "dedup_semantic" -> ((s, dir) =>
       // SemDeDup: k-means cells + within-cell cosine pruning, keep the
       // lowest-id representative. Deterministic portable-seed variant
@@ -1830,6 +1897,15 @@ object SparkEntry {
       // emb_knn_graph finding) BEFORE a big build.
       graft.operators.Similarity.lshBucketProfile(t(s, dir, "embeddings"),
         "embedding", "vec_id", dim = 64, nPlanes = 8, nTables = 8)),
+    "emb_recall_profile" -> ((s, dir) =>
+      // The recall half of the key-depth decision emb_bucket_profile
+      // opened: per candidate depth, the exact capped candidate work
+      // AND the sampled recall@10 it buys (8 portable-hash queries vs
+      // exact cosine top-10). A 100 TB user reads the two advisors
+      // together: deepest depth whose recall clears target.
+      graft.operators.Similarity.lshRecallProfile(t(s, dir, "embeddings"),
+        "embedding", "vec_id", dim = 64, depths = Seq(4, 6, 8),
+        k = 10, nTables = 8, sampleQ = 8)),
     "emb_graph_suite" -> ((s, dir) =>
       // One-build-many-queries for the embedding graph class: the
       // capped-LSH k-NN edge list is built and checkpointed ONCE,
@@ -2698,6 +2774,10 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracleSql,
     "dedup_embed_lsh" -> embedLshOracleSql,
     "emb_knn_graph" -> knnGraphOracleSql,
+    // the auto-depth build derives depth 8 at any corpus ≤ 4096 vectors
+    // (floor 8, target occupancy 16), so the depth-8 plane-literal
+    // oracle replays it exactly at sf0.001/sf0.01 scale
+    "emb_knn_graph_auto" -> knnGraphOracleSql,
     "dedup_semantic" -> dedupSemanticOracleSql,
     "ann_ivf_topk" -> annIvfOracleSql,
     "ann_pq_topk" -> annPqOracleSql,
@@ -3459,6 +3539,7 @@ object SparkEntry {
     "emb_label_prop" -> labelPropOracleSql,
     "emb_graph_suite" -> embGraphSuiteOracleSql,
     "emb_bucket_profile" -> embBucketProfileOracleSql,
+    "emb_recall_profile" -> embRecallProfileOracleSql(Seq(4, 6, 8), 10, 8),
     "dedup_band_profile" ->
       s"""WITH $minhashLshCtes,
          bpf AS (SELECT band, key, CAST(count(*) AS BIGINT) AS m

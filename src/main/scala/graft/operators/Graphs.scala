@@ -381,7 +381,7 @@ object Graphs {
     * is two node-keyed equi-joins of node-sized frames.
     */
   def embeddingGraphSuite(emb: DataFrame, vecCol: String, idCol: String,
-      labelCol: String, dim: Int, k: Int = 10, nPlanes: Int = 8,
+      labelCol: String, dim: Int, k: Int = 10, nPlanes: Int = Dedup.AutoPlanes,
       nTables: Int = 8, seedEvery: Int = 5, prIterations: Int = 5,
       lpIterations: Int = 3): DataFrame = {
     require(seedEvery >= 1, s"seedEvery=$seedEvery must be >= 1")

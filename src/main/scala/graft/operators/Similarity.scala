@@ -854,25 +854,31 @@ object Similarity {
     * -combinable bounded heap, so no window ever sorts a node's full
     * candidate list.
     *
-    * SIZE `nPlanes` WITH THE CORPUS. Candidate work is Σ m² over
-    * buckets (m = occupancy): at FIXED key depth it grows
+    * KEY DEPTH TRACKS THE CORPUS BY DEFAULT. Candidate work is Σ m²
+    * over buckets (m = occupancy): at FIXED key depth it grows
     * quadratically with corpus density until occupancies hit the cap
-    * — measured on the 30× curve: 480k vectors at nPlanes = 8
-    * (256 keys/table) profile Σm² = 144.1M (9× the 10× point's 16.0M
+    * — measured on the 30× curve: the x30 corpus at nPlanes = 8
+    * (256 keys/table) profiles Σm² = 144.1M (9× the x10 point's 16.0M
     * for 3× the rows, every bucket still under the 1000 cap) and the
-    * build took 30× the 10× wall; the SAME corpus at nPlanes = 12
-    * profiles Σm² = 23.8M and builds 16× faster. Keep expected
-    * occupancy n / 2^nPlanes near your verify budget:
-    * nPlanes ≈ log2(n / targetOccupancy). [[lshBucketProfile]] is
-    * the one-scan advisor that measures exactly this before a big
-    * build.
+    * build took 30× the x10 wall; the SAME corpus at nPlanes = 12
+    * profiles Σm² = 23.8M and builds 16× faster. So `nPlanes` now
+    * defaults to [[graft.operators.Dedup.AutoPlanes]]: one cheap
+    * corpus count derives the smallest depth keeping expected
+    * occupancy n / 2^depth ≤ 16 (floor 8 — the committed constant at
+    * oracle scale), i.e. nPlanes ≈ log2(n / 16), capped at 30.
+    * Pin an explicit depth to reproduce a fixed constant family;
+    * [[lshBucketProfile]] is the one-scan advisor that measures the
+    * candidate work of any candidate depth before a big build, and
+    * [[lshRecallProfile]] adds the sampled recall@k the extra depth
+    * costs.
     */
   def knnGraph(df: DataFrame, vecCol: String, idCol: String, dim: Int,
-               k: Int = 10, nPlanes: Int = 8, nTables: Int = 8,
+               k: Int = 10, nPlanes: Int = Dedup.AutoPlanes, nTables: Int = 8,
                seed: Long = graft.operators.Dedup.DefaultSeed, maxBucketSize: Int = 1000): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val planes = (0 until nTables).map(t => Dedup.randomPlanes(nPlanes, dim, seed + t))
+    val depth = Dedup.resolvePlanes(nPlanes, base, minPlanes = 8)
+    val planes = (0 until nTables).map(t => Dedup.randomPlanes(depth, dim, seed + t))
     val keyed = base.withColumn("buckets",
       column(graft.plans.HyperplaneBuckets(expression(col("v")), planes)))
     val buckets = keyed.select(col("id"), posexplode(col("buckets")).as(Seq("table", "key")))
@@ -922,12 +928,14 @@ object Similarity {
     * ≤ nTables·2^nPlanes-row count table. The corpus never joins.
     */
   def lshBucketProfile(df: DataFrame, vecCol: String, idCol: String, dim: Int,
-      nPlanes: Int = 8, nTables: Int = 8,
+      nPlanes: Int = Dedup.AutoPlanes, nTables: Int = 8,
       seed: Long = graft.operators.Dedup.DefaultSeed,
       maxBucketSize: Int = 1000): DataFrame = {
     val rd = graft.functions.MathFunctions.roundTo _
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val planes = (0 until nTables).map(t => Dedup.randomPlanes(nPlanes, dim, seed + t))
+    // auto profiles the depth a default-parameter build would derive
+    val depth = Dedup.resolvePlanes(nPlanes, base, minPlanes = 8)
+    val planes = (0 until nTables).map(t => Dedup.randomPlanes(depth, dim, seed + t))
     val keyed = base.withColumn("buckets",
       column(graft.plans.HyperplaneBuckets(expression(col("v")), planes)))
     val counts = keyed
@@ -943,6 +951,95 @@ object Similarity {
           expr("m * (m - 1) div 2")).otherwise(0L)).as("candidate_pairs"))
       .withColumnRenamed("table", "tbl") // "table" is reserved in SQL oracles
       .orderBy("tbl")
+  }
+
+  /** The recall half of the key-depth sizing decision:
+    * [[lshBucketProfile]] reports the candidate WORK a depth costs;
+    * this reports what the deeper keys give up in RECALL. One row per
+    * candidate depth: (n_planes, candidate_pairs, hits, truth_n,
+    * recall_at_k) where candidate_pairs is the exact total capped
+    * candidate-join work across tables (the build's cost) and
+    * recall_at_k is measured on a deterministic `sampleQ`-query
+    * sample: |exact top-k ∩ bucket candidates| / |exact top-k|, the
+    * fraction of true neighbors the bucketed build can still see.
+    * Reading the advisor: pick the deepest row whose recall still
+    * clears your target — deeper keys divide candidate_pairs by ~2
+    * per plane while recall decays along the LSH curve.
+    *
+    * Determinism/portability: the sample is the `sampleQ` ids with the
+    * largest portable seed-hash (the k-means-seed chain — exact
+    * integer arithmetic any engine replays); ground truth is exact
+    * cosine with the (score desc, id asc) tie-break; buckets are the
+    * same plan-literal sign bits as the build. Every count is an exact
+    * long; recall is one IEEE division, 1e-6-quantized (empty truth →
+    * recall 1.0).
+    *
+    * Scale shape: ground truth is ONE corpus scan against the
+    * broadcast Q-row sample (bounded-heap top-k — no corpus shuffle),
+    * then per depth two slim (id, table, key) passes: the occupancy
+    * count and the capped-bucket join against the broadcast sample
+    * buckets. The corpus never self-joins; candidate rows are capped
+    * by Q · nTables · maxBucketSize.
+    */
+  def lshRecallProfile(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+      depths: Seq[Int], k: Int = 10, nTables: Int = 8,
+      seed: Long = graft.operators.Dedup.DefaultSeed,
+      maxBucketSize: Int = 1000, sampleQ: Int = 8): DataFrame = {
+    require(depths.nonEmpty && depths.forall(d => d >= 1 && d <= Dedup.MaxPlanes),
+      s"depths must be in [1, ${Dedup.MaxPlanes}], got $depths")
+    require(k >= 1, s"k must be positive, got $k")
+    require(sampleQ >= 1, s"sampleQ must be positive, got $sampleQ")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // deterministic portable sample: the sampleQ ids with the largest
+    // portable seed-hash (same chain as the k-means / SemDeDup seeds)
+    val seedHash = pmod(pmod(col("id"), lit(1000003L)) *
+      lit(graft.config.PortableSalt.seedMul), lit(2147483647L))
+    val sample = base
+      .join(broadcast(base
+        .agg(graft.plans.TopKByScore.topKByScore(
+          seedHash.cast("double"), col("id"), sampleQ).as("top"))
+        .select(explode(col("top.id")).as("query_id"))),
+        col("id") === col("query_id"))
+      .select(col("query_id"), col("v").as("qv"))
+      .localCheckpoint(eager = true) // Q rows, reused by every depth
+    // exact ground truth (self excluded): one corpus scan, broadcast
+    // queries, bounded-heap top-k with the knnGraph tie-break
+    val truth = base.crossJoin(broadcast(sample))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("corpus_id"),
+        cosine(col("qv"), col("v")).as("c"))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByScore.topKByScore(col("c"), col("corpus_id"), k).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("corpus_id"))
+      .localCheckpoint(eager = true) // ≤ Q·k rows
+    val truthN = truth.agg(count(lit(1)).as("truth_n"))
+    depths.map { d =>
+      val planes = (0 until nTables).map(t => Dedup.randomPlanes(d, dim, seed + t))
+      val buckets = base.withColumn("buckets",
+          column(graft.plans.HyperplaneBuckets(expression(col("v")), planes)))
+        .select(col("id"), posexplode(col("buckets")).as(Seq("table", "key")))
+      val counts = buckets.groupBy("table", "key").agg(count(lit(1)).as("m"))
+      val work = counts.agg(coalesce(sum(when(col("m") <= maxBucketSize.toLong,
+          expr("m * (m - 1) div 2")).otherwise(0L)), lit(0L)).as("candidate_pairs"))
+      val qb = sample.withColumn("buckets",
+          column(graft.plans.HyperplaneBuckets(expression(col("qv")), planes)))
+        .select(col("query_id"), posexplode(col("buckets")).as(Seq("table", "key")))
+      val cand = buckets
+        .join(counts.filter(col("m") <= maxBucketSize.toLong).select("table", "key"),
+          Seq("table", "key"))
+        .join(broadcast(qb), Seq("table", "key"))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("corpus_id")).distinct()
+      val hits = cand.join(truth, Seq("query_id", "corpus_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      work.crossJoin(hits).crossJoin(truthN)
+        .select(lit(d).as("n_planes"), col("candidate_pairs"), col("hits"),
+          col("truth_n"),
+          when(col("truth_n") === 0L, lit(1.0))
+            .otherwise(rd(col("hits").cast("double") / col("truth_n").cast("double"), 6))
+            .as("recall_at_k"))
+    }.reduce(_ union _).orderBy("n_planes")
   }
 
   /** Symmetric per-vector int8 scalar quantization: q_i =

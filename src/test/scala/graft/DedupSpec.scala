@@ -1069,6 +1069,103 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(6) === m(r.getInt(0)), s"pairs of table $r"))
   }
 
+  // ---- lshRecallProfile -----------------------------------------------------
+
+  test("lshRecallProfile: planted identical clusters recall 1.0 at every depth; work monotone") {
+    import spark.implicits._
+    // 4 clusters x 4 IDENTICAL vectors (distinct directions across
+    // clusters): each vector's exact top-3 is its 3 clustermates
+    // (cosine 1.0); identical vectors share every bucket at every
+    // depth, so the candidate set always contains the truth -> the
+    // sampled recall must be exactly 1.0 at EVERY depth.
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))
+    val rows = for (c <- 0 until 4; i <- 0 until 4)
+      yield ((c * 4 + i).toLong, dirs(c))
+    val out = graft.operators.Similarity.lshRecallProfile(
+        rows.toDF("vec_id", "v"), "v", "vec_id", dim = 8,
+        depths = Seq(2, 4, 6), k = 3, nTables = 2, sampleQ = 5)
+      .collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getLong(3) === 15L, s"5 sampled queries x k=3 truth rows: $r")
+      assert(r.getLong(2) === 15L && r.getDouble(4) === 1.0,
+        s"clustermates share every bucket -> recall 1.0: $r")
+    }
+    // planes are seed-nested across depths (same RNG prefix), so deeper
+    // keys REFINE shallower buckets: candidate work never increases
+    val work = out.sortBy(_.getInt(0)).map(_.getLong(1))
+    assert(work.zip(work.tail).forall { case (a, b) => a >= b },
+      s"candidate_pairs must be monotone non-increasing in depth: ${work.toSeq}")
+  }
+
+  test("lshRecallProfile: deeper keys only shrink the candidate set (hits monotone) on real data") {
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val out = graft.operators.Similarity.lshRecallProfile(
+        emb, "embedding", "vec_id", dim = 64, depths = Seq(2, 8, 12),
+        k = 10, nTables = 4, sampleQ = 6)
+      .collect().sortBy(_.getInt(0))
+    assert(out.length === 3)
+    out.foreach { r =>
+      val recall = r.getDouble(4)
+      assert(recall >= 0.0 && recall <= 1.0, s"recall in [0,1]: $r")
+      assert(r.getLong(2) <= r.getLong(3), s"hits <= truth: $r")
+    }
+    val hits = out.map(_.getLong(2))
+    val work = out.map(_.getLong(1))
+    assert(hits.zip(hits.tail).forall { case (a, b) => a >= b },
+      s"nested planes: candidates at depth d are a subset of depth d' < d, " +
+        s"so hits cannot grow with depth: ${hits.toSeq}")
+    assert(work.zip(work.tail).forall { case (a, b) => a >= b },
+      s"work monotone: ${work.toSeq}")
+    assert(work.head > work.last, "depth must actually reduce candidate work on real data")
+  }
+
+  // ---- corpus-aware key depth ----------------------------------------------
+
+  test("derivedPlanes: exact ceil-log2 depths for planted corpus sizes") {
+    import graft.operators.Dedup.derivedPlanes
+    // the r11 scale-curve points: the x30 corpus (60k) must derive the
+    // measured 16x-faster depth 12; the x10 corpus (20k) lands at 11
+    assert(derivedPlanes(60000L, minPlanes = 8) === 12)
+    assert(derivedPlanes(20000L, minPlanes = 8) === 11)
+    // oracle-scale corpora stay under the floor → auto = the committed 8
+    assert(derivedPlanes(500L, minPlanes = 8) === 8)
+    assert(derivedPlanes(500L, minPlanes = 12) === 12, "near-dup floor holds")
+    // exact power of two: ceil(log2(1024)) is 10, not 11
+    assert(derivedPlanes(16L * 1024, minPlanes = 1) === 10)
+    assert(derivedPlanes(16L * 1024 + 1, minPlanes = 1) === 11)
+    // degenerate and extreme corpora
+    assert(derivedPlanes(0L, minPlanes = 8) === 8)
+    assert(derivedPlanes(-5L, minPlanes = 8) === 8)
+    assert(derivedPlanes(1000000000L, minPlanes = 8) === 26, "1e9 vectors -> 26 planes")
+    assert(derivedPlanes(Long.MaxValue / 2, minPlanes = 8) === 30, "capped at MaxPlanes")
+    intercept[IllegalArgumentException](derivedPlanes(10L, minPlanes = 0))
+    intercept[IllegalArgumentException](derivedPlanes(10L, minPlanes = 8, targetOccupancy = 0))
+  }
+
+  test("auto key depth: default-parameter knnGraph equals the pinned depth it derives") {
+    // at oracle scale (500 vectors) auto derives exactly the committed
+    // depth 8, so a default-parameter build is bit-identical to the
+    // pinned oracle query — the continuity contract that keeps the
+    // 172-query gate meaningful while the DEFAULT became scale-safe
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val auto = graft.operators.Similarity.knnGraph(
+        emb, "embedding", "vec_id", dim = 64, k = 10)
+      .orderBy("src_id", "rank").collect()
+    val pinned = graft.operators.Similarity.knnGraph(
+        emb, "embedding", "vec_id", dim = 64, k = 10, nPlanes = 8, nTables = 8)
+      .orderBy("src_id", "rank").collect()
+    assert(auto.nonEmpty && (auto sameElements pinned),
+      "auto depth at 500 vectors must resolve to the committed 8")
+    intercept[IllegalArgumentException](
+      graft.operators.Similarity.knnGraph(emb, "embedding", "vec_id",
+        dim = 64, k = 10, nPlanes = 31))
+  }
+
   // ---- recallEval ---------------------------------------------------------
 
   test("recallEval: probing every cell makes IVF exact — recall ≡ 1.0") {
