@@ -59,6 +59,11 @@ object ScaleSmoke {
     "emb_pagerank", "emb_label_prop", "emb_knn_graph",
     // round-11 one-build-many-queries suites + the key-depth advisor
     "graph_suite", "emb_graph_suite", "emb_bucket_profile",
+    // round-12: the band advisor, the recall advisor, and the
+    // DEFAULT-parameter (corpus-derived depth) knn build — the tier
+    // proves the advisors are themselves scale-clean and that auto
+    // depth keeps the default build near-linear where pinned-8 wasn't
+    "dedup_band_profile", "emb_recall_profile", "emb_knn_graph_auto",
     // round-10 additions over documents/embeddings
     "txt_zipf", "txt_boilerplate", "txt_readability", "txt_code_detect",
     "emb_diversity", "emb_silhouette", "emb_dims_health", "emb_recall_eval",

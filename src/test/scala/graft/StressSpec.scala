@@ -654,8 +654,9 @@ class StressSpec extends SparkSpec {
     import spark.implicits._
     val minMs = 60000L
     val base = 1000L // dodge the epoch-0 watermark gotcha
-    def run(users: Int): (Double, Long) = {
+    def run(users: Int): (Double, Long, Long) = {
       var stateRows = 0L
+      var stateBytes = 0L
       val t = timeOf {
         val stream = MemoryStream[(Timestamp, Long)](spark)
         val q = graft.streaming.EventStream.botStream(
@@ -673,17 +674,31 @@ class StressSpec extends SparkSpec {
               (new Timestamp((base + m) * minMs + u % 997), u.toLong)))
             q.processAllAvailable()
           }
-          stateRows = q.lastProgress.stateOperators.apply(0).numRowsTotal
+          val op = q.lastProgress.stateOperators.apply(0)
+          stateRows = op.numRowsTotal
+          stateBytes = op.memoryUsedBytes
         } finally q.stop()
       }
-      (t, stateRows)
+      (t, stateRows, stateBytes)
     }
     run(500) // warm-up
-    val (t1, s1) = run(2000)
-    val (t10, s10) = run(20000)
-    info(f"2k users: $t1%.1fs/$s1 state rows   20k users: $t10%.1fs/$s10 rows   ratio: ${t10 / t1}%.1f")
+    val (t1, s1, b1) = run(2000)
+    val (t10, s10, b10) = run(20000)
+    val perUser1 = b1.toDouble / s1
+    val perUser10 = b10.toDouble / s10
+    info(f"2k users: $t1%.1fs/$s1 rows/$b1 state bytes ($perUser1%.0f B/user)   " +
+      f"20k users: $t10%.1fs/$s10 rows/$b10 bytes ($perUser10%.0f B/user)   " +
+      f"wall ratio: ${t10 / t1}%.1f")
     assert(s1 === 2000L && s10 === 20000L,
       s"state rows must equal users (one bounded entry each): $s1 / $s10")
+    // BYTES per user must stay flat too (VERDICT r11 #5): rows-only
+    // would miss a per-user payload that grows with event volume
+    // (an unbounded list where HLL registers / counters belong).
+    // 10x users amortize store overhead, so per-user bytes should
+    // FALL or hold; 1.5x headroom covers map/page rounding.
+    assert(b1 > 0L && b10 > 0L, s"state memory metric must be populated: $b1 / $b10")
+    assert(perUser10 <= perUser1 * 1.5,
+      f"bytes/user must stay flat at 10x users: $perUser1%.0f -> $perUser10%.0f B/user")
     assert(t10 / t1 < 20.0,
       f"10x users must stay near-linear: ${t10 / t1}%.1fx")
   }
