@@ -1031,7 +1031,9 @@ object Similarity {
         .join(broadcast(qb), Seq("table", "key"))
         .filter(col("id") =!= col("query_id"))
         .select(col("query_id"), col("id").as("corpus_id")).distinct()
-      val hits = cand.join(truth, Seq("query_id", "corpus_id"), "left_semi")
+      // truth is ≤ Q·k rows but arrives as a stats-less checkpoint RDD,
+      // so the planner would fall back to sort-merge: broadcast it
+      val hits = cand.join(broadcast(truth), Seq("query_id", "corpus_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
       work.crossJoin(hits).crossJoin(truthN)
         .select(lit(d).as("n_planes"), col("candidate_pairs"), col("hits"),
