@@ -32,13 +32,19 @@ object ScaleCurve {
     val unknown = queries.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: $unknown")
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_INITIAL_PARTITIONS: let AQE START big shuffles at
+    // this partition count and coalesce the small ones back down —
+    // the production setting for runs whose largest shuffle outgrows
+    // cpus × ~200 MB (the x100 curve points)
+    sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS").foreach(n =>
+      builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val dirs: Seq[(Int, String)] = (1, baseDir) +: factors.map { f =>
