@@ -167,6 +167,53 @@ object SparkEntry {
        SELECT id_a, id_b, ${roundToSql("cont", 6)} AS containment FROM ct_ver
        WHERE cont >= 0.5 ORDER BY id_a, id_b"""
 
+  /** DuckDB replication of [[Dedup.minhashRecallProfile]]: the shared
+    * shingle/signature chain, the same portable-hash sample, the same
+    * exact-Jaccard truth as `mh_ver`, then per candidate bands value
+    * the identical banding, cap, and hit/work accounting.
+    */
+  private def dedupRecallProfileOracleSql(bandsList: Seq[Int], numHashes: Int,
+      threshold: Double, sampleQ: Int): String = {
+    def bandCtes(b: Int): String = {
+      val r = numHashes / b
+      s"""rb${b}_bk AS (SELECT doc_id, unnest(list_transform(range(0, $b), j ->
+           {'band': j, 'key': array_to_string(sig[(j*$r+1):(j*$r+$r)], '_')})) AS u FROM mrp_sg),
+         rb${b}_b AS (SELECT doc_id, u.band AS band, u.key AS key FROM rb${b}_bk),
+         rb${b}_c AS (SELECT band, key, CAST(count(*) AS BIGINT) AS m
+           FROM rb${b}_b GROUP BY band, key),
+         rb${b}_w AS (SELECT CAST(coalesce(sum(CASE WHEN m <= 1000
+             THEN m * (m - 1) // 2 ELSE 0 END), 0) AS BIGINT) AS candidate_pairs
+           FROM rb${b}_c),
+         rb${b}_qb AS (SELECT s.query_id, b.band, b.key
+           FROM rb${b}_b b JOIN mrp_smp s ON b.doc_id = s.query_id),
+         rb${b}_cand AS (SELECT DISTINCT q.query_id, b.doc_id AS corpus_id
+           FROM rb${b}_b b JOIN rb${b}_c c USING (band, key)
+           JOIN rb${b}_qb q USING (band, key)
+           WHERE c.m <= 1000 AND b.doc_id <> q.query_id),
+         rb${b}_h AS (SELECT CAST(count(*) AS BIGINT) AS hits
+           FROM rb${b}_cand JOIN mrp_truth USING (query_id, corpus_id)),
+         rb${b}_row AS (SELECT CAST($b AS INTEGER) AS n_bands, w.candidate_pairs,
+             h.hits, CAST(t.tn AS BIGINT) AS truth_n,
+             CASE WHEN t.tn = 0 THEN 1.0
+               ELSE ${roundToSql("CAST(h.hits AS DOUBLE) / CAST(t.tn AS DOUBLE)", 6)}
+             END AS recall
+           FROM rb${b}_w w CROSS JOIN rb${b}_h h CROSS JOIN mrp_tn t)"""
+    }
+    s"""WITH ${minhashChain("mrp_", "")},
+       mrp_smp AS (SELECT doc_id AS query_id, shingles AS q_sh FROM mrp_sh
+         ORDER BY ((doc_id % 1000003) * ${graft.config.PortableSalt.seedMul}) % 2147483647 DESC,
+           doc_id LIMIT $sampleQ),
+       mrp_truth AS (SELECT s.query_id, g.doc_id AS corpus_id
+         FROM mrp_sh g CROSS JOIN mrp_smp s
+         WHERE g.doc_id <> s.query_id AND
+           CAST(len(list_filter(g.shingles, x -> list_contains(s.q_sh, x))) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(g.shingles, s.q_sh))) AS DOUBLE) >= $threshold),
+       mrp_tn AS (SELECT count(*) AS tn FROM mrp_truth),
+       ${bandsList.map(bandCtes).mkString(",\n       ")}
+       ${bandsList.map(b => s"SELECT * FROM rb${b}_row").mkString("\n       UNION ALL ")}
+       ORDER BY n_bands"""
+  }
+
   /** DuckDB replication of [[Dedup.minhashDecontaminate]]: the corpus
     * (doc_id >= 20) and benchmark (doc_id < 20) each run the shared
     * MinHash chain, then a CROSS-corpus band join (corpus-side bucket
@@ -2047,6 +2094,15 @@ object SparkEntry {
       // and what the cap is dropping, before the corpus-scale run.
       Dedup.minhashBandProfile(t(s, dir, "documents"), "text", "doc_id",
         shingleSize = 3, numHashes = 128, bands = 32, portableHash = true)),
+    "dedup_recall_profile" -> ((s, dir) =>
+      // The recall half of the band decision: per bands value, the
+      // exact capped candidate work PLUS the measured fraction of
+      // true near-dup pairs (exact Jaccard >= 0.3 on an 8-doc
+      // portable-hash sample) the banding catches — the empirical
+      // 1-(1-j^r)^b curve on the actual corpus, caps included.
+      Dedup.minhashRecallProfile(t(s, dir, "documents"), "text", "doc_id",
+        bandsList = Seq(8, 16, 32), shingleSize = 3, numHashes = 128,
+        threshold = 0.3, sampleQ = 8, portableHash = true)),
     "graph_suite" -> ((s, dir) => {
       // One-build-many-queries composition: the capped-LSH pair set
       // (the dominant cost) is built ONCE and feeds connected
@@ -3540,6 +3596,7 @@ object SparkEntry {
     "emb_graph_suite" -> embGraphSuiteOracleSql,
     "emb_bucket_profile" -> embBucketProfileOracleSql,
     "emb_recall_profile" -> embRecallProfileOracleSql(Seq(4, 6, 8), 10, 8),
+    "dedup_recall_profile" -> dedupRecallProfileOracleSql(Seq(8, 16, 32), 128, 0.3, 8),
     "dedup_band_profile" ->
       s"""WITH $minhashLshCtes,
          bpf AS (SELECT band, key, CAST(count(*) AS BIGINT) AS m

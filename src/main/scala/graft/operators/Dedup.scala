@@ -201,6 +201,100 @@ object Dedup {
       .orderBy("band")
   }
 
+  /** The recall half of the band-count decision —
+    * [[minhashBandProfile]] reports what a banding COSTS; this reports
+    * what it actually CATCHES, the text-side twin of
+    * [[Similarity.lshRecallProfile]]. One row per candidate `bands`
+    * value (numHashes fixed): (n_bands, candidate_pairs, hits,
+    * truth_n, recall) where candidate_pairs is the exact capped
+    * candidate-join work Σ m·(m−1)/2 across bands and recall is
+    * measured on a deterministic `sampleQ`-document sample: of the
+    * TRUE near-dup pairs (exact shingle Jaccard ≥ `threshold`)
+    * touching a sampled doc, the fraction whose pair shares at least
+    * one capped band bucket. This turns the theoretical
+    * 1−(1−j^r)^b recall curve into an empirical measurement on the
+    * actual corpus — boilerplate, skew, caps and all — BEFORE the
+    * corpus-scale dedup pays for the banding it picks.
+    *
+    * Determinism/portability: the sample is the `sampleQ` ids with the
+    * largest portable seed-hash (the k-means-seed chain); truth is the
+    * same exact-Jaccard arithmetic as [[minhashNearDups]]' verify
+    * (integer set sizes, one IEEE division); signatures/band keys are
+    * the identical chain as the build, so with `portableHash = true`
+    * the whole profile is engine-replayable.
+    *
+    * Scale shape: truth is ONE corpus scan against the broadcast
+    * Q-row shingle sample; each bands value is one more scan into slim
+    * (id, band, key) rows (shingles never shuffle), a map-side
+    * -combined bucket count, and a broadcast join against the sample's
+    * ≤ Q·bands bucket keys. Candidate rows are capped by
+    * Q · bands · maxBucketSize.
+    */
+  def minhashRecallProfile(
+      df: DataFrame, textCol: String, idCol: String,
+      bandsList: Seq[Int], shingleSize: Int = 5, numHashes: Int = 128,
+      threshold: Double = 0.7, seed: Long = graft.operators.Dedup.DefaultSeed,
+      maxBucketSize: Int = 1000, sampleQ: Int = 8,
+      portableHash: Boolean = false): DataFrame = {
+    require(bandsList.nonEmpty && bandsList.forall(b => b >= 1 && numHashes % b == 0),
+      s"every bands value must divide numHashes=$numHashes, got $bandsList")
+    require(sampleQ >= 1, s"sampleQ must be positive, got $sampleQ")
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val base = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleSize).as("shingles"))
+    // deterministic portable sample (same chain as the k-means seeds)
+    val seedHash = pmod(pmod(col("id"), lit(1000003L)) *
+      lit(graft.config.PortableSalt.seedMul), lit(2147483647L))
+    val sample = base
+      .join(broadcast(base
+        .agg(graft.plans.TopKByScore.topKByScore(
+          seedHash.cast("double"), col("id"), sampleQ).as("top"))
+        .select(explode(col("top.id")).as("query_id"))),
+        col("id") === col("query_id"))
+      .select(col("query_id"), col("shingles").as("q_sh"))
+      .localCheckpoint(eager = true) // Q rows, reused by truth + every bands value
+    // exact ground truth: near-dup pairs by shingle Jaccard >= threshold
+    // (the same verify arithmetic as minhashNearDups), self excluded
+    val truth = base.crossJoin(broadcast(sample))
+      .filter(col("id") =!= col("query_id"))
+      .filter(size(array_intersect(col("shingles"), col("q_sh"))).cast("double") /
+        size(array_union(col("shingles"), col("q_sh"))).cast("double") >= threshold)
+      .select(col("query_id"), col("id").as("corpus_id"))
+      .localCheckpoint(eager = true) // bounded by Q · near-dup degree
+    val truthN = truth.agg(count(lit(1)).as("truth_n"))
+    bandsList.map { b =>
+      val r = numHashes / b
+      val buckets = base
+        .withColumn("sig",
+          minhashSignature(col("shingles"), numHashes, seed, portableMd5 = portableHash))
+        .select(col("id"), explode(bandKeys(col("sig"), b, r, portableHash)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val counts = buckets.groupBy("band", "key").agg(count(lit(1)).as("m"))
+      val work = counts.agg(coalesce(sum(when(col("m") <= maxBucketSize.toLong,
+          expr("m * (m - 1) div 2")).otherwise(0L)), lit(0L)).as("candidate_pairs"))
+      val qb = sample
+        .withColumn("sig",
+          minhashSignature(col("q_sh"), numHashes, seed, portableMd5 = portableHash))
+        .select(col("query_id"), explode(bandKeys(col("sig"), b, r, portableHash)).as("bk"))
+        .select(col("query_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = buckets
+        .join(counts.filter(col("m") <= maxBucketSize.toLong).select("band", "key"),
+          Seq("band", "key"))
+        .join(broadcast(qb), Seq("band", "key"))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("corpus_id")).distinct()
+      val hits = cand.join(broadcast(truth), Seq("query_id", "corpus_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      work.crossJoin(hits).crossJoin(truthN)
+        .select(lit(b).as("n_bands"), col("candidate_pairs"), col("hits"),
+          col("truth_n"),
+          when(col("truth_n") === 0L, lit(1.0))
+            .otherwise(rd(col("hits").cast("double") / col("truth_n").cast("double"), 6))
+            .as("recall"))
+    }.reduce(_ union _).orderBy("n_bands")
+  }
+
   /** Candidate pairs from LSH banding, verified with exact Jaccard over
     * the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b
     * and jaccard >= threshold.

@@ -64,6 +64,7 @@ object ScaleSmoke {
     // proves the advisors are themselves scale-clean and that auto
     // depth keeps the default build near-linear where pinned-8 wasn't
     "dedup_band_profile", "emb_recall_profile", "emb_knn_graph_auto",
+    "dedup_recall_profile",
     // round-10 additions over documents/embeddings
     "txt_zipf", "txt_boilerplate", "txt_readability", "txt_code_detect",
     "emb_diversity", "emb_silhouette", "emb_dims_health", "emb_recall_eval",

@@ -1124,6 +1124,58 @@ class DedupSpec extends SparkSpec {
     assert(work.head > work.last, "depth must actually reduce candidate work on real data")
   }
 
+  // ---- minhashRecallProfile --------------------------------------------------
+
+  test("minhashRecallProfile: planted identical doc groups recall 1.0; work/recall monotone in bands") {
+    import spark.implicits._
+    // 3 groups x 4 IDENTICAL docs (disjoint vocabularies) + 8 distinct
+    // fillers: truth for a sampled group member is its 3 groupmates
+    // (jaccard 1.0); identical docs have identical signatures, so they
+    // share every band bucket at every bands value -> recall must be
+    // exactly 1.0 at every row. Fillers share no shingles (jaccard 0).
+    val groups = for (g <- 0 until 3; i <- 0 until 4)
+      yield ((g * 4 + i).toLong,
+        (0 until 12).map(w => s"g${g}w$w").mkString(" "))
+    val fillers = (0 until 8).map(i =>
+      (100L + i, (0 until 12).map(w => s"f${i}x$w").mkString(" ")))
+    val out = graft.operators.Dedup.minhashRecallProfile(
+        (groups ++ fillers).toDF("doc_id", "text"), "text", "doc_id",
+        bandsList = Seq(4, 8, 16), shingleSize = 3, numHashes = 16,
+        threshold = 0.5, sampleQ = 6, portableHash = true)
+      .collect().sortBy(_.getInt(0))
+    assert(out.length === 3)
+    val truthN = out.head.getLong(3)
+    out.foreach { r =>
+      assert(r.getLong(3) === truthN, "same truth on every row")
+      assert(r.getLong(2) === truthN && r.getDouble(4) === 1.0,
+        s"identical docs share every band bucket -> recall 1.0: $r")
+    }
+    // no bucket near the cap here, so finer banding (more bands) only
+    // ADDS candidate opportunities: work monotone non-decreasing
+    val work = out.map(_.getLong(1))
+    assert(work.zip(work.tail).forall { case (a, b) => a <= b },
+      s"candidate work must not shrink with more bands: ${work.toSeq}")
+  }
+
+  test("minhashRecallProfile: real corpus — recall bounded, hits <= truth, shared truth") {
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val out = graft.operators.Dedup.minhashRecallProfile(
+        docs, "text", "doc_id", bandsList = Seq(8, 32),
+        shingleSize = 3, numHashes = 128, threshold = 0.3,
+        sampleQ = 6, portableHash = true)
+      .collect().sortBy(_.getInt(0))
+    assert(out.length === 2)
+    assert(out.map(_.getLong(3)).distinct.length === 1, "one shared truth set")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), s"hits <= truth: $r")
+      val rec = r.getDouble(4)
+      assert(rec >= 0.0 && rec <= 1.0, s"recall in [0,1]: $r")
+    }
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.minhashRecallProfile(docs, "text", "doc_id",
+        bandsList = Seq(7), numHashes = 128)) // 7 does not divide 128
+  }
+
   // ---- corpus-aware key depth ----------------------------------------------
 
   test("derivedPlanes: exact ceil-log2 depths for planted corpus sizes") {
