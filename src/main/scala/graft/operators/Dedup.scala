@@ -201,6 +201,32 @@ object Dedup {
       .orderBy("band")
   }
 
+  /** Threshold-consistent LSH band count: among the divisors `b` of
+    * `numHashes`, the one whose banding S-curve midpoint (1/b)^(1/r)
+    * with r = numHashes/b sits closest to the verify `threshold` —
+    * the classic sizing rule (the midpoint is where the collision
+    * probability 1−(1−j^r)^b rises fastest, so candidates concentrate
+    * around pairs the verify will actually keep). For numHashes = 128:
+    * threshold 0.9 → 8 bands, 0.7 → 16, 0.4 → 32, 0.15 → 64.
+    *
+    * Advisory, not a default: unlike hyperplane key depth (a measured
+    * SCALE trap, [[AutoPlanes]]), band count is a RECALL/precision
+    * dial — candidate work stays cap-bounded at any banding — so the
+    * committed operator defaults stay pinned and this feeds
+    * [[minhashRecallProfile]]'s `bandsList` (probe around the rule's
+    * pick, read the measured work/recall row, then build).
+    * Deterministic: StrictMath on exact divisor arithmetic; ties take
+    * the fewest bands.
+    */
+  def derivedBands(numHashes: Int, threshold: Double): Int = {
+    require(numHashes >= 1, s"numHashes must be positive, got $numHashes")
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1), got $threshold")
+    (1 to numHashes).filter(numHashes % _ == 0).minBy { b =>
+      val r = numHashes / b
+      StrictMath.abs(StrictMath.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+  }
+
   /** The recall half of the band-count decision —
     * [[minhashBandProfile]] reports what a banding COSTS; this reports
     * what it actually CATCHES, the text-side twin of

@@ -1124,6 +1124,23 @@ class DedupSpec extends SparkSpec {
     assert(work.head > work.last, "depth must actually reduce candidate work on real data")
   }
 
+  // ---- derivedBands -----------------------------------------------------------
+
+  test("derivedBands: S-curve midpoint picks the classic bandings at numHashes=128") {
+    import graft.operators.Dedup.derivedBands
+    // midpoints: b=4 -> 0.958, 8 -> 0.878, 16 -> 0.707, 32 -> 0.420, 64 -> 0.125
+    assert(derivedBands(128, 0.9) === 8)
+    assert(derivedBands(128, 0.7) === 16)
+    assert(derivedBands(128, 0.4) === 32)
+    assert(derivedBands(128, 0.15) === 64)
+    // b=2 midpoint (1/2)^(1/64) = 0.9892 beats b=1's exact 1.0 for 0.99
+    assert(derivedBands(128, 0.99) === 2, "near-exact threshold wants very long bands")
+    assert(derivedBands(128, 0.01) === 128, "catch-everything threshold wants 1-row bands")
+    intercept[IllegalArgumentException](derivedBands(128, 0.0))
+    intercept[IllegalArgumentException](derivedBands(128, 1.0))
+    intercept[IllegalArgumentException](derivedBands(0, 0.5))
+  }
+
   // ---- minhashRecallProfile --------------------------------------------------
 
   test("minhashRecallProfile: planted identical doc groups recall 1.0; work/recall monotone in bands") {
