@@ -325,6 +325,45 @@ object SparkEntry {
        WHERE rank <= 10 ORDER BY query_id, rank"""
   }
 
+  /** DuckDB replication of
+    * [[graft.operators.Similarity.pqDistortionProfile]]: the same
+    * portable seed chain as [[annPqOracleSql]] over the FULL corpus,
+    * the same fixed-shape ADC distance folds per candidate subspace
+    * count, per-row 1e-6 quantization before HUGEINT corpus sums.
+    */
+  private def pqProfileOracleSql: String = {
+    val ms = Seq(2, 4, 8, 16)
+    def distM(m: Int): String = {
+      val subLen = 64 / m
+      val diff = s"(cv[(s*$subLen)+i] - cb[c+1][(s*$subLen)+i])"
+      val inner = s"list_reduce(list_transform(range(1, ${subLen + 1}), " +
+        s"i -> $diff * $diff), (x, y) -> x + y)"
+      val minC = s"list_min(list_transform(range(0, 16), c -> $inner))"
+      s"list_reduce(list_transform(range(0, $m), s -> $minC), (x, y) -> x + y)"
+    }
+    val norm = "list_reduce(list_transform(range(1, 65), i -> cv[i] * cv[i]), (x, y) -> x + y)"
+    val dCols = ms.map(m =>
+      s"CAST(floor((${distM(m)}) * 1e6 + 0.5) AS BIGINT) AS d$m").mkString(",\n           ")
+    val sums = ms.map(m => s"sum(CAST(d$m AS HUGEINT)) AS s$m").mkString(", ")
+    val rows = ms.map { m =>
+      s"""SELECT $m AS m, 16 AS ksub, ${m * 4} AS bits_per_vec,
+           ${roundToSql(s"CAST(s$m AS DOUBLE) / CAST(n AS DOUBLE) / 1e6", 6)} AS mse,
+           CASE WHEN sn > 0 THEN ${roundToSql(s"CAST(s$m AS DOUBLE) / CAST(sn AS DOUBLE)", 6)} END AS rel_mse
+         FROM pqp_a"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH pqp_c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       pqp_seed AS (SELECT corpus_id, cv FROM pqp_c
+         ORDER BY ((corpus_id % 1000003) * ${graft.config.PortableSalt.seedMul}) % 2147483647 DESC, corpus_id LIMIT 16),
+       pqp_cb AS (SELECT list(cv ORDER BY corpus_id) AS cb FROM pqp_seed),
+       pqp_d AS (SELECT
+           $dCols,
+           CAST(floor(($norm) * 1e6 + 0.5) AS BIGINT) AS nq
+         FROM pqp_c CROSS JOIN pqp_cb),
+       pqp_a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(CAST(nq AS HUGEINT)) AS sn, $sums FROM pqp_d)
+       $rows
+       ORDER BY m"""
+  }
+
   /** DuckDB replication of [[graft.operators.Similarity.kmeansAssign]]:
     * the same 1e-6 coordinate quantization, the same portable hash
     * seed top-k, and each Lloyd round replayed as CTEs — assignment
@@ -1248,6 +1287,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), rd(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    "dedup_sorted_neighborhood" -> ((s, dir) => {
+      // Sorted-neighborhood blocking (merge/purge): rank by normalized
+      // text prefix, pair within a 10-row window, verify exact Jaccard
+      // — candidate volume exactly n·(w−1), no bucket-skew tail.
+      Dedup.sortedNeighborhoodNearDups(t(s, dir, "documents"), "text", "doc_id",
+          window = 10, keyLen = 24, shingleSize = 3, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), rd(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_embed_cosine" -> ((s, dir) => {
       // EXACT all-pairs recall oracle for the LSH variant — fenced by
       // Dedup.requireOracleScale so it can never be pointed at a full
@@ -1944,6 +1992,13 @@ object SparkEntry {
       // emb_knn_graph finding) BEFORE a big build.
       graft.operators.Similarity.lshBucketProfile(t(s, dir, "embeddings"),
         "embedding", "vec_id", dim = 64, nPlanes = 8, nTables = 8)),
+    "emb_pq_profile" -> ((s, dir) =>
+      // PQ codebook-quality advisor: exact mean reconstruction error
+      // per candidate subspace count (shared seed codebook), one
+      // narrow corpus scan scoring every m at once — the bits-vs-
+      // distortion curve measured before a cluster-wide encode.
+      graft.operators.Similarity.pqDistortionProfile(t(s, dir, "embeddings"),
+        "embedding", "vec_id", dim = 64, portableSeed = true)),
     "emb_recall_profile" -> ((s, dir) =>
       // The recall half of the key-depth decision emb_bucket_profile
       // opened: per candidate depth, the exact capped candidate work
@@ -2019,6 +2074,13 @@ object SparkEntry {
           sum("n").over(Window.partitionBy("from_event")).cast("double"), 6))
         .orderBy("from_event", "to_event")
     }),
+    "evt_markov_score" -> ((s, dir) =>
+      // Per-user surprisal under the corpus' Laplace-smoothed Markov
+      // transition model: one event scan (user-keyed window), slim
+      // persisted (user,from,to,n) frame, matrix joins back broadcast.
+      graft.operators.EventAnalytics.markovSurprisal(events(s, dir),
+          "user_id", "event_type", "ts_us", "event_id")
+        .orderBy("user_id")),
     "evt_attribution" -> ((s, dir) =>
       // First/last-touch credit assignment: view/click touches within
       // a 3-day lookback of each purchase; min/max-struct aggregation
@@ -2219,6 +2281,13 @@ object SparkEntry {
       graft.operators.EventAnalytics.dailyAnomalies(
           events(s, dir), "event_type", "ts_us", zThreshold = 2.0)
         .orderBy("event_type", "day")),
+    "evt_changepoint" -> ((s, dir) =>
+      // Two-sided CUSUM level-shift detection per event type: the
+      // max(0, ·) recurrence as prefix-sum-minus-running-min windows
+      // over the tiny (type, day) series — one event scan total.
+      graft.operators.EventAnalytics.changepoint(
+          events(s, dir), "event_type", "ts_us")
+        .orderBy("event_type", "day")),
     "meta_diff" -> ((s, dir) => {
       // Snapshot diff across a simulated pipeline run: the
       // meta_upsert scenario (updates + inserts) plus deletes of
@@ -2332,6 +2401,12 @@ object SparkEntry {
       // Per-dimension mean/var/min/max + dead-dim flag: one global
       // agg (4·dim map-side combined), inline unpivot, no corpus shuffle.
       Similarity.dimsHealth(t(s, dir, "embeddings"), "embedding")),
+    "emb_ood_score" -> ((s, dir) =>
+      // Diagonal-Mahalanobis OOD score per vector: one-row stats
+      // aggregate cross-joined back (broadcast), fixed-shape per-dim
+      // terms folded left-to-right — nothing data-sized shuffles.
+      Similarity.oodScore(t(s, dir, "embeddings"), "embedding", "vec_id")
+        .orderBy("vec_id")),
     "meta_integrity" -> ((s, dir) => {
       // Referential-integrity audit over three FK relations: distinct
       // parent keys → anti-join orphan counts → coverage per relation.
@@ -2657,6 +2732,26 @@ object SparkEntry {
            FROM e a JOIN e b USING (sh) WHERE a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
          SELECT id_a, id_b, ${roundToSql("jac", 6)} AS jaccard FROM j
+         WHERE jac >= 0.3 ORDER BY id_a, id_b""",
+    "dedup_sorted_neighborhood" ->
+      s"""WITH sn_t AS (SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm FROM documents),
+         sn_r AS (SELECT doc_id,
+           row_number() OVER (ORDER BY substr(norm, 1, 24), doc_id) - 1 AS rnk FROM sn_t),
+         sn_c AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b
+           FROM sn_r a JOIN sn_r b ON b.rnk - a.rnk BETWEEN 1 AND 9),
+         sn_sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+           FROM (SELECT doc_id, regexp_split_to_array(norm, ' ') AS toks FROM sn_t)),
+         sn_e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sn_sh),
+         sn_j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) AS jac
+           FROM sn_e a JOIN sn_e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           JOIN sn_c c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+         SELECT id_a, id_b, ${roundToSql("jac", 6)} AS jaccard FROM sn_j
          WHERE jac >= 0.3 ORDER BY id_a, id_b""",
     "dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
@@ -3595,6 +3690,7 @@ object SparkEntry {
     "emb_label_prop" -> labelPropOracleSql,
     "emb_graph_suite" -> embGraphSuiteOracleSql,
     "emb_bucket_profile" -> embBucketProfileOracleSql,
+    "emb_pq_profile" -> pqProfileOracleSql,
     "emb_recall_profile" -> embRecallProfileOracleSql(Seq(4, 6, 8), 10, 8),
     "dedup_recall_profile" -> dedupRecallProfileOracleSql(Seq(8, 16, 32), 128, 0.3, 8),
     "dedup_band_profile" ->
@@ -3672,6 +3768,26 @@ object SparkEntry {
            ${roundToSql(
              "CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_event) AS DOUBLE)", 6)} AS p
          FROM c ORDER BY from_event, to_event""",
+    "evt_markov_score" ->
+      s"""WITH mk_g AS (SELECT user_id, event_type AS from_event,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_event
+         FROM events),
+         mk_uft AS (SELECT user_id, from_event, to_event, count(*) AS n_uft
+           FROM mk_g WHERE to_event IS NOT NULL
+           GROUP BY user_id, from_event, to_event),
+         mk_m AS (SELECT from_event, to_event, sum(n_uft) AS n_ft
+           FROM mk_uft GROUP BY from_event, to_event),
+         mk_f AS (SELECT from_event, sum(n_ft) AS n_f FROM mk_m GROUP BY from_event),
+         mk_v AS (SELECT count(DISTINCT event_type) AS v FROM events),
+         mk_t AS (SELECT m.from_event, m.to_event,
+             CAST(floor(ln(CAST(n_f + v AS DOUBLE) / CAST(n_ft + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS term_q
+           FROM mk_m m JOIN mk_f f USING (from_event) CROSS JOIN mk_v),
+         mk_u AS (SELECT user_id, CAST(sum(n_uft) AS BIGINT) AS n_trans,
+             sum(CAST(n_uft AS HUGEINT) * term_q) AS sum_q
+           FROM mk_uft JOIN mk_t USING (from_event, to_event) GROUP BY user_id)
+         SELECT user_id, n_trans,
+           ${roundToSql("CAST(sum_q AS DOUBLE) / CAST(n_trans AS DOUBLE) / 1e6", 6)} AS surprisal
+         FROM mk_u ORDER BY user_id""",
     "txt_novelty" ->
       s"""WITH nv_t AS (SELECT doc_id,
            regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
@@ -4090,6 +4206,44 @@ object SparkEntry {
            CASE WHEN z IS NOT NULL THEN abs(z) >= 2.0 END AS is_anomaly
          FROM an_z ORDER BY event_type, day"""
     },
+    "evt_changepoint" -> {
+      val sd = "sqrt((s.q - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / CAST(s.nd AS DOUBLE)) / CAST(s.nd - 1 AS DOUBLE))"
+      s"""WITH cp_c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2),
+         cp_s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(n_events) AS BIGINT) AS s,
+             CAST(sum(CAST(n_events AS HUGEINT) * n_events) AS DOUBLE) AS q
+           FROM cp_c GROUP BY 1),
+         cp_d AS (SELECT c.event_type, c.day, c.n_events,
+             (s.nd > 1 AND $sd > 0.0) AS healthy,
+             CASE WHEN s.nd > 1 AND $sd > 0.0
+               THEN CAST(floor((CAST(c.n_events AS DOUBLE) - CAST(s.s AS DOUBLE) / CAST(s.nd AS DOUBLE) - $sd * 0.5) * 1e6 + 0.5) AS BIGINT)
+               ELSE 0 END AS dq,
+             CASE WHEN s.nd > 1 AND $sd > 0.0
+               THEN CAST(floor((CAST(c.n_events AS DOUBLE) - CAST(s.s AS DOUBLE) / CAST(s.nd AS DOUBLE) + $sd * 0.5) * 1e6 + 0.5) AS BIGINT)
+               ELSE 0 END AS eq,
+             CASE WHEN s.nd > 1 AND $sd > 0.0
+               THEN CAST(floor($sd * 4.0 * 1e6 + 0.5) AS BIGINT)
+               ELSE 0 END AS hq
+           FROM cp_c c JOIN cp_s s USING (event_type)),
+         cp_w1 AS (SELECT event_type, day, n_events, healthy, hq,
+             sum(dq) OVER win AS p, sum(eq) OVER win AS e
+           FROM cp_d
+           WINDOW win AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         cp_w2 AS (SELECT event_type, day, n_events, healthy, hq,
+             p - least(min(p) OVER win, 0) AS cusp,
+             greatest(max(e) OVER win, 0) - e AS cusn
+           FROM cp_w1
+           WINDOW win AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, n_events,
+           CASE WHEN healthy THEN ${roundToSql("CAST(cusp AS DOUBLE) / 1e6", 6)} END AS cusum_pos,
+           CASE WHEN healthy THEN ${roundToSql("CAST(cusn AS DOUBLE) / 1e6", 6)} END AS cusum_neg,
+           CASE WHEN healthy THEN cusp > hq END AS shift_up,
+           CASE WHEN healthy THEN cusn > hq END AS shift_down
+         FROM cp_w2 ORDER BY event_type, day"""
+    },
     "meta_diff" ->
       """WITH df_b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
          df_u AS (SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
@@ -4379,6 +4533,25 @@ object SparkEntry {
            ${roundToSql("CAST(hi AS DOUBLE) / 1e6", 6)} AS max_val,
            lo = hi AS dead
          FROM dhm ORDER BY dim""",
+    "emb_ood_score" ->
+      s"""WITH oq AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+             x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS q FROM embeddings),
+         ox AS (SELECT CAST(t.i AS INTEGER) AS d, q[CAST(t.i AS INTEGER)] AS v
+           FROM oq CROSS JOIN range(1, 65) t(i)),
+         om AS (SELECT d, sum(CAST(v AS HUGEINT)) AS s,
+             sum(CAST(v AS HUGEINT) * v) AS sq FROM ox GROUP BY d),
+         ol AS (SELECT list(s ORDER BY d) AS ss, list(sq ORDER BY d) AS qq FROM om),
+         oc AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+         os AS (SELECT vec_id,
+             list_reduce(list_transform(range(1, 65), d ->
+               CASE WHEN CAST(n * qq[CAST(d AS INTEGER)] - ss[CAST(d AS INTEGER)] * ss[CAST(d AS INTEGER)] AS DOUBLE) = 0
+                 THEN 0.0
+                 ELSE CAST((n * q[CAST(d AS INTEGER)] - ss[CAST(d AS INTEGER)]) * (n * q[CAST(d AS INTEGER)] - ss[CAST(d AS INTEGER)]) AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - 1.0)
+                   / (CAST(n AS DOUBLE) * CAST(n * qq[CAST(d AS INTEGER)] - ss[CAST(d AS INTEGER)] * ss[CAST(d AS INTEGER)] AS DOUBLE))
+               END), (x, y) -> x + y) AS ood
+           FROM oq, ol, oc)
+         SELECT vec_id, ${roundToSql("ood", 6)} AS ood FROM os ORDER BY vec_id""",
     "meta_integrity" -> {
       def rel(child: String, ck: String, parent: String, pk: String, name: String) =
         s"""SELECT '$name' AS relation,

@@ -1189,4 +1189,78 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Sorted-neighborhood near-dup pairs (the merge/purge blocking
+    * family, Hernández & Stolfo 1995) — the third candidate-generation
+    * strategy next to MinHash banding and hyperplane buckets: sort the
+    * corpus by a blocking key (here the first `keyLen` chars of the
+    * normalized text), slide a `window`-row neighborhood down the
+    * sorted order, and exact-Jaccard-verify only rank-adjacent pairs.
+    * Catches the prefix-similar duplicates a banding scheme can miss
+    * when edits concentrate late in the document, and its candidate
+    * volume is EXACTLY n·(window−1) pairs — no bucket-skew tail at
+    * all, so no cap parameter to tune.
+    *
+    * Scale shape: the global order costs ONE range exchange (the same
+    * exchange any distributed sort pays) and ranks come from
+    * `zipWithIndex` over the range-partitioned frame — partition p's
+    * keys all precede partition p+1's, so partition-index numbering IS
+    * the global (key, id) rank, with no single-partition window
+    * anywhere. The neighborhood join is a pure equi-join: row at rank
+    * r posts to buckets {r div w, r div w + 1} on one side and
+    * {r div w} on the other, and any pair at rank distance 1..w−1
+    * spans at most adjacent buckets, so each candidate matches exactly
+    * once. Only (id, rank, bucket) longs ride that shuffle; text joins
+    * back per-id for the surviving pairs only.
+    *
+    * Determinism: rank order is (key, id) with a unique id — identical
+    * on any engine for ASCII keys (the normalized corpus); Jaccard is
+    * an integer-ratio double. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b (ids are least/greatest-normalized: rank order and id
+    * order can disagree).
+    */
+  def sortedNeighborhoodNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      window: Int = 10, keyLen: Int = 24, shingleSize: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    require(window >= 2, s"window=$window must be >= 2 (a 1-row neighborhood has no pairs)")
+    require(keyLen >= 1, s"keyLen=$keyLen must be >= 1")
+    val spark = df.sparkSession
+    val base = df.select(
+      col(idCol).as("id"),
+      substring(normalizeText(col(textCol)), 1, keyLen).as("skey"),
+      wordShingles(col(textCol), shingleSize).as("shingles"))
+    // Global (skey, id) rank without a global window: range-exchange
+    // orders the partitions, sortWithinPartitions orders the rows,
+    // zipWithIndex numbers them in partition-index order. Column
+    // pruning keeps the shingle expression out of this branch.
+    val ordered = base.select("id", "skey")
+      .repartitionByRange(col("skey"), col("id"))
+      .sortWithinPartitions("skey", "id")
+    val schema = org.apache.spark.sql.types.StructType(
+      ordered.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "rnk", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = spark.createDataFrame(
+      ordered.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    val w = window.toLong
+    val bkt = expr(s"rnk div $w")
+    val aSide = ranked.select(col("id").as("id_x"), col("rnk").as("rnk_x"),
+      explode(array(bkt, bkt + lit(1L))).as("bucket"))
+    val bSide = ranked.select(col("id").as("id_y"), col("rnk").as("rnk_y"),
+      bkt.as("bucket"))
+    val cand = aSide.join(bSide, "bucket")
+      .filter(col("rnk_y") - col("rnk_x") >= 1L &&
+        col("rnk_y") - col("rnk_x") <= lit(w - 1))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+    val shA = base.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = base.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    cand.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"), (col("inter") / col("uni")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

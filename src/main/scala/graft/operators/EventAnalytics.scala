@@ -172,6 +172,75 @@ object EventAnalytics {
       .select("event_type", "day", "n_events", "z", "is_anomaly")
   }
 
+  /** CUSUM change-point detection on the per-type daily count series —
+    * the sequential complement to [[dailyAnomalies]]: a z-score flags
+    * one outlier DAY, while the cumulative-sum statistic accumulates
+    * small persistent shifts (a crawler source silently halving its
+    * volume never trips a 2σ day test but walks the CUSUM straight
+    * through the threshold). Standard two-sided form with drift
+    * allowance `k·σ` and decision threshold `h·σ` (Page 1954 defaults
+    * k=0.5, h=4).
+    *
+    * The recurrence `S⁺_t = max(0, S⁺_{t−1} + d_t)` is not a window
+    * aggregate, but its closed form is: with P the prefix sum of d,
+    * `S⁺_t = P_t − min(min_{j≤t} P_j, 0)` (and the downward statistic
+    * mirrors via a running max) — so both sides are two stacked
+    * windows over the SAME (type, day) ordering, one sort, no
+    * recursion, no driver loop.
+    *
+    * Determinism: per-day deviations quantize to 1e-6 longs BEFORE
+    * the prefix sums (the entropy pattern), so every running
+    * sum/min/max and the threshold compare are exact integer
+    * arithmetic; μ, σ, and the two quantized constants come from one
+    * fixed-shape IEEE expression per type. Types with one day or zero
+    * variance emit NULL statistics and flags.
+    *
+    * Scale shape: the event log reduces ONCE to the (type, day) count
+    * table — map-side combined — and every window runs on that tiny
+    * series partitioned by type; stats join back as a broadcast.
+    */
+  def changepoint(events: DataFrame, typeCol: String, tsUsCol: String,
+                  driftK: Double = 0.5, thresholdH: Double = 4.0): DataFrame = {
+    require(driftK >= 0, s"driftK must be non-negative, got $driftK")
+    require(thresholdH > 0, s"thresholdH must be positive, got $thresholdH")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val counts = events.select(col(typeCol).as("event_type"),
+        expr(s"cast($tsUsCol as long) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count("*").as("n_events"))
+    val stats = counts.groupBy("event_type").agg(
+      count("*").as("__nd"), sum("n_events").as("__s"),
+      sum(col("n_events").cast("decimal(19,0)") * col("n_events").cast("decimal(19,0)"))
+        .as("__q"))
+    val m = col("__s").cast("double") / col("__nd").cast("double")
+    val variance = (col("__q").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") /
+      col("__nd").cast("double")) / (col("__nd") - lit(1L)).cast("double")
+    val sd = sqrt(variance)
+    val healthy = col("__nd") > 1L && sd > lit(0.0)
+    val x = col("n_events").cast("double")
+    // quantized per-day deviations (up: x−μ−kσ; down side sums x−μ+kσ)
+    val dq = floor((x - m - sd * lit(driftK)) * lit(1e6) + lit(0.5)).cast("long")
+    val eq = floor((x - m + sd * lit(driftK)) * lit(1e6) + lit(0.5)).cast("long")
+    val hq = floor(sd * lit(thresholdH) * lit(1e6) + lit(0.5)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      .orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val series = counts.join(broadcast(stats), Seq("event_type"))
+      .withColumn("__dq", when(healthy, dq).otherwise(lit(0L)))
+      .withColumn("__eq", when(healthy, eq).otherwise(lit(0L)))
+      .withColumn("__hq", when(healthy, hq).otherwise(lit(0L)))
+      .withColumn("__p", sum("__dq").over(w))
+      .withColumn("__e", sum("__eq").over(w))
+      .withColumn("__cusp", col("__p") - least(min("__p").over(w), lit(0L)))
+      .withColumn("__cusn", greatest(max("__e").over(w), lit(0L)) - col("__e"))
+    series.select(col("event_type"), col("day"), col("n_events"),
+      when(healthy, rd(col("__cusp").cast("double") / lit(1e6), 6)).as("cusum_pos"),
+      when(healthy, rd(col("__cusn").cast("double") / lit(1e6), 6)).as("cusum_neg"),
+      when(healthy, col("__cusp") > col("__hq")).as("shift_up"),
+      when(healthy, col("__cusn") > col("__hq")).as("shift_down"))
+  }
+
   /** First/last-touch attribution: for every `conversionType` event,
     * find the user's touch events (`touchTypes`) at-or-before the
     * conversion and within `lookbackUs` micros of it, and report the
@@ -313,6 +382,80 @@ object EventAnalytics {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     triples.select(col("e1"), col("e2"), col("e3"), col("n"),
       rd(col("n").cast("double") / sum("n").over(wAll).cast("double"), 6).as("share"))
+  }
+
+  /** Per-user behavioral surprisal under the corpus' own first-order
+    * Markov model: train the Laplace-smoothed transition matrix
+    * `p(to|from) = (n_ft + 1) / (n_f + V)` on every consecutive event
+    * pair, then score each user by the mean negative log-likelihood of
+    * THEIR transitions — the sequence-model twin of [[botDetect]]'s
+    * rate heuristics: scripted users walk high-probability loops
+    * (low surprisal), while compromised / adversarial sessions take
+    * transitions the corpus rarely takes (high surprisal). Users with
+    * fewer than two events have no transitions and are absent.
+    *
+    * Determinism (the entropy pattern): each distinct transition's
+    * `ln((n_f + V) / (n_ft + 1))` is quantized to a 1e-6 long on the
+    * ≤ |types|² matrix rows BEFORE any weighted sum, so the per-user
+    * accumulation is exact integer arithmetic on any engine and the
+    * one IEEE division happens per OUTPUT row in a fixed shape.
+    *
+    * Scale shape: the event log is scanned ONCE — the user-keyed lead
+    * window (never global) feeds a map-side-combined rollup to the
+    * slim (user, from, to, n) frame, ≤ users·|types|² rows, which is
+    * persisted because both the matrix branch and the scoring branch
+    * consume it (the rfm ReuseExchange lesson). The matrix itself is
+    * ≤ |types|² rows and joins back as a broadcast; the vocabulary
+    * size V is a one-row cross join. Output is user-sized,
+    * checkpointed so the cache frees before returning.
+    */
+  def markovSurprisal(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, eventIdCol: String): DataFrame =
+    markovSurprisalImpl(events, userCol, typeCol, tsUsCol, eventIdCol,
+      materialize = true)
+
+  private[graft] def markovSurprisalImpl(events: DataFrame, userCol: String,
+      typeCol: String, tsUsCol: String, eventIdCol: String,
+      materialize: Boolean): DataFrame = {
+    val rd = graft.functions.MathFunctions.roundTo _
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(tsUsCol, eventIdCol)
+    val uft0 = events
+      .select(col(userCol).as("user_id"), col(tsUsCol), col(eventIdCol),
+        col(typeCol).as("from_event"))
+      .withColumn("to_event", lead("from_event", 1).over(w))
+      .filter(col("to_event").isNotNull)
+      .groupBy("user_id", "from_event", "to_event")
+      .agg(count("*").as("n_uft"))
+    val uft = if (materialize) uft0.persist() else uft0
+    val matrix = uft.groupBy("from_event", "to_event").agg(sum("n_uft").as("n_ft"))
+    val fromTotals = matrix.groupBy("from_event").agg(sum("n_ft").as("n_f"))
+    // count_distinct ignores NULL types, matching SQL COUNT(DISTINCT)
+    val vocab = events.agg(count_distinct(col(typeCol)).as("v"))
+    // per-transition quantized surprisal on the tiny matrix: one ln of
+    // a ratio of exact integers, floored to 1e-6 — identical on any
+    // engine up to a boundary-straddling ulp (the entropy precedent)
+    val termed = matrix.join(fromTotals, "from_event").crossJoin(broadcast(vocab))
+      .withColumn("term_q",
+        floor(log((col("n_f") + col("v")).cast("double") /
+          (col("n_ft") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+      .select("from_event", "to_event", "term_q")
+    val raw = uft.join(broadcast(termed), Seq("from_event", "to_event"))
+      .groupBy("user_id")
+      // decimal sum: n_uft·term_q stays < 2⁶³ per row, but the per-user
+      // total is events-bounded and must not wrap at 100 TB volumes
+      .agg(sum(col("n_uft")).as("n_trans"),
+        sum((col("n_uft") * col("term_q")).cast("decimal(38,0)")).as("sum_q"))
+      .select(col("user_id"), col("n_trans"),
+        rd(col("sum_q").cast("double") / col("n_trans").cast("double") / lit(1e6), 6)
+          .as("surprisal"))
+    if (!materialize) raw
+    else {
+      val out = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointFreshStats(raw)
+      uft.unpersist()
+      out
+    }
   }
 
   /** RFM segmentation (recency / frequency / monetary) — the

@@ -498,6 +498,58 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Diagonal-Mahalanobis out-of-distribution score per vector: the
+    * label-free "does this embedding belong to this corpus" gate a
+    * curation pipeline runs before mixing a new source in —
+    * `ood = Σ_d (x_d − μ_d)² / σ²_d` with per-dimension corpus mean
+    * and sample variance (the diagonal whitening of the full
+    * Mahalanobis form; [[covarianceMatrix]] holds the dense moments if
+    * a caller wants the full quadratic). Complements [[labelOutliers]]
+    * (which needs labels) and [[embeddingDrift]] (which compares two
+    * corpora): this scores each ROW against its own corpus, so the
+    * high scorers are the mislabeled / corrupted / off-domain rows to
+    * audit first.
+    *
+    * Determinism (the [[dimsHealth]] arithmetic): coordinates quantize
+    * to 1e-6 longs, per-dim Σq and Σq² accumulate as decimal(38,0)
+    * (exact on any engine; HUGEINT on the oracle side), and each
+    * dimension's term is one fixed-shape IEEE expression
+    * `dec→double((n·q−S)²) · (n−1) / (n · dec→double(n·Q−S²))` — the
+    * 1e6 scale cancels between numerator and variance, so no rescale.
+    * The 64 terms fold in a fixed left-to-right order. Dead dimensions
+    * (zero variance) contribute 0 rather than ±inf.
+    *
+    * Scale shape: two narrow corpus scans — one map-side-combined
+    * global aggregate producing a SINGLE stats row (2·dim+1 columns),
+    * then a scoring scan with that row cross-joined (a one-row
+    * broadcast, the rfm precedent). Nothing data-sized ever shuffles.
+    */
+  def oodScore(df: DataFrame, vecCol: String, idCol: String, dim: Int = 64): DataFrame = {
+    require(dim >= 1, s"dim=$dim must be >= 1")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val dec = "decimal(38,0)"
+    val base = df.select(col(idCol).as("id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("q"))
+    def qd(d: Int) = element_at(col("q"), d + 1)
+    val aggs = count("*").as("__n") +: (0 until dim).flatMap(d => Seq(
+      sum(qd(d).cast(dec)).as(s"__s$d"),
+      // decimal BEFORE multiply: a long square wraps past |coord| ≈ 3e3
+      sum(qd(d).cast(dec) * qd(d).cast(dec)).as(s"__q$d")))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val nDec = col("__n").cast(dec)
+    val nD = col("__n").cast("double")
+    val terms = (0 until dim).map { d =>
+      val s = col(s"__s$d"); val qq = col(s"__q$d")
+      val dev = nDec * qd(d).cast(dec) - s
+      val den = (nDec * qq - s * s).cast("double")
+      when(den === 0.0, lit(0.0))
+        .otherwise((dev * dev).cast("double") * (nD - lit(1.0)) / (nD * den))
+    }
+    base.crossJoin(stats)
+      .select(col("id").as(idCol), rd(terms.reduceLeft(_ + _), 6).as("ood"))
+  }
+
   /** EXACT corpus diversity in one linear pass: the mean pairwise
     * squared euclidean distance over all n·(n−1) ordered vector pairs
     * — the scalar that distinguishes "10⁹ diverse embeddings" from
@@ -715,6 +767,80 @@ object Similarity {
     * are scored (broadcast hash join on cell_id — still no corpus
     * shuffle).
     */
+  /** PQ distortion advisor — the codebook-quality pre-flight next to
+    * [[lshBucketProfile]] (candidate work) and [[lshRecallProfile]]
+    * (recall): before spending a cluster pass ENCODING 10⁹ vectors at
+    * a given PQ geometry, measure what each subspace count costs in
+    * reconstruction error. For every candidate `m` (subspace count,
+    * shared `ksub`-row seed codebook — the deterministic lloydIters=0
+    * book the [[pqTopK]] oracle replays), one corpus pass computes the
+    * exact mean per-vector quantization error
+    * `Σ_s min_j ‖x_sub − c_{s,j}‖²` and its ratio to the corpus'
+    * total squared norm — the "how much signal survives at
+    * m·log₂(ksub) bits/vector" curve, measured on the corpus instead
+    * of assumed.
+    *
+    * Determinism: per-row distortions and norms are fixed-shape
+    * sequential IEEE folds over the plan-literal codebook (the ADC
+    * arithmetic), quantized to 1e-6 longs per ROW before the corpus
+    * sum accumulates as decimal(38,0) — exact in any partitioning;
+    * `mse` and `rel_mse` are single fixed-shape divisions.
+    *
+    * Scale shape: ONE narrow corpus scan scores every candidate m
+    * simultaneously (the codebook is a literal; nothing joins), all
+    * sums map-side combined into a single global-aggregate row —
+    * the corpus never shuffles. Seeding is the bounded-heap hash
+    * top-k, one tiny job, shared across all m.
+    */
+  def pqDistortionProfile(
+      df: DataFrame, vecCol: String, idCol: String, dim: Int = 64,
+      ms: Seq[Int] = Seq(2, 4, 8, 16), ksub: Int = 16,
+      portableSeed: Boolean = false): DataFrame = {
+    require(ms.nonEmpty && ms.forall(m => m > 0 && dim % m == 0),
+      s"every subspace count in $ms must be positive and divide dim=$dim")
+    require(ksub >= 2, s"ksub=$ksub must be >= 2")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val dec = "decimal(38,0)"
+    val c = df.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val seed = kmeansCentroids(c, ksub, lloydIters = 0, portableSeed)
+    require(seed.nonEmpty, "pqDistortionProfile needs a non-empty corpus")
+    val cbLit = array(seed.toSeq.map(v => array(v.toSeq.map(lit): _*)): _*)
+    // per-subspace distortion: min over the ksub candidates of the
+    // fixed-order squared-distance fold (the ADC shape); `cv` is a
+    // bound attribute so lambda capture re-reads, never re-computes
+    def subDist(s: Int, subLen: Int) = array_min(transform(cbLit, cent =>
+      aggregate(sequence(lit(1), lit(subLen)), lit(0.0), (a, i) => {
+        val idx = lit(s * subLen) + i
+        val d = element_at(col("cv"), idx) - element_at(cent, idx)
+        a + d * d
+      })))
+    val distCols = ms.map { m =>
+      val subLen = dim / m
+      floor((0 until m).map(s => subDist(s, subLen)).reduceLeft(_ + _) *
+        lit(1e6) + lit(0.5)).cast("long").as(s"__d$m")
+    }
+    val normCol = floor(aggregate(sequence(lit(1), lit(dim)), lit(0.0), (a, i) => {
+        val x = element_at(col("cv"), i); a + x * x
+      }) * lit(1e6) + lit(0.5)).cast("long").as("__norm")
+    val per = c.select(distCols :+ normCol: _*)
+    val aggs = count("*").as("__n") +: sum(col("__norm").cast(dec)).as("__sn") +:
+      ms.map(m => sum(col(s"__d$m").cast(dec)).as(s"__s$m"))
+    val bits = 32 - Integer.numberOfLeadingZeros(ksub - 1) // ceil log2
+    val rows = ms.map { m =>
+      struct(lit(m).as("m"), lit(ksub).as("ksub"),
+        lit(m * bits).as("bits_per_vec"),
+        rd(col(s"__s$m").cast("double") / col("__n").cast("double") / lit(1e6), 6).as("mse"),
+        when(col("__sn") > lit(0L),
+          rd(col(s"__s$m").cast("double") / col("__sn").cast("double"), 6)).as("rel_mse"))
+    }
+    per.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.m"), col("r.ksub"), col("r.bits_per_vec"),
+        col("r.mse"), col("r.rel_mse"))
+      .orderBy("m")
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,

@@ -65,6 +65,12 @@ object ScaleSmoke {
     // depth keeps the default build near-linear where pinned-8 wasn't
     "dedup_band_profile", "emb_recall_profile", "emb_knn_graph_auto",
     "dedup_recall_profile",
+    // round-12 session 2: the sorted-neighborhood blocking family
+    // (candidate volume exactly n·(w−1) — the tier proves the range-
+    // exchange + bucket-join rank pairing stays linear), the one-row
+    // stats OOD scan, and the Markov scoring (one user-keyed window)
+    "dedup_sorted_neighborhood", "emb_ood_score", "evt_markov_score",
+    "evt_changepoint", "emb_pq_profile",
     // round-10 additions over documents/embeddings
     "txt_zipf", "txt_boilerplate", "txt_readability", "txt_code_detect",
     "emb_diversity", "emb_silhouette", "emb_dims_health", "emb_recall_eval",

@@ -51,6 +51,34 @@ class DedupSpec extends SparkSpec {
     assert(jac.get((1L, 2L)).exists(_ < 0.5), s"jaccard under-scores the embed: $jac")
   }
 
+  test("sorted-neighborhood: prefix-sorted window pairs the planted dups, skips far ranks") {
+    // Keys sort as: doc1/doc2/doc4 share the "the quick brown" prefix
+    // (adjacent ranks), doc3 sorts elsewhere — with window=3 the three
+    // prefix-neighbors pair up and doc3 never enters a pair.
+    val pairs = Dedup.sortedNeighborhoodNearDups(planted, "text", "doc_id",
+        window = 3, keyLen = 24, shingleSize = 2, threshold = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 4L)).contains(1.0), s"exact dup pair at jaccard 1.0: $pairs")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)),
+      s"near-dup neighbors inside the window: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      s"doc 3 sorts outside the neighborhood: $pairs")
+  }
+
+  test("sorted-neighborhood: window bounds candidates — rank distance >= w never pairs") {
+    // Ten identical docs with ids 0..9: every pair verifies at 1.0,
+    // but a window of 4 only admits rank distances 1..3 — candidate
+    // count is exactly sum over rows of trailing neighbors, 9+8+7+...
+    // truncated at 3 = 3·10 − (1+2+3) = 24.
+    val docs = (0L until 10L).map(i => (i, "same text for every doc here")).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodNearDups(docs, "text", "doc_id",
+        window = 4, keyLen = 24, shingleSize = 2, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // key ties broken by id, so rank == doc_id: pairs are exactly (i, i+d), d in 1..3
+    val want = (for (i <- 0L until 10L; d <- 1L to 3L if i + d < 10L) yield (i, i + d)).toSet
+    assert(got == want, s"expected exactly the rank-window pairs: got ${got.size}, want ${want.size}")
+  }
+
   test("simhash near-dups: identical docs at hamming 0, near at small distance") {
     val sigs = planted.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -945,6 +973,65 @@ class DedupSpec extends SparkSpec {
     // decomposition: mean_pairwise = 2 (mean_sq_norm − centroid_sq_norm) · n/(n−1)
     assert(math.abs(out._4.get - 2.0 * (out._2 - out._3) * 40.0 / 39.0) < 2e-6,
       s"$out")
+  }
+
+  // ---- pqDistortionProfile -------------------------------------------------
+
+  test("pqDistortionProfile: corpus == seed rows quantizes losslessly at every m") {
+    import spark.implicits._
+    // 16 rows with ksub=16: every corpus row IS a codebook row, so the
+    // per-subspace min distance is 0 for every subspace split.
+    val rows = (0L until 16L).map(i =>
+      (i, Array(i.toFloat, (i * 2).toFloat, (i * 3).toFloat, (16 - i).toFloat)))
+    val out = graft.operators.Similarity.pqDistortionProfile(
+        rows.toDF("id", "v"), "v", "id", dim = 4, ms = Seq(1, 2, 4), ksub = 16)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(3), r.getInt(2))).toMap
+    assert(out.keySet == Set(1, 2, 4))
+    assert(out.values.forall(_._1 == 0.0), s"lossless at every m: $out")
+    assert(out(4)._2 == 16, "bits/vec = m·log2(ksub)")
+  }
+
+  test("pqDistortionProfile: distortion is monotone non-increasing in subspace count") {
+    import spark.implicits._
+    // 17th row forces a quantization miss; splitting subspaces can
+    // only refine the per-subspace argmin: d(4) <= d(2) <= d(1).
+    val rows = (0L until 16L).map(i =>
+      (i, Array(i.toFloat, (i * 2).toFloat, (i * 3).toFloat, (16 - i).toFloat))) :+
+      (99L, Array(7.5f, 31f, 2f, 40f))
+    val out = graft.operators.Similarity.pqDistortionProfile(
+        rows.toDF("id", "v"), "v", "id", dim = 4, ms = Seq(1, 2, 4), ksub = 16)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(out(1) > 0.0, s"the off-codebook row costs distortion: $out")
+    assert(out(4) <= out(2) && out(2) <= out(1), s"monotone in m: $out")
+  }
+
+  // ---- oodScore -----------------------------------------------------------
+
+  test("oodScore: hand-computed diagonal Mahalanobis; dead dims contribute 0") {
+    import spark.implicits._
+    // dim 0 values (1, 3, 5): mean 3, sample var 4 → z² = (v−3)²/4;
+    // dim 1 constant → var 0 → contributes 0 for every row.
+    val rows = Seq((1L, Array(1f, 7f)), (2L, Array(3f, 7f)), (3L, Array(5f, 7f)))
+    val out = graft.operators.Similarity.oodScore(rows.toDF("id", "v"), "v", "id", dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === 1.0 && out(2L) === 0.0 && out(3L) === 1.0,
+      s"(v−μ)²/s² per row: $out")
+  }
+
+  test("oodScore: a planted off-distribution vector dominates the corpus") {
+    import spark.implicits._
+    // 20 vectors jittered around (1, 2, 3, 4) plus one far point: the
+    // outlier's variance-normalized distance must dwarf every inlier's.
+    val inliers = (0 until 20).map { i =>
+      (i.toLong, Array(1f + 0.01f * (i % 5), 2f - 0.01f * (i % 3),
+        3f + 0.01f * (i % 7), 4f - 0.01f * (i % 2)))
+    }
+    val df = (inliers :+ (99L, Array(9f, -6f, 11f, -3f))).toDF("id", "v")
+    val out = graft.operators.Similarity.oodScore(df, "v", "id", dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val maxInlier = (out - 99L).values.max
+    assert(out(99L) > 10 * maxInlier,
+      s"outlier ${out(99L)} should dwarf max inlier $maxInlier")
   }
 
   // ---- dimsHealth ---------------------------------------------------------

@@ -550,4 +550,68 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(2L) === ((4L, 3L, 2L, math.floor(4.0 / 3.0 * 1e6 + 0.5) / 1e6, "ok")))
     assert(out(3L)._5 === "ok")
   }
+
+  test("changepoint: a persistent level shift walks the CUSUM over 4σ; alternation never flags") {
+    // type a: 10 days at 5 events, then 10 days at 12 — a +3.5 step
+    // that never trips a pointwise 2σ day test (z ≈ 0.97) but
+    // accumulates ~1.7σ per day after the shift.
+    // type b: alternating 8/9 — CUSUM stays bounded under k=0.5σ drift.
+    val day = 86400000000L
+    val a = (0 until 20).flatMap { d =>
+      val n = if (d < 10) 5 else 12
+      (0 until n).map(i => ("a", d * day + i * 1000L))
+    }
+    val b = (0 until 20).flatMap { d =>
+      (0 until (if (d % 2 == 0) 8 else 9)).map(i => ("b", d * day + i * 1000L))
+    }
+    val out = EventAnalytics.changepoint((a ++ b).toDF("et", "ts"), "et", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getBoolean(5), r.getBoolean(6)))).toMap
+    // hand numbers: μ=8.5, σ²=245/19, σ≈3.591, k≈1.795, h=4σ≈14.36;
+    // post-shift drift ≈ 1.705/day → S⁺(day19) ≈ 17.05 > h
+    val sd = math.sqrt(245.0 / 19.0)
+    val last = out(("a", 19L))
+    assert(math.abs(last._1 - 10 * (12 - 8.5 - 0.5 * sd)) < 0.01,
+      s"S+ at the last day ≈ accumulated post-shift drift: $last")
+    assert(last._2, s"shift_up flags once CUSUM > 4σ: $last")
+    assert(!out(("a", 9L))._2, "pre-shift days stay under threshold")
+    assert(out.filter(_._1._1 == "b").values.forall(v => !v._2 && !v._3),
+      "bounded alternation never flags either side")
+  }
+
+  test("markovSurprisal: hand-computed Laplace-smoothed log-likelihoods") {
+    // Corpus: u1 walks a→b, b→a, a→b; u2 walks a→b. V = 2 types.
+    // matrix: a→b n=3 (from-total 3), b→a n=1 (from-total 1).
+    // term(a→b) = ln((3+2)/(3+1)) = ln(1.25) → q 223144
+    // term(b→a) = ln((1+2)/(1+1)) = ln(1.5)  → q 405465
+    // u1: (2·223144 + 405465)/3/1e6 → 0.283918 (floor-round 6dp)
+    // u2: 223144/1e6 = 0.223144
+    val rows = Seq(
+      (1L, "a", 100L, 1L), (1L, "b", 200L, 2L), (1L, "a", 300L, 3L), (1L, "b", 400L, 4L),
+      (2L, "a", 100L, 5L), (2L, "b", 200L, 6L))
+    val out = EventAnalytics.markovSurprisalImpl(
+        rows.toDF("u", "et", "ts", "eid"), "u", "et", "ts", "eid",
+        materialize = false)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((3L, 0.283918)))
+    assert(out(2L) === ((1L, 0.223144)))
+  }
+
+  test("markovSurprisal: the user taking rare transitions scores highest") {
+    // Ten users loop a→b→a…; one user walks c→d→c… — transitions the
+    // corpus almost never takes → highest mean surprisal. A single-
+    // event user produces no transitions and is absent.
+    val common = (1L to 10L).flatMap { u =>
+      (0 until 6).map(i => (u, if (i % 2 == 0) "a" else "b", 100L * (i + 1), u * 100 + i))
+    }
+    val rare = (0 until 6).map(i => (99L, if (i % 2 == 0) "c" else "d", 100L * (i + 1), 9900L + i))
+    val lonely = Seq((50L, "a", 100L, 5000L))
+    val out = EventAnalytics.markovSurprisalImpl(
+        (common ++ rare ++ lonely).toDF("u", "et", "ts", "eid"),
+        "u", "et", "ts", "eid", materialize = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!out.contains(50L), "single-event user has no transitions")
+    val maxCommon = (out - 99L).values.max
+    assert(out(99L) > maxCommon, s"rare walker ${out(99L)} vs common max $maxCommon")
+  }
 }

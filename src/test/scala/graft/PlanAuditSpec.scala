@@ -958,4 +958,70 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"overlap join broadcasts:\n$p")
     assert(p.contains("partial_"), s"overlap count map-side combined:\n$p")
   }
+
+  test("dedup_sorted_neighborhood: rank order is a range exchange, no global window, no cartesian") {
+    val p = plan("dedup_sorted_neighborhood")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"global order via range exchange (the sort any engine pays):\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"no one-task funnel:\n$p")
+    assert(!p.contains("Window"), s"rank comes from zipWithIndex, not a global window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"neighborhood pairing is an equi-join:\n$p")
+    // shingle arrays must not key the candidate exchange — only
+    // (bucket, rank, id) longs ride the neighborhood join
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.forall(l => !l.contains("sh_a#") && !l.contains("sh_b#") && !l.contains("shingles#")),
+      s"shingles join back per-id, never key the pairing shuffle:\n${exch.mkString("\n")}")
+  }
+
+  test("emb_ood_score: one-row stats broadcast back; corpus never hash-shuffles") {
+    val p = plan("emb_ood_score")
+    assert(p.contains("partial_"), s"2·dim+1 moments map-side combined:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the single stats row broadcasts:\n$p")
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.isEmpty, s"no data-sized shuffle:\n${exch.mkString("\n")}")
+  }
+
+  test("emb_pq_profile: codebook is a plan literal — one scan, no join, corpus never shuffles") {
+    val p = plan("emb_pq_profile")
+    assert(p.contains("partial_"), s"per-m sums map-side combined:\n$p")
+    assert(!p.contains("Join"), s"no join (codebook rides as a literal):\n$p")
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.isEmpty, s"no data-sized shuffle:\n${exch.mkString("\n")}")
+  }
+
+  test("evt_changepoint: windows only over the (type, day) rollup, stats broadcast") {
+    val p = plan("evt_changepoint")
+    assert(p.contains("partial_"), s"day rollup map-side combined:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-type stats broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no data-sized join:\n$p")
+    // every CUSUM window keys by event_type — never an empty partition spec
+    val win = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(win.nonEmpty && win.forall(_.contains("event_type")),
+      s"windows partitioned by type:\n${win.mkString("\n")}")
+  }
+
+  test("markovSurprisal seam: user-keyed window only, matrix joins broadcast") {
+    // audit the unmaterialized plan — the registered query is
+    // checkpointed, so its executed plan is just a scan
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val events = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_us", expr("ts div 1000"))
+      case _ => raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    }
+    val p = graft.operators.EventAnalytics.markovSurprisalImpl(
+        events, "user_id", "event_type", "ts_us", "event_id", materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"term matrix broadcasts onto the slim frame:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no data-sized join:\n$p")
+    assert(p.contains("partial_"), s"per-user rollup map-side combined:\n$p")
+    // the only data-sized window keys by user — never an empty partition spec
+    val win = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(win.forall(_.contains("user_id")), s"window keyed by user:\n${win.mkString("\n")}")
+  }
 }
