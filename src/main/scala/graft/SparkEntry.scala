@@ -364,6 +364,71 @@ object SparkEntry {
        ORDER BY m"""
   }
 
+  /** DuckDB replication of
+    * [[graft.operators.Similarity.ivfProbeProfile]]: the
+    * [[annIvfOracleSql]] seed/assignment/probe-rank chains over the
+    * FULL corpus plus the recall-profile sample/truth chains; per-depth
+    * counters replayed as conditional sums over the one flagged
+    * candidate frame.
+    */
+  private def ivfProfileOracleSql(probes: Seq[Int], nCells: Int, k: Int,
+      sampleQ: Int): String = {
+    def sqd(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    val pmax = probes.max
+    val aggCols = probes.map(p =>
+      s"sum(CASE WHEN pr <= $p THEN 1 ELSE 0 END) AS sc$p, " +
+      s"sum(CASE WHEN pr <= $p AND hit = 1 THEN 1 ELSE 0 END) AS h$p").mkString(",\n           ")
+    val rows = probes.map { p =>
+      s"""SELECT CAST($p AS INTEGER) AS n_probe,
+           CAST(coalesce(sc$p, 0) AS BIGINT) AS scanned_rows,
+           CAST(coalesce(h$p, 0) AS BIGINT) AS hits,
+           CAST(tn AS BIGINT) AS truth_n,
+           CASE WHEN tn = 0 THEN 1.0
+             ELSE ${roundToSql(s"CAST(coalesce(h$p, 0) AS DOUBLE) / CAST(tn AS DOUBLE)", 6)}
+           END AS recall_at_k,
+           CASE WHEN qn * cn = 0 THEN 0.0
+             ELSE ${roundToSql(s"CAST(coalesce(sc$p, 0) AS DOUBLE) / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))", 6)}
+           END AS scanned_frac
+         FROM ip_a CROSS JOIN ip_tn CROSS JOIN ip_qn CROSS JOIN ip_cn"""
+    }.mkString("\n       UNION ALL ")
+    s"""WITH ivp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       ip_cn AS (SELECT CAST(count(*) AS BIGINT) AS cn FROM ivp),
+       ip_seed AS (SELECT vec_id, v FROM ivp
+         ORDER BY ((vec_id % 1000003) * ${graft.config.PortableSalt.seedMul}) % 2147483647 DESC, vec_id LIMIT $nCells),
+       ip_cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell_id,
+           v AS centroid FROM ip_seed),
+       ip_ad AS (SELECT ivp.vec_id, ip_cents.cell_id,
+           ${sqd("ivp.v", "ip_cents.centroid")} AS d FROM ivp CROSS JOIN ip_cents),
+       ip_asg AS (SELECT vec_id, cell_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell_id ASC) AS rn
+           FROM ip_ad) WHERE rn = 1),
+       ip_smp AS (SELECT vec_id AS query_id, v AS qv FROM ivp
+         ORDER BY ((vec_id % 1000003) * ${graft.config.PortableSalt.seedMul}) % 2147483647 DESC, vec_id LIMIT $sampleQ),
+       ip_qn AS (SELECT CAST(count(*) AS BIGINT) AS qn FROM ip_smp),
+       ip_sc AS (SELECT s.query_id, ivp.vec_id AS corpus_id, ${duckCos("s.qv", "ivp.v")} AS c
+         FROM ivp CROSS JOIN ip_smp s WHERE ivp.vec_id <> s.query_id),
+       ip_truth AS (SELECT query_id, corpus_id FROM (
+           SELECT query_id, corpus_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, corpus_id ASC) AS rn
+           FROM ip_sc) WHERE rn <= $k),
+       ip_tn AS (SELECT count(*) AS tn FROM ip_truth),
+       ip_qd AS (SELECT s.query_id, c.cell_id, ${sqd("s.qv", "c.centroid")} AS d
+         FROM ip_smp s CROSS JOIN ip_cents c),
+       ip_pr AS (SELECT query_id, cell_id, pr FROM (
+           SELECT query_id, cell_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY d ASC, cell_id ASC) AS pr
+           FROM ip_qd) WHERE pr <= $pmax),
+       ip_fl AS (SELECT p.query_id, a.vec_id AS corpus_id, p.pr,
+           CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         FROM ip_asg a JOIN ip_pr p USING (cell_id)
+         LEFT JOIN ip_truth t ON t.query_id = p.query_id AND t.corpus_id = a.vec_id
+         WHERE a.vec_id <> p.query_id),
+       ip_a AS (SELECT $aggCols FROM ip_fl)
+       $rows
+       ORDER BY n_probe"""
+  }
+
   /** DuckDB replication of [[graft.operators.Similarity.kmeansAssign]]:
     * the same 1e-6 coordinate quantization, the same portable hash
     * seed top-k, and each Lloyd round replayed as CTEs — assignment
@@ -1287,6 +1352,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), rd(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    "dedup_threshold_profile" -> ((s, dir) =>
+      // Verify-threshold advisor: exact-Jaccard histogram over the
+      // capped LSH candidates (threshold open) — measures where the
+      // duplicate mode and the background separate before a dedup run
+      // commits to a cutoff.
+      Dedup.jaccardThresholdProfile(t(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, numHashes = 128, bands = 32, portableHash = true)),
     "dedup_sorted_neighborhood" -> ((s, dir) => {
       // Sorted-neighborhood blocking (merge/purge): rank by normalized
       // text prefix, pair within a 10-row window, verify exact Jaccard
@@ -1999,6 +2071,13 @@ object SparkEntry {
       // distortion curve measured before a cluster-wide encode.
       graft.operators.Similarity.pqDistortionProfile(t(s, dir, "embeddings"),
         "embedding", "vec_id", dim = 64, portableSeed = true)),
+    "emb_ivf_profile" -> ((s, dir) =>
+      // IVF nProbe advisor: exact scan work + sampled recall@k per
+      // candidate probe count — ONE corpus pass scores every depth
+      // (cells partition the corpus, so each candidate row carries
+      // exactly one probe rank).
+      graft.operators.Similarity.ivfProbeProfile(t(s, dir, "embeddings"),
+        "embedding", "vec_id", dim = 64, portableSeed = true)),
     "emb_recall_profile" -> ((s, dir) =>
       // The recall half of the key-depth decision emb_bucket_profile
       // opened: per candidate depth, the exact capped candidate work
@@ -2288,6 +2367,12 @@ object SparkEntry {
       graft.operators.EventAnalytics.changepoint(
           events(s, dir), "event_type", "ts_us")
         .orderBy("event_type", "day")),
+    "evt_gap_profile" -> ((s, dir) =>
+      // Sessionization-timeout advisor: inter-event gap distribution
+      // over human-scale buckets with cumulative share — one event
+      // scan (user-keyed lead window), ≤ 7-row rollup.
+      graft.operators.EventAnalytics.gapProfile(events(s, dir),
+        "user_id", "ts_us", "event_id")),
     "meta_diff" -> ((s, dir) => {
       // Snapshot diff across a simulated pipeline run: the
       // meta_upsert scenario (updates + inserts) plus deletes of
@@ -2733,6 +2818,32 @@ object SparkEntry {
            GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
          SELECT id_a, id_b, ${roundToSql("jac", 6)} AS jaccard FROM j
          WHERE jac >= 0.3 ORDER BY id_a, id_b""",
+    "dedup_threshold_profile" ->
+      s"""WITH $minhashLshCtes,
+         tp_b AS (SELECT least(CAST(floor(jac * 10) AS INTEGER), 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n_pairs FROM mh_ver GROUP BY 1)
+         SELECT bin, CAST(bin AS DOUBLE) / 10.0 AS lo,
+           (CAST(bin AS DOUBLE) + 1.0) / 10.0 AS hi, n_pairs,
+           ${roundToSql("CAST(n_pairs AS DOUBLE) / CAST(sum(n_pairs) OVER () AS DOUBLE)", 6)} AS share
+         FROM tp_b ORDER BY bin""",
+    "evt_gap_profile" ->
+      s"""WITH gp_g AS (SELECT epoch_us(ts) AS tu,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+         FROM events),
+         gp_s AS (SELECT (nxt - tu) // 1000000 AS gap_s FROM gp_g WHERE nxt IS NOT NULL),
+         gp_b AS (SELECT CASE WHEN gap_s < 1 THEN 0 WHEN gap_s < 10 THEN 1
+             WHEN gap_s < 60 THEN 2 WHEN gap_s < 300 THEN 3 WHEN gap_s < 1800 THEN 4
+             WHEN gap_s < 14400 THEN 5 ELSE 6 END AS bucket FROM gp_s),
+         gp_c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps
+           FROM gp_b GROUP BY bucket)
+         SELECT bucket,
+           CASE bucket WHEN 0 THEN '<1s' WHEN 1 THEN '<10s' WHEN 2 THEN '<1m'
+             WHEN 3 THEN '<5m' WHEN 4 THEN '<30m' WHEN 5 THEN '<4h'
+             ELSE '>=4h' END AS label,
+           n_gaps,
+           ${roundToSql("CAST(n_gaps AS DOUBLE) / CAST(sum(n_gaps) OVER () AS DOUBLE)", 6)} AS share,
+           ${roundToSql("CAST(sum(n_gaps) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(n_gaps) OVER () AS DOUBLE)", 6)} AS cum_share
+         FROM gp_c ORDER BY bucket""",
     "dedup_sorted_neighborhood" ->
       s"""WITH sn_t AS (SELECT doc_id,
            regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm FROM documents),
@@ -3691,6 +3802,7 @@ object SparkEntry {
     "emb_graph_suite" -> embGraphSuiteOracleSql,
     "emb_bucket_profile" -> embBucketProfileOracleSql,
     "emb_pq_profile" -> pqProfileOracleSql,
+    "emb_ivf_profile" -> ivfProfileOracleSql(Seq(1, 2, 4, 8), 16, 10, 8),
     "emb_recall_profile" -> embRecallProfileOracleSql(Seq(4, 6, 8), 10, 8),
     "dedup_recall_profile" -> dedupRecallProfileOracleSql(Seq(8, 16, 32), 128, 0.3, 8),
     "dedup_band_profile" ->

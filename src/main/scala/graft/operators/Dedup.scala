@@ -1190,6 +1190,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Verify-threshold advisor — the missing dial next to
+    * [[minhashBandProfile]] (candidate work) and
+    * [[minhashRecallProfile]] (banding recall): the HISTOGRAM of exact
+    * Jaccard over the capped LSH candidate pairs, i.e. where the
+    * corpus' similarity mass actually sits. Real corpora are bimodal
+    * (a near-1.0 duplicate mode and a low-overlap background); the
+    * valley between them is the defensible `threshold`, and this
+    * measures it instead of assuming 0.7. Runs the identical
+    * signature/banding/cap chain as [[minhashNearDups]] with the
+    * verify threshold OPEN (0.0), then bins the verified scores.
+    *
+    * Scale shape: exactly one [[minhashNearDups]] pass (same capped
+    * candidate volume, same slim shuffles) plus a ≤ `bins`-row rollup;
+    * the share windows run on that tiny table. Determinism: jaccard is
+    * an integer-ratio double and binning/share are fixed-shape
+    * arithmetic on it.
+    */
+  def jaccardThresholdProfile(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      seed: Long = graft.operators.Dedup.DefaultSeed, maxBucketSize: Int = 1000,
+      portableHash: Boolean = false, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val pairs = minhashNearDups(df, textCol, idCol, shingleSize, numHashes,
+      bands, threshold = 0.0, seed, maxBucketSize, portableHash)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    pairs.select(least(floor(col("jaccard") * lit(bins)).cast("int"),
+        lit(bins - 1)).as("bin"))
+      .groupBy("bin").agg(count("*").as("n_pairs"))
+      .select(col("bin"),
+        (col("bin").cast("double") / lit(bins.toDouble)).as("lo"),
+        ((col("bin").cast("double") + lit(1.0)) / lit(bins.toDouble)).as("hi"),
+        col("n_pairs"),
+        rd(col("n_pairs").cast("double") /
+          sum("n_pairs").over(w).cast("double"), 6).as("share"))
+      .orderBy("bin")
+  }
+
   /** Sorted-neighborhood near-dup pairs (the merge/purge blocking
     * family, Hernández & Stolfo 1995) — the third candidate-generation
     * strategy next to MinHash banding and hyperplane buckets: sort the

@@ -172,6 +172,54 @@ object EventAnalytics {
       .select("event_type", "day", "n_events", "z", "is_anomaly")
   }
 
+  /** Sessionization-timeout advisor: the distribution of per-user
+    * inter-event gaps over human-scale buckets (<1s, <10s, <1m, <5m,
+    * <30m, <4h, ≥4h) with per-bucket share and cumulative share — the
+    * measurement behind the "30-minute session" constant every
+    * sessionizer hardcodes. The right timeout is the valley after the
+    * in-session mass; this reads it off the corpus instead of assuming
+    * it (and the <1s bucket doubles as a bot signal, cf. [[botDetect]]).
+    *
+    * Determinism: gaps and bucket edges are exact integer micros
+    * (truncating `div` to seconds, integer compares only); shares are
+    * fixed-shape divisions of exact longs, 1e-6-quantized.
+    *
+    * Scale shape: one event scan through the user-keyed lead window
+    * (the transitions/markov seam), rolled up map-side to ≤ 7 rows;
+    * the share and cumulative windows run on that constant-size table.
+    */
+  def gapProfile(events: DataFrame, userCol: String, tsUsCol: String,
+                 eventIdCol: String): DataFrame = {
+    val rd = graft.functions.MathFunctions.roundTo _
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(tsUsCol, eventIdCol)
+    val gaps = events
+      .select(col(userCol).as("user_id"), col(tsUsCol), col(eventIdCol))
+      .withColumn("__next", lead(col(tsUsCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select((col("__next") - col(tsUsCol)).as("gap_us"))
+    val gapS = expr("gap_us div 1000000")
+    val bucket = when(gapS < 1L, 0).when(gapS < 10L, 1).when(gapS < 60L, 2)
+      .when(gapS < 300L, 3).when(gapS < 1800L, 4).when(gapS < 14400L, 5)
+      .otherwise(6)
+    val labels = Seq("<1s", "<10s", "<1m", "<5m", "<30m", "<4h", ">=4h")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wCum = org.apache.spark.sql.expressions.Window.partitionBy()
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    gaps.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count("*").as("n_gaps"))
+      .select(col("bucket"),
+        element_at(array(labels.map(lit): _*), col("bucket") + 1).as("label"),
+        col("n_gaps"),
+        rd(col("n_gaps").cast("double") /
+          sum("n_gaps").over(wAll).cast("double"), 6).as("share"),
+        rd(sum("n_gaps").over(wCum).cast("double") /
+          sum("n_gaps").over(wAll).cast("double"), 6).as("cum_share"))
+      .orderBy("bucket")
+  }
+
   /** CUSUM change-point detection on the per-type daily count series —
     * the sequential complement to [[dailyAnomalies]]: a z-score flags
     * one outlier DAY, while the cumulative-sum statistic accumulates

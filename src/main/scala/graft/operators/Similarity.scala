@@ -841,6 +841,101 @@ object Similarity {
       .orderBy("m")
   }
 
+  /** IVF probe advisor — the third leg of the ANN sizing toolkit
+    * ([[lshRecallProfile]] sizes LSH key depth, [[pqDistortionProfile]]
+    * sizes PQ bits, this sizes `nProbe`): for every candidate probe
+    * count, the EXACT scan work (corpus rows touched across the
+    * sampled queries) and recall@k against exact-cosine ground truth —
+    * the scan-fraction-vs-recall curve measured on the corpus before
+    * an [[ivfTopK]] deployment picks its operating point.
+    *
+    * Scale shape: ONE corpus pass scores every probe depth — cells
+    * partition the corpus, so each (query, corpus row) pair carries
+    * exactly one probe rank, and all per-depth counters roll up in a
+    * single map-side-combined aggregate over that pass. Sample, probe
+    * ranks (Q·nCells rows) and truth (Q·k rows) all broadcast; the
+    * corpus never shuffles. Seeding/assignment reuse the portable
+    * [[ivfTopK]] lloydIters=0 chain, so a DuckDB oracle replays every
+    * double bit-for-bit.
+    */
+  def ivfProbeProfile(
+      df: DataFrame, vecCol: String, idCol: String, dim: Int = 64,
+      probes: Seq[Int] = Seq(1, 2, 4, 8), nCells: Int = 16, k: Int = 10,
+      sampleQ: Int = 8, portableSeed: Boolean = false): DataFrame = {
+    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= nCells),
+      s"every probe count in $probes must be in [1, nCells=$nCells]")
+    require(k >= 1 && sampleQ >= 1, s"k=$k and sampleQ=$sampleQ must be positive")
+    val rd = graft.functions.MathFunctions.roundTo _
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val c = base.select(col("id").as("corpus_id"), col("v").as("cv"))
+    val cents = kmeansCentroids(c, nCells, lloydIters = 0, portableSeed)
+    require(cents.nonEmpty, "ivfProbeProfile needs a non-empty corpus")
+    val assigned = base.withColumn("cell_id",
+      column(graft.plans.NearestCentroid(expression(col("v")), cents.toSeq.map(_.toSeq))))
+    // deterministic portable sample + exact ground truth: the
+    // lshRecallProfile chain (hash top-Q, bounded-heap exact top-k)
+    val seedHash = pmod(pmod(col("id"), lit(1000003L)) *
+      lit(graft.config.PortableSalt.seedMul), lit(2147483647L))
+    val sample = base
+      .join(broadcast(base
+        .agg(graft.plans.TopKByScore.topKByScore(
+          seedHash.cast("double"), col("id"), sampleQ).as("top"))
+        .select(explode(col("top.id")).as("query_id"))),
+        col("id") === col("query_id"))
+      .select(col("query_id"), col("v").as("qv"))
+      .localCheckpoint(eager = true)
+    val truth = base.crossJoin(broadcast(sample))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("corpus_id"),
+        cosine(col("qv"), col("v")).as("c"))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByScore.topKByScore(col("c"), col("corpus_id"), k).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("corpus_id"))
+      .localCheckpoint(eager = true)
+    val truthN = truth.agg(count(lit(1)).as("truth_n"))
+    val qN = sample.agg(count(lit(1)).as("qn"))
+    val cN = base.agg(count(lit(1)).as("cn"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroidsDf = cents.zipWithIndex
+      .map { case (v0, i) => (i, v0.toSeq) }.toSeq.toDF("cell_id", "centroid")
+    val wq = Window.partitionBy("query_id").orderBy(col("d").asc, col("cell_id").asc)
+    val probeRank = sample.crossJoin(broadcast(centroidsDf))
+      .select(col("query_id"), col("cell_id"), sqDist(col("qv"), col("centroid")).as("d"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= probes.max)
+      .select("query_id", "cell_id", "pr")
+    // truth arrives as a stats-less checkpoint RDD — broadcast it so
+    // the hit flag never falls back to a sort-merge join
+    val truthM = truth.withColumn("__t", lit(1L))
+    val flagged = assigned.join(broadcast(probeRank), Seq("cell_id"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("corpus_id"), col("pr"))
+      .join(broadcast(truthM), Seq("query_id", "corpus_id"), "left")
+    val aggs = probes.flatMap(p => Seq(
+      sum(when(col("pr") <= p, 1L).otherwise(0L)).as(s"__sc$p"),
+      sum(when(col("pr") <= p && col("__t").isNotNull, 1L).otherwise(0L)).as(s"__h$p")))
+    val g = flagged.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(truthN).crossJoin(qN).crossJoin(cN)
+    val rows = probes.map { p =>
+      val sc = coalesce(col(s"__sc$p"), lit(0L))
+      val h = coalesce(col(s"__h$p"), lit(0L))
+      struct(lit(p).as("n_probe"), sc.as("scanned_rows"), h.as("hits"),
+        col("truth_n"),
+        when(col("truth_n") === 0L, lit(1.0))
+          .otherwise(rd(h.cast("double") / col("truth_n").cast("double"), 6))
+          .as("recall_at_k"),
+        when(col("qn") * col("cn") === 0L, lit(0.0))
+          .otherwise(rd(sc.cast("double") /
+            (col("qn").cast("double") * col("cn").cast("double")), 6))
+          .as("scanned_frac"))
+    }
+    g.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.n_probe"), col("r.scanned_rows"), col("r.hits"),
+        col("r.truth_n"), col("r.recall_at_k"), col("r.scanned_frac"))
+      .orderBy("n_probe")
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,

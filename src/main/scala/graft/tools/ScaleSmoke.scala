@@ -70,7 +70,8 @@ object ScaleSmoke {
     // exchange + bucket-join rank pairing stays linear), the one-row
     // stats OOD scan, and the Markov scoring (one user-keyed window)
     "dedup_sorted_neighborhood", "emb_ood_score", "evt_markov_score",
-    "evt_changepoint", "emb_pq_profile",
+    "evt_changepoint", "emb_pq_profile", "emb_ivf_profile",
+    "dedup_threshold_profile", "evt_gap_profile",
     // round-10 additions over documents/embeddings
     "txt_zipf", "txt_boilerplate", "txt_readability", "txt_code_detect",
     "emb_diversity", "emb_silhouette", "emb_dims_health", "emb_recall_eval",

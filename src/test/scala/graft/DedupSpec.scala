@@ -1005,6 +1005,51 @@ class DedupSpec extends SparkSpec {
     assert(out(4) <= out(2) && out(2) <= out(1), s"monotone in m: $out")
   }
 
+  // ---- jaccardThresholdProfile ----------------------------------------------
+
+  test("jaccardThresholdProfile: exact dups land in the top bin; shares sum to 1") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, base), (2L, base), (3L, base),
+      (4L, base.replace("lazy", "sleepy").replace("quick", "slow"))).toDF("doc_id", "text")
+    val out = Dedup.jaccardThresholdProfile(docs, "text", "doc_id",
+        shingleSize = 2, numHashes = 64, bands = 32)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(9)._1 == 3L, s"the 3 identical-doc pairs bin at [0.9, 1.0]: $out")
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-6, s"shares sum to 1: $out")
+    assert(out.keys.forall(b => b >= 0 && b <= 9), s"bins clamp to [0, 9]: $out")
+  }
+
+  // ---- ivfProbeProfile -----------------------------------------------------
+
+  test("ivfProbeProfile: probing every cell scans all non-self rows at recall 1.0") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (i, Array.tabulate(4)(d =>
+      math.sin(i * 7.0 + d).toFloat)))
+    val out = graft.operators.Similarity.ivfProbeProfile(
+        rows.toDF("id", "v"), "v", "id", dim = 4,
+        probes = Seq(4), nCells = 4, k = 3, sampleQ = 5)
+      .collect().head
+    assert(out.getLong(1) == 5L * 39L, s"every query touches all 39 other rows: $out")
+    assert(out.getDouble(4) == 1.0, s"full probe is exact: $out")
+    assert(out.getLong(3) == 15L, s"5 queries x k=3 truth rows: $out")
+  }
+
+  test("ivfProbeProfile: scan work and recall are monotone non-decreasing in n_probe") {
+    import spark.implicits._
+    val rows = (0L until 60L).map(i => (i, Array.tabulate(4)(d =>
+      (math.cos(i * 3.0 + 2 * d) + math.sin(i * 11.0)).toFloat)))
+    val out = graft.operators.Similarity.ivfProbeProfile(
+        rows.toDF("id", "v"), "v", "id", dim = 4,
+        probes = Seq(1, 2, 4), nCells = 4, k = 5, sampleQ = 4)
+      .collect().sortBy(_.getInt(0))
+    val scans = out.map(_.getLong(1)).toSeq
+    val recalls = out.map(_.getDouble(4)).toSeq
+    assert(scans == scans.sorted, s"scan work monotone: $scans")
+    assert(recalls == recalls.sorted, s"recall monotone: $recalls")
+    assert(out.last.getDouble(4) == 1.0, "probing all 4 cells is exact")
+  }
+
   // ---- oodScore -----------------------------------------------------------
 
   test("oodScore: hand-computed diagonal Mahalanobis; dead dims contribute 0") {

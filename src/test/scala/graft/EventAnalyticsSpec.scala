@@ -551,6 +551,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(3L)._5 === "ok")
   }
 
+  test("gapProfile: hand-placed gaps land in their buckets; cumulative share reaches 1") {
+    // one user, events at +0.5s, +30s, +120s, +2h: gaps of 0s (div),
+    // 30s, 120s, 7200s → buckets 0 (<1s), 2 (<1m), 3 (<5m), 5 (<4h).
+    val s = 1000000L
+    val ts = Seq(0L, s / 2, s / 2 + 30 * s, s / 2 + 150 * s, s / 2 + 150 * s + 7200 * s)
+    val rows = ts.zipWithIndex.map { case (t, i) => (1L, t, i.toLong) }
+    val out = EventAnalytics.gapProfile(rows.toDF("u", "ts", "eid"), "u", "ts", "eid")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(0, 2, 3, 5), s"buckets: $out")
+    assert(out(0) === (("<1s", 1L, 0.25)), s"sub-second gap: $out")
+    assert(out(5)._3 === 1.0, "cumulative share ends at 1.0")
+    assert(out(2)._1 == "<1m" && out(3)._1 == "<5m", s"labels track buckets: $out")
+  }
+
   test("changepoint: a persistent level shift walks the CUSUM over 4σ; alternation never flags") {
     // type a: 10 days at 5 events, then 10 days at 12 — a +3.5 step
     // that never trips a pointwise 2σ day test (z ≈ 0.97) but

@@ -990,6 +990,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(exch.isEmpty, s"no data-sized shuffle:\n${exch.mkString("\n")}")
   }
 
+  test("emb_ivf_profile: one corpus pass scores every probe depth; probe/truth sides broadcast") {
+    val p = plan("emb_ivf_profile")
+    assert(p.contains("nearest_centroid"), s"narrow literal-matrix assignment present:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe ranks and truth broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus never joins big-to-big:\n$p")
+    // the corpus' vector column must never key an exchange — the only
+    // hash exchanges carry the Q·nCells probe-rank window rows
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.forall(l => !l.contains("v#") && !l.contains("embedding#")),
+      s"corpus vectors never shuffle:\n${exch.mkString("\n")}")
+  }
+
+  test("dedup_threshold_profile: the minhash-chain shape holds with the verify threshold open") {
+    val p = plan("dedup_threshold_profile")
+    assert(!p.contains("CartesianProduct"), s"banding is an equi-join:\n$p")
+    assert(p.contains("partial_"), s"bin rollup map-side combined:\n$p")
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.forall(l => !l.contains("sh_a#") && !l.contains("sh_b#") && !l.contains("shingles#")),
+      s"shingles never key an exchange:\n${exch.mkString("\n")}")
+  }
+
+  test("evt_gap_profile: the only data-sized window keys by user; rollup is <= 7 rows") {
+    val p = plan("evt_gap_profile")
+    assert(p.contains("partial_"), s"bucket rollup map-side combined:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no join at all:\n$p")
+    val win = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(win.exists(_.contains("user_id")),
+      s"the gap lead keys by user:\n${win.mkString("\n")}")
+  }
+
   test("evt_changepoint: windows only over the (type, day) rollup, stats broadcast") {
     val p = plan("evt_changepoint")
     assert(p.contains("partial_"), s"day rollup map-side combined:\n$p")
