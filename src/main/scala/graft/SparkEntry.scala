@@ -1368,6 +1368,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), rd(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    "dedup_snm_multipass" -> ((s, dir) => {
+      // Two-pass merge/purge: prefix key + reversed-suffix key, pairs
+      // unioned + deduped before ONE shared exact-Jaccard verify — a
+      // prefix-edited duplicate that pass 1's sort order separates is
+      // caught by pass 2 (and vice versa).
+      Dedup.sortedNeighborhoodMultiPass(t(s, dir, "documents"), "text", "doc_id",
+          window = 10, keyLen = 24, shingleSize = 3, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), rd(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_embed_cosine" -> ((s, dir) => {
       // EXACT all-pairs recall oracle for the LSH variant — fenced by
       // Dedup.requireOracleScale so it can never be pointed at a full
@@ -2848,7 +2858,7 @@ object SparkEntry {
       s"""WITH sn_t AS (SELECT doc_id,
            regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm FROM documents),
          sn_r AS (SELECT doc_id,
-           row_number() OVER (ORDER BY substr(norm, 1, 24), doc_id) - 1 AS rnk FROM sn_t),
+           row_number() OVER (ORDER BY hex(substr(norm, 1, 24)), doc_id) - 1 AS rnk FROM sn_t),
          sn_c AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
              greatest(a.doc_id, b.doc_id) AS id_b
            FROM sn_r a JOIN sn_r b ON b.rnk - a.rnk BETWEEN 1 AND 9),
@@ -2863,6 +2873,31 @@ object SparkEntry {
            JOIN sn_c c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
            GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
          SELECT id_a, id_b, ${roundToSql("jac", 6)} AS jaccard FROM sn_j
+         WHERE jac >= 0.3 ORDER BY id_a, id_b""",
+    "dedup_snm_multipass" ->
+      s"""WITH sm_t AS (SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm FROM documents),
+         sm_r1 AS (SELECT doc_id,
+           row_number() OVER (ORDER BY hex(substr(norm, 1, 24)), doc_id) - 1 AS rnk FROM sm_t),
+         sm_r2 AS (SELECT doc_id,
+           row_number() OVER (ORDER BY hex(substr(reverse(norm), 1, 24)), doc_id) - 1 AS rnk FROM sm_t),
+         sm_c AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b
+           FROM sm_r1 a JOIN sm_r1 b ON b.rnk - a.rnk BETWEEN 1 AND 9
+           UNION
+           SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+           FROM sm_r2 a JOIN sm_r2 b ON b.rnk - a.rnk BETWEEN 1 AND 9),
+         sm_sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+           FROM (SELECT doc_id, regexp_split_to_array(norm, ' ') AS toks FROM sm_t)),
+         sm_e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sm_sh),
+         sm_j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) AS jac
+           FROM sm_e a JOIN sm_e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           JOIN sm_c c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+         SELECT id_a, id_b, ${roundToSql("jac", 6)} AS jaccard FROM sm_j
          WHERE jac >= 0.3 ORDER BY id_a, id_b""",
     "dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
@@ -4302,7 +4337,11 @@ object SparkEntry {
            (a, b) -> a + b) AS zval
          FROM orders ORDER BY o_orderkey""",
     "evt_anomaly" -> {
-      val sd = "sqrt((s.q - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / CAST(s.nd AS DOUBLE)) / CAST(s.nd - 1 AS DOUBLE))"
+      // gate on VARIANCE (not sd): sqrt of a cancellation-negative
+      // variance is NaN, and NaN > 0.0 diverges loud-vs-silent across
+      // engines — mirrors EventAnalytics.dailyAnomalies
+      val vr = "((s.q - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / CAST(s.nd AS DOUBLE)) / CAST(s.nd - 1 AS DOUBLE))"
+      val sd = s"sqrt($vr)"
       s"""WITH an_c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
            CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2),
          an_s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
@@ -4310,7 +4349,7 @@ object SparkEntry {
              CAST(sum(CAST(n_events AS HUGEINT) * n_events) AS DOUBLE) AS q
            FROM an_c GROUP BY 1),
          an_z AS (SELECT c.event_type, c.day, c.n_events,
-             CASE WHEN s.nd > 1 AND $sd > 0.0
+             CASE WHEN s.nd > 1 AND $vr > 0.0
                THEN ${roundToSql(s"(CAST(c.n_events AS DOUBLE) - CAST(s.s AS DOUBLE) / CAST(s.nd AS DOUBLE)) / $sd", 6)}
              END AS z
            FROM an_c c JOIN an_s s USING (event_type))
@@ -4319,7 +4358,11 @@ object SparkEntry {
          FROM an_z ORDER BY event_type, day"""
     },
     "evt_changepoint" -> {
-      val sd = "sqrt((s.q - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / CAST(s.nd AS DOUBLE)) / CAST(s.nd - 1 AS DOUBLE))"
+      // variance gate, not sd — same NaN discipline as evt_anomaly:
+      // here the divergence is loud (DuckDB errors on CAST(NaN AS
+      // BIGINT)) vs silent (Spark floor(NaN) → zeroed CUSUM)
+      val vr = "((s.q - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / CAST(s.nd AS DOUBLE)) / CAST(s.nd - 1 AS DOUBLE))"
+      val sd = s"sqrt($vr)"
       s"""WITH cp_c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
            CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2),
          cp_s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
@@ -4327,14 +4370,14 @@ object SparkEntry {
              CAST(sum(CAST(n_events AS HUGEINT) * n_events) AS DOUBLE) AS q
            FROM cp_c GROUP BY 1),
          cp_d AS (SELECT c.event_type, c.day, c.n_events,
-             (s.nd > 1 AND $sd > 0.0) AS healthy,
-             CASE WHEN s.nd > 1 AND $sd > 0.0
+             (s.nd > 1 AND $vr > 0.0) AS healthy,
+             CASE WHEN s.nd > 1 AND $vr > 0.0
                THEN CAST(floor((CAST(c.n_events AS DOUBLE) - CAST(s.s AS DOUBLE) / CAST(s.nd AS DOUBLE) - $sd * 0.5) * 1e6 + 0.5) AS BIGINT)
                ELSE 0 END AS dq,
-             CASE WHEN s.nd > 1 AND $sd > 0.0
+             CASE WHEN s.nd > 1 AND $vr > 0.0
                THEN CAST(floor((CAST(c.n_events AS DOUBLE) - CAST(s.s AS DOUBLE) / CAST(s.nd AS DOUBLE) + $sd * 0.5) * 1e6 + 0.5) AS BIGINT)
                ELSE 0 END AS eq,
-             CASE WHEN s.nd > 1 AND $sd > 0.0
+             CASE WHEN s.nd > 1 AND $vr > 0.0
                THEN CAST(floor($sd * 4.0 * 1e6 + 0.5) AS BIGINT)
                ELSE 0 END AS hq
            FROM cp_c c JOIN cp_s s USING (event_type)),

@@ -1252,48 +1252,103 @@ object Dedup {
     * once. Only (id, rank, bucket) longs ride that shuffle; text joins
     * back per-id for the surviving pairs only.
     *
-    * Determinism: rank order is (key, id) with a unique id — identical
-    * on any engine for ASCII keys (the normalized corpus); Jaccard is
-    * an integer-ratio double. Returns (id_a, id_b, jaccard) with
-    * id_a < id_b (ids are least/greatest-normalized: rank order and id
-    * order can disagree).
+    * Determinism: rank order is (key, id) with a unique id, and the
+    * key is the HEX form of the normalized prefix's UTF-8 bytes —
+    * pure ASCII on any input, so Spark's UTF8 binary sort and an
+    * oracle engine's default collation order it identically even for
+    * non-ASCII corpora (hex string order ≡ byte order of the
+    * original prefix; uppercase hex-of-UTF-8 is engine-portable).
+    * Jaccard is an integer-ratio double. Returns (id_a, id_b,
+    * jaccard) with id_a < id_b (ids are least/greatest-normalized:
+    * rank order and id order can disagree). Note: the rank is
+    * materialized via `zipWithIndex`, which runs one eager job at
+    * call time.
     */
   def sortedNeighborhoodNearDups(
       df: DataFrame, textCol: String, idCol: String,
       window: Int = 10, keyLen: Int = 24, shingleSize: Int = 3,
       threshold: Double = 0.3): DataFrame = {
-    require(window >= 2, s"window=$window must be >= 2 (a 1-row neighborhood has no pairs)")
     require(keyLen >= 1, s"keyLen=$keyLen must be >= 1")
+    sortedNeighborhoodNearDupsMultiKey(df, textCol, idCol,
+      Seq(hex(substring(normalizeText(col(textCol)), 1, keyLen))),
+      window, shingleSize, threshold)
+  }
+
+  /** Multi-pass sorted-neighborhood near-dup pairs — the classic
+    * merge/purge deployment (Hernández & Stolfo 1995 run their method
+    * with SEVERAL independent blocking keys and union the results): a
+    * single pass misses duplicate pairs whose edits hit the blocking
+    * key itself (a prefix key cannot neighbor two documents that
+    * differ in their first words, however identical the rest). Each
+    * `keyExprs` entry drives one independent rank-and-window pass;
+    * candidate pairs union across passes and deduplicate BEFORE the
+    * exact-Jaccard verify, so a pair blocked by k passes is verified
+    * once, not k times.
+    *
+    * The default two-pass configuration ([[sortedNeighborhoodMultiPass]])
+    * pairs the normalized-prefix key with the REVERSED-text prefix
+    * (i.e. the suffix read backwards): edits concentrated early in the
+    * document leave the suffix key intact and vice versa, so the two
+    * passes cover each other's blind spot.
+    *
+    * Scale shape: per pass, exactly the single-pass plan — one range
+    * exchange over slim (id, key) rows, zipWithIndex rank, bucket
+    * equi-join with candidate volume EXACTLY n·(window−1) — then one
+    * slim-pair distinct (the only cross-pass shuffle, ≤ k·n·(w−1)
+    * 16-byte rows) and ONE shared verify join. Total candidate volume
+    * is ≤ k·n·(window−1): still linear in n, still no skew tail, no
+    * cap to tune.
+    *
+    * Key expressions should be engine-portable ASCII (wrap prefixes in
+    * `hex(...)` — see [[sortedNeighborhoodNearDups]]'s determinism
+    * note). Returns (id_a, id_b, jaccard), id_a < id_b, each pair once.
+    */
+  def sortedNeighborhoodNearDupsMultiKey(
+      df: DataFrame, textCol: String, idCol: String,
+      keyExprs: Seq[Column], window: Int = 10, shingleSize: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    require(window >= 2, s"window=$window must be >= 2 (a 1-row neighborhood has no pairs)")
+    require(keyExprs.nonEmpty, "at least one blocking-key expression is required")
     val spark = df.sparkSession
-    val base = df.select(
-      col(idCol).as("id"),
-      substring(normalizeText(col(textCol)), 1, keyLen).as("skey"),
-      wordShingles(col(textCol), shingleSize).as("shingles"))
-    // Global (skey, id) rank without a global window: range-exchange
-    // orders the partitions, sortWithinPartitions orders the rows,
-    // zipWithIndex numbers them in partition-index order. Column
-    // pruning keeps the shingle expression out of this branch.
-    val ordered = base.select("id", "skey")
-      .repartitionByRange(col("skey"), col("id"))
-      .sortWithinPartitions("skey", "id")
-    val schema = org.apache.spark.sql.types.StructType(
-      ordered.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "rnk", org.apache.spark.sql.types.LongType, nullable = false))
-    val ranked = spark.createDataFrame(
-      ordered.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
-      schema)
     val w = window.toLong
-    val bkt = expr(s"rnk div $w")
-    val aSide = ranked.select(col("id").as("id_x"), col("rnk").as("rnk_x"),
-      explode(array(bkt, bkt + lit(1L))).as("bucket"))
-    val bSide = ranked.select(col("id").as("id_y"), col("rnk").as("rnk_y"),
-      bkt.as("bucket"))
-    val cand = aSide.join(bSide, "bucket")
-      .filter(col("rnk_y") - col("rnk_x") >= 1L &&
-        col("rnk_y") - col("rnk_x") <= lit(w - 1))
-      .select(least(col("id_x"), col("id_y")).as("id_a"),
-        greatest(col("id_x"), col("id_y")).as("id_b"))
+    // One rank-and-window pass: global (skey, id) rank without a
+    // global window — range-exchange orders the partitions,
+    // sortWithinPartitions orders the rows, zipWithIndex numbers them
+    // in partition-index order (partition p's keys all precede
+    // partition p+1's). Row at rank r posts to buckets
+    // {r div w, r div w + 1} on one side and {r div w} on the other:
+    // any pair at rank distance 1..w−1 spans at most adjacent buckets
+    // and matches exactly once.
+    def passCandidates(keyExpr: Column): DataFrame = {
+      val ordered = df.select(col(idCol).as("id"), keyExpr.as("skey"))
+        .repartitionByRange(col("skey"), col("id"))
+        .sortWithinPartitions("skey", "id")
+      val schema = org.apache.spark.sql.types.StructType(
+        ordered.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "rnk", org.apache.spark.sql.types.LongType, nullable = false))
+      val ranked = spark.createDataFrame(
+        ordered.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+        schema)
+      val bkt = expr(s"rnk div $w")
+      val aSide = ranked.select(col("id").as("id_x"), col("rnk").as("rnk_x"),
+        explode(array(bkt, bkt + lit(1L))).as("bucket"))
+      val bSide = ranked.select(col("id").as("id_y"), col("rnk").as("rnk_y"),
+        bkt.as("bucket"))
+      aSide.join(bSide, "bucket")
+        .filter(col("rnk_y") - col("rnk_x") >= 1L &&
+          col("rnk_y") - col("rnk_x") <= lit(w - 1))
+        .select(least(col("id_x"), col("id_y")).as("id_a"),
+          greatest(col("id_x"), col("id_y")).as("id_b"))
+    }
+    val passes = keyExprs.map(passCandidates)
+    // single pass: pairs are already unique by construction — skip the
+    // distinct so the one-key plan (and its shuffle baseline) is
+    // unchanged; multi-pass: dedup the slim pairs before the verify
+    val cand = if (passes.size == 1) passes.head
+      else passes.reduce(_.unionByName(_)).distinct()
+    val base = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleSize).as("shingles"))
     val shA = base.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = base.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     cand.join(shA, "id_a").join(shB, "id_b")
@@ -1301,5 +1356,22 @@ object Dedup {
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("id_a"), col("id_b"), (col("inter") / col("uni")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Two-pass [[sortedNeighborhoodNearDupsMultiKey]] with the default
+    * complementary key pair: hex(prefix of normalized text) and
+    * hex(prefix of REVERSED normalized text). See the multi-key
+    * scaladoc for why one pass is not enough.
+    */
+  def sortedNeighborhoodMultiPass(
+      df: DataFrame, textCol: String, idCol: String,
+      window: Int = 10, keyLen: Int = 24, shingleSize: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    require(keyLen >= 1, s"keyLen=$keyLen must be >= 1")
+    val norm = normalizeText(col(textCol))
+    sortedNeighborhoodNearDupsMultiKey(df, textCol, idCol,
+      Seq(hex(substring(norm, 1, keyLen)),
+        hex(substring(reverse(norm), 1, keyLen))),
+      window, shingleSize, threshold)
   }
 }

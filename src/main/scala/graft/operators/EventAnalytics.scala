@@ -167,7 +167,10 @@ object EventAnalytics {
     val z = graft.functions.MathFunctions.roundTo(
       (col("n_events").cast("double") - m) / sd, 6)
     counts.join(broadcast(stats), Seq("event_type"))
-      .withColumn("z", when(col("__nd") > 1L && sd > 0.0, z))
+      // variance, not sd: a cancellation-negative variance makes sd
+      // NaN, and NaN > 0.0 is TRUE under Spark's nan-safe ordering —
+      // see the changepoint gate note below
+      .withColumn("z", when(col("__nd") > 1L && variance > 0.0, z))
       .withColumn("is_anomaly", when(col("z").isNotNull, abs(col("z")) >= zThreshold))
       .select("event_type", "day", "n_events", "z", "is_anomaly")
   }
@@ -264,7 +267,13 @@ object EventAnalytics {
       col("__s").cast("double") * col("__s").cast("double") /
       col("__nd").cast("double")) / (col("__nd") - lit(1L)).cast("double")
     val sd = sqrt(variance)
-    val healthy = col("__nd") > 1L && sd > lit(0.0)
+    // gate on VARIANCE, not sd: q − s²/nd can round slightly negative
+    // for large stable counts, sqrt then gives NaN, and NaN > 0.0 is
+    // TRUE under Spark's nan-safe ordering (silently zeroed CUSUM)
+    // while DuckDB would error on CAST(NaN AS BIGINT) — a loud-vs-
+    // silent engine divergence; a negative variance must land in the
+    // unhealthy NULL branch on both engines
+    val healthy = col("__nd") > 1L && variance > lit(0.0)
     val x = col("n_events").cast("double")
     // quantized per-day deviations (up: x−μ−kσ; down side sums x−μ+kσ)
     val dq = floor((x - m - sd * lit(driftK)) * lit(1e6) + lit(0.5)).cast("long")
@@ -490,10 +499,12 @@ object EventAnalytics {
       .select("from_event", "to_event", "term_q")
     val raw = uft.join(broadcast(termed), Seq("from_event", "to_event"))
       .groupBy("user_id")
-      // decimal sum: n_uft·term_q stays < 2⁶³ per row, but the per-user
-      // total is events-bounded and must not wrap at 100 TB volumes
+      // decimal BEFORE the multiply (mirrors the oracle's HUGEINT cast):
+      // a long×long product can wrap past 2⁶³ for extreme per-user
+      // transition counts; widening an operand first keeps the per-row
+      // product AND the per-user total exact at 100 TB volumes
       .agg(sum(col("n_uft")).as("n_trans"),
-        sum((col("n_uft") * col("term_q")).cast("decimal(38,0)")).as("sum_q"))
+        sum(col("n_uft").cast("decimal(38,0)") * col("term_q")).as("sum_q"))
       .select(col("user_id"), col("n_trans"),
         rd(col("sum_q").cast("double") / col("n_trans").cast("double") / lit(1e6), 6)
           .as("surprisal"))

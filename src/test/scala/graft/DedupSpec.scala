@@ -79,6 +79,45 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"expected exactly the rank-window pairs: got ${got.size}, want ${want.size}")
   }
 
+  test("snm multipass: reversed-suffix pass catches a prefix-edited dup pass 1 misses; pairs dedup") {
+    // Docs 1 and 2 share a long body but differ in their FIRST words —
+    // the single-pass blocking key (prefix) sorts them 9 ranks apart
+    // (8 distractors between), so window=3 can never pair them. The
+    // reversed-text key sorts by the (identical) suffix, making them
+    // rank-adjacent in pass 2. Docs 20/21 are identical, adjacent in
+    // BOTH passes — the union must still emit their pair exactly once.
+    val common = "shared body of text long enough that the jaccard is dominated " +
+      "by these many common words across the whole document"
+    val a = "zulu head " + common
+    val b = "alpha head " + common
+    // each distractor gets fully disjoint vocabulary (word w$i$k) so
+    // no distractor-distractor bigram ever repeats across documents
+    val distractors = Seq("bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india").zipWithIndex.map { case (p, i) =>
+      (10L + i, s"$p " + (0 until 12).map(k => s"w$i${('a' + k).toChar}").mkString(" "))
+    }
+    val twins = Seq((20L, "mike twin document with identical text"),
+      (21L, "mike twin document with identical text"))
+    val docs = (Seq((1L, a), (2L, b)) ++ distractors ++ twins).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val single = pairSet(Dedup.sortedNeighborhoodNearDups(docs, "text", "doc_id",
+      window = 3, keyLen = 24, shingleSize = 2, threshold = 0.4))
+    assert(!single.contains((1L, 2L)),
+      s"prefix-pass alone must MISS the prefix-edited dup (the documented blind spot): ${single.toSeq}")
+    val multi = pairSet(Dedup.sortedNeighborhoodMultiPass(docs, "text", "doc_id",
+      window = 3, keyLen = 24, shingleSize = 2, threshold = 0.4))
+    assert(multi.contains((1L, 2L)),
+      s"reversed-suffix pass must catch the prefix-edited dup: ${multi.toSeq}")
+    assert(multi.contains((20L, 21L)), s"identical twins pair: ${multi.toSeq}")
+    assert(multi.length == multi.toSet.size,
+      s"a pair blocked by both passes must appear exactly once: ${multi.toSeq}")
+    assert(!multi.exists(p => p._1 >= 10L && p._1 <= 17L || p._2 >= 10L && p._2 <= 17L),
+      s"distractors never pair: ${multi.toSeq}")
+    // multi ⊇ single: extra passes only ADD candidates
+    assert(single.toSet.subsetOf(multi.toSet), "multipass is a superset of single-pass")
+  }
+
   test("simhash near-dups: identical docs at hamming 0, near at small distance") {
     val sigs = planted.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

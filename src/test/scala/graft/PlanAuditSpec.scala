@@ -973,6 +973,29 @@ class PlanAuditSpec extends SparkSpec {
       s"shingles join back per-id, never key the pairing shuffle:\n${exch.mkString("\n")}")
   }
 
+  test("dedup_snm_multipass: slim-pair dedup, no global window, no cartesian") {
+    // the two per-pass range exchanges run inside the eager
+    // zipWithIndex jobs and surface as ExistingRDDs here — the visible
+    // plan covers the union/distinct/verify stages
+    val p = plan("dedup_snm_multipass")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"final ordering via range exchange (never a single-task sort):\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"no one-task funnel:\n$p")
+    assert(!p.contains("Window"), s"ranks come from zipWithIndex, not a global window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"neighborhood pairing is an equi-join:\n$p")
+    // the cross-pass dedup must aggregate the slim (id_a, id_b) pairs,
+    // never the shingle arrays; shingles join back per-id afterwards
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.forall(l => !l.contains("sh_a#") && !l.contains("sh_b#") && !l.contains("shingles#")),
+      s"shingles never key a shuffle:\n${exch.mkString("\n")}")
+    // map-side-combined distinct: a HashAggregate on the pair keys on
+    // BOTH sides of the pair exchange (a keys-only aggregate has no
+    // functions, so there is no "partial_" marker to grep)
+    val pairAggs = p.linesIterator.count(l =>
+      l.contains("HashAggregate(keys=[id_a#") && l.contains("functions=[]"))
+    assert(pairAggs >= 2, s"pair distinct must combine map-side then merge, got $pairAggs:\n$p")
+  }
+
   test("emb_ood_score: one-row stats broadcast back; corpus never hash-shuffles") {
     val p = plan("emb_ood_score")
     assert(p.contains("partial_"), s"2·dim+1 moments map-side combined:\n$p")
