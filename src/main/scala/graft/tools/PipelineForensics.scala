@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Bimodality forensics harness for the download→resize→package
+  * pipeline (r12 verdict #1): the same loopback run as
+  * [[PipelineGate]], looped `iters` times, with EVERY run's full
+  * forensics emitted as one JSON line and appended to
+  * `PIPELINE_FORENSICS.jsonl` — proc/exec CPU per image, GC ms, JIT
+  * ms, non-Success task count, stage re-attempts, loopback server
+  * request/error counters, plus a 32-way CPU probe between
+  * iterations. The r12 evidence: identical code measured 4–5.5 ms
+  * proc-CPU/img in most windows but 16–66 ms in others, with zero
+  * user-visible failures — these counters separate the candidate
+  * mechanisms (GC storm / JIT recompile storm / silent task retry
+  * redoing decode work / loopback distress).
+  *
+  * Usage: sbt "runMain graft.tools.PipelineForensics [iters] [nImages]"
+  * (defaults 20, 6000). Exit code 0 always — this is an instrument,
+  * not a gate; the summary line classifies runs against the healthy
+  * baseline (`tools/pipeline_baseline.json`) at the gate's 1.4×.
+  */
+object PipelineForensics {
+
+  def main(args: Array[String]): Unit = {
+    val iters = if (args.length > 0) args(0).toInt else 20
+    val n = if (args.length > 1) args(1).toInt else 6000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val execCpu = PipelineMeter.attachExecutorCpu(spark)
+    val taskForensics = PipelineMeter.attachTaskForensics(spark)
+    val server = new graft.util.HttpImageServer
+    val serverCounters = () => (server.requests.get(), server.errors.get())
+    val out = new java.io.PrintWriter(new java.io.FileWriter("PIPELINE_FORENSICS.jsonl", true))
+    def f3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    try {
+      val urls = (0 until n).map { i =>
+        val (w, h) = server.sizes(i % server.sizes.length)
+        server.url(s"/allowed/${w}_$h.jpg")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pipe_forensics")
+      val urlFile = tmp.resolve("urls.txt")
+      java.nio.file.Files.write(urlFile, urls.mkString("\n").getBytes("UTF-8"))
+      def cfg(fmt: String) = graft.config.DownloadConfig(
+        outputFormat = fmt, samplesPerShard = 250, threadCount = 64,
+        resizeMode = "border", imageSize = 256,
+        computeHashCol = Some("sha256"), incrementalMode = "overwrite")
+      def once(fmt: String, dir: String): PipelineMeter.PipeMeasure =
+        PipelineMeter.measure(spark, execCpu, dir,
+          Some(taskForensics), Some(serverCounters)) {
+          val r = try graft.Pipeline.download(spark, urlFile.toString, dir, cfg(fmt))
+          catch { case e: Throwable =>
+            // a driver-visible throw is itself forensic signal — the
+            // r12 judge saw one PipelineGate attempt die in
+            // Pipeline.download and get silently retried by hand
+            out.println(s"""{"event":"driver_throw","fmt":"$fmt","err":"${e.getClass.getName}"}""")
+            out.flush()
+            throw e
+          }
+          (r.count, r.successes)
+        }
+      def line(iter: Int, fmt: String, m: PipelineMeter.PipeMeasure,
+               probe: (Double, Double)): String =
+        s"""{"iter":$iter,"fmt":"$fmt","images":${m.images},"successes":${m.successes},""" +
+          s""""sec":${f3(m.wallSecs)},"img_per_sec":${f3(m.imgPerSec)},""" +
+          s""""proc_cpu_us_per_img":${m.procCpuUsPerImg},""" +
+          s""""exec_cpu_us_per_img":${m.execCpuUsPerImg},""" +
+          s""""out_bytes_per_img":${m.outBytesPerImg},""" +
+          s""""gc_ms":${m.gcMs},"jit_ms":${m.jitMs},""" +
+          s""""task_failures":${m.taskFailures},"stage_retries":${m.stageRetries},""" +
+          s""""server_requests":${m.serverRequests},"server_errors":${m.serverErrors},""" +
+          s""""probe_med":${f3(probe._1)},"probe_p90":${f3(probe._2)}}"""
+      // warm-up (untimed, but recorded — warm-up pathology counts too)
+      val warmProbe = graft.Bench.cpuProbe()
+      val warm = once("dummy", tmp.resolve("warm").toString)
+      val wl = line(-1, "warmup_dummy", warm, warmProbe)
+      println(wl); out.println(wl); out.flush()
+      val all = scala.collection.mutable.ArrayBuffer[(String, PipelineMeter.PipeMeasure)]()
+      for (i <- 0 until iters; fmt <- Seq("parquet", "webdataset")) {
+        val probe = graft.Bench.cpuProbe(n = 32, iters = 1L << 26) // light probe
+        val m = once(fmt, tmp.resolve(s"out_${fmt}_$i").toString)
+        all += ((fmt, m))
+        val l = line(i, fmt, m, probe)
+        println(l); out.println(l); out.flush()
+      }
+      // summary vs the committed healthy baseline at the gate ratio
+      val base = ShuffleMeter.loadBaseline(PipelineMeter.BaselinePath).getOrElse(Map.empty)
+      def tag(fmt: String) = if (fmt == "parquet") "batch" else "wds"
+      val classed = all.map { case (fmt, m) =>
+        val b = base.getOrElse(s"${tag(fmt)}_proc_cpu_us_per_img", 0L)
+        val patho = b > 0 && m.procCpuUsPerImg > b * PipelineMeter.RatioTolerance
+        (fmt, patho)
+      }
+      val summary = s"""{"summary":true,"iters":$iters,"n_images":$n,""" +
+        s""""pathological_runs":${classed.count(_._2)},"total_runs":${classed.size},""" +
+        s""""patho_parquet":${classed.count(c => c._1 == "parquet" && c._2)},""" +
+        s""""patho_wds":${classed.count(c => c._1 == "webdataset" && c._2)}}"""
+      println(summary); out.println(summary)
+    } finally {
+      out.close()
+      server.stop()
+      spark.stop()
+    }
+  }
+}

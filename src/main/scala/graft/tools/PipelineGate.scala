@@ -37,7 +37,9 @@ object PipelineGate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val execCpu = PipelineMeter.attachExecutorCpu(spark)
+    val taskForensics = PipelineMeter.attachTaskForensics(spark)
     val server = new graft.util.HttpImageServer
+    val serverCounters = () => (server.requests.get(), server.errors.get())
     var exitCode = 0
     try {
       val urls = (0 until n).map { i =>
@@ -53,10 +55,23 @@ object PipelineGate {
         computeHashCol = Some("sha256"), incrementalMode = "overwrite")
       def once(fmt: String, out: String): PipelineMeter.PipeMeasure = {
         val dir = tmp.resolve(out).toString
-        PipelineMeter.measure(spark, execCpu, dir) {
+        val m = PipelineMeter.measure(spark, execCpu, dir,
+          Some(taskForensics), Some(serverCounters)) {
           val r = graft.Pipeline.download(spark, urlFile.toString, dir, cfg(fmt))
           (r.count, r.successes)
         }
+        // per-run forensics line (r12 verdict #2): gc/jit/task-retry/
+        // server counters make a pathological run attributable from
+        // the gate output alone
+        println(s"""[pipeline-gate] run $out: {"images":${m.images},""" +
+          s""""successes":${m.successes},"sec":${BigDecimal(m.wallSecs)
+            .setScale(3, BigDecimal.RoundingMode.HALF_UP)},""" +
+          s""""proc_cpu_us_per_img":${m.procCpuUsPerImg},""" +
+          s""""exec_cpu_us_per_img":${m.execCpuUsPerImg},""" +
+          s""""gc_ms":${m.gcMs},"jit_ms":${m.jitMs},""" +
+          s""""task_failures":${m.taskFailures},"stage_retries":${m.stageRetries},""" +
+          s""""server_requests":${m.serverRequests},"server_errors":${m.serverErrors}}""")
+        m
       }
       // untimed warm-up: JIT/ImageIO/HTTP-client warm-up is progressive
       // and must not be charged to the first gated run

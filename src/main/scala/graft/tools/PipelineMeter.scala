@@ -49,9 +49,27 @@ object PipelineMeter {
   /** One measured pipeline run. `successes` is the per-image
     * denominator: failed fetches cost little CPU and would dilute the
     * signal if counted.
+    *
+    * The trailing forensics fields (r12 verdict #2: a pathological run
+    * must be attributable from the artifact alone) are deltas over the
+    * run, −1 when not captured:
+    *  - `gcMs` — whole-JVM garbage-collection time (a GC storm charges
+    *    process CPU without touching task CPU);
+    *  - `jitMs` — JIT compilation time (deopt/recompile storms also
+    *    charge process CPU invisibly);
+    *  - `taskFailures` — Spark tasks that ended in anything but
+    *    Success (a retried task re-runs download+decode work and
+    *    charges its CPU twice with ZERO user-visible failures);
+    *  - `stageRetries` — stage attempts with attemptNumber > 0;
+    *  - `serverRequests`/`serverErrors` — loopback image-server
+    *    counters (requests ≫ images ⇒ client retries; errors ⇒
+    *    hang-ups/404s the 0-failure result row cannot show).
     */
   final case class PipeMeasure(images: Long, successes: Long, wallSecs: Double,
-      execCpuNs: Long, procCpuNs: Long, outBytes: Long) {
+      execCpuNs: Long, procCpuNs: Long, outBytes: Long,
+      gcMs: Long = -1L, jitMs: Long = -1L,
+      taskFailures: Long = -1L, stageRetries: Long = -1L,
+      serverRequests: Long = -1L, serverErrors: Long = -1L) {
     private def per(v: Long): Long = if (successes <= 0) 0L else v / successes
     def execCpuUsPerImg: Long = per(execCpuNs / 1000)
     /** −1 when the platform CPU bean was unavailable ([[processCpuNs]])
@@ -89,6 +107,52 @@ object PipelineMeter {
       case _ => -1L
     }
 
+  /** Cumulative GC time (ms since JVM start) across all collectors. */
+  def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Cumulative JIT compilation time (ms since JVM start), −1 if the
+    * bean doesn't support monitoring. */
+  def jitMillis(): Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime
+    else -1L
+  }
+
+  /** Attach a listener counting non-Success task ends and re-attempted
+    * stages — the "silent retry" forensics: a task that fails and
+    * retries re-runs its download/decode work (CPU charged twice) yet
+    * the pipeline result row still reports zero failures. Same global
+    * bracketing discipline as [[attachExecutorCpu]]. Returns a reader
+    * of (taskFailures, stageRetries) cumulative counts.
+    */
+  def attachTaskForensics(spark: SparkSession): () => (Long, Long) = {
+    val failures = new java.util.concurrent.atomic.AtomicLong
+    val retries = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.reason != org.apache.spark.Success) failures.incrementAndGet()
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (ss.stageInfo.attemptNumber() > 0) retries.incrementAndGet()
+    })
+    () => (failures.get(), retries.get())
+  }
+
+  /** True when the per-image process-CPU of sibling attempts diverges
+    * more than `ratio` — the r12 bimodality signature (4–5.5 ms/img
+    * healthy vs 16–66 ms/img pathological on identical code). −1
+    * sentinels (bean unavailable) and zero-success runs are excluded;
+    * fewer than two measurable attempts can never flag.
+    */
+  def bimodal(attempts: Seq[PipeMeasure], ratio: Double = RatioTolerance): Boolean = {
+    val vs = attempts.map(_.procCpuUsPerImg).filter(_ > 0)
+    vs.size >= 2 && vs.max.toDouble / vs.min.toDouble > ratio
+  }
+
   /** Total bytes of regular files under `path` (0 if absent). */
   def dirBytes(path: String): Long = {
     val root = java.nio.file.Paths.get(path)
@@ -103,23 +167,38 @@ object PipelineMeter {
 
   /** Bracket one pipeline run: drains the listener bus before and
     * after so every finished task's CPU has landed, then reads the
-    * output dir size. `run` returns (images, successes).
+    * output dir size. `run` returns (images, successes). GC/JIT deltas
+    * are always captured; task-retry and server counters when the
+    * optional readers are supplied (both monotonic-cumulative).
     */
-  def measure(spark: SparkSession, execCpuRead: () => Long, outDir: String)
+  def measure(spark: SparkSession, execCpuRead: () => Long, outDir: String,
+              taskForensics: Option[() => (Long, Long)] = None,
+              serverCounters: Option[() => (Long, Long)] = None)
              (run: => (Long, Long)): PipeMeasure = {
     def drain(): Unit =
       try org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       catch { case _: Throwable => Thread.sleep(300) }
     drain()
     val e0 = execCpuRead(); val p0 = processCpuNs(); val t0 = System.nanoTime()
+    val g0 = gcMillis(); val j0 = jitMillis()
+    val tf0 = taskForensics.map(_.apply()); val sc0 = serverCounters.map(_.apply())
     val (images, successes) = run
     val wall = (System.nanoTime() - t0) / 1e9
     drain()
     val p1 = processCpuNs()
     // metric-unavailable propagates as −1, never as a 0 delta
     val procDelta = if (p0 < 0 || p1 < 0) -1L else p1 - p0
+    val j1 = jitMillis()
+    val (tfF, tfR) = taskForensics.map(_.apply()).zip(tf0)
+      .map { case (a, b) => (a._1 - b._1, a._2 - b._2) }.getOrElse((-1L, -1L))
+    val (scQ, scE) = serverCounters.map(_.apply()).zip(sc0)
+      .map { case (a, b) => (a._1 - b._1, a._2 - b._2) }.getOrElse((-1L, -1L))
     PipeMeasure(images, successes, wall,
-      execCpuRead() - e0, procDelta, dirBytes(outDir))
+      execCpuRead() - e0, procDelta, dirBytes(outDir),
+      gcMs = gcMillis() - g0,
+      jitMs = if (j0 < 0 || j1 < 0) -1L else j1 - j0,
+      taskFailures = tfF, stageRetries = tfR,
+      serverRequests = scQ, serverErrors = scE)
   }
 
   /** The pure gate. CPU metrics breach only UPWARD (less CPU per

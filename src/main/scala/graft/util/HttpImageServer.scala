@@ -31,19 +31,32 @@ class HttpImageServer {
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(0), 0)
 
+  /** Request/error counters for pipeline forensics (r12 verdict: a
+    * pathological bench run left no server-side evidence). `requests`
+    * counts every exchange; `errors` counts 404s and handler
+    * exceptions (e.g. client hang-ups mid-write under host pressure).
+    * Monotonic over the server's life — callers bracket with deltas.
+    */
+  val requests = new java.util.concurrent.atomic.AtomicLong
+  val errors = new java.util.concurrent.atomic.AtomicLong
+
   private def handler(robots: Boolean): HttpHandler = (x: HttpExchange) => {
-    val name = x.getRequestURI.getPath.split("/").last
-    images.get(name) match {
-      case Some(bytes) =>
-        if (robots)
-          x.getResponseHeaders.add("X-Robots-Tag",
-            "noai, noimageai, noindex, noimageindex, nofollow")
-        x.sendResponseHeaders(200, bytes.length)
-        x.getResponseBody.write(bytes)
-      case None =>
-        x.sendResponseHeaders(404, -1)
-    }
-    x.close()
+    requests.incrementAndGet()
+    try {
+      val name = x.getRequestURI.getPath.split("/").last
+      images.get(name) match {
+        case Some(bytes) =>
+          if (robots)
+            x.getResponseHeaders.add("X-Robots-Tag",
+              "noai, noimageai, noindex, noimageindex, nofollow")
+          x.sendResponseHeaders(200, bytes.length)
+          x.getResponseBody.write(bytes)
+        case None =>
+          errors.incrementAndGet()
+          x.sendResponseHeaders(404, -1)
+      }
+    } catch { case _: Throwable => errors.incrementAndGet() }
+    finally x.close()
   }
 
   server.createContext("/allowed", handler(robots = false))

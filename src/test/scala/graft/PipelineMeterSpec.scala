@@ -37,8 +37,11 @@ class PipelineMeterSpec extends SparkSpec {
         incrementalMode = "overwrite")
       val heavy = light.copy(disableAllReencoding = false, resizeMode = "border",
         imageSize = 256, computeHashCol = Some("sha256"))
+      val taskForensics = PipelineMeter.attachTaskForensics(spark)
+      val serverCounters = () => (server.requests.get(), server.errors.get())
       def run(cfg: DownloadConfig, out: String): PipelineMeter.PipeMeasure =
-        PipelineMeter.measure(spark, execCpu, tmp.resolve(out).toString) {
+        PipelineMeter.measure(spark, execCpu, tmp.resolve(out).toString,
+          Some(taskForensics), Some(serverCounters)) {
           val r = Pipeline.download(spark, urlFile.toString,
             tmp.resolve(out).toString, cfg)
           (r.count, r.successes)
@@ -50,6 +53,16 @@ class PipelineMeterSpec extends SparkSpec {
       assert(base.successes === n && regressed.successes === n && rerun.successes === n)
       assert(base.execCpuNs > 0 && base.procCpuNs > 0,
         s"CPU counters must move: $base")
+      // forensics fields captured, not sentinels: GC time is a real
+      // delta, task failures/stage retries zero on a healthy run, and
+      // the loopback server saw at least one request per image
+      assert(base.gcMs >= 0L, s"gcMs must be a captured delta: $base")
+      assert(base.taskFailures === 0L && base.stageRetries === 0L,
+        s"healthy run must record zero task failures/stage retries: $base")
+      assert(base.serverRequests >= n,
+        s"server must have seen >= $n requests: ${base.serverRequests}")
+      assert(base.serverErrors === 0L,
+        s"healthy run must record zero server errors: ${base.serverErrors}")
 
       val baseline = Map("batch_exec_cpu_us_per_img" -> base.execCpuUsPerImg)
       val (trip, _) = PipelineMeter.check(
@@ -110,5 +123,21 @@ class PipelineMeterSpec extends SparkSpec {
     assert(noBean.procCpuUsPerImg === -1L,
       "unavailable process CPU must surface as the −1 sentinel, never a passable 0")
     assert(noBean.execCpuUsPerImg === 100L && noBean.outBytesPerImg === 10L)
+  }
+
+  test("bimodal: flags >1.4x proc-CPU divergence between sibling attempts") {
+    // procCpuUsPerImg = procCpuNs/1000/successes
+    def m(usPerImg: Long) =
+      PipelineMeter.PipeMeasure(100, 100, 1.0, 0L, usPerImg * 1000L * 100L, 0L)
+    assert(!PipelineMeter.bimodal(Seq.empty), "no attempts never flags")
+    assert(!PipelineMeter.bimodal(Seq(m(5000))), "a single attempt never flags")
+    assert(!PipelineMeter.bimodal(Seq(m(5000), m(6500))), "1.3x is in band")
+    assert(PipelineMeter.bimodal(Seq(m(4200), m(66500))),
+      "the r12 signature (4.2 vs 66.5 ms/img) must flag")
+    assert(PipelineMeter.bimodal(Seq(m(66500), m(4200))), "order-insensitive")
+    // −1 sentinel (CPU bean unavailable) is excluded, not compared
+    val noBean = PipelineMeter.PipeMeasure(100, 100, 1.0, 0L, -1L, 0L)
+    assert(!PipelineMeter.bimodal(Seq(m(5000), noBean)),
+      "an unmeasurable attempt cannot make a pair bimodal")
   }
 }
