@@ -1095,7 +1095,30 @@ object Similarity {
     */
   def knnGraph(df: DataFrame, vecCol: String, idCol: String, dim: Int,
                k: Int = 10, nPlanes: Int = Dedup.AutoPlanes, nTables: Int = 8,
-               seed: Long = graft.operators.Dedup.DefaultSeed, maxBucketSize: Int = 1000): DataFrame = {
+               seed: Long = graft.operators.Dedup.DefaultSeed, maxBucketSize: Int = 1000): DataFrame =
+    knnGraphStaged(df, vecCol, idCol, dim, k, nPlanes, nTables, seed, maxBucketSize)._3
+
+  /** [[knnGraph]] with its stage frontiers exposed — (undirected
+    * candidates, undirected scored pairs, final graph) — the seam the
+    * x100 profiler times each stage through without duplicating the
+    * build.
+    *
+    * The verify stage scores each unordered pair ONCE and mirrors:
+    * candidates keep only src < nbr (halving the pair volume the two
+    * vector joins must carry — the dominant shuffle at high density:
+    * a 64-dim double vector is ~40× the slim pair row), then the
+    * scored (id_a, id_b, c) frame unions with its (id_b, id_a, c)
+    * mirror before the per-node top-k. Bit-exact: cosine is
+    * symmetric at the IEEE level — Σ aᵢ·bᵢ multiplies commutatively
+    * in the same index order, and ‖a‖·‖b‖ is one commutative product
+    * — so the mirrored score is the identical double. The two union
+    * branches project the same join subtree, so the exchanges
+    * deduplicate (ReuseExchange): the verify shuffle is written once,
+    * read twice.
+    */
+  private[graft] def knnGraphStaged(df: DataFrame, vecCol: String, idCol: String,
+      dim: Int, k: Int, nPlanes: Int, nTables: Int, seed: Long,
+      maxBucketSize: Int): (DataFrame, DataFrame, DataFrame) = {
     require(k >= 1, s"k must be positive, got $k")
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val depth = Dedup.resolvePlanes(nPlanes, base, minPlanes = 8)
@@ -1106,19 +1129,24 @@ object Similarity {
     val counts = buckets.groupBy("table", "key").agg(count("*").as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize)
     val sized = buckets.join(counts, Seq("table", "key"))
-    val a = sized.select(col("table"), col("key"), col("id").as("src_id"))
-    val b = sized.select(col("table"), col("key"), col("id").as("nbr_id"))
-    val cand = a.join(b, Seq("table", "key")).filter(col("src_id") =!= col("nbr_id"))
-      .select("src_id", "nbr_id").dropDuplicates("src_id", "nbr_id")
-    val vA = base.select(col("id").as("src_id"), col("v").as("v_a"))
-    val vB = base.select(col("id").as("nbr_id"), col("v").as("v_b"))
-    val scored = cand.join(vA, "src_id").join(vB, "nbr_id")
-      .select(col("src_id"), col("nbr_id"), cosine(col("v_a"), col("v_b")).as("__c"))
-    scored.groupBy("src_id")
+    val a = sized.select(col("table"), col("key"), col("id").as("id_a"))
+    val b = sized.select(col("table"), col("key"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("table", "key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val vA = base.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vB = base.select(col("id").as("id_b"), col("v").as("v_b"))
+    val scoredU = cand.join(vA, "id_a").join(vB, "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("__c"))
+    val scored = scoredU
+      .select(col("id_a").as("src_id"), col("id_b").as("nbr_id"), col("__c"))
+      .unionByName(scoredU
+        .select(col("id_b").as("src_id"), col("id_a").as("nbr_id"), col("__c")))
+    val graph = scored.groupBy("src_id")
       .agg(graft.plans.TopKByScore.topKByScore(col("__c"), col("nbr_id"), k).as("top"))
       .select(col("src_id"), posexplode(col("top")).as(Seq("r", "t")))
       .select(col("src_id"), (col("r") + 1).as("rank"), col("t.id").as("nbr_id"),
         graft.functions.MathFunctions.roundTo(col("t.score"), 6).as("cosine"))
+    (cand, scoredU, graph)
   }
 
   /** LSH bucket-occupancy profile — the "are my keys deep enough?"

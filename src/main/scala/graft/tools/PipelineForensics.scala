@@ -15,16 +15,26 @@ import org.apache.spark.sql.SparkSession
   * mechanisms (GC storm / JIT recompile storm / silent task retry
   * redoing decode work / loopback distress).
   *
-  * Usage: sbt "runMain graft.tools.PipelineForensics [iters] [nImages]"
-  * (defaults 20, 6000). Exit code 0 always — this is an instrument,
-  * not a gate; the summary line classifies runs against the healthy
-  * baseline (`tools/pipeline_baseline.json`) at the gate's 1.4×.
+  * Usage: sbt "runMain graft.tools.PipelineForensics [iters] [nImages] [pressureSfDir]"
+  * (defaults 20, 6000, none). Exit code 0 always — this is an
+  * instrument, not a gate; the summary line classifies runs against
+  * the healthy baseline (`tools/pipeline_baseline.json`) at the
+  * gate's 1.4×.
+  *
+  * `pressureSfDir` reproduces the BENCH context: run every registered
+  * query once against that sf dir BEFORE the pipeline loop. Codegen
+  * class volume depends on the plans, not the data, so sf0.001 loads
+  * the code cache exactly like the sf0.1 bench while running in
+  * minutes — combine with a capped cache
+  * (`set run/javaOptions += "-XX:ReservedCodeCacheSize=48m"`) to test
+  * the flushing-deopt hypothesis mechanically.
   */
 object PipelineForensics {
 
   def main(args: Array[String]): Unit = {
     val iters = if (args.length > 0) args(0).toInt else 20
     val n = if (args.length > 1) args(1).toInt else 6000
+    val pressureSf = if (args.length > 2) Some(args(2)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,7 +84,24 @@ object PipelineForensics {
           s""""gc_ms":${m.gcMs},"jit_ms":${m.jitMs},""" +
           s""""task_failures":${m.taskFailures},"stage_retries":${m.stageRetries},""" +
           s""""server_requests":${m.serverRequests},"server_errors":${m.serverErrors},""" +
+          s""""code_cache_mb":${PipelineMeter.codeCacheUsedBytes() / (1024 * 1024)},""" +
           s""""probe_med":${f3(probe._1)},"probe_p90":${f3(probe._2)}}"""
+      // optional bench-context pressure phase: every registered query
+      // once, loading the code cache like the real bench's query phase
+      pressureSf.foreach { sfDir =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries.foreach { case (name, fn) =>
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            out.println(s"""{"event":"pressure_query_error","q":"$name","err":"${e.getClass.getSimpleName}"}""")
+          }
+        }
+        val pl = s"""{"event":"pressure_done","n_queries":${graft.SparkEntry.queries.size},""" +
+          s""""sec":${f3((System.nanoTime() - t0) / 1e9)},""" +
+          s""""jit_ms_total":${PipelineMeter.jitMillis()},""" +
+          s""""code_cache_mb":${PipelineMeter.codeCacheUsedBytes() / (1024 * 1024)}}"""
+        println(pl); out.println(pl); out.flush()
+      }
       // warm-up (untimed, but recorded — warm-up pathology counts too)
       val warmProbe = graft.Bench.cpuProbe()
       val warm = once("dummy", tmp.resolve("warm").toString)

@@ -122,6 +122,20 @@ object PipelineMeter {
     else -1L
   }
 
+  /** Current bytes used across the JIT code-heap pools (gauge, not a
+    * delta). The bimodality suspect this measures: a long query phase
+    * generates thousands of whole-stage-codegen classes; if the
+    * reserved code cache saturates, UseCodeCacheFlushing starts
+    * evicting warm methods and the pipeline's hot decode path runs
+    * deoptimized — task CPU inflates 10×+ with zero failures.
+    */
+  def codeCacheUsedBytes(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "CodeCache")
+      .map(p => math.max(0L, p.getUsage.getUsed)).sum
+  }
+
   /** Attach a listener counting non-Success task ends and re-attempted
     * stages — the "silent retry" forensics: a task that fails and
     * retries re-runs its download/decode work (CPU charged twice) yet
