@@ -1068,12 +1068,16 @@ object Similarity {
     * the corpus IS both sides, which is exactly when the no-self-join
     * discipline matters most.
     *
-    * Scale shape: buckets shuffle as slim (id, table, key) rows
-    * (vectors rejoin once per candidate edge, never per bucket row);
-    * `maxBucketSize` caps the per-bucket candidate blow-up (m² edge
-    * bomb on degenerate buckets); the per-node top-k is the map-side
-    * -combinable bounded heap, so no window ever sorts a node's full
-    * candidate list.
+    * Scale shape: bucket counts aggregate over slim (table, key)
+    * rows; the bucket equi-join carries each vector once per BUCKET
+    * row (n·nTables of them) and computes cosine inside the join, so
+    * candidate pairs cross shuffles only as slim (id_a, id_b, c)
+    * triples — with AutoPlanes bounding occupancy at ~16, that is
+    * ~16× fewer vector bytes than rejoining vectors per candidate
+    * edge (see [[knnGraphStaged]]); `maxBucketSize` caps the
+    * per-bucket candidate blow-up (m² edge bomb on degenerate
+    * buckets); the per-node top-k is the map-side-combinable bounded
+    * heap, so no window ever sorts a node's full candidate list.
     *
     * KEY DEPTH TRACKS THE CORPUS BY DEFAULT. Candidate work is Σ m²
     * over buckets (m = occupancy): at FIXED key depth it grows
@@ -1107,14 +1111,16 @@ object Similarity {
     * candidates keep only src < nbr (halving the pair volume the two
     * vector joins must carry — the dominant shuffle at high density:
     * a 64-dim double vector is ~40× the slim pair row), then the
-    * scored (id_a, id_b, c) frame unions with its (id_b, id_a, c)
-    * mirror before the per-node top-k. Bit-exact: cosine is
+    * scored (id_a, id_b, c) frame explodes INLINE into its two
+    * directed rows before the per-node top-k. Bit-exact: cosine is
     * symmetric at the IEEE level — Σ aᵢ·bᵢ multiplies commutatively
     * in the same index order, and ‖a‖·‖b‖ is one commutative product
-    * — so the mirrored score is the identical double. The two union
-    * branches project the same join subtree, so the exchanges
-    * deduplicate (ReuseExchange): the verify shuffle is written once,
-    * read twice.
+    * — so the mirrored score is the identical double. The mirror is
+    * a narrow per-row explode, NOT a self-union: a union of two
+    * projections of the same join subtree re-analyzes it into two
+    * distinct plans that each recompute the joins (measured 2.3× the
+    * wall at 30×; exchange reuse does not rescue it), while the
+    * explode keeps one copy of the whole candidate + verify pipeline.
     */
   private[graft] def knnGraphStaged(df: DataFrame, vecCol: String, idCol: String,
       dim: Int, k: Int, nPlanes: Int, nTables: Int, seed: Long,
@@ -1125,22 +1131,37 @@ object Similarity {
     val planes = (0 until nTables).map(t => Dedup.randomPlanes(depth, dim, seed + t))
     val keyed = base.withColumn("buckets",
       column(graft.plans.HyperplaneBuckets(expression(col("v")), planes)))
+    // bucket COUNTS aggregate over slim (table, key) rows only
     val buckets = keyed.select(col("id"), posexplode(col("buckets")).as(Seq("table", "key")))
     val counts = buckets.groupBy("table", "key").agg(count("*").as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize)
-    val sized = buckets.join(counts, Seq("table", "key"))
-    val a = sized.select(col("table"), col("key"), col("id").as("id_a"))
-    val b = sized.select(col("table"), col("key"), col("id").as("id_b"))
+    // Vectors ride the BUCKET rows, and cosine computes INSIDE the
+    // bucket equi-join — never attached to candidate pairs. With
+    // AutoPlanes bounding expected occupancy at ~16, candidate edges
+    // outnumber bucket rows ~16:1, so shuffling the 64-dim vector on
+    // n·nTables bucket rows is ~16× fewer vector bytes than rejoining
+    // vectors onto the pair list (the previous shape measured a
+    // 11.7 GB pair+vector shuffle and 9.6 GB of spill at the 100×
+    // point; bucket rows carry ~0.9 GB there). A pair blocked by
+    // several tables scores once per table — redundant cosines are
+    // ~200 ns each and the duplicates carry the IDENTICAL IEEE double
+    // (same vectors, same expression), so the slim
+    // (id_a, id_b, c) dedup stays deterministic.
+    val bucketsV = keyed.select(col("id"), col("v"),
+      posexplode(col("buckets")).as(Seq("table", "key")))
+    val sized = bucketsV.join(counts, Seq("table", "key"))
+    val a = sized.select(col("table"), col("key"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = sized.select(col("table"), col("key"), col("id").as("id_b"), col("v").as("v_b"))
     val cand = a.join(b, Seq("table", "key")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    val vA = base.select(col("id").as("id_a"), col("v").as("v_a"))
-    val vB = base.select(col("id").as("id_b"), col("v").as("v_b"))
-    val scoredU = cand.join(vA, "id_a").join(vB, "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("__c"))
+    val scoredU = cand.dropDuplicates("id_a", "id_b")
     val scored = scoredU
-      .select(col("id_a").as("src_id"), col("id_b").as("nbr_id"), col("__c"))
-      .unionByName(scoredU
-        .select(col("id_b").as("src_id"), col("id_a").as("nbr_id"), col("__c")))
+      .select(explode(array(
+        struct(col("id_a").as("src_id"), col("id_b").as("nbr_id"), col("__c").as("__c")),
+        struct(col("id_b").as("src_id"), col("id_a").as("nbr_id"), col("__c").as("__c"))))
+        .as("__e"))
+      .select(col("__e.src_id").as("src_id"), col("__e.nbr_id").as("nbr_id"),
+        col("__e.__c").as("__c"))
     val graph = scored.groupBy("src_id")
       .agg(graft.plans.TopKByScore.topKByScore(col("__c"), col("nbr_id"), k).as("top"))
       .select(col("src_id"), posexplode(col("top")).as(Seq("r", "t")))
