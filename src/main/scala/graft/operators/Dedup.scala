@@ -1342,11 +1342,14 @@ object Dedup {
           greatest(col("id_x"), col("id_y")).as("id_b"))
     }
     val passes = keyExprs.map(passCandidates)
-    // single pass: pairs are already unique by construction — skip the
-    // distinct so the one-key plan (and its shuffle baseline) is
-    // unchanged; multi-pass: dedup the slim pairs before the verify
-    val cand = if (passes.size == 1) passes.head
-      else passes.reduce(_.unionByName(_)).distinct()
+    // The distinct runs even for a single pass (whose pairs are
+    // already unique): the exchange+aggregate it inserts gives AQE an
+    // EXACT row count for the pair set right before the shingle-verify
+    // joins — without it the verify is planned off the bucket join's
+    // estimate (measured 57.5 s vs 18.5 s at 30× for the same
+    // candidate volume). One slim n·(w−1)-row shuffle buys the
+    // correctly-sized verify every time.
+    val cand = passes.reduce(_.unionByName(_)).distinct()
     val base = df.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("shingles"))
     val shA = base.select(col("id").as("id_a"), col("shingles").as("sh_a"))
