@@ -72,6 +72,10 @@ object ScaleSmoke {
     "dedup_sorted_neighborhood", "emb_ood_score", "evt_markov_score",
     "evt_changepoint", "emb_pq_profile", "emb_ivf_profile",
     "dedup_threshold_profile", "evt_gap_profile",
+    // round-13: the multi-pass merge/purge variant (two ranked passes
+    // + slim pair distinct — the tier proves the union/dedup stays
+    // linear like its single-pass parent)
+    "dedup_snm_multipass",
     // round-10 additions over documents/embeddings
     "txt_zipf", "txt_boilerplate", "txt_readability", "txt_code_detect",
     "emb_diversity", "emb_silhouette", "emb_dims_health", "emb_recall_eval",
