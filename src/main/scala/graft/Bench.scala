@@ -172,7 +172,15 @@ object Bench {
           // the judge re-ran it; gc/jit/task-retry/server counters
           // separate GC storm vs recompile storm vs silent task retry
           // vs loopback distress)
-          def attemptJson(r: PipeRun): String =
+          // out-of-JVM adjudication baselines (r13 verdict #1): the
+          // canary ran concurrently with every attempt; each attempt
+          // carries its own verdict per PipelineMeter.adjudicate
+          val pipeBase = graft.tools.ShuffleMeter
+            .loadBaseline(graft.tools.PipelineMeter.BaselinePath).getOrElse(Map.empty)
+          val canaryBase = pipeBase.getOrElse(graft.tools.PipelineMeter.CanaryBaselineKey, -1L)
+          def attemptJson(r: PipeRun, tag: String): String = {
+            val procBase = pipeBase.getOrElse(s"${tag}_proc_cpu_us_per_img", -1L)
+            val verdict = graft.tools.PipelineMeter.adjudicate(r.m, canaryBase, procBase)
             s"""{"sec":${f3(r.secs)},"img_per_sec":${f1(r.rate)},""" +
               s""""proc_cpu_us_per_img":${r.m.procCpuUsPerImg},""" +
               s""""exec_cpu_us_per_img":${r.m.execCpuUsPerImg},""" +
@@ -180,7 +188,13 @@ object Bench {
               s""""gc_ms":${r.m.gcMs},"jit_ms":${r.m.jitMs},""" +
               s""""task_failures":${r.m.taskFailures},"stage_retries":${r.m.stageRetries},""" +
               s""""server_requests":${r.m.serverRequests},"server_errors":${r.m.serverErrors},""" +
+              s""""canary_ns_med":${r.m.canaryNsMed},"canary_ns_min":${r.m.canaryNsMin},""" +
+              s""""canary_chunks":${r.m.canaryChunks},"canary_mode":"${r.m.canaryMode}",""" +
+              s""""steal_ms":${r.m.stealMs},"host_busy_pct":${r.m.hostBusyPct},""" +
+              s""""runq_wait_ms":${r.m.runqWaitMs},"cpu_mhz":${r.m.cpuMhz},""" +
+              s""""verdict":"$verdict",""" +
               s""""failures":${r.images - r.successes}}"""
+          }
           // Timed run with throttle defense: if this run's img/s lands
           // below 50% of the best rate seen this invocation, re-run
           // once and keep the better run (a genuine plan cost
@@ -188,6 +202,7 @@ object Bench {
           // failures (loopback timeouts under host pressure) are
           // FLAGGED and success/s reported alongside img/s so rates
           // stay comparable across runs.
+          def tagOf(fmt: String) = if (fmt == "webdataset") "wds" else "batch"
           def run(fmt: String, out: String): (String, String) = {
             val first = runOnce(fmt, out)
             val attempts = scala.collection.mutable.ArrayBuffer(first)
@@ -210,7 +225,7 @@ object Bench {
                 s""""out_bytes_per_img":${best.m.outBytesPerImg},""" +
                 s""""failures":$failures,"retried":${best ne first},"bimodal":$bimodal}"""
             val full = compact.dropRight(1) +
-              s""","attempts":[${attempts.map(attemptJson).mkString(",")}]}"""
+              s""","attempts":[${attempts.map(attemptJson(_, tagOf(fmt))).mkString(",")}]}"""
             (compact, full)
           }
           // untimed FULL-SIZE pipeline warm-up: the first pipeline run
@@ -231,7 +246,7 @@ object Bench {
           val dummy = run("dummy", "out")
           (s""","pipeline":${dummy._1},"pipeline_webdataset":${wds._1}""",
             s""","pipeline":${dummy._2},"pipeline_webdataset":${wds._2},""" +
-              s""""pipeline_warmup":${attemptJson(warm)}""")
+              s""""pipeline_warmup":${attemptJson(warm, "batch")}""")
         } finally server.stop()
       } catch { case e: Throwable =>
         val err = s""","pipeline":{"error":"${e.getClass.getSimpleName}"}"""

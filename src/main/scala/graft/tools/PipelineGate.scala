@@ -70,7 +70,11 @@ object PipelineGate {
           s""""exec_cpu_us_per_img":${m.execCpuUsPerImg},""" +
           s""""gc_ms":${m.gcMs},"jit_ms":${m.jitMs},""" +
           s""""task_failures":${m.taskFailures},"stage_retries":${m.stageRetries},""" +
-          s""""server_requests":${m.serverRequests},"server_errors":${m.serverErrors}}""")
+          s""""server_requests":${m.serverRequests},"server_errors":${m.serverErrors},""" +
+          s""""canary_ns_med":${m.canaryNsMed},"canary_ns_min":${m.canaryNsMin},""" +
+          s""""canary_chunks":${m.canaryChunks},"canary_mode":"${m.canaryMode}",""" +
+          s""""steal_ms":${m.stealMs},"host_busy_pct":${m.hostBusyPct},""" +
+          s""""runq_wait_ms":${m.runqWaitMs},"cpu_mhz":${m.cpuMhz}}""")
         m
       }
       // untimed warm-up: JIT/ImageIO/HTTP-client warm-up is progressive
@@ -101,12 +105,30 @@ object PipelineGate {
         // report, don't gate (a starved host can time out loopback)
         println(s"[pipeline-gate] SKIPPED: $failures failures — rerun on a quieter host")
       } else if (sys.env.contains("SPARK_GRAFT_WRITE_PIPELINE_BASELINE")) {
-        ShuffleMeter.writeBaseline(PipelineMeter.BaselinePath, measured)
+        // the canary healthy ns-per-chunk rides the same file as
+        // host-calibration data for PipelineMeter.adjudicate; it is
+        // NOT a gate metric (the gate only checks keys it measures,
+        // all `*_per_img`)
+        val canaryNs = Seq(batch.canaryNsMed, wds.canaryNsMed).filter(_ > 0)
+        val withCanary =
+          if (canaryNs.isEmpty) measured
+          else measured + (PipelineMeter.CanaryBaselineKey -> canaryNs.min)
+        ShuffleMeter.writeBaseline(PipelineMeter.BaselinePath, withCanary)
         println(s"[pipeline-gate] baseline written: ${PipelineMeter.BaselinePath}")
       } else ShuffleMeter.loadBaseline(PipelineMeter.BaselinePath) match {
         case None =>
           println("[pipeline-gate] no committed baseline — report-only run")
         case Some(base) =>
+          // per-attempt out-of-JVM adjudication (r13 verdict #1)
+          val canaryBase = base.getOrElse(PipelineMeter.CanaryBaselineKey, -1L)
+          Seq(("batch", batch), ("wds", wds)).foreach { case (tag, m) =>
+            val v = PipelineMeter.adjudicate(m, canaryBase,
+              base.getOrElse(s"${tag}_proc_cpu_us_per_img", -1L))
+            println(s"[pipeline-gate] adjudication $tag: $v " +
+              s"(canary ${m.canaryNsMed} ns/chunk vs baseline $canaryBase, " +
+              s"mode=${m.canaryMode}, steal=${m.stealMs} ms, " +
+              s"runq_wait=${m.runqWaitMs} ms, host_busy=${m.hostBusyPct}%)")
+          }
           val (breaches, newM) = PipelineMeter.check(measured, base)
           newM.foreach(m => println(s"[pipeline-gate] NEW metric (no baseline): $m"))
           breaches.foreach { b =>

@@ -64,12 +64,33 @@ object PipelineMeter {
     *  - `serverRequests`/`serverErrors` — loopback image-server
     *    counters (requests ≫ images ⇒ client retries; errors ⇒
     *    hang-ups/404s the 0-failure result row cannot show).
+    *
+    * The OUT-OF-JVM fields (r13 verdict #1: every in-JVM dimension
+    * read healthy through a 27× CPU inflation, leaving "host vs JVM
+    * deopt" undecidable from the artifact) — all −1 when not captured:
+    *  - `canaryNsMed`/`canaryNsMin`/`canaryChunks`/`canaryMode` — a
+    *    fixed xorshift chunk run CONCURRENTLY with the attempt in a
+    *    separate OS process ([[HostCanary]]); median/min ns-per-chunk
+    *    over the attempt window. Host contention inflates the canary
+    *    with the pipeline; a Spark-JVM deopt cannot touch it.
+    *  - `stealMs` — /proc/stat steal-jiffy delta (hypervisor ran
+    *    another guest while this one was runnable), whole host;
+    *  - `hostBusyPct` — whole-host non-idle share of the attempt
+    *    window (are OTHER processes eating the cores?);
+    *  - `runqWaitMs` — /proc/self/schedstat runnable-but-not-running
+    *    delta for this process: direct core-contention evidence;
+    *  - `cpuMhz` — mean /proc/cpuinfo frequency snapshot after the
+    *    attempt (down-clocking inflates every CPU-per-image number).
     */
   final case class PipeMeasure(images: Long, successes: Long, wallSecs: Double,
       execCpuNs: Long, procCpuNs: Long, outBytes: Long,
       gcMs: Long = -1L, jitMs: Long = -1L,
       taskFailures: Long = -1L, stageRetries: Long = -1L,
-      serverRequests: Long = -1L, serverErrors: Long = -1L) {
+      serverRequests: Long = -1L, serverErrors: Long = -1L,
+      canaryNsMed: Long = -1L, canaryNsMin: Long = -1L,
+      canaryChunks: Long = -1L, canaryMode: String = "none",
+      stealMs: Long = -1L, hostBusyPct: Long = -1L,
+      runqWaitMs: Long = -1L, cpuMhz: Long = -1L) {
     private def per(v: Long): Long = if (successes <= 0) 0L else v / successes
     def execCpuUsPerImg: Long = per(execCpuNs / 1000)
     /** −1 when the platform CPU bean was unavailable ([[processCpuNs]])
@@ -136,19 +157,27 @@ object PipelineMeter {
       .map(p => math.max(0L, p.getUsage.getUsed)).sum
   }
 
-  /** Attach a listener counting non-Success task ends and re-attempted
+  /** Attach a listener counting failed task ends and re-attempted
     * stages — the "silent retry" forensics: a task that fails and
     * retries re-runs its download/decode work (CPU charged twice) yet
-    * the pipeline result row still reports zero failures. Same global
-    * bracketing discipline as [[attachExecutorCpu]]. Returns a reader
-    * of (taskFailures, stageRetries) cumulative counts.
+    * the pipeline result row still reports zero failures. TaskKilled
+    * ends (speculative-duplicate kills, AQE stage cancellation) are
+    * EXCLUDED (ADVICE r13): a killed task's work is abandoned, not
+    * redone, so counting it would inflate the silent-retry signal with
+    * events that re-run nothing. Same global bracketing discipline as
+    * [[attachExecutorCpu]]. Returns a reader of
+    * (taskFailures, stageRetries) cumulative counts.
     */
   def attachTaskForensics(spark: SparkSession): () => (Long, Long) = {
     val failures = new java.util.concurrent.atomic.AtomicLong
     val retries = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.reason != org.apache.spark.Success) failures.incrementAndGet()
+        te.reason match {
+          case org.apache.spark.Success => ()
+          case _: org.apache.spark.TaskKilled => () // no work redone
+          case _ => failures.incrementAndGet()
+        }
       override def onStageSubmitted(
           ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
         if (ss.stageInfo.attemptNumber() > 0) retries.incrementAndGet()
@@ -184,20 +213,32 @@ object PipelineMeter {
     * output dir size. `run` returns (images, successes). GC/JIT deltas
     * are always captured; task-retry and server counters when the
     * optional readers are supplied (both monotonic-cumulative).
+    *
+    * `canary = true` (default) additionally runs the out-of-JVM
+    * [[HostCanary]] for the duration of the run and brackets the
+    * /proc host counters — the r13 verdict #1 instrument. The canary
+    * costs one busy core out of 32 for the attempt; the committed
+    * baseline is measured with it ON, so the cost is in-band.
     */
   def measure(spark: SparkSession, execCpuRead: () => Long, outDir: String,
               taskForensics: Option[() => (Long, Long)] = None,
-              serverCounters: Option[() => (Long, Long)] = None)
+              serverCounters: Option[() => (Long, Long)] = None,
+              canary: Boolean = true)
              (run: => (Long, Long)): PipeMeasure = {
     def drain(): Unit =
       try org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       catch { case _: Throwable => Thread.sleep(300) }
     drain()
+    val hs0 = HostProbe.cpuStat(); val ss0 = HostProbe.schedstat()
+    val can = if (canary) Some(new HostCanary()) else None
     val e0 = execCpuRead(); val p0 = processCpuNs(); val t0 = System.nanoTime()
     val g0 = gcMillis(); val j0 = jitMillis()
     val tf0 = taskForensics.map(_.apply()); val sc0 = serverCounters.map(_.apply())
     val (images, successes) = run
     val wall = (System.nanoTime() - t0) / 1e9
+    val canStats = can.map(_.stop())
+    val hs1 = HostProbe.cpuStat(); val ss1 = HostProbe.schedstat()
+    val mhz = HostProbe.cpuMhz()
     drain()
     val p1 = processCpuNs()
     // metric-unavailable propagates as −1, never as a 0 delta
@@ -207,13 +248,57 @@ object PipelineMeter {
       .map { case (a, b) => (a._1 - b._1, a._2 - b._2) }.getOrElse((-1L, -1L))
     val (scQ, scE) = serverCounters.map(_.apply()).zip(sc0)
       .map { case (a, b) => (a._1 - b._1, a._2 - b._2) }.getOrElse((-1L, -1L))
+    val (steal, busyPct) = hs0.zip(hs1).map { case (a, b) =>
+      val dTotal = b.total - a.total
+      (math.max(0L, b.steal - a.steal) * HostProbe.JiffyMs,
+        if (dTotal <= 0) -1L else (b.busy - a.busy) * 100L / dTotal)
+    }.getOrElse((-1L, -1L))
+    val runqWait = ss0.zip(ss1)
+      .map { case (a, b) => (b._2 - a._2) / 1000000L }.getOrElse(-1L)
     PipeMeasure(images, successes, wall,
       execCpuRead() - e0, procDelta, dirBytes(outDir),
       gcMs = gcMillis() - g0,
       jitMs = if (j0 < 0 || j1 < 0) -1L else j1 - j0,
       taskFailures = tfF, stageRetries = tfR,
-      serverRequests = scQ, serverErrors = scE)
+      serverRequests = scQ, serverErrors = scE,
+      canaryNsMed = canStats.map(_.medianNs).getOrElse(-1L),
+      canaryNsMin = canStats.map(_.minNs).getOrElse(-1L),
+      canaryChunks = canStats.map(_.chunks.toLong).getOrElse(-1L),
+      canaryMode = canStats.map(_.mode).getOrElse("none"),
+      stealMs = steal, hostBusyPct = busyPct,
+      runqWaitMs = runqWait, cpuMhz = mhz.map(_.round).getOrElse(-1L))
   }
+
+  /** The committed decision rule for a measured attempt (r13 verdict
+    * #1, verbatim): the canary ran a FIXED workload outside the JVM
+    * concurrently with the attempt, so
+    *  - proc-CPU/img within gate            ⇒ `healthy`;
+    *  - proc-CPU/img inflated AND canary inflated ⇒ `host` — the
+    *    fixed out-of-JVM work inflated too; the engine is exonerated
+    *    (host-level accounting / steal / down-clock);
+    *  - proc-CPU/img inflated, canary at baseline ⇒ `jvm_internal` —
+    *    the pathology lives inside the Spark JVM (deopt-class;
+    *    capture -XX:+PrintCompilation / JFR on the spot);
+    *  - canary didn't produce samples or no baseline ⇒
+    *    `indeterminate` (loud, never a silent healthy).
+    * Baselines come from `tools/pipeline_baseline.json`
+    * (`canary_ns_per_chunk`, `{batch,wds}_proc_cpu_us_per_img`);
+    * the canary baseline is host-calibration data and is NOT an
+    * engine gate metric ([[check]] only gates `*_per_img` keys the
+    * gate itself measures).
+    */
+  def adjudicate(m: PipeMeasure, canaryBaselineNs: Long, procBaselineUs: Long,
+                 ratio: Double = RatioTolerance): String =
+    if (m.procCpuUsPerImg < 0 || procBaselineUs <= 0) "indeterminate"
+    else if (m.procCpuUsPerImg <= procBaselineUs * ratio) "healthy"
+    else if (m.canaryNsMed <= 0 || canaryBaselineNs <= 0) "indeterminate"
+    else if (m.canaryNsMed > canaryBaselineNs * ratio) "host"
+    else "jvm_internal"
+
+  /** Baseline key for the canary's healthy ns-per-chunk (written by
+    * PipelineGate's baseline mode; read by [[adjudicate]] callers).
+    */
+  val CanaryBaselineKey = "canary_ns_per_chunk"
 
   /** The pure gate. CPU metrics breach only UPWARD (less CPU per
     * image is an improvement); `*_out_bytes_per_img` metrics breach

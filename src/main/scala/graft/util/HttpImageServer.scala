@@ -55,7 +55,12 @@ class HttpImageServer {
           errors.incrementAndGet()
           x.sendResponseHeaders(404, -1)
       }
-    } catch { case _: Throwable => errors.incrementAndGet() }
+    } catch {
+      // NonFatal only (ADVICE r13): client hang-ups and handler bugs
+      // count as errors; VM errors / InterruptedException must
+      // propagate, not vanish in a dispatch thread
+      case scala.util.control.NonFatal(_) => errors.incrementAndGet()
+    }
     finally x.close()
   }
 

@@ -125,6 +125,77 @@ class PipelineMeterSpec extends SparkSpec {
     assert(noBean.execCpuUsPerImg === 100L && noBean.outBytesPerImg === 10L)
   }
 
+  test("HostProbe: /proc surfaces parse on this host") {
+    assume(new java.io.File("/proc/stat").exists, "Linux-only probe")
+    val s = graft.tools.HostProbe.cpuStat().get
+    assert(s.total > 0 && s.busy >= 0 && s.idle > 0, s"implausible /proc/stat: $s")
+    val (run, wait, slices) = graft.tools.HostProbe.schedstat().get
+    assert(run > 0 && wait >= 0 && slices >= 0, s"implausible schedstat: ($run,$wait,$slices)")
+    graft.tools.HostProbe.cpuMhz().foreach(mhz =>
+      assert(mhz > 100 && mhz < 10000, s"implausible cpu MHz: $mhz"))
+  }
+
+  test("HostCanary: separate-process fixed workload produces chunk samples") {
+    val canary = new graft.tools.HostCanary()
+    Thread.sleep(2000)
+    val stats = canary.stop()
+    // forked test JVM has the real classpath, so the out-of-process
+    // mode must engage here (fallback "thread" would mean the spawn
+    // path is broken and the forensics silently degraded)
+    assert(stats.mode === "process", s"expected process-mode canary: $stats")
+    assert(stats.chunks > 0, s"no chunks in 2 s: $stats")
+    assert(stats.minNs > 0 && stats.minNs <= stats.medianNs &&
+      stats.medianNs <= stats.maxNs, s"inconsistent stats: $stats")
+    // a 2^26-step xorshift chunk is 10–500 ms on any plausible host;
+    // outside that means the chunk loop or the parse is broken
+    assert(stats.medianNs > 1000000L && stats.medianNs < 2000000000L,
+      s"implausible ns/chunk: $stats")
+  }
+
+  test("measure: canary + /proc fields land in the PipeMeasure") {
+    assume(new java.io.File("/proc/stat").exists, "Linux-only fields")
+    val m = PipelineMeter.measure(spark, () => 0L, "/tmp/graft_canary_none") {
+      // burn real CPU for ~2.5 s so the canary collects chunks
+      val deadline = System.nanoTime() + 2500L * 1000000L
+      var x = 1L
+      while (System.nanoTime() < deadline) x ^= graft.tools.CanaryProcess.chunk(1L << 20, x)
+      if (x == 42L) println("")
+      (100L, 100L)
+    }
+    assert(m.canaryMode === "process", s"canary mode: $m")
+    assert(m.canaryChunks > 0 && m.canaryNsMed > 0 && m.canaryNsMin > 0,
+      s"canary stats must be captured: $m")
+    assert(m.stealMs >= 0, s"steal delta must be captured on Linux: $m")
+    assert(m.hostBusyPct >= 0 && m.hostBusyPct <= 100, s"host busy pct: $m")
+    assert(m.runqWaitMs >= 0, s"runqueue wait delta: $m")
+    assert(m.cpuMhz > 100, s"cpu MHz snapshot: $m")
+  }
+
+  test("adjudicate: the committed host-vs-JVM decision rule") {
+    import PipelineMeter.{PipeMeasure, adjudicate}
+    def m(procUsPerImg: Long, canaryNs: Long) =
+      PipeMeasure(100, 100, 1.0, 0L, procUsPerImg * 1000L * 100L, 0L,
+        canaryNsMed = canaryNs,
+        canaryChunks = if (canaryNs > 0) 50L else -1L,
+        canaryMode = if (canaryNs > 0) "process" else "none")
+    val canaryBase = 30000000L // 30 ms/chunk healthy
+    val procBase = 5000L       // 5 ms/img healthy
+    // within the 1.4x gate: healthy regardless of canary
+    assert(adjudicate(m(6500, 31000000L), canaryBase, procBase) === "healthy")
+    assert(adjudicate(m(6500, -1L), canaryBase, procBase) === "healthy")
+    // proc inflated AND the fixed out-of-JVM work inflated => host
+    assert(adjudicate(m(130000, 95000000L), canaryBase, procBase) === "host")
+    // proc inflated, canary at baseline => pathology inside the JVM
+    assert(adjudicate(m(130000, 31000000L), canaryBase, procBase) === "jvm_internal")
+    // no canary samples or no baseline: loud, never silently healthy
+    assert(adjudicate(m(130000, -1L), canaryBase, procBase) === "indeterminate")
+    assert(adjudicate(m(130000, 31000000L), -1L, procBase) === "indeterminate")
+    assert(adjudicate(m(130000, 31000000L), canaryBase, -1L) === "indeterminate")
+    // proc bean unavailable: indeterminate, not healthy
+    assert(adjudicate(PipeMeasure(100, 100, 1.0, 0L, -1L, 0L),
+      canaryBase, procBase) === "indeterminate")
+  }
+
   test("bimodal: flags >1.4x proc-CPU divergence between sibling attempts") {
     // procCpuUsPerImg = procCpuNs/1000/successes
     def m(usPerImg: Long) =

@@ -24,6 +24,18 @@ if "--skip-verify" not in sys.argv:
         print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
     for line in r.stderr.splitlines():
         if "[verify]" in line: print(line)
+    # the driver-scrapable trailing line (r14): must exist and parse —
+    # this is the same contract the driver's stdout-tail scrape uses
+    vline = None
+    for line in r.stdout.splitlines():
+        if line.startswith('{"metric":"verify"'):
+            vline = line.strip()
+    if vline is None:
+        print("FATAL: graft.Verify printed no {\"metric\":\"verify\"} line")
+        sys.exit(1)
+    v = json.loads(vline)
+    print(f"verify line: written={v['written']} empty={v['empty']} "
+          f"failed={v['failed']} oracle_sql={v['oracle_sql']}")
 
 import duckdb
 con = duckdb.connect()
