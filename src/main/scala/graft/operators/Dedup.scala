@@ -1249,8 +1249,12 @@ object Dedup {
     * r posts to buckets {r div w, r div w + 1} on one side and
     * {r div w} on the other, and any pair at rank distance 1..w−1
     * spans at most adjacent buckets, so each candidate matches exactly
-    * once. Only (id, rank, bucket) longs ride that shuffle; text joins
-    * back per-id for the surviving pairs only.
+    * once. The row's shingle array rides that shuffle as payload and
+    * the exact Jaccard is computed inside the join — re-joining
+    * arrays onto the pair frontier afterwards sorted pair-count ×
+    * array rows and was 98% of the x100 wall (r14, see
+    * [[sortedNeighborhoodStaged]]); only slim scored triples shuffle
+    * after the pass.
     *
     * Determinism: rank order is (key, id) with a unique id, and the
     * key is the HEX form of the normalized prefix's UTF-8 bytes —
@@ -1289,9 +1293,9 @@ object Dedup {
     * key itself (a prefix key cannot neighbor two documents that
     * differ in their first words, however identical the rest). Each
     * `keyExprs` entry drives one independent rank-and-window pass;
-    * candidate pairs union across passes and deduplicate BEFORE the
-    * exact-Jaccard verify, so a pair blocked by k passes is verified
-    * once, not k times.
+    * each pass scores its pairs with exact Jaccard inside the
+    * neighborhood join, and the surviving pairs union across passes
+    * and deduplicate, so a pair blocked by k passes is emitted once.
     *
     * The default two-pass configuration ([[sortedNeighborhoodMultiPass]])
     * pairs the normalized-prefix key with the REVERSED-text prefix
@@ -1300,12 +1304,15 @@ object Dedup {
     * passes cover each other's blind spot.
     *
     * Scale shape: per pass, exactly the single-pass plan — one range
-    * exchange over slim (id, key) rows, zipWithIndex rank, bucket
-    * equi-join with candidate volume EXACTLY n·(window−1) — then one
-    * slim-pair distinct (the only cross-pass shuffle, ≤ k·n·(w−1)
-    * 16-byte rows) and ONE shared verify join. Total candidate volume
-    * is ≤ k·n·(window−1): still linear in n, still no skew tail, no
-    * cap to tune.
+    * exchange over (id, key, shingles) rows, zipWithIndex rank,
+    * bucket equi-join with candidate volume EXACTLY n·(window−1),
+    * scored in place — then the threshold filter and one cross-pass
+    * distinct over the SURVIVING slim (id_a, id_b, jaccard) triples
+    * (the only post-pass shuffle). Total candidate volume is
+    * ≤ k·n·(window−1): still linear in n, still no skew tail, no cap
+    * to tune; nothing fat is ever sorted by pair count (see
+    * [[sortedNeighborhoodStaged]] for the r14 profile that forced
+    * this shape).
     *
     * Key expressions should be engine-portable ASCII (wrap prefixes in
     * `hex(...)` — see [[sortedNeighborhoodNearDups]]'s determinism
@@ -1320,11 +1327,30 @@ object Dedup {
 
   /** Stage frontiers of [[sortedNeighborhoodNearDupsMultiKey]] for the
     * per-stage scale profile (`tools/SnmProfile`, the KnnProfile
-    * treatment the r13 verdict asked for): (pair union before the
-    * cross-pass dedup, deduped candidate pairs, verified near-dup
-    * pairs). The third element IS the operator's result — the public
-    * method delegates here, so the profiled stages are the shipped
-    * plan, not a reconstruction.
+    * treatment the r13 verdict asked for): (scored candidate union —
+    * every rank-window pair with its exact Jaccard, pre-threshold;
+    * surviving pairs — post-threshold, pre-dedup; verified result —
+    * cross-pass deduped). The third element IS the operator's result —
+    * the public method delegates here, so the profiled stages are the
+    * shipped plan, not a reconstruction.
+    *
+    * r14 redesign (the knn r13 lesson applied to the SNM family):
+    * the r13 shape deduped SLIM pairs first and then re-joined the
+    * pair frontier with the fat shingle arrays twice to verify.
+    * SNM_PROFILE_r14 localized 98% of the x100 tail (201 of 206 s)
+    * in exactly those verify joins — a SortMergeJoin sorting ~9M
+    * pair×array rows spilled 13.8 GB memory / 5.6 GB disk in one
+    * 32-thread JVM, while candidates + distinct together cost 4.7 s
+    * with ZERO spill. Now the shingle arrays ride the RANK rows as
+    * shuffle payload (computed once in the scan projection) and the
+    * exact-Jaccard verify happens INSIDE the neighborhood bucket
+    * join; only (id_a, id_b, jaccard) triples ever cross a shuffle
+    * afterwards, and the threshold filter runs BEFORE the cross-pass
+    * distinct so the one remaining exchange carries only surviving
+    * pairs (25.6k of 9M candidates at the x100 point). Fat-row
+    * traffic drops from 2·|pairs| join-sorted rows to ≤ 4·n
+    * straight-through rows per pass, and nothing fat is ever sorted
+    * by pair count.
     */
   def sortedNeighborhoodStaged(
       df: DataFrame, textCol: String, idCol: String,
@@ -1341,9 +1367,11 @@ object Dedup {
     // partition p+1's). Row at rank r posts to buckets
     // {r div w, r div w + 1} on one side and {r div w} on the other:
     // any pair at rank distance 1..w−1 spans at most adjacent buckets
-    // and matches exactly once.
-    def passCandidates(keyExpr: Column): DataFrame = {
-      val ordered = df.select(col(idCol).as("id"), keyExpr.as("skey"))
+    // and matches exactly once — and is SCORED right here, while both
+    // rows' shingle arrays are in hand.
+    def passScored(keyExpr: Column): DataFrame = {
+      val ordered = df.select(col(idCol).as("id"), keyExpr.as("skey"),
+          wordShingles(col(textCol), shingleSize).as("shingles"))
         .repartitionByRange(col("skey"), col("id"))
         .sortWithinPartitions("skey", "id")
       val schema = org.apache.spark.sql.types.StructType(
@@ -1355,35 +1383,35 @@ object Dedup {
         schema)
       val bkt = expr(s"rnk div $w")
       val aSide = ranked.select(col("id").as("id_x"), col("rnk").as("rnk_x"),
+        col("shingles").as("sh_x"),
         explode(array(bkt, bkt + lit(1L))).as("bucket"))
       val bSide = ranked.select(col("id").as("id_y"), col("rnk").as("rnk_y"),
-        bkt.as("bucket"))
+        col("shingles").as("sh_y"), bkt.as("bucket"))
       aSide.join(bSide, "bucket")
         .filter(col("rnk_y") - col("rnk_x") >= 1L &&
           col("rnk_y") - col("rnk_x") <= lit(w - 1))
+        .withColumn("inter", size(array_intersect(col("sh_x"), col("sh_y"))).cast("double"))
+        .withColumn("uni", size(array_union(col("sh_x"), col("sh_y"))).cast("double"))
         .select(least(col("id_x"), col("id_y")).as("id_a"),
-          greatest(col("id_x"), col("id_y")).as("id_b"))
+          greatest(col("id_x"), col("id_y")).as("id_b"),
+          (col("inter") / col("uni")).as("jaccard"))
     }
-    val passes = keyExprs.map(passCandidates)
-    // The distinct runs even for a single pass (whose pairs are
-    // already unique): the exchange+aggregate it inserts gives AQE an
-    // EXACT row count for the pair set right before the shingle-verify
-    // joins — without it the verify is planned off the bucket join's
-    // estimate (measured 57.5 s vs 18.5 s at 30× for the same
-    // candidate volume). One slim n·(w−1)-row shuffle buys the
-    // correctly-sized verify every time.
+    val passes = keyExprs.map(passScored)
     val candUnion = passes.reduce(_.unionByName(_))
-    val cand = candUnion.distinct()
-    val base = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleSize).as("shingles"))
-    val shA = base.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = base.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    val verified = cand.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .select(col("id_a"), col("id_b"), (col("inter") / col("uni")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    (candUnion, cand, verified)
+    // Threshold BEFORE the cross-pass dedup: only surviving pairs
+    // reach the one cross-pass shuffle. A pair blocked by k passes
+    // scores the IDENTICAL IEEE double in each (same two arrays,
+    // same expression — integer set sizes divided), so it survives
+    // or dies in every pass alike and the distinct stays
+    // deterministic; duplicated scoring work is bounded by the
+    // cross-pass duplicate rate (0.2% of candidates at the x100
+    // profile point) — noise against the join traffic it replaces.
+    // The distinct runs even for a single pass (whose pairs are
+    // already unique): a keys-only aggregate over the tiny surviving
+    // set costs nothing and keeps one code path.
+    val surviving = candUnion.filter(col("jaccard") >= threshold)
+    val verified = surviving.distinct()
+    (candUnion, surviving, verified)
   }
 
   /** Two-pass [[sortedNeighborhoodNearDupsMultiKey]] with the default

@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * single-JVM agg-spill class as knn" without per-stage evidence.
   * This is the KnnProfile treatment applied to the SNM family.
   *
-  * Times three cumulative stage frontiers (per-pass candidate union →
-  * cross-pass distinct → shared exact-Jaccard verify; each prefix
+  * Times three cumulative stage frontiers (scored candidate union →
+  * post-threshold survivors → cross-pass distinct result; each prefix
   * recomputes its lineage, so deltas are the marginal stage costs) at
   * each requested factor, with spill/shuffle/GC deltas per frontier
   * from task metrics. The frontiers come from
   * [[graft.operators.Dedup.sortedNeighborhoodStaged]], the exact
-  * frames the shipped operator executes.
+  * frames the shipped operator executes. (The r13 shape's frontiers
+  * were candidates → distinct → verify-joins; the r14 redesign this
+  * tool motivated verifies inside the pass join, so the frontier
+  * names changed with the plan.)
   *
   * Usage:
   *   sbt "runMain graft.tools.SnmProfile /root/testdata/sf0.1 /tmp/graft_curve 30,100"
@@ -87,12 +90,12 @@ object SnmProfile {
         (secs, n, spillMem.get - s0._1, spillDisk.get - s0._2,
           shuffleW.get - s0._3, PipelineMeter.gcMillis() - g0)
       }
-      val c = time("candunion", candUnion)
-      val u = time("distinct", cand)
-      val v = time("verified", verified)
+      val c = time("scored", candUnion)
+      val u = time("surviving", cand)
+      val v = time("result", verified)
       def j(t: (Double, Long, Long, Long, Long, Long)) =
         s"""{"sec":${f2(t._1)},"rows":${t._2},"spill_mem":${t._3},"spill_disk":${t._4},"shuffle_w":${t._5},"gc_ms":${t._6}}"""
-      s""""x$f":{"candunion":${j(c)},"distinct":${j(u)},"verified":${j(v)}}"""
+      s""""x$f":{"scored":${j(c)},"surviving":${j(u)},"result":${j(v)}}"""
     }
     val ip = sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "unset")
     println(s"""{"snm_profile":{"base":"$baseDir","stages_cumulative":true,"initial_partitions":"$ip",${rows.mkString(",")}}}""")
