@@ -30,6 +30,14 @@ object KnnProfile {
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS").foreach(n =>
       builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    // SPARK_GRAFT_ADVISORY_PARTITION_BYTES: AQE coalesces post-shuffle
+    // partitions back to THIS size regardless of initialPartitionNum —
+    // for hash-agg-heavy stages the in-memory hash map runs ~10x the
+    // shuffle bytes, so the 64m default packs ~600 MB of agg state per
+    // task and spills; 16m is the production setting for agg-bound
+    // jobs (measured on the knn x100 point, KNN_PROFILE_r14)
+    sys.env.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES").foreach(n =>
+      builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", n))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
