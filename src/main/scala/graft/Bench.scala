@@ -272,23 +272,47 @@ object Bench {
     // JSON line with every query at full double precision, which was
     // truncated mid-line in the tail and never parsed (BENCH_r0*.json
     // "parsed": null). So: (a) the machine-readable line is COMPACT
-    // (headline queries only, 3-decimal seconds, < ~1200 chars — fits the
-    // tail even alongside the [success] line), (b) the full per-query
-    // detail incl. shuffle bytes goes to BENCH_FULL.json in the repo, and
-    // (c) a JVM shutdown hook re-prints the compact line so it is ALSO the
-    // literal last stdout line (sbt runs non-forked; hooks fire after sbt
-    // prints [success]), covering last-line, tail-scan, and grep parsers.
+    // (a FIXED ~18-query headline set, 3-decimal seconds, guarded to
+    // ≤1,800 chars — fits the tail alongside the ~70-char [success]
+    // line; the r12/r13 prefix filter had crept to ~85 queries /
+    // ~2,400 chars and the driver tail cut the line's HEAD off),
+    // (b) the full per-query detail incl. shuffle bytes goes to
+    // BENCH_FULL.json in the repo, and (c) a JVM shutdown hook
+    // re-prints the compact line (under forked sbt the hook fires in
+    // the forked JVM, so the reprint lands just BEFORE sbt's
+    // [success] — still inside the tail; under a direct java
+    // invocation it is the literal last line), covering last-line,
+    // tail-scan, and grep parsers.
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val headline = results.filter { case (k, _) =>
-      k.startsWith("dedup_") || k.startsWith("ann_") || k.startsWith("txt_") ||
-      k.startsWith("mm_") || k.startsWith("sketch_") ||
-      Set("q1_agg", "q4_join_multi", "q7_window_rank").contains(k)
-    }
+    // FIXED small headline set (r14): the old prefix filter matched
+    // ~85 queries and the compact line ran ~2,400 chars — the
+    // driver's 2,000-char stdout tail cut its HEAD off, which is
+    // exactly why BENCH_r12/r13 landed "parsed: null" (both committed
+    // tails start mid-line). One representative per family plus the
+    // heaviest entries keeps the line ~1,300 chars with room for
+    // sbt's trailing [success] line; the full per-query map is in
+    // BENCH_FULL.json as always.
+    val headlineNames = Seq(
+      "q1_agg", "q4_join_multi", "q7_window_rank",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_snm_multipass",
+      "dedup_edit_distance", "ann_bruteforce_topk", "emb_knn_graph_auto",
+      "emb_pagerank", "emb_label_prop", "graph_suite",
+      "txt_quality", "txt_tokens", "txt_canonical",
+      "sketch_hll_distinct", "mm_image_meta", "evt_funnel")
+    val headline = headlineNames.flatMap(k => results.get(k).map(k -> _))
     val qsHead = headline.map { case (k, (secs, _)) => "\"" + k + "\":" + f3(secs) }
       .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    val compact =
+    val compactFull =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qsHead,"sf":"$sfName","detail":"BENCH_FULL.json",$probesCompact$pipelineStats}"""
+    // hard guard on the tail budget: if the line ever outgrows
+    // ~1,800 chars (2,000-char driver tail minus sbt's [success]
+    // line), drop the per-query map rather than ship an unparseable
+    // head-truncated line
+    val compact =
+      if (compactFull.length <= 1800) compactFull
+      else
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":{},"sf":"$sfName","detail":"BENCH_FULL.json",$probesCompact$pipelineStats}"""
     try {
       val qsAll = results.map { case (k, (secs, _)) => "\"" + k + "\":" + f3(secs) }
         .mkString("{", ",", "}")

@@ -65,7 +65,11 @@ object Verify {
     val written = outcomes.collect { case (n, Right(r)) if r > 0 => n }
     val empty = outcomes.collect { case (n, Right(0)) => n }
     val failed = outcomes.collect { case (n, Left(err)) => (n, err) }
-    def arr(xs: Iterable[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // name lists are capped so a mass failure can never push the line
+    // past the driver's 2000-char stdout tail (the BENCH_r12/r13
+    // lesson: a head-truncated JSON line parses as nothing)
+    def arr(xs: Iterable[String]) = xs.take(10).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val compact =
       s"""{"metric":"verify","written":${written.size},"empty":${empty.size},""" +
         s""""failed":${failed.size},"oracle_sql":${SparkEntry.oracleSql.size},""" +
