@@ -577,40 +577,60 @@ object Dedup {
     *
     * Algorithm: min-label propagation WITH pointer doubling — each
     * round takes the min over {self, neighbors' labels, label's
-    * label}. The shortcut join halves label-chain depth per round, so
-    * convergence is O(log diameter) rounds instead of O(diameter):
-    * maxIter = 32 covers diameters beyond 2^28 (a 300k-node CHAIN —
-    * the StressSpec power-law worst case — settles in ~21 rounds:
-    * ~log2 diameter doubling rounds plus the 2 doubling-free opening
-    * rounds and the final no-change round the convergence probe needs
-    * to observe). The early-exit makes the higher cap free for real
-    * dedup graphs, which converge in a handful of rounds; plain
-    * propagation would silently truncate any chain longer than
-    * maxIter. All joins are equi-joins on id/label (hash-partitionable
-    * at any cluster size); labels never leave the executors — the
-    * driver only reads the convergence flag.
+    * label}. Round 1 (labels = min(self, min neighbor)) is folded
+    * into the label initialization — one aggregation, no checkpoint
+    * or convergence probe, since round 1 can never be the converged
+    * round of a non-empty graph. The shortcut join halves label-chain
+    * depth per round, so convergence is O(log diameter) rounds
+    * instead of O(diameter): maxIter = 32 total rounds (init + up to
+    * 31 probed rounds) covers diameters beyond 2^28 (a 300k-node
+    * CHAIN — the StressSpec power-law worst case — settles in ~21
+    * rounds: ~log2 diameter doubling rounds plus the 2 doubling-free
+    * opening rounds and the final no-change round the convergence
+    * probe needs to observe). The early-exit makes the higher cap
+    * free for real dedup graphs, which converge in a handful of
+    * rounds; plain propagation would silently truncate any chain
+    * longer than maxIter. All joins are equi-joins on id/label
+    * (hash-partitionable at any cluster size); labels never leave the
+    * executors — the driver only reads the convergence flag.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                           maxIter: Int = 32): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // EAGER fresh-stats checkpoint, not a lazy cache: a cached edge
+    // frame still carries the whole upstream candidate build (at
+    // scale, the MinHash/LSH pipeline) as a logical subtree into
+    // every round's analyzed plan, which the driver re-plans per AQE
+    // stage — the measured r14 driver-gap pathology (see
+    // Graphs.pageRank). The checkpoint truncates each round to joins
+    // over an ExistingRDD leaf; the candidate build runs exactly once.
+    val edges = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .localCheckpointFreshStats(
+        fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    // Round 1 folded into the initialization: the first propagation
+    // round's fixpoint step is labels(id) = min(id, min neighbor) for
+    // every node, and edges are symmetrized so every node appears as
+    // src — one aggregation replaces a full round (checkpoint +
+    // convergence probe). Round 1 can never BE the converged round on
+    // a non-empty edge set (each edge's larger endpoint changes), so
+    // no early exit is lost.
+    var labels = edges.groupBy("src").agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("id"), least(col("src"), col("__mn")).as("label"))
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && i < maxIter - 1) {
       val viaEdges = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
       // pointer doubling: follow each node's label to THAT node's
       // label (labels are node ids, so this is a self-join on the
       // label frame) — chains compress exponentially. Engaged from
-      // round 3: shallow graphs (the common dedup case) converge
-      // before paying the extra join; deep chains still finish in
-      // O(log diameter) rounds.
+      // round 3 (loop index 1: the init above is round 1): shallow
+      // graphs (the common dedup case) converge before paying the
+      // extra join; deep chains still finish in O(log diameter)
+      // rounds.
       val base = labels.select(col("id"), col("label")).union(viaEdges)
       val withShortcut =
-        if (i < 2) base
+        if (i < 1) base
         else base.union(labels.as("x")
           .join(labels.as("y"), col("x.label") === col("y.id"))
           .select(col("x.id").as("id"), col("y.label").as("label")))
@@ -632,7 +652,6 @@ object Dedup {
       labels = flagged.select("id", "label")
       i += 1
     }
-    edges.unpersist()
     if (!converged)
       org.apache.log4j.Logger.getLogger(getClass)
         .warn(s"connectedComponents: not converged after $maxIter rounds — " +

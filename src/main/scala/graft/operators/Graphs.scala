@@ -76,16 +76,27 @@ object Graphs {
       s"iterations must be in [1, 50], got $iterations")
     require(toleranceNanos >= 0L,
       s"toleranceNanos must be >= 0, got $toleranceNanos")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // EAGER fresh-stats checkpoint, not a lazy persist: a persisted
+    // frame still carries its full logical subtree (at production
+    // scale, the whole upstream k-NN-graph build) into EVERY round's
+    // analyzed plan, and the driver re-plans that tree once per AQE
+    // stage — measured r14: 27.5 s of the standalone emb_pagerank's
+    // 40 s wall was zero-task inter-stage driver gap, while the suite
+    // variant (which checkpoints edges first) ran the same rounds
+    // with sub-second gaps. The checkpoint truncates each round to a
+    // few joins over ExistingRDD leaves; the edge build still runs
+    // exactly once (now in its own small-plan job).
+    val e = graftCheckpoint(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+      .distinct())
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist()
     val outdeg = e.groupBy("src").agg(count("*").as("outdeg"))
-    // (src, dst, outdeg) is iteration-invariant: persist it so the
-    // upstream edge build (at scale, the dominant cost) runs once and
-    // every round's join reads cached blocks.
+    // (src, dst, outdeg) is iteration-invariant: persist it so every
+    // round's join reads cached blocks (its lineage is now two narrow
+    // ops over the checkpointed edge RDD, so the cached subtree the
+    // rounds re-plan is tiny).
     val withDeg = e.join(outdeg, "src").persist()
 
     var ranks = nodes.withColumn("rank_nanos", lit(1000000000L))
@@ -162,14 +173,18 @@ object Graphs {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     // The edge list (at scale, the whole upstream k-NN-graph build)
-    // and the slim seed table are iteration-invariant: persist both
-    // so every round's joins read cached blocks; checkpoint the label
-    // frame every 3 rounds (and at exit, before freeing the caches)
-    // to bound the iterative-join lineage.
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // is iteration-invariant: EAGER fresh-stats checkpoint, not a
+    // lazy persist — a persisted frame still carries the full edge
+    // build's logical subtree into every round's analyzed plan, and
+    // the driver re-plans it per AQE stage (the measured r14
+    // emb_pagerank pathology: 27.5 s of zero-task driver gap; see
+    // pageRank). The slim seed table stays a persist; the label frame
+    // is checkpointed every 3 rounds (and at exit) to bound the
+    // iterative-join lineage.
+    val e = graftCheckpoint(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().persist()
+      .distinct())
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val seed = seeds.select(col(idCol).cast("long").as("id"),
@@ -185,7 +200,6 @@ object Graphs {
         labels = graftCheckpoint(labels)
     }
     val out = graftCheckpoint(labels.select("id", "label"))
-    e.unpersist()
     seed.unpersist()
     out.orderBy("id")
   }
@@ -233,14 +247,27 @@ object Graphs {
     */
   private[graft] def triangleStatsImpl(pairs: DataFrame, aCol: String,
       bCol: String, materialize: Boolean): DataFrame = {
-    val e = pairs.select(
+    val eRaw = pairs.select(
         least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .dropDuplicates("u", "v")
-    val deg = e.select(col("u").as("node"))
+    // The oriented edge list references e three times (both degree
+    // projections and the orientation join), so without a checkpoint
+    // the upstream candidate build (at scale, the whole MinHash/LSH
+    // pipeline) is embedded three times in one analyzed plan —
+    // exchange reuse may or may not collapse the copies, and the
+    // driver re-plans the full tree per AQE stage either way (the
+    // measured r14 driver-gap pathology, see pageRank). One eager
+    // fresh-stats checkpoint truncates all of it.
+    val e = if (materialize) graftCheckpoint(eRaw) else eRaw
+    // deg is referenced four times (both orientation sides, the
+    // closing-degree join, the final rollup join): persist the
+    // node-sized frame so it aggregates once instead of four times.
+    val degRaw = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .groupBy("node").agg(count("*").as("d"))
+    val deg = if (materialize) degRaw.persist() else degRaw
     // orient by (degree, id): rank as a single sortable struct so the
     // comparison stays one codegen'd expression
     val du = deg.select(col("node").as("u"), col("d").as("d_u"))
@@ -278,10 +305,11 @@ object Graphs {
           .otherwise(lit(0.0)), 6).as("clustering"))
     if (!materialize) raw
     else {
-      // materialize (node-sized) so the oriented cache can be freed
-      // before returning — the labelPropagation exit pattern
+      // materialize (node-sized) so the oriented/deg caches can be
+      // freed before returning — the labelPropagation exit pattern
       val out = graftCheckpoint(raw)
       orientedC.unpersist()
+      deg.unpersist()
       out
     }
   }
@@ -351,10 +379,14 @@ object Graphs {
     */
   def graphSuite(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
-    val p = pairs.select(col(aCol).as("id_a"), col(bCol).as("id_b")).persist()
+    // Eager fresh-stats checkpoint (was a lazy persist): both
+    // consumers' own internal checkpoints plan over a leaf RDD
+    // instead of re-planning the candidate build's subtree, and the
+    // build still runs exactly once.
+    val p = graftCheckpoint(
+      pairs.select(col(aCol).as("id_a"), col(bCol).as("id_b")))
     val cc = Dedup.connectedComponents(p) // (id, cluster_id), checkpointed
     val tri = triangleStats(p)            // (node, degree, n_triangles, clustering)
-    p.unpersist()
     cc.join(tri.withColumnRenamed("node", "id"), "id")
       .select(col("id").as("node"), col("cluster_id"), col("degree"),
         col("n_triangles"), col("clustering"))
