@@ -39,6 +39,31 @@ object Dedup {
     */
   private val Prime = 2147483647L
 
+  /** SCAN-PARALLELISM FLOOR for the signature-heavy operators: when
+    * the input's scan yields fewer partitions than the session's
+    * parallelism, round-robin repartition it so the scan-side
+    * expression work (shingling + the 128-hash md5 MinHash signature,
+    * the dominant CPU of every LSH chain) spreads across all cores.
+    * Measured r14: the single-row-group testdata parquet cannot be
+    * byte-range split, so dedup_minhash_lsh ran 7.2 s of single-task
+    * signature stages on one core while 31 idled — with the floor the
+    * bench-shape query dropped 3.40 → 2.53 s (containment 3.28 →
+    * 1.90, ngram_jaccard 3.49 → 2.27). Scale behavior: at production
+    * scale scan partition counts exceed core counts, so the floor
+    * never engages and no shuffle is added — adaptive to the input,
+    * not a local-mode constant. Applied ONLY in the heavy-expression
+    * operators: a global reader-level floor measured a ~0.2–0.7 s
+    * shuffle+planning tax on every cheap single-pass query, which a
+    * 32-way corpus of sub-millisecond scans never earns back.
+    * Determinism: round-robin repartition local-sorts its input
+    * (SPARK-23207), and every downstream aggregate here is
+    * partition-order immune (integer/exact arithmetic).
+    */
+  private[graft] def scanParallelismFloor(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: group by normalized-text fingerprint; keep the
     * minimum id as canonical. One hash-aggregate shuffle; the map-side
     * partial aggregation makes this safe on 100 TB of documents.
@@ -267,7 +292,7 @@ object Dedup {
     require(sampleQ >= 1, s"sampleQ must be positive, got $sampleQ")
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     val rd = graft.functions.MathFunctions.roundTo _
-    val base = df.select(col(idCol).as("id"),
+    val base = scanParallelismFloor(df).select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("shingles"))
     // deterministic portable sample (same chain as the k-means seeds)
     val seedHash = pmod(pmod(col("id"), lit(1000003L)) *
@@ -334,7 +359,7 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes=$numHashes must be divisible by bands=$bands " +
         "(a remainder silently drops hashes from the band keys, degrading LSH recall)")
-    val base = df.select(
+    val base = scanParallelismFloor(df).select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("shingles"))
     val cand = lshCandidatePairs(base, numHashes, bands, seed, maxBucketSize, portableHash)
@@ -374,7 +399,7 @@ object Dedup {
       portableHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes=$numHashes must be divisible by bands=$bands")
-    val base = df.select(
+    val base = scanParallelismFloor(df).select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("shingles"))
     val cand = lshCandidatePairs(base, numHashes, bands, seed, maxBucketSize, portableHash)
@@ -419,7 +444,7 @@ object Dedup {
       s"numHashes=$numHashes must be divisible by bands=$bands")
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val r = numHashes / bands
-    val base = df.select(col(idCol).as("id"), col(textCol).as("txt"),
+    val base = scanParallelismFloor(df).select(col(idCol).as("id"), col(textCol).as("txt"),
       length(col(textCol)).as("len"),
       wordShingles(col(textCol), shingleSize).as("shingles"))
     val sigs = base.withColumn("sig",
@@ -537,7 +562,7 @@ object Dedup {
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxExactRows: Long = 100000L): DataFrame = {
     requireOracleScale(df, maxExactRows, "ngramJaccardPairs", "minhashNearDups")
-    val base = df.select(col(idCol).as("id"),
+    val base = scanParallelismFloor(df).select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("shingles"))
       .withColumn("n_sh", size(col("shingles")))
     val ex = base.select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
@@ -709,7 +734,7 @@ object Dedup {
         "(a remainder silently drops hashes from the band keys, degrading LSH recall)")
     val r = numHashes / bands
     def prep(src: DataFrame): DataFrame = {
-      val base = src.select(col(idCol).as("id"),
+      val base = scanParallelismFloor(src).select(col(idCol).as("id"),
         wordShingles(col(textCol), shingleSize).as("shingles"))
       base.withColumn("sig",
         minhashSignature(col("shingles"), numHashes, seed, portableMd5 = portableHash))
@@ -854,7 +879,15 @@ object Dedup {
     val batchPairs = minhashNearDups(newDocs, textCol, idCol,
       shingleSize, numHashes, bands, threshold, seed, maxBucketSize, portableHash)
     val batchDrops = batchPairs.select(col("id_b").as(idCol)).distinct()
-    val batchSurvivors = newDocs.join(batchDrops, Seq(idCol), "left_anti")
+    // Eager checkpoint: the survivors frame embeds the whole
+    // within-batch minhash chain, and the index path below references
+    // it TWICE (the signature pass and the final anti-join) — without
+    // the checkpoint the chain is re-planned and re-executed per
+    // reference (the r14 duplicated-subtree pathology; see
+    // connectedComponents). Batch-sized, same durability trade as the
+    // exit checkpoint.
+    val batchSurvivors = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .localCheckpointFreshStats(newDocs.join(batchDrops, Seq(idCol), "left_anti"))
 
     val bandsPath = s"$indexPath/bands"
     val indexExists = {

@@ -489,7 +489,10 @@ object TextAnalysis {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val (_, _, selHashes) = winnowSelected(textCol, gramSize, w)
-    val fp = df.select(col(idCol).as("__id"),
+    // scan-parallelism floor: the per-doc winnowing digest (md5 of
+    // every gram) is the dominant CPU and the single-row-group
+    // testdata scan runs it on one task — see Dedup.scanParallelismFloor
+    val fp = Dedup.scanParallelismFloor(df).select(col(idCol).as("__id"),
       explode(array_distinct(selHashes)).as("__h"))
     val cold = fp.groupBy("__h").agg(count("*").as("__c"))
       .filter(col("__c") <= maxBucketSize).select("__h")
