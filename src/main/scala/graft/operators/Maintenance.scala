@@ -283,6 +283,13 @@ object Maintenance {
         case _: TimestampType => date_format(agg, "yyyy-MM-dd HH:mm:ss")
         case _ => agg.cast("string")
       }
+    // scan-parallelism floor: the multi-countDistinct aggregate
+    // EXPANDs every row once per distinct-agg (|cols| ways) before the
+    // partial aggregation, and the single-row-group testdata scan runs
+    // that expansion on one task — see Dedup.scanParallelismFloor
+    // (no-op whenever scan partitions already reach the session
+    // parallelism, i.e. at any production file count).
+    val src = graft.operators.Dedup.scanParallelismFloor(df)
     val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
       val base = Seq(
         // coalesce: SUM over an empty table is NULL, not 0
@@ -295,7 +302,7 @@ object Maintenance {
         base ++ Seq(strOf(c, min(col(c))).as(s"__smin_$c"),
                     strOf(c, max(col(c))).as(s"__smax_$c"))
     }
-    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
     val nRows = r.getAs[Long]("__n")
     def opt[A](name: String): Option[A] =
       if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
