@@ -879,15 +879,7 @@ object Dedup {
     val batchPairs = minhashNearDups(newDocs, textCol, idCol,
       shingleSize, numHashes, bands, threshold, seed, maxBucketSize, portableHash)
     val batchDrops = batchPairs.select(col("id_b").as(idCol)).distinct()
-    // Eager checkpoint: the survivors frame embeds the whole
-    // within-batch minhash chain, and the index path below references
-    // it TWICE (the signature pass and the final anti-join) — without
-    // the checkpoint the chain is re-planned and re-executed per
-    // reference (the r14 duplicated-subtree pathology; see
-    // connectedComponents). Batch-sized, same durability trade as the
-    // exit checkpoint.
-    val batchSurvivors = org.apache.spark.sql.graftbridge.CheckpointBridge
-      .localCheckpointFreshStats(newDocs.join(batchDrops, Seq(idCol), "left_anti"))
+    val batchSurvivorsRaw = newDocs.join(batchDrops, Seq(idCol), "left_anti")
 
     val bandsPath = s"$indexPath/bands"
     val indexExists = {
@@ -896,8 +888,18 @@ object Dedup {
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
     val fresh =
-      if (!indexExists) batchSurvivors
+      if (!indexExists) batchSurvivorsRaw // materialized once by the exit checkpoint
       else {
+        // Eager checkpoint: the survivors frame embeds the whole
+        // within-batch minhash chain, and the index path references it
+        // TWICE (the signature pass and the final anti-join) — without
+        // the checkpoint the chain is re-planned and re-executed per
+        // reference (the r14 duplicated-subtree pathology; see
+        // connectedComponents). Only on the index path: the fresh-index
+        // batch is materialized exactly once at exit, so a checkpoint
+        // here would be a second full copy of the same rows.
+        val batchSurvivors = org.apache.spark.sql.graftbridge.CheckpointBridge
+          .localCheckpointFreshStats(batchSurvivorsRaw)
         val sigs = batchSurvivors.select(
           col(idCol).as("id"),
           minhashSignature(wordShingles(col(textCol), shingleSize), numHashes, seed,
@@ -955,10 +957,15 @@ object Dedup {
       minhashSignature(wordShingles(col(textCol), shingleSize), numHashes, seed,
         portableMd5 = portableHash).as("sig"))
       .localCheckpoint(eager = true) // one signature pass feeds both writes
-    sigs.write.mode("append").parquet(s"$indexPath/sigs")
-    sigs.select(col("doc_id"), explode(bandKeys(col("sig"), bands, r, portable = portableHash)).as("bk"))
-      .select(col("bk.band"), col("bk.key"), col("doc_id"))
-      .write.mode("append").parquet(s"$indexPath/bands")
+    // The two index writes read the same checkpointed RDD and land in
+    // different directories: overlap them (guide-§2.6 job overlap).
+    Graphs.inParallel(
+      sigs.write.mode("append").parquet(s"$indexPath/sigs"),
+      sigs.select(col("doc_id"),
+          explode(bandKeys(col("sig"), bands, r, portable = portableHash)).as("bk"))
+        .select(col("bk.band"), col("bk.key"), col("doc_id"))
+        .write.mode("append").parquet(s"$indexPath/bands"))
+    ()
   }
 
   /** Seeded random hyperplanes for cosine LSH, baked as plan literals. */

@@ -39,7 +39,7 @@ object Graphs {
     * earlier job's resource priority — exactly the backfill behavior
     * wanted here.
     */
-  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+  private[operators] def inParallel[A, B](a: => A, b: => B): (A, B) = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     try {
       val fa = pool.submit(new java.util.concurrent.Callable[A] { def call(): A = a })
