@@ -35,8 +35,31 @@ object SparkEntry {
 
   private def rd(c: Column, d: Int): Column = roundTo(c, d)
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Parquet footer schemas per path — METADATA only, never rows.
+    * Every bare `read.parquet` runs a footer-inference job (~60–150 ms
+    * driver+scheduling, measured r15 with OverheadProfile: 1 job per
+    * `t()` call in BOTH bench passes — q4_join_multi paid five of
+    * them per construction); passing the schema explicitly skips the
+    * job while execution still scans the parquet data in full on
+    * every invocation. This is the catalog pattern (production tables
+    * carry their schema in a metastore; only this pathless-parquet
+    * surface re-infers per read). Keyed by full path because the same
+    * table name ships different physical layouts across sf dirs
+    * (events.ts: TIMESTAMP(NANOS) vs (MICROS)).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val cached = schemaCache.get(path)
+    if (cached != null) s.read.schema(cached).parquet(path)
+    else {
+      val df = s.read.parquet(path)
+      schemaCache.put(path, df.schema)
+      df
+    }
+  }
 
   /** events.parquet's `ts` column has shipped in two physical forms:
     * TIMESTAMP(NANOS) (which Spark's reader only accepts as a raw long
@@ -1453,11 +1476,17 @@ object SparkEntry {
       val s1 = Dedup.incrementalMinhash(b1, "text", "doc_id", idx,
         shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.3,
         portableHash = true)
-      Dedup.commitMinhash(s1, "text", "doc_id", idx,
-        shingleSize = 3, numHashes = 128, bands = 32, portableHash = true)
-      val s2 = Dedup.incrementalMinhash(b2, "text", "doc_id", idx,
+      // Batch-1's commit is overlapped behind batch-2's within-batch
+      // candidate build (guide §2.6; r15): the build depends only on
+      // b2, the commit only writes the index, and the operator
+      // barriers before its first index read — computes exactly what
+      // the sequential { commit(s1); incrementalMinhash(b2) } did.
+      val s2 = Dedup.incrementalMinhashOverlapping(b2, "text", "doc_id", idx,
         shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.3,
-        portableHash = true)
+        portableHash = true) { () =>
+        Dedup.commitMinhash(s1, "text", "doc_id", idx,
+          shingleSize = 3, numHashes = 128, bands = 32, portableHash = true)
+      }
       s1.select(col("doc_id"), lit(1).as("batch"))
         .union(s2.select(col("doc_id"), lit(2).as("batch")))
         .orderBy("doc_id")
@@ -1735,8 +1764,15 @@ object SparkEntry {
     "sketch_cms_topk" -> ((s, dir) => {
       // Portable Count-Min-Sketch heavy hitters over the token stream
       // (estimate = min over 4 hash rows of 1024 buckets each).
+      // scan-parallelism floor on the slim DOC rows before the explode
+      // (r15): both CMS branches hash every token d+1 times with the
+      // md5-based portable hash — measured 2×(1.2–2.2) CPU-s
+      // single-task stages on the single-row-group bench parquet.
+      // Counts/min are exact (partition-order immune); no-op at
+      // production scan widths.
       Sketches.cmsTopK(
-          t(s, dir, "documents").select(explode(TextFunctions.tokens(col("text"))).as("token")),
+          Dedup.scanParallelismFloor(t(s, dir, "documents").select(col("text")))
+            .select(explode(TextFunctions.tokens(col("text"))).as("token")),
           "token", d = 4, w = 1024, k = 20)
         .orderBy(col("cms_estimate").desc, col("item").asc)
     }),

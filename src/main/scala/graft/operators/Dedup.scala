@@ -61,7 +61,23 @@ object Dedup {
     */
   private[graft] def scanParallelismFloor(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // r14-ADVICE fix: probing `df.rdd` on a shuffle-bearing plan under
+    // AQE finalizes the adaptive plan and eagerly EXECUTES the upstream
+    // shuffle stages, which the real query then re-runs (no
+    // cross-execution stage reuse) — silently doubling the upstream
+    // work for a non-scan input. Gate the probe on NARROW-over-scan
+    // plans (projections/filters/generates/unions over leaf relations),
+    // where `.rdd` builds the scan RDD without launching any job and
+    // the probed count really is the scan's. A shuffle-bearing input is
+    // already redistributed by its own exchange, so the floor had
+    // nothing to add there anyway.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val wide = df.queryExecution.optimizedPlan.collectFirst {
+      case p if !(p.isInstanceOf[Project] || p.isInstanceOf[Filter] ||
+        p.isInstanceOf[Generate] || p.isInstanceOf[Union] ||
+        p.isInstanceOf[LeafNode]) => p
+    }.isDefined
+    if (!wide && df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** Exact dedup: group by normalized-text fingerprint; keep the
@@ -314,6 +330,15 @@ object Dedup {
       .select(col("query_id"), col("id").as("corpus_id"))
       .localCheckpoint(eager = true) // bounded by Q · near-dup degree
     val truthN = truth.agg(count(lit(1)).as("truth_n"))
+    // Branch overlap (the lshRecallProfile r15 change): measured and
+    // REVERTED here — this operator's lazy 3-branch union is already
+    // compute-efficient (AQE materializes the independent branch
+    // stages concurrently inside one job, and exchange reuse shares
+    // the floored scan), while eager per-branch materialization made
+    // it 1.46 → 2.34 s and adding a shared signature checkpoint
+    // 3.08 s. The embedding twin won from the same pattern because it
+    // was GAP-bound (2.3 CPU-s across 22 sequential stages), not
+    // compute-bound.
     bandsList.map { b =>
       val r = numHashes / b
       val buckets = base
@@ -621,6 +646,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                           maxIter: Int = 32): DataFrame = {
+    // maxIter counts TOTAL rounds including the folded init round (the
+    // loop below probes maxIter-1 rounds) — r14-advice: a caller
+    // passing 1 would get zero probed rounds and an unconditional
+    // not-converged warning, so require the minimum that makes the
+    // parameter meaningful.
+    require(maxIter >= 2, s"maxIter=$maxIter must be >= 2 " +
+      "(the init round is folded in; at least one probed round is needed)")
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     // EAGER fresh-stats checkpoint, not a lazy cache: a cached edge
     // frame still carries the whole upstream candidate build (at
@@ -660,20 +692,26 @@ object Dedup {
           .join(labels.as("y"), col("x.label") === col("y.id"))
           .select(col("x.id").as("id"), col("y.label").as("label")))
       val next = withShortcut.groupBy("id").agg(min("label").as("label"))
-      // ONE action per round: the changed flag rides the eagerly
-      // checkpointed frame (which also bounds the iterative-join
-      // lineage), so the convergence probe below reads materialized
-      // blocks instead of recomputing the propagation join — this
-      // halved dedup_clusters' round cost vs a separate count() probe.
-      // fresh-stats checkpoint: labels enters this round's plan four
-      // times (base ∪ viaEdges ∪ shortcut self-join ⨝ flag join), so a
-      // stats-carrying localCheckpoint would ×4 the inherited BigInt
-      // sizeInBytes every round — see CheckpointBridge.
-      val flagged = org.apache.spark.sql.graftbridge.CheckpointBridge
-        .localCheckpointFreshStats(next.as("n").join(labels.as("o"), Seq("id"))
-          .select(col("id"), col("n.label").as("label"),
-                  (col("n.label") =!= col("o.label")).as("chg")))
-      converged = flagged.filter(col("chg")).isEmpty
+      // ONE action per round, probe included: the changed flag rides
+      // the eagerly checkpointed frame (which also bounds the
+      // iterative-join lineage), and the convergence count is FUSED
+      // into the checkpoint's own materialization job
+      // (localCheckpointFreshStatsCountTrue) — r14 paid a separate
+      // `isEmpty` job per round on top of the checkpoint job (worst on
+      // the converged round, where take(1)'s scale-up scans every
+      // block), ~0.1 s × rounds × 7 CC-backed queries (r14-verdict
+      // item 2). fresh-stats checkpoint: labels enters this round's
+      // plan four times (base ∪ viaEdges ∪ shortcut self-join ⨝ flag
+      // join), so a stats-carrying localCheckpoint would ×4 the
+      // inherited BigInt sizeInBytes every round — see
+      // CheckpointBridge.
+      val (flagged, nChanged) = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointFreshStatsCountTrue(
+          next.as("n").join(labels.as("o"), Seq("id"))
+            .select(col("id"), col("n.label").as("label"),
+                    (col("n.label") =!= col("o.label")).as("chg")),
+          "chg")
+      converged = nChanged == 0L
       labels = flagged.select("id", "label")
       i += 1
     }
@@ -869,7 +907,43 @@ object Dedup {
                          bands: Int = 32, threshold: Double = 0.7,
                          seed: Long = graft.operators.Dedup.DefaultSeed, maxBucketSize: Int = 1000,
                          stagingPath: Option[String] = None,
-                         portableHash: Boolean = false): DataFrame = {
+                         portableHash: Boolean = false): DataFrame =
+    incrementalMinhashImpl(newDocs, textCol, idCol, indexPath, shingleSize,
+      numHashes, bands, threshold, seed, maxBucketSize, stagingPath,
+      portableHash, overlappedWork = None)
+
+  /** [[incrementalMinhash]] with an independent unit of driver work —
+    * in the intended use, the PREVIOUS batch's [[commitMinhash]] —
+    * overlapped behind this batch's within-batch candidate build
+    * (guide §2.6 job overlap): the within-batch near-dup phase depends
+    * only on `newDocs`, while the overlapped work only WRITES the
+    * index, and the barrier sits before this batch's first index READ
+    * — so `incrementalMinhashOverlapping(b2, …, work = commit(s1))`
+    * computes exactly what `{ commit(s1); incrementalMinhash(b2, …) }`
+    * computes, with the commit's write jobs backfilling the candidate
+    * build's inter-stage driver gaps. Exceptions from either side
+    * rethrow (same failure surface as the sequential form).
+    */
+  private[graft] def incrementalMinhashOverlapping(
+      newDocs: DataFrame, textCol: String, idCol: String,
+      indexPath: String,
+      shingleSize: Int = 5, numHashes: Int = 128,
+      bands: Int = 32, threshold: Double = 0.7,
+      seed: Long = graft.operators.Dedup.DefaultSeed, maxBucketSize: Int = 1000,
+      stagingPath: Option[String] = None,
+      portableHash: Boolean = false)(work: () => Unit): DataFrame =
+    incrementalMinhashImpl(newDocs, textCol, idCol, indexPath, shingleSize,
+      numHashes, bands, threshold, seed, maxBucketSize, stagingPath,
+      portableHash, overlappedWork = Some(work))
+
+  private def incrementalMinhashImpl(newDocs: DataFrame, textCol: String, idCol: String,
+                         indexPath: String,
+                         shingleSize: Int, numHashes: Int,
+                         bands: Int, threshold: Double,
+                         seed: Long, maxBucketSize: Int,
+                         stagingPath: Option[String],
+                         portableHash: Boolean,
+                         overlappedWork: Option[() => Unit]): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes=$numHashes must be divisible by bands=$bands " +
         "(a remainder silently drops hashes from the band keys, degrading LSH recall)")
@@ -881,6 +955,19 @@ object Dedup {
     val batchDrops = batchPairs.select(col("id_b").as(idCol)).distinct()
     val batchSurvivorsRaw = newDocs.join(batchDrops, Seq(idCol), "left_anti")
 
+    // Overlap point: materialize the within-batch survivors (the whole
+    // minhash chain) WHILE the caller's independent work — the previous
+    // batch's index commit — runs on a second thread. The barrier
+    // (inParallel joins both) is crossed before the index-existence
+    // check and every index read below.
+    val survivorsPre = overlappedWork.map { work =>
+      val (ck, _) = Graphs.inParallel(
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .localCheckpointFreshStats(batchSurvivorsRaw),
+        work())
+      ck
+    }
+
     val bandsPath = s"$indexPath/bands"
     val indexExists = {
       val p = new org.apache.hadoop.fs.Path(bandsPath)
@@ -888,7 +975,7 @@ object Dedup {
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
     val fresh =
-      if (!indexExists) batchSurvivorsRaw // materialized once by the exit checkpoint
+      if (!indexExists) survivorsPre.getOrElse(batchSurvivorsRaw) // materialized once by the exit checkpoint (overlap mode: already materialized behind the overlapped work)
       else {
         // Eager checkpoint: the survivors frame embeds the whole
         // within-batch minhash chain, and the index path references it
@@ -897,9 +984,12 @@ object Dedup {
         // reference (the r14 duplicated-subtree pathology; see
         // connectedComponents). Only on the index path: the fresh-index
         // batch is materialized exactly once at exit, so a checkpoint
-        // here would be a second full copy of the same rows.
-        val batchSurvivors = org.apache.spark.sql.graftbridge.CheckpointBridge
-          .localCheckpointFreshStats(batchSurvivorsRaw)
+        // here would be a second full copy of the same rows. In overlap
+        // mode the checkpoint already happened concurrently with the
+        // overlapped work — reuse it.
+        val batchSurvivors = survivorsPre.getOrElse(
+          org.apache.spark.sql.graftbridge.CheckpointBridge
+            .localCheckpointFreshStats(batchSurvivorsRaw))
         val sigs = batchSurvivors.select(
           col(idCol).as("id"),
           minhashSignature(wordShingles(col(textCol), shingleSize), numHashes, seed,
@@ -957,14 +1047,20 @@ object Dedup {
       minhashSignature(wordShingles(col(textCol), shingleSize), numHashes, seed,
         portableMd5 = portableHash).as("sig"))
       .localCheckpoint(eager = true) // one signature pass feeds both writes
-    // The two index writes read the same checkpointed RDD and land in
-    // different directories: overlap them (guide-§2.6 job overlap).
-    Graphs.inParallel(
-      sigs.write.mode("append").parquet(s"$indexPath/sigs"),
-      sigs.select(col("doc_id"),
-          explode(bandKeys(col("sig"), bands, r, portable = portableHash)).as("bk"))
-        .select(col("bk.band"), col("bk.key"), col("doc_id"))
-        .write.mode("append").parquet(s"$indexPath/bands"))
+    // The two index writes are deliberately SEQUENTIAL, sigs strictly
+    // before bands (r14-advice fix: the r14 overlap could commit bands
+    // rows whose doc_id has no sigs row if the sigs write failed after
+    // the bands write landed — such orphans silently drop candidates
+    // at incrementalMinhash's inner oldSigs join, degrading recall
+    // with no error; sigs-without-bands, the order restored here, is
+    // harmless — unreferenced rows). The r14 throughput idea survives
+    // one level up: [[incrementalMinhashOverlapping]] overlaps the
+    // WHOLE commit behind the next batch's within-batch build.
+    sigs.write.mode("append").parquet(s"$indexPath/sigs")
+    sigs.select(col("doc_id"),
+        explode(bandKeys(col("sig"), bands, r, portable = portableHash)).as("bk"))
+      .select(col("bk.band"), col("bk.key"), col("doc_id"))
+      .write.mode("append").parquet(s"$indexPath/bands")
     ()
   }
 
@@ -1455,7 +1551,12 @@ object Dedup {
           greatest(col("id_x"), col("id_y")).as("id_b"),
           (col("inter") / col("uni")).as("jaccard"))
     }
-    val passes = keyExprs.map(passScored)
+    // Each pass's rank assignment (RDD zipWithIndex) launches an eager
+    // partition-count job at CONSTRUCTION; the passes are independent,
+    // so build them concurrently (guide §2.6, r15) — the count jobs
+    // overlap and each one's range exchange is in flight while the
+    // other's tail finishes. The pass chains themselves stay lazy.
+    val passes = Graphs.inParallelSeq(keyExprs.map(k => () => passScored(k)))
     val candUnion = passes.reduce(_.unionByName(_))
     // Threshold BEFORE the cross-pass dedup: only surviving pairs
     // reach the one cross-pass shuffle. A pair blocked by k passes

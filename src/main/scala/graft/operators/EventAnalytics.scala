@@ -596,11 +596,12 @@ object EventAnalytics {
     * per-day count and the window fan-out) that would otherwise
     * each re-scan the event log (the ReuseExchange differently-
     * pruned-subtree miss, measured on `evt_rfm`). The trailing
-    * window is an interval join of that slim frame against the tiny
-    * broadcast day list — each (user, day) row fans out to at most
-    * `windowDays` anchors, independent of event volume — then one
-    * distinct-count keyed by anchor day. A 10^6-event power user
-    * costs exactly `active_days × windowDays` slim rows.
+    * window is a bounded EXPLODE of that slim frame — each
+    * (user, day) row fans out to exactly `windowDays` candidate
+    * anchors, independent of event volume (anchors on days with no
+    * events drop out at the dau join) — then one distinct-count
+    * keyed by anchor day. A 10^6-event power user costs exactly
+    * `active_days × windowDays` slim rows.
     *
     * Determinism: days are exact integer micros truncating division
     * (Spark `div` ≡ DuckDB `//`, the house day-bucket convention);
@@ -625,10 +626,25 @@ object EventAnalytics {
         expr(s"cast($tsUsCol as long) div 86400000000").as("day"))
       .distinct()
     val au = if (materialize) au0.persist() else au0
-    val days = au.select(col("day").as("anchor")).distinct()
     val dau = au.groupBy("day").agg(count("*").as("dau"))
-    val wau = au.join(broadcast(days),
-        col("day") <= col("anchor") && col("day") > col("anchor") - lit(windowDays.toLong))
+    // Trailing window via a BOUNDED EXPLODE of the ≤ windowDays anchor
+    // days each (user, day) row can contribute to — r15 rewrite of the
+    // former `au ⨯ broadcast(days)` interval join, whose
+    // BroadcastNestedLoopJoin compared every slim row against every
+    // observed day (|au|·|days| struct comparisons, measured ~14 CPU-s
+    // at sf0.1 vs the explode's |au|·windowDays rows). Equivalence:
+    // the NLJ produced exactly the pairs {(row, anchor) : anchor ∈
+    // observed days, day ≤ anchor < day+windowDays}; the explode
+    // produces the superset over ALL integer anchors in
+    // [day, day+windowDays) — the extra (non-observed-day) anchors
+    // form wau groups with no dau partner and are dropped by the
+    // inner join below, so the surviving rows and their distinct-user
+    // counts are identical. Strictly better at any scale: the explode
+    // fan-out is volume-independent (the docstring's ≤ windowDays slim
+    // rows, now literally the plan) and no broadcast is built.
+    val wau = au
+      .select(col("u"), explode(sequence(col("day"),
+        col("day") + lit(windowDays.toLong - 1L))).as("anchor"))
       .groupBy("anchor").agg(countDistinct("u").as("wau"))
     val raw = dau.join(wau, col("day") === col("anchor"))
       .select(col("day"), col("dau"), col("wau"),

@@ -39,6 +39,25 @@ object Graphs {
     * earlier job's resource priority — exactly the backfill behavior
     * wanted here.
     */
+  /** N-way [[inParallel]] for a homogeneous list of independent
+    * eagerly-materializing builds (r15: the recall profiles' per-depth
+    * / per-banding branches). Same semantics: FIFO backfill,
+    * exceptions rethrow on the caller, results in input order.
+    */
+  private[operators] def inParallelSeq[A](bodies: Seq[() => A]): Seq[A] = {
+    if (bodies.size <= 1) bodies.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(bodies.size)
+      try {
+        val fs = bodies.map(b => pool.submit(
+          new java.util.concurrent.Callable[A] { def call(): A = b() }))
+        fs.map(_.get())
+      } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally pool.shutdown()
+    }
+  }
+
   private[operators] def inParallel[A, B](a: => A, b: => B): (A, B) = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     try {

@@ -194,7 +194,15 @@ object Maintenance {
                         cols: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(cols.size >= 2 && cols.distinct.size == cols.size,
       s"need >= 2 distinct columns, got $cols")
-    val base = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    // scan-parallelism floor (r15): the decimal moment partial
+    // aggregation — 14 exact-decimal sums/products per row — ran as a
+    // single scan task on the single-row-group bench parquet (measured
+    // 1.8 CPU-s ≈ the query's whole wall); decimal sums are
+    // order-immune, so spreading the scan is free. No-op whenever scan
+    // partitions already reach the session parallelism (production
+    // file counts).
+    val base = graft.operators.Dedup.scanParallelismFloor(
+      df.filter(cols.map(col(_).isNotNull).reduce(_ && _)))
     def d(c: String) = col(c).cast("decimal(18,6)")
     val moments =
       Seq(count(lit(1)).as("__n")) ++

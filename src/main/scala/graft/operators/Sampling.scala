@@ -279,6 +279,11 @@ object Sampling {
       lit(Array.empty[String])).otherwise(split(normalizeText(c), " "))
     def bucket(t: Column) = pmod(
       Dedup.portableHash60(concat(lit(seed + ":"), t)), lit(B))
+    // scan-parallelism floor: measured and REVERTED everywhere in this
+    // operator (r15) — the md5 bucket-hash passes are too cheap to earn
+    // the round-robin exchange at any placement tried (+0.28 s with
+    // doc- or token-level floors on the count passes; no win from the
+    // final logw_q scan floor either — BenchSubset A/B pairs).
     def bucketCounts(df: DataFrame, cname: String) =
       df.select(explode(toksSafe(col(textCol))).as("__t"))
         .select(bucket(col("__t")).as("__b"))

@@ -1284,7 +1284,13 @@ object Similarity {
       .select(col("query_id"), explode(col("top.id")).as("corpus_id"))
       .localCheckpoint(eager = true) // ≤ Q·k rows
     val truthN = truth.agg(count(lit(1)).as("truth_n"))
-    depths.map { d =>
+    // Per-depth branches are independent given the checkpointed
+    // sample/truth: materialize each ONE-ROW result eagerly on its own
+    // thread (guide §2.6 job overlap, r15) — the sequential lazy union
+    // left the driver re-planning the 3-branch union per AQE stage
+    // (measured: 22 stages, 2.25 s of zero-task gap on 2.3 CPU-s of
+    // work); the final plan unions three ExistingRDD leaves instead.
+    Graphs.inParallelSeq(depths.map { d => () =>
       val planes = (0 until nTables).map(t => Dedup.randomPlanes(d, dim, seed + t))
       val buckets = base.withColumn("buckets",
           column(graft.plans.HyperplaneBuckets(expression(col("v")), planes)))
@@ -1305,13 +1311,14 @@ object Similarity {
       // so the planner would fall back to sort-merge: broadcast it
       val hits = cand.join(broadcast(truth), Seq("query_id", "corpus_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
-      work.crossJoin(hits).crossJoin(truthN)
-        .select(lit(d).as("n_planes"), col("candidate_pairs"), col("hits"),
-          col("truth_n"),
-          when(col("truth_n") === 0L, lit(1.0))
-            .otherwise(rd(col("hits").cast("double") / col("truth_n").cast("double"), 6))
-            .as("recall_at_k"))
-    }.reduce(_ union _).orderBy("n_planes")
+      org.apache.spark.sql.graftbridge.CheckpointBridge.localCheckpointFreshStats(
+        work.crossJoin(hits).crossJoin(truthN)
+          .select(lit(d).as("n_planes"), col("candidate_pairs"), col("hits"),
+            col("truth_n"),
+            when(col("truth_n") === 0L, lit(1.0))
+              .otherwise(rd(col("hits").cast("double") / col("truth_n").cast("double"), 6))
+              .as("recall_at_k")))
+    }).reduce(_ union _).orderBy("n_planes")
   }
 
   /** Symmetric per-vector int8 scalar quantization: q_i =
@@ -1350,7 +1357,14 @@ object Similarity {
     */
   def int8TopK(corpus: DataFrame, queries: DataFrame,
                vecCol: String, idCol: String, k: Int): DataFrame = {
-    val c = int8Quantize(corpus, vecCol, idCol)
+    // scan-parallelism floor (r15): the corpus side runs quantization
+    // + every integer dot product in ONE scan task on the
+    // single-row-group bench parquet (measured 0.9 CPU-s ≈ the query
+    // wall). Scores are per-row deterministic and the top-k heap
+    // orders by (score, id) — partition-order immune; no-op at
+    // production scan widths.
+    val c = int8Quantize(graft.operators.Dedup.scanParallelismFloor(corpus),
+        vecCol, idCol)
       .select(col("id").as("corpus_id"), col("q").as("qb"), col("scale").as("sb"))
     val q = int8Quantize(queries, vecCol, idCol)
       .select(col("id").as("query_id"), col("q").as("qa"), col("scale").as("sa"))

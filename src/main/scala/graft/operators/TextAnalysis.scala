@@ -388,11 +388,21 @@ object TextAnalysis {
                 groupCol: String): DataFrame = {
     val toks = split(normalizeText(col(textCol)), " ")
     val bigrams = bigramStructs(toks)
-    val occ = df
-      .select(col(idCol).as("__id"), col(groupCol).as("__g"), explode(bigrams).as("__b"))
+    // scan-parallelism floor (r15): the per-language LM runs THREE
+    // tokenizing scans of the corpus (bigram explode for occ — read
+    // twice downstream — plus the unigram counts), each a single task
+    // on the single-row-group bench parquet (measured 3×(1.3–2.0)
+    // CPU-s serialized). Floor the slim doc rows once BEFORE the
+    // explodes; all downstream aggregates are exact counts and the
+    // per-doc score is a rounded quotient of exact integers —
+    // partition-order immune. No-op at production scan widths.
+    val base = graft.operators.Dedup.scanParallelismFloor(
+      df.select(col(idCol).as("__id"), col(groupCol).as("__g"), col(textCol)))
+    val occ = base
+      .select(col("__id"), col("__g"), explode(bigrams).as("__b"))
       .select(col("__id"), col("__g"), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
-    val uniCnt = df
-      .select(col(groupCol).as("__g"),
+    val uniCnt = base
+      .select(col("__g"),
         explode(split(normalizeText(col(textCol)), " ")).as("__w"))
       .groupBy("__g", "__w").agg(count("*").as("__c1"))
     val biCnt = occ.groupBy("__g", "__w1", "__w2").agg(count("*").as("__c12"))
@@ -644,6 +654,10 @@ object TextAnalysis {
                     k: Int = 5): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
+    // scan-parallelism floor: measured and REVERTED here (r15) — the
+    // tokenize scan is too cheap to earn the round-robin exchange
+    // (+0.36 s doc-level, +0.90 s token-level vs the single-task scan),
+    // the simhash lesson from r14.
     val tf = df
       .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")

@@ -29,16 +29,28 @@ object BenchSubset {
     spark.sparkContext.setLogLevel("WARN")
     try graft.SparkEntry.queries("q1_agg")(spark, dir).count()
     catch { case _: Throwable => }
-    def onePass(): Map[String, Double] = names.map { n =>
+    // r14-advice fix: a query that CRASHES must not masquerade as a
+    // (fast) timing in before/after artifacts — track per-pass success
+    // and report failed queries as -1 plus an explicit "failed" list.
+    def onePass(): Map[String, (Double, Boolean)] = names.map { n =>
       val t0 = System.nanoTime()
-      try graft.SparkEntry.queries(n)(spark, dir).count()
-      catch { case _: Throwable => }
-      n -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { graft.SparkEntry.queries(n)(spark, dir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench_subset] $n FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
+      n -> (((System.nanoTime() - t0) / 1e9, ok))
     }.toMap
     val p1 = onePass(); val p2 = onePass()
     def f3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val rows = names.map(n => s""""$n":${f3(math.min(p1(n), p2(n)))}""")
-    println(s"""{"bench_subset":{${rows.mkString(",")}},"dir":"$dir"}""")
+    def best(n: String): Option[Double] = {
+      val oks = Seq(p1(n), p2(n)).collect { case (s, true) => s }
+      if (oks.isEmpty) None else Some(oks.min)
+    }
+    val rows = names.map(n => s""""$n":${best(n).map(f3(_).toString).getOrElse("-1")}""")
+    val failed = names.filter(best(_).isEmpty)
+    println(s"""{"bench_subset":{${rows.mkString(",")}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"dir":"$dir"}""")
     spark.stop()
   }
 }

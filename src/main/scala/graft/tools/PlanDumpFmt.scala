@@ -15,10 +15,13 @@ import org.apache.spark.sql.SparkSession
   * read — `PlanDumpRounds` below prints them alongside.
   *
   * Usage: sbt "runMain graft.tools.PlanDumpFmt <outdir> <query> [query ...]"
+  * (data dir from $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.001 —
+  * the r14-advice fix for the previously hardcoded path)
   */
 object PlanDumpFmt {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: PlanDumpFmt <outdir> <query> [query ...]")
+    val dataDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val outDir = java.nio.file.Paths.get(args(0))
     java.nio.file.Files.createDirectories(outDir)
     val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
@@ -28,7 +31,7 @@ object PlanDumpFmt {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- args.drop(1)) {
-      val df = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+      val df = graft.SparkEntry.queries(n)(spark, dataDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(outDir.resolve(s"${n}_$suffix.txt"),

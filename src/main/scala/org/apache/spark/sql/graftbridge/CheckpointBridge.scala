@@ -33,4 +33,41 @@ object CheckpointBridge {
     val classic = ck.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.internalCreateDataFrame(ck.queryExecution.toRdd, ck.schema)
   }
+
+  /** [[localCheckpointFreshStats]] FUSED with a boolean-column count:
+    * materializes the frame and counts the rows where `boolCol` is
+    * true (nulls count as false, matching `filter(col(boolCol))`) in
+    * the SAME job — the checkpointed blocks are persisted as the
+    * counting pass computes them, so an iterative operator's
+    * convergence probe costs zero extra actions instead of one
+    * `isEmpty`/`count` job per round (the r15 fix for the r14-verdict
+    * "CC convergence probe is a per-round driver round-trip" item).
+    *
+    * Mirrors `Dataset.localCheckpoint(eager = true)`'s mechanics:
+    * `queryExecution.toRdd` (with AQE this materializes the upstream
+    * query stages exactly as the eager checkpoint would), a defensive
+    * per-row copy (the scan reuses `InternalRow` buffers), RDD-level
+    * `localCheckpoint()`, then ONE job over a per-partition counting
+    * child — computing every parent partition persists it, and
+    * `SparkContext.runJob`'s `doCheckpoint()` hook finalizes the
+    * checkpoint with no partition left to recompute. The returned
+    * frame scans the SAME checkpointed rows with fresh stats, exactly
+    * like [[localCheckpointFreshStats]].
+    */
+  def localCheckpointFreshStatsCountTrue(df: DataFrame, boolCol: String): (DataFrame, Long) = {
+    val idx = df.schema.fieldIndex(boolCol)
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val classic = ds.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val total = rdd.mapPartitions { it =>
+      var c = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (!r.isNullAt(idx) && r.getBoolean(idx)) c += 1
+      }
+      Iterator.single(c)
+    }.collect().sum
+    (classic.internalCreateDataFrame(rdd, ds.schema), total)
+  }
 }

@@ -766,10 +766,15 @@ class PlanAuditSpec extends SparkSpec {
         windowDays = 7, materialize = false)
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_"), s"distinct (u,day) map-side combined:\n$p")
-    // the trailing-window fan-out is a non-equi interval join against
-    // the tiny broadcast anchor list — never a sort-merge over events
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"interval join broadcasts the day list:\n$p")
+    // r15: the trailing-window fan-out is a BOUNDED EXPLODE of the slim
+    // (u, day) frame into <= windowDays anchors — the former
+    // BroadcastNestedLoopJoin interval join compared every slim row
+    // against every observed day (|au|·|days| work, measured ~14 CPU-s
+    // at sf0.1 vs the explode's |au|·windowDays rows)
+    assert(p.contains("Generate explode(sequence("),
+      s"trailing window fans out via bounded explode:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the interval NLJ is gone — explode replaced it:\n$p")
     assert(!p.contains("Window"), s"no window — distinct cannot slide:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no data-sized sort-merge join:\n$p")
   }
