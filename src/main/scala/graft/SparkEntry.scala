@@ -1321,8 +1321,14 @@ object SparkEntry {
       val clusters = Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
       val q = TextAnalysis.quality(docs, "text").select(col("doc_id"), col("quality_score"))
-      val withCluster = q.join(clusters, Seq("doc_id"), "left")
-        .withColumn("cl", coalesce(col("cluster_id"), col("doc_id")))
+      // Eager checkpoint (r15): withCluster is referenced TWICE below
+      // (the canonical window AND the final join) — without it the
+      // quality scan + cluster join re-plan and re-execute per
+      // reference (the r14 duplicated-subtree pathology). Slim
+      // doc-count-sized rows.
+      val withCluster = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointFreshStats(q.join(clusters, Seq("doc_id"), "left")
+          .withColumn("cl", coalesce(col("cluster_id"), col("doc_id"))))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cl").orderBy(col("quality_score").desc, col("doc_id").asc)
       val canon = withCluster.withColumn("rn", row_number().over(w))
@@ -2013,8 +2019,18 @@ object SparkEntry {
       // LANGUAGE (lmScoreBy) scores its own documents, then
       // per-language tercile thresholds from the histogram sketch.
       val docs = t(s, dir, "documents")
-      val scored = TextAnalysis.lmScoreBy(docs, "doc_id", "text", "lang")
-        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      // Eager checkpoint (r15): languageBuckets reads its input TWICE
+      // (the per-language quantile sketch AND the final bucket join),
+      // and here that input embeds the whole per-language LM pipeline
+      // — without the checkpoint the LM chain is re-planned and
+      // re-executed per reference (the r14 duplicated-subtree
+      // pathology). The checkpointed frame is doc-count-sized slim
+      // rows (doc_id, lang, n_bigrams, lm_score) — the established
+      // localCheckpoint pattern.
+      val scored = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointFreshStats(
+          TextAnalysis.lmScoreBy(docs, "doc_id", "text", "lang")
+            .join(docs.select("doc_id", "lang"), Seq("doc_id")))
       TextAnalysis.languageBuckets(scored, "doc_id", "lang", "lm_score",
           lo = 0.0, hi = 0.1)
         .select("doc_id", "lang", "n_bigrams", "lm_score", "bucket")
